@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator class from SURVEY.md §2 to a
+callable running it through the engine (openapc_olap_spark) on the driver's
+testdata tables; ``oracle_sql()`` carries the DuckDB-equivalent SQL. Column
+aliases match exactly on both sides (the driver hashes values under sorted
+column names).
+
+Float discipline: every aggregated float column is rounded (money sums -> 2dp,
+ratios/avg/stddev -> 4-6dp) in BOTH engines so accumulation-order noise cannot
+flip the value hash; raw (non-aggregated) doubles pass through untouched.
 """
 
 from __future__ import annotations
@@ -12,27 +16,304 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openapc_olap_spark.query import QuerySpec
+from openapc_olap_spark.tpch import prepare
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-shaped multi-drilldown aggregate through the
+    cut/drilldown query layer (SURVEY.md §2.2 Q8 + §2.3)."""
+    return _q08_multi_drilldown(spark, SF_SMOKE)
+
+
+# --------------------------------------------------------------------------
+# §2.2 query-side operators (Q1-Q15) — all through the QueryEngine
+# --------------------------------------------------------------------------
+
+def _q01_facts_page(spark, sf_dir):
+    """Q1+Q10: facts listing with point cut + stable pagination (page 1 of
+    200 ordered by fact id; reference semantics HOWTO.md:35-43)."""
+    eng = prepare(spark, sf_dir)
+    spec = QuerySpec.from_params("customer", cut="c_mktsegment:BUILDING",
+                                 page=1, pagesize=200)
+    return eng.facts(spec)
+
+
+def _q02_cut_point(spark, sf_dir):
+    """Q2+Q7: point cut ANDed pair + single drilldown."""
+    eng = prepare(spark, sf_dir)
+    spec = QuerySpec.from_params(
+        "lineitem",
+        cut="l_returnflag:A|l_linestatus:F|l_shipdate_s:1995-01-01~1995-12-31",
+        drilldown="l_shipdate_s")
+    df = eng.cells(spec)
+    return df.select(
+        "l_shipdate_s",
+        F.round("price_amount_sum", 2).alias("price_amount_sum"),
+        "price_num_items",
+    )
+
+
+def _q03_cut_range(spark, sf_dir):
+    """Q3: inclusive range cut on a numeric dimension (HOWTO.md:77-79)."""
+    eng = prepare(spark, sf_dir)
+    spec = QuerySpec.from_params("part", cut="p_size:10~20", drilldown="p_brand")
+    df = eng.cells(spec)
+    return df.select("p_brand", F.round("retail_sum", 2).alias("retail_sum"),
+                     "num_items", F.round("retail_avg", 4).alias("retail_avg"))
+
+
+def _q04_cut_set(spark, sf_dir):
+    """Q4: set-membership cut (dim:v1;v2)."""
+    eng = prepare(spark, sf_dir)
+    spec = QuerySpec.from_params("orders", cut="o_orderpriority:1-URGENT;2-HIGH",
+                                 drilldown="o_orderstatus")
+    df = eng.cells(spec)
+    return df.select("o_orderstatus",
+                     F.round("order_amount_sum", 2).alias("order_amount_sum"),
+                     "order_num_items")
+
+
+def _q05_cut_negate(spark, sf_dir):
+    """Q5: negated cut (!dim:value)."""
+    eng = prepare(spark, sf_dir)
+    spec = QuerySpec.from_params("orders", cut="!o_orderstatus:O",
+                                 drilldown="o_orderpriority")
+    df = eng.cells(spec)
+    return df.select("o_orderpriority",
+                     F.round("order_amount_sum", 2).alias("order_amount_sum"),
+                     "order_num_items")
+
+
+def _q06_aggregate_summary(spark, sf_dir):
+    """Q6: aggregate with no drilldown — one summary row, all declared
+    aggregate functions (sum/count/avg/stddev/count_distinct; §2.3 A1-A5)."""
+    eng = prepare(spark, sf_dir)
+    df = eng.cells(QuerySpec.from_params("lineitem", cut="l_returnflag:R"))
+    return df.select(
+        F.round("price_amount_sum", 2).alias("price_amount_sum"),
+        "price_num_items",
+        F.round("price_amount_avg", 4).alias("price_amount_avg"),
+        F.round("price_amount_stddev", 4).alias("price_amount_stddev"),
+        F.round("qty_sum", 2).alias("qty_sum"),
+        "parts_distinct",
+    )
+
+
+def _q07_drilldown(spark, sf_dir):
+    """Q7: single-dimension drilldown, all aggregates."""
+    eng = prepare(spark, sf_dir)
+    df = eng.cells(QuerySpec.from_params("lineitem", drilldown="l_returnflag"))
+    return df.select(
+        "l_returnflag",
+        F.round("price_amount_sum", 2).alias("price_amount_sum"),
+        "price_num_items",
+        F.round("price_amount_avg", 4).alias("price_amount_avg"),
+        F.round("price_amount_stddev", 4).alias("price_amount_stddev"),
+    )
+
+
+def _q08_multi_drilldown(spark, sf_dir):
+    """Q8: multi-drilldown (d1|d2) with range cut — the TPC-H-Q1 shape."""
+    eng = prepare(spark, sf_dir)
+    spec = QuerySpec.from_params("lineitem", cut="l_shipdate_s:~1998-09-02",
+                                 drilldown="l_returnflag|l_linestatus")
+    df = eng.cells(spec)
+    return df.select(
+        "l_returnflag", "l_linestatus",
+        F.round("price_amount_sum", 2).alias("price_amount_sum"),
+        "price_num_items",
+        F.round("price_amount_avg", 4).alias("price_amount_avg"),
+        F.round("qty_sum", 2).alias("qty_sum"),
+    )
+
+
+def _q09_order_topk(spark, sf_dir):
+    """Q9: order by aggregate desc + first page = top-k (HOWTO.md:89-91).
+    Ordering is on the rounded sum with the drilldown key as tiebreak so the
+    top-k set is engine-independent."""
+    eng = prepare(spark, sf_dir)
+    cells = eng.cells(QuerySpec.from_params("lineitem", drilldown="l_suppkey"))
+    return (cells.select("l_suppkey",
+                         F.round("price_amount_sum", 2).alias("price_amount_sum"))
+            .orderBy(F.col("price_amount_sum").desc(), F.col("l_suppkey").asc())
+            .limit(10))
+
+
+def _q10_pagination_cells(spark, sf_dir):
+    """Q10 on aggregate cells: deterministic order + page 1 of 100."""
+    eng = prepare(spark, sf_dir)
+    spec = QuerySpec.from_params("orders", drilldown="o_custkey",
+                                 order="order_num_items:desc,o_custkey",
+                                 page=1, pagesize=100)
+    df = eng.cells(spec)
+    return df.select("o_custkey",
+                     F.round("order_amount_sum", 2).alias("order_amount_sum"),
+                     "order_num_items")
+
+
+def _q11_envelope_rollup(spark, sf_dir):
+    """Q11: the summary+cells envelope as ONE grouping-sets pass —
+    `(dim), ()` — with grouping_id separating grand total from cells."""
+    eng = prepare(spark, sf_dir)
+    df = spark.table("lineitem_v")
+    gs = (df.groupingSets([[F.col("l_returnflag")], []], F.col("l_returnflag"))
+          .agg(F.round(F.sum("l_extendedprice"), 2).alias("price_amount_sum"),
+               F.count(F.lit(1)).alias("price_num_items"),
+               F.grouping_id().alias("gid")))
+    return gs
+
+
+def _q12_point_lookup(spark, sf_dir):
+    """Q12: point lookup via facts + equality cut (the doi_lookup shape,
+    HOWTO.md:93-104)."""
+    eng = prepare(spark, sf_dir)
+    spec = QuerySpec.from_params("orders", cut="o_custkey:42")
+    return eng.facts(spec)
+
+
+def _q13_fact_by_id(spark, sf_dir):
+    """Q13: single fact by stable id."""
+    eng = prepare(spark, sf_dir)
+    return eng.fact("orders", 100)
+
+
+def _q14_members(spark, sf_dir):
+    """Q14: dimension members — distinct values, ordered, paginated."""
+    eng = prepare(spark, sf_dir)
+    return eng.members("customer", "c_mktsegment")
+
+
+def _q15_total_percentage(spark, sf_dir):
+    """A6: derived total_percentage via window-sum over the result set
+    (YAML_STATIC_PART_APC:23-27)."""
+    eng = prepare(spark, sf_dir)
+    spec = QuerySpec.from_params("lineitem", drilldown="l_returnflag")
+    df = eng.with_total_percentage(spec, "price_amount_sum")
+    return df.select(
+        "l_returnflag",
+        F.round("price_amount_sum", 2).alias("price_amount_sum"),
+        F.round("total_percentage", 6).alias("total_percentage"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_facts_page": _q01_facts_page,
+    "q02_cut_point": _q02_cut_point,
+    "q03_cut_range": _q03_cut_range,
+    "q04_cut_set": _q04_cut_set,
+    "q05_cut_negate": _q05_cut_negate,
+    "q06_aggregate_summary": _q06_aggregate_summary,
+    "q07_drilldown": _q07_drilldown,
+    "q08_multi_drilldown": _q08_multi_drilldown,
+    "q09_order_topk": _q09_order_topk,
+    "q10_pagination_cells": _q10_pagination_cells,
+    "q11_envelope_rollup": _q11_envelope_rollup,
+    "q12_point_lookup": _q12_point_lookup,
+    "q13_fact_by_id": _q13_fact_by_id,
+    "q14_members": _q14_members,
+    "q15_total_percentage": _q15_total_percentage,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_facts_page": """
+        SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
+        ORDER BY c_custkey LIMIT 200 OFFSET 200
+    """,
+    "q02_cut_point": """
+        SELECT strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate_s,
+               round(sum(l_extendedprice), 2) AS price_amount_sum,
+               count(*) AS price_num_items
+        FROM lineitem WHERE l_returnflag = 'A' AND l_linestatus = 'F'
+          AND strftime(l_shipdate, '%Y-%m-%d') BETWEEN '1995-01-01' AND '1995-12-31'
+        GROUP BY 1
+    """,
+    "q03_cut_range": """
+        SELECT p_brand, round(sum(p_retailprice), 2) AS retail_sum,
+               count(*) AS num_items, round(avg(p_retailprice), 4) AS retail_avg
+        FROM part WHERE p_size BETWEEN 10 AND 20 GROUP BY 1
+    """,
+    "q04_cut_set": """
+        SELECT o_orderstatus, round(sum(o_totalprice), 2) AS order_amount_sum,
+               count(*) AS order_num_items
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') GROUP BY 1
+    """,
+    "q05_cut_negate": """
+        SELECT o_orderpriority, round(sum(o_totalprice), 2) AS order_amount_sum,
+               count(*) AS order_num_items
+        FROM orders WHERE NOT (o_orderstatus = 'O') GROUP BY 1
+    """,
+    "q06_aggregate_summary": """
+        SELECT round(sum(l_extendedprice), 2) AS price_amount_sum,
+               count(*) AS price_num_items,
+               round(avg(l_extendedprice), 4) AS price_amount_avg,
+               round(stddev_samp(l_extendedprice), 4) AS price_amount_stddev,
+               round(sum(l_quantity), 2) AS qty_sum,
+               count(DISTINCT l_partkey) AS parts_distinct
+        FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    "q07_drilldown": """
+        SELECT l_returnflag, round(sum(l_extendedprice), 2) AS price_amount_sum,
+               count(*) AS price_num_items,
+               round(avg(l_extendedprice), 4) AS price_amount_avg,
+               round(stddev_samp(l_extendedprice), 4) AS price_amount_stddev
+        FROM lineitem GROUP BY 1
+    """,
+    "q08_multi_drilldown": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS price_amount_sum,
+               count(*) AS price_num_items,
+               round(avg(l_extendedprice), 4) AS price_amount_avg,
+               round(sum(l_quantity), 2) AS qty_sum
+        FROM lineitem WHERE strftime(l_shipdate, '%Y-%m-%d') <= '1998-09-02'
+        GROUP BY 1, 2
+    """,
+    "q09_order_topk": """
+        SELECT l_suppkey, round(sum(l_extendedprice), 2) AS price_amount_sum
+        FROM lineitem GROUP BY 1
+        ORDER BY price_amount_sum DESC, l_suppkey LIMIT 10
+    """,
+    "q10_pagination_cells": """
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS order_amount_sum,
+               count(*) AS order_num_items
+        FROM orders GROUP BY 1
+        ORDER BY order_num_items DESC, o_custkey LIMIT 100 OFFSET 100
+    """,
+    "q11_envelope_rollup": """
+        SELECT l_returnflag, round(sum(l_extendedprice), 2) AS price_amount_sum,
+               count(*) AS price_num_items, grouping(l_returnflag) AS gid
+        FROM lineitem GROUP BY ROLLUP (l_returnflag)
+    """,
+    "q12_point_lookup": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+        FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey LIMIT 500
+    """,
+    "q13_fact_by_id": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+        FROM orders WHERE o_orderkey = 100
+    """,
+    "q14_members": """
+        SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1 LIMIT 500
+    """,
+    "q15_total_percentage": """
+        SELECT l_returnflag,
+               round(sum(l_extendedprice), 2) AS price_amount_sum,
+               round(sum(l_extendedprice) * 100.0 /
+                     sum(sum(l_extendedprice)) OVER (), 6) AS total_percentage
+        FROM lineitem GROUP BY 1
+    """,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)
