@@ -1,0 +1,18 @@
+"""Driver-mandated LLM-data-pipeline operators (SURVEY.md §2.9), built for
+100 TB scale: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding cosine), similarity search (brute-force + LSH-bucketed ANN), text
+analysis (lang-id, quality, tokens, fingerprints), multimodal binary columns,
+and event-window analytics.
+
+Design rule: built-in pyspark.sql.functions everywhere the semantics allow
+(JVM-side, codegen'd, Catalyst-visible); Arrow-batched pandas UDFs only where
+genuinely needed (multimodal decode); never row-at-a-time Python.
+"""
+
+from openapc_olap_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    text,
+    windows,
+)

@@ -1,0 +1,255 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.9 X1/X2).
+
+Five dedup families, each shaped for 100 TB:
+
+- exact:         hash-groupBy on a normalized fingerprint (one shuffle,
+                 map-side combinable).
+- MinHash-LSH:   shingle -> k-permutation min-hash signature (array ops, no
+                 shuffle) -> banding -> bucket self-join for candidates ->
+                 exact-Jaccard verify. Only candidate pairs ever shuffle.
+- SimHash:       64-bit sign-of-weighted-sum signature computed entirely with
+                 array expressions; banded into 16-bit chunks for candidate
+                 generation (pigeonhole: hamming<=3 => >=1 equal chunk).
+- n-gram Jaccard: inverted-index join on shared shingles (exact — any pair
+                 with Jaccard > 0 shares a shingle), then threshold filter.
+- embedding:     cosine near-dup via random-hyperplane LSH + exact verify
+                 (see operators.similarity for the primitives).
+
+Everything signature-side is built-in expressions (xxhash64, transform,
+aggregate, filter) — zero Python in the scan. Shuffles happen only on
+(band/bucket) keys and are AQE-skew-handled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openapc_olap_spark.operators.text import fingerprint, shingles, tokens
+
+# A large prime < 2^31 for affine minhash permutations (Carter-Wegman style).
+_MERSENNE = (1 << 31) - 1
+
+
+# --------------------------------------------------------------------------
+# X1: exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (whitespace/case-normalized) documents:
+    one row per duplicated fingerprint with the kept (min) id and count."""
+    return (df
+            .withColumn("fp", fingerprint(text_col))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > 1))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (the min id) per normalized fingerprint.
+
+    Deterministic alternative to ``dropDuplicates`` (which keeps an
+    arbitrary row): a single hash aggregation either way.
+    """
+    w_fp = df.withColumn("__fp", fingerprint(text_col))
+    keep = (w_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)))
+    return (w_fp.join(keep, ["__fp", id_col], "left_semi").drop("__fp"))
+
+
+# --------------------------------------------------------------------------
+# X2: MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+
+def _affine_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
+    import random
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+            for _ in range(num_perm)]
+
+
+def minhash_signature(text_col="text", num_perm: int = 32,
+                      shingle_n: int = 3, seed: int = 42) -> Column:
+    """MinHash signature as array<bigint> of length ``num_perm``.
+
+    Base hash = xxhash64(shingle) (JVM, codegen); permutations are affine
+    maps mod a Mersenne prime. Empty documents get an all-p signature.
+    """
+    sh = shingles(text_col, shingle_n)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    mins = []
+    for a, b in _affine_params(num_perm, seed):
+        permuted = F.transform(
+            base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)))
+        mins.append(F.coalesce(F.array_min(permuted), F.lit(_MERSENNE)))
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", num_perm: int = 32,
+                           bands: int = 16, shingle_n: int = 3,
+                           seed: int = 42) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded MinHash.
+
+    ``bands`` bands of ``num_perm/bands`` rows; two docs are candidates when
+    any band hashes equal. With 16 bands x 2 rows, detection probability at
+    Jaccard 0.8 is 1-(1-0.8^2)^16 ≈ 0.9998 — tuned for high recall so the
+    exact-verify stage determines the final answer.
+
+    Scale shape: explode to ``bands`` rows/doc, shuffle on (band, band_hash),
+    self-join inside buckets. Hot buckets (boilerplate docs) are the skew
+    risk — AQE skew-join handles moderate cases; pathological buckets should
+    be length-capped upstream.
+    """
+    assert num_perm % bands == 0, "num_perm must be divisible by bands"
+    rows_per_band = num_perm // bands
+    sig = (df.select(F.col(id_col).alias("id"),
+                     minhash_signature(text_col, num_perm, shingle_n, seed)
+                     .alias("sig")))
+    banded = sig.select(
+        "id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.transform(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"))),
+                ).alias("bhash")))).alias("bk")
+    ).select("id", "bk.band", "bk.bhash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bhash") == F.col("r.bhash"))
+                      & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct())
+
+
+def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", shingle_n: int = 3,
+                   threshold: float = 0.8) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keeps pairs >=
+    threshold. Output: (id_a, id_b, jaccard)."""
+    sets_df = df.select(F.col(id_col).alias("id"),
+                        shingles(text_col, shingle_n).alias("sh"))
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    joined = (pairs
+              .join(a, pairs.id_a == F.col("a.id")).drop("id")
+              .join(b, pairs.id_b == F.col("b.id")).drop("id"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = (F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter)
+    return (joined
+            .select("id_a", "id_b",
+                    F.when(union > 0, inter.cast("double") / union)
+                     .otherwise(F.lit(0.0)).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", threshold: float = 0.8,
+                            num_perm: int = 32, bands: int = 16,
+                            shingle_n: int = 3, seed: int = 42) -> DataFrame:
+    """X2 end-to-end: LSH candidates -> exact Jaccard verify -> pairs
+    (id_a, id_b, jaccard) with jaccard >= threshold."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands,
+                                   shingle_n, seed)
+    return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)
+
+
+# --------------------------------------------------------------------------
+# X2b: n-gram Jaccard (exact, inverted-index join)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", shingle_n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact all-pairs Jaccard >= threshold without a cartesian product:
+    candidate pairs come from an inverted-index self-join (any pair with
+    Jaccard > 0 shares at least one shingle), counted per pair, then the
+    Jaccard is computed from intersection counts and set sizes.
+
+    Scale: the explode-join shuffles on shingle value; common shingles fan
+    out — for web-scale corpora prefix filtering or df-capped shingles
+    (drop shingles above a document-frequency cap) bound the blowup.
+    """
+    sets_df = (df.select(F.col(id_col).alias("id"),
+                         shingles(text_col, shingle_n).alias("sh"))
+               .withColumn("sh_size", F.size("sh")))
+    inv = sets_df.select("id", "sh_size", F.explode("sh").alias("g"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"),
+                      F.col("a.sh_size").alias("size_a"),
+                      F.col("b.sh_size").alias("size_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    jac = (F.col("n_inter").cast("double")
+           / (F.col("size_a") + F.col("size_b") - F.col("n_inter")))
+    return (inter.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+# --------------------------------------------------------------------------
+# X2c: SimHash
+# --------------------------------------------------------------------------
+
+def simhash(text_col="text") -> Column:
+    """64-bit SimHash as bigint, computed entirely with array expressions:
+    per-token xxhash64, then for each bit position the sign of the
+    (+1/-1) vote sum sets the output bit. No shuffle, no UDF."""
+    hs = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    n = F.size(hs)
+    bit_cols = []
+    for i in range(64):
+        ones = F.size(F.filter(
+            hs, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1))
+        # vote = ones - zeros > 0  <=>  2*ones > n
+        bit = F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit_cols.append(F.shiftleft(bit, i))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (popcount of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs with hamming <= max_hamming.
+
+    Candidates via 4x16-bit chunk banding (pigeonhole: hamming <= 3 implies
+    at least one of 4 chunks equal), then exact hamming verify.
+    Output: (id_a, id_b, hamming).
+    """
+    sig = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sig"))
+    chunks = sig.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"),
+                     F.shiftright("sig", i * 16).bitwiseAND(F.lit(0xFFFF))
+                     .alias("ckey"))
+            for i in range(4)])).alias("c")
+    ).select("id", "sig", "c.chunk", "c.ckey")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                    & (F.col("a.ckey") == F.col("b.ckey"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"))
+             .distinct())
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,153 @@
+"""Multimodal (image/audio/video) column handling (SURVEY.md §2.9 X5).
+
+Media payloads are opaque ``binary`` columns with typed metadata travelling
+beside them. The design for 100 TB:
+
+- metadata extraction (size, content hash, container sniffing) is pure
+  built-in expressions over the binary column — JVM-side, codegen'd, no
+  Python boundary, so attaching metadata to a petabyte of blobs is a scan;
+- decode / feature-extract / resize / frame-sample are Arrow-batched
+  ``mapInPandas`` stages with explicit output schemas, so Catalyst still
+  prunes columns around them and the Python boundary moves whole record
+  batches, never rows.
+
+The actual pixel/sample decoding needs codec libraries (PIL / librosa /
+pyav) that are NOT in this container, so the decode kernels are STUBBED:
+``_decode_image_bytes`` raises ``NotImplementedError`` unless PIL is
+importable, and the pipeline-level functions fall back to a deterministic
+fake (seeded by the payload's content hash) so the Spark-side plumbing —
+schema, batching, partitioning — is fully real and testable.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Magic-byte prefixes (hex) for container sniffing — public file signatures.
+_MAGIC = {
+    "FFD8FF": "jpeg",
+    "89504E47": "png",
+    "47494638": "gif",
+    "52494646": "riff",  # WAV/AVI/WebP share RIFF; disambiguate at decode
+    "664C6143": "flac",
+    "1A45DFA3": "mkv/webm",
+    "00000018": "mp4",
+    "00000020": "mp4",
+}
+
+
+def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach typed metadata columns to a binary media column with pure
+    built-in expressions (no UDF): byte size, xxhash64 content fingerprint,
+    and a container format sniffed from magic bytes.
+    """
+    p = F.col(payload_col)
+    head8 = F.hex(F.expr(f"substring({payload_col}, 1, 4)"))
+    fmt = F.lit("unknown")
+    for magic, name in _MAGIC.items():
+        fmt = F.when(head8.startswith(magic), F.lit(name)).otherwise(fmt)
+    return (df
+            .withColumn("media_bytes", F.length(p))
+            .withColumn("media_hash", F.xxhash64(p))
+            .withColumn("media_format", fmt))
+
+
+# --------------------------------------------------------------------------
+# Decode kernels (STUBS — codec libs absent in this container)
+# --------------------------------------------------------------------------
+
+def _decode_image_bytes(payload: bytes) -> tuple[int, int, int]:
+    """Decode (width, height, channels) from image bytes. Real path needs
+    PIL; raises NotImplementedError when unavailable."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401  (absent in this container)
+    except ImportError as exc:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "image decode requires PIL; install pillow on the cluster") from exc
+    with Image.open(io.BytesIO(payload)) as im:  # pragma: no cover
+        return im.width, im.height, len(im.getbands())
+
+
+def _fake_dims(content_hash: int) -> tuple[int, int, int]:
+    """Deterministic stand-in dims seeded by the content hash, so tests and
+    local pipelines exercise the full plumbing with stable outputs."""
+    h = content_hash & 0x7FFFFFFF
+    return 64 + h % 1024, 64 + (h >> 10) % 1024, 1 + (h >> 20) % 4
+
+
+IMAGE_DECODE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("features", T.ArrayType(T.FloatType())),
+])
+
+
+def decode_images(df: DataFrame, id_col: str = "media_id",
+                  payload_col: str = "payload",
+                  n_features: int = 8) -> DataFrame:
+    """Decode + feature-extract stage as an Arrow-batched ``mapInPandas``.
+
+    Output: (media_id, width, height, channels, features array<float>).
+    Features are a tiny content-derived vector (stub for a real embedding
+    model). Only (id, payload) are shipped across the Python boundary —
+    select-project before mapInPandas keeps column pruning effective.
+    """
+    import pandas as pd
+    import numpy as np
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {"media_id": [], "width": [], "height": [],
+                   "channels": [], "features": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, c = _decode_image_bytes(data)
+                except Exception:
+                    # deterministic fake path (see module docstring)
+                    w, h, c = _fake_dims(zlib.crc32(data))
+                rng = np.random.default_rng(zlib.crc32(data + b"f"))
+                feats = rng.random(n_features, dtype=np.float32)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["features"].append(feats.tolist())
+            yield pd.DataFrame(out)
+
+    return (df.select(F.col(id_col).cast("long").alias(id_col), payload_col)
+            .mapInPandas(batches, IMAGE_DECODE_SCHEMA))
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_ts_ms", T.LongType()),
+])
+
+
+def sample_frames(df: DataFrame, id_col: str = "media_id",
+                  duration_ms_col: str = "duration_ms",
+                  every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling *plan*: one output row per sampled timestamp.
+
+    The timestamp grid is pure ``sequence``+``explode`` (no UDF); actual
+    frame extraction would decode at those timestamps (pyav — absent here,
+    so this emits the sampling plan only, which is the real distributed
+    part: the explode shape, not the codec call).
+    """
+    n = (F.col(duration_ms_col) / every_ms).cast("int")
+    return (df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.explode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))))
+        .alias("frame_idx"))
+        .withColumn("frame_ts_ms", F.col("frame_idx").cast("long") * every_ms))

@@ -1,0 +1,143 @@
+"""Vector similarity search over embedding columns (SURVEY.md §2.9 X3).
+
+Primitives are higher-order array functions (zip_with + aggregate) — the dot
+product never leaves the JVM. Two search paths:
+
+- brute-force top-k against a literal query vector: one scan, no shuffle,
+  TakeOrderedAndProject for the top-k — the exact baseline;
+- random-hyperplane LSH bucketing for ANN at scale: signature = packed sign
+  bits of ``nbits`` fixed random projections; search probes only matching
+  (or near-matching) buckets, turning a 100 TB scan into a bucket-pruned
+  fraction. Bucket ids are plain columns, so the bucketed table can be
+  written partitioned/bucketed by signature for storage-level pruning.
+
+Embedding near-dup (X2's cosine variant) composes the same pieces:
+bucket-join then exact cosine verify.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (JVM-side fold)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 for zero-norm inputs."""
+    d = dot(a, b)
+    nn = norm(a) * norm(b)
+    return F.when(nn > 0, d / nn).otherwise(F.lit(0.0))
+
+
+def _as_double_array(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def brute_force_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k of ``query_vec`` over the embedding column.
+
+    Plan shape: project(sim) -> TakeOrderedAndProject(k) — a single pass,
+    partial top-k per partition, no full sort, no shuffle of the data.
+    Ties broken by id for determinism.
+    """
+    q = _as_double_array(query_vec)
+    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    return (df.select(F.col(id_col), sim.alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH (the ANN scale path)
+# --------------------------------------------------------------------------
+
+def random_hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-Gaussian projection vectors."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(nbits):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def hyperplane_signature(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Packed sign-bit signature (bigint) of the projections — the LSH
+    bucket id. Same-bucket vectors are likely high-cosine (SRP-LSH)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    c = c.cast("array<double>")
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(dot(c, _as_double_array(p)) >= 0,
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def lsh_bucketize(df: DataFrame, nbits: int = 8, vec_col: str = "embedding",
+                  dim: int | None = None, seed: int = 42) -> DataFrame:
+    """Attach the LSH ``bucket`` column. ``dim`` defaults to the first row's
+    length (pass explicitly in production)."""
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        dim = first[0] if first else 0
+    planes = random_hyperplanes(dim, nbits, seed)
+    return df.withColumn("bucket", hyperplane_signature(vec_col, planes))
+
+
+def lsh_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
+              nbits: int = 8, max_hamming: int = 1, id_col: str = "vec_id",
+              vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """ANN top-k: probe buckets within ``max_hamming`` signature bits of the
+    query's bucket, exact-rank inside the probed set.
+
+    At 100 TB the bucketized table is written partitioned by ``bucket``;
+    the signature filter is then a partition-pruned read of
+    sum(C(nbits, 0..max_hamming)) / 2^nbits of the data.
+    """
+    planes = random_hyperplanes(len(query_vec), nbits, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        d = sum(x * y for x, y in zip(query_vec, p))
+        qsig |= (1 if d >= 0 else 0) << i
+    bucketed = lsh_bucketize(df, nbits, vec_col, len(query_vec), seed)
+    probe = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qsig))) <= max_hamming
+    q = _as_double_array(query_vec)
+    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    return (bucketed.filter(probe)
+            .select(F.col(id_col), sim.alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
+                              nbits: int = 8, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              seed: int = 42) -> DataFrame:
+    """X2 embedding-cosine near-dup: same-bucket candidate pairs -> exact
+    cosine verify >= threshold. Output (id_a, id_b, cos_sim)."""
+    b = lsh_bucketize(df, nbits, vec_col, None, seed) \
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket")
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+                    & (F.col("l.id") < F.col("r.id")))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                     cosine(F.col("l.v").cast("array<double>"),
+                            F.col("r.v").cast("array<double>")).alias("cos_sim")))
+    return pairs.filter(F.col("cos_sim") >= threshold)

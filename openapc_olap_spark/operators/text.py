@@ -1,0 +1,136 @@
+"""Text-analysis operators for a training-data pipeline (SURVEY.md §2.9 X4).
+
+All pure built-in expressions — tokenization, language id, quality scoring,
+token counting, and fingerprinting run JVM-side under whole-stage codegen, so
+a 100 TB documents table is one embarrassingly-parallel scan with no shuffle
+and no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword profiles for the n-gram/stopword heuristic
+# language id. Tiny closed-class word lists are the classic cheap signal
+# (cf. langid literature); extend per deployment.
+STOPWORDS = {
+    "en": ["the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+           "for", "on", "with", "as", "this", "was", "are", "be", "at", "by"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den",
+           "von", "mit", "auf", "für", "im", "nicht", "sich", "dem", "des"],
+    "fr": ["le", "la", "les", "un", "une", "et", "est", "de", "des", "du",
+           "en", "que", "qui", "dans", "pour", "pas", "sur", "avec"],
+    "es": ["el", "la", "los", "las", "un", "una", "y", "es", "de", "en",
+           "que", "por", "con", "para", "no", "se", "del", "al"],
+}
+
+
+def tokens(col="text") -> Column:
+    """Whitespace tokenization of lowercased text -> array<string>.
+    Empty strings are filtered (split on runs of whitespace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col="text") -> Column:
+    """X4: whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col="text") -> Column:
+    """Token counting under a BPE-ish regex: words, numbers, and single
+    punctuation marks each count as one token — the cheap stand-in for a
+    real tokenizer's piece count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def stopword_ratio(col="text", lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang`` (0 when empty)."""
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def language_scores(col="text") -> dict[str, Column]:
+    """Per-language stopword-hit ratios."""
+    return {lang: stopword_ratio(col, lang) for lang in STOPWORDS}
+
+
+def detect_language(col="text", threshold: float = 0.05) -> Column:
+    """X4 lang-id: argmax of per-language stopword ratios; 'und'
+    (undetermined) when the best ratio is below ``threshold``.
+
+    Expressed as a fold over literal language ids -> stays codegen'd.
+    """
+    scores = language_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(float(threshold))
+    for lang, score in scores.items():
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def punctuation_ratio(col="text") -> Column:
+    """Punctuation chars / total chars (0 when empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[^\p{Punct}]", ""))
+    return F.when(total > 0, punct.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def mean_token_length(col="text") -> Column:
+    toks = tokens(col)
+    total = F.aggregate(F.transform(toks, F.length),
+                        F.lit(0), lambda acc, x: acc + x)
+    n = F.size(toks)
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col="text", lang: str = "en") -> Column:
+    """X4 quality scoring: composite of length, stopword and punctuation
+    signals in [0, 1] — the standard cheap pre-filter for LLM training data
+    (length saturation at 1000 chars; stopword ratio saturating at 0.3;
+    punctuation penalty saturating at 0.2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_component = F.least(F.length(c).cast("double") / 1000.0, F.lit(1.0))
+    stop_component = F.least(stopword_ratio(col, lang) / 0.3, F.lit(1.0))
+    punct_penalty = F.least(punctuation_ratio(col) / 0.2, F.lit(1.0))
+    return (0.4 * length_component + 0.4 * stop_component
+            + 0.2 * (1.0 - punct_penalty))
+
+
+def fingerprint(col="text") -> Column:
+    """X4 document fingerprint: MD5 of whitespace-normalized, lowercased
+    text. Stable across engines (MD5 is MD5 everywhere), which is what a
+    dedup key must be."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def shingles(col="text", n: int = 3) -> Column:
+    """Word n-gram shingles -> array<string> (distinct). The unit of
+    MinHash/Jaccard near-dup comparison."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def analyze(df: DataFrame, text_col: str = "text", lang: str = "en") -> DataFrame:
+    """Attach the full text-analysis column block to a documents frame."""
+    return (df
+            .withColumn("n_tokens", token_count(text_col))
+            .withColumn("n_tokens_bpe", bpe_ish_token_count(text_col))
+            .withColumn("mean_token_len", mean_token_length(text_col))
+            .withColumn("stopword_ratio", stopword_ratio(text_col, lang))
+            .withColumn("punct_ratio", punctuation_ratio(text_col))
+            .withColumn("lang_pred", detect_language(text_col))
+            .withColumn("quality", quality_score(text_col, lang))
+            .withColumn("fingerprint", fingerprint(text_col)))

@@ -1,0 +1,225 @@
+"""Extension-operator semantics (SURVEY.md §2.9): dedup families, vector
+similarity, text analysis, event windows, multimodal plumbing. Ground truth
+comes from plain Python/numpy/duckdb computed on the same rows."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openapc_olap_spark.operators import dedup, multimodal, similarity, text, windows
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog again and again"),
+        (2, "the  quick Brown fox jumps over the lazy dog again and again"),
+        (3, "The quick brown fox jumps over the lazy cat again and again"),
+        (4, "Completely different text about Spark query engines at scale"),
+        (5, "Der schnelle braune Fuchs springt über den faulen Hund heute"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# ---------------------------------------------------------------- text (X4)
+
+def test_token_counts(spark, docs):
+    out = {r["doc_id"]: r["n"] for r in
+           docs.select("doc_id", text.token_count("text").alias("n")).collect()}
+    assert out[1] == 12 and out[4] == 9
+
+
+def test_fingerprint_normalizes_case_and_whitespace(docs):
+    fps = {r["doc_id"]: r["fp"] for r in
+           docs.select("doc_id", text.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2]          # case + double-space normalized away
+    assert fps[1] != fps[3]
+
+
+def test_detect_language(docs):
+    langs = {r["doc_id"]: r["lang"] for r in
+             docs.select("doc_id",
+                         text.detect_language("text").alias("lang")).collect()}
+    assert langs[1] == "en"
+    assert langs[5] == "de"
+
+
+def test_shingles_and_quality_bounds(spark, docs):
+    row = docs.filter("doc_id = 1").select(
+        text.shingles("text", 3).alias("sh"),
+        text.quality_score("text").alias("q")).first()
+    assert "the quick brown" in row["sh"]
+    assert len(row["sh"]) == 10      # 12 tokens -> 10 trigrams (all distinct)
+    assert 0.0 <= row["q"] <= 1.0
+
+
+def test_analyze_runs_on_driver_documents(spark):
+    df = text.analyze(spark.read.parquet(f"{SF}/documents.parquet"))
+    row = df.select(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(F.col("lang_pred").isin(
+                        "en", "de", "fr", "es", "und"), 0).otherwise(1))
+                    .alias("bad")).first()
+    assert row["n"] == 500 and row["bad"] == 0
+
+
+# --------------------------------------------------------------- dedup (X1/X2)
+
+def test_exact_dedup(spark, docs):
+    kept = dedup.exact_dedup(docs).select("doc_id").rdd.map(lambda r: r[0]).collect()
+    assert sorted(kept) == [1, 3, 4, 5]   # 2 collapses into 1 (min id kept)
+    dups = dedup.exact_duplicates(docs).collect()
+    assert len(dups) == 1 and dups[0]["keep_id"] == 1 and dups[0]["n_docs"] == 2
+
+
+def _py_jaccard(a: str, b: str, n=3):
+    def sh(s):
+        t = s.lower().split()
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_ngram_jaccard_matches_python(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    expected = _py_jaccard(texts[1], texts[3])
+    assert (1, 3) in pairs
+    assert pairs[(1, 3)] == pytest.approx(expected)
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_near_duplicates_finds_pair(docs):
+    got = dedup.minhash_near_duplicates(docs, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (1, 2) in pairs            # normalized-identical
+    assert (1, 3) in pairs            # one-word edit, jaccard ~0.54
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_simhash_near_duplicates(docs):
+    got = dedup.simhash_near_duplicates(docs, max_hamming=10).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in got}
+    assert pairs.get((1, 2)) == 0     # tokens identical after lowering
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+# ------------------------------------------------------------ similarity (X3)
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_brute_force_top_k_matches_numpy(emb):
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = mat[0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(-sims, ids))[:10]
+    expected = [int(i) for _, i in order]
+    got = similarity.brute_force_top_k(emb, list(map(float, q)), k=10).collect()
+    assert [r["vec_id"] for r in got] == expected
+    assert got[0]["sim"] == pytest.approx(1.0)
+
+
+def test_lsh_top_k_exact_sims_and_self_hit(emb):
+    q = [float(x) for x in emb.first()["embedding"]]
+    got = similarity.lsh_top_k(emb, q, k=5, nbits=8, max_hamming=2)
+    rows = got.collect()
+    assert 0 < len(rows) <= 5
+    assert rows[0]["sim"] == pytest.approx(1.0)   # query vec is in the table
+    sims = [r["sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_embedding_near_duplicates(spark):
+    vecs = [(1, [1.0, 0.0, 0.5]), (2, [2.0, 0.0, 1.0]),   # colinear -> cos 1
+            (3, [-1.0, 2.0, 0.0])]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = dedup_pairs = similarity.embedding_near_duplicates(
+        df, threshold=0.99, nbits=4).collect()
+    assert len(got) == 1
+    assert (got[0]["id_a"], got[0]["id_b"]) == (1, 2)
+    assert got[0]["cos_sim"] == pytest.approx(1.0)
+
+
+# --------------------------------------------------------------- windows (X6)
+
+def test_tumbling_matches_duckdb(spark):
+    from openapc_olap_spark.session import load_tables
+    df = load_tables(spark, SF, ["events"])["events"]
+    got = {(r["window_start"], ): (r["n_events"], r["value_sum"])
+           for r in windows.tumbling(df, duration="1 hour").collect()}
+    ora = duckdb.sql(f"""
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') s,
+               count(*) n, round(sum(value), 4) v
+        FROM '{SF}/events.parquet' GROUP BY 1""").fetchall()
+    assert len(got) == len(ora)
+    for s, n, v in ora:
+        assert got[(s,)] == (n, pytest.approx(v))
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [(1, "2024-01-01 10:00:00", 7, "c", 1.0, "{}"),
+            (2, "2024-01-01 10:05:00", 7, "c", 2.0, "{}"),
+            (3, "2024-01-01 10:20:00", 7, "c", 3.0, "{}"),   # > 10 min gap
+            (4, "2024-01-01 10:00:00", 8, "c", 4.0, "{}")]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = windows.sessionize(df).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[7]) == 2
+    first = min(by_user[7], key=lambda r: r["session_start"])
+    assert first["n_events"] == 2 and first["value_sum"] == pytest.approx(3.0)
+    assert len(by_user[8]) == 1
+    stats = {r["user_id"]: r["n_sessions"]
+             for r in windows.session_stats(df).collect()}
+    assert stats == {7: 2, 8: 1}
+
+
+# ------------------------------------------------------------ multimodal (X5)
+
+def test_media_metadata_sniffs_magic_bytes(spark):
+    rows = [(1, bytearray(b"\xff\xd8\xff\xe0" + b"x" * 60)),
+            (2, bytearray(b"\x89PNG\r\n\x1a\n" + b"y" * 100)),
+            (3, bytearray(b"RIFF1234WAVE" + b"z" * 20)),
+            (4, bytearray(b"\x00\x01garbage"))]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    got = {r["media_id"]: r for r in
+           multimodal.with_media_metadata(df).collect()}
+    assert got[1]["media_format"] == "jpeg" and got[1]["media_bytes"] == 64
+    assert got[2]["media_format"] == "png"
+    assert got[3]["media_format"] == "riff"
+    assert got[4]["media_format"] == "unknown"
+    assert len({got[i]["media_hash"] for i in got}) == 4
+
+
+def test_decode_images_stub_is_deterministic(spark):
+    rows = [(i, bytearray(bytes([i]) * 32)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    a = {r["media_id"]: r for r in multimodal.decode_images(df).collect()}
+    b = {r["media_id"]: r for r in
+         multimodal.decode_images(df.repartition(4)).collect()}
+    assert len(a) == 8
+    for i in a:
+        assert a[i]["width"] >= 64 and a[i]["channels"] in (1, 2, 3, 4)
+        assert len(a[i]["features"]) == 8
+        assert a[i] == b[i]          # partitioning-independent
+
+
+def test_sample_frames_grid(spark):
+    df = spark.createDataFrame([(1, 3500), (2, 900)], ["media_id", "duration_ms"])
+    got = multimodal.sample_frames(df, every_ms=1000).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["media_id"], []).append((r["frame_idx"], r["frame_ts_ms"]))
+    assert sorted(per[1]) == [(0, 0), (1, 1000), (2, 2000)]
+    assert sorted(per[2]) == [(0, 0)]
