@@ -1,0 +1,334 @@
+"""Driver-contract query pack for the §2.9 extension operators (X1-X6).
+
+Each entry pairs the Spark operator with a DuckDB oracle that replicates the
+*same algorithm* — including the LSH paths, whose random hyperplanes /
+stopword tables are inlined as literals into generated SQL — so the
+correctness gate checks the scalable implementation, not a simplified twin.
+MinHash/SimHash use xxhash64 (no DuckDB equivalent) and are rows-only.
+
+Float discipline mirrors __spark_entry__: aggregates/ratios rounded
+identically on both sides.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openapc_olap_spark.operators import dedup, similarity, text, windows
+from openapc_olap_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# Shared deterministic literals (identical on the Spark and SQL sides)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+ANN_K = 10
+LSH_NBITS = 4
+LSH_SEED = 42
+NEARDUP_COS = 0.35
+JACCARD_T = 0.2
+
+
+def _query_vector(dim: int = EMB_DIM) -> list[float]:
+    """Fixed pseudo-random unit query vector, rounded to 6dp so the literal
+    round-trips exactly through both engines' parsers."""
+    rng = random.Random(123)
+    v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+    n = sum(x * x for x in v) ** 0.5
+    return [round(x / n, 6) for x in v]
+
+
+QUERY_VEC = _query_vector()
+PLANES = similarity.random_hyperplanes(EMB_DIM, LSH_NBITS, LSH_SEED)
+
+_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "  generate_series(1, greatest(len(toks) - 2, 0)),"
+    "  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+def _sql_vec(v: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (f"(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))))")
+
+
+def _sql_bucket(vec_expr: str) -> str:
+    """SRP-LSH bucket id in SQL with the plane vectors inlined — the oracle
+    runs the identical bucketing the Spark operator runs."""
+    bits = [f"(CASE WHEN list_dot_product({vec_expr}, {_sql_vec(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)" for i, p in enumerate(PLANES)]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _sql_stopword_ratio(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+    return (f"(CASE WHEN len(toks) > 0 THEN "
+            f"len(list_filter(toks, x -> list_contains([{words}], x)))::DOUBLE"
+            f" / len(toks) ELSE 0.0 END)")
+
+
+# ---------------------------------------------------------------------------
+# X1: exact dedup
+# ---------------------------------------------------------------------------
+
+def _x01_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup summary over documents: corpus size, distinct normalized
+    fingerprints, duplicate-group count (operators.dedup / operators.text)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    fp = docs.select(text.fingerprint("text").alias("fp"))
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup_rows"))
+
+
+_X01_SQL = r"""
+    WITH fp AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents)
+    SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+           count(*) - count(DISTINCT fp) AS n_dup_rows
+    FROM fp
+"""
+
+
+# ---------------------------------------------------------------------------
+# X2: n-gram Jaccard near-dup (exact inverted-index algorithm, oracled)
+# ---------------------------------------------------------------------------
+
+def _x02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_T)
+    return pairs.select("id_a", "id_b",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
+_X02_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sets AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM s),
+    inv AS (
+      SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM sets),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.sz) AS sa, any_value(b.sz) AS sb,
+             count(*) AS n
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n::DOUBLE / (sa + sb - n), 6) AS jaccard
+    FROM inter WHERE n::DOUBLE / (sa + sb - n) >= {JACCARD_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# X2b/X2c: MinHash-LSH + SimHash near-dup (xxhash64-based -> rows-only)
+# ---------------------------------------------------------------------------
+
+def _x03_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = dedup.minhash_near_duplicates(docs, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _x04_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return dedup.simhash_near_duplicates(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# X3: similarity search
+# ---------------------------------------------------------------------------
+
+def _x05_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (the correctness baseline of the ANN
+    pair; plan = scan -> TakeOrderedAndProject, no shuffle)."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    out = similarity.brute_force_top_k(emb, QUERY_VEC, k=ANN_K)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+_X05_SQL = f"""
+    SELECT vec_id,
+           round({_sql_cos('embedding::DOUBLE[]', _sql_vec(QUERY_VEC))}, 6)
+             AS sim
+    FROM embeddings
+    ORDER BY sim DESC, vec_id ASC
+    LIMIT {ANN_K}
+"""
+
+
+def _x06_lsh_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via SRP-LSH bucket join + exact cosine verify; the
+    oracle replicates the bucketing with the identical hyperplanes."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    out = similarity.embedding_near_duplicates(
+        emb, threshold=NEARDUP_COS, nbits=LSH_NBITS, seed=LSH_SEED)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+_X06_SQL = f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_sql_bucket('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings)
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           round({_sql_cos('l.v', 'r.v')}, 6) AS cos_sim
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE {_sql_cos('l.v', 'r.v')} >= {NEARDUP_COS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# X4: text analysis
+# ---------------------------------------------------------------------------
+
+def _x07_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (docs
+            .filter(F.col("doc_id") < 400)
+            .select(
+                "doc_id",
+                text.token_count("text").alias("n_tokens"),
+                text.bpe_ish_token_count("text").alias("n_tokens_bpe"),
+                F.round(text.mean_token_length("text"), 6)
+                .alias("mean_token_len")))
+
+
+_X07_SQL = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks
+               FROM documents WHERE doc_id < 400)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_tokens_bpe,
+           round(CASE WHEN len(toks) > 0 THEN
+                   list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                     / len(toks)
+                 ELSE 0.0 END, 6) AS mean_token_len
+    FROM t
+"""
+
+
+def _x08_langid_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted-language histogram; the oracle replicates the stopword-ratio
+    argmax (earliest-wins ties, 0.05 floor) with inlined stopword tables."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (docs.select(text.detect_language("text").alias("lang_pred"))
+            .groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def _x08_sql() -> str:
+    r = {lang: _sql_stopword_ratio(lang) for lang in text.STOPWORDS}
+    return f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    sc AS (SELECT {r['en']} AS r_en, {r['de']} AS r_de,
+                  {r['fr']} AS r_fr, {r['es']} AS r_es FROM t),
+    pred AS (
+      SELECT CASE
+        WHEN greatest(r_en, r_de, r_fr, r_es) <= 0.05 THEN 'und'
+        WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+        WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
+        WHEN r_fr >= r_es THEN 'fr'
+        ELSE 'es' END AS lang_pred
+      FROM sc)
+    SELECT lang_pred, count(*) AS n_docs FROM pred GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# X6: event windows (batch form; streaming twins in openapc_olap_spark.streaming)
+# ---------------------------------------------------------------------------
+
+def _x09_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return windows.tumbling(ev, duration="1 day", group_cols=["event_type"])
+
+
+_X09_SQL = """
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS value_sum
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _x10_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return windows.sliding(ev, duration="1 day", slide="12 hours")
+
+
+_X10_SQL = """
+    WITH w AS (
+      SELECT value,
+             time_bucket(INTERVAL 12 HOUR, ts)
+               - unnest([0, 1]) * INTERVAL 12 HOUR AS ws
+      FROM events)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS value_sum
+    FROM w GROUP BY 1
+"""
+
+
+def _x11_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session counts (6h inactivity gap) via session_window; the
+    oracle is the classic gaps-and-islands rewrite with identical boundary
+    semantics (a gap of exactly 6h starts a new session)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return windows.session_stats(ev, gap="6 hours")
+
+
+_X11_SQL = """
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 6 HOUR
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_s
+      FROM events)
+    SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+    FROM d GROUP BY 1
+"""
+
+
+QUERIES = {
+    "x01_dedup_summary": _x01_dedup_summary,
+    "x02_ngram_jaccard": _x02_ngram_jaccard,
+    "x03_minhash_neardup": _x03_minhash_neardup,
+    "x04_simhash_neardup": _x04_simhash_neardup,
+    "x05_ann_topk": _x05_ann_topk,
+    "x06_lsh_neardup_embeddings": _x06_lsh_neardup_embeddings,
+    "x07_text_metrics": _x07_text_metrics,
+    "x08_langid_distribution": _x08_langid_distribution,
+    "x09_tumbling_daily": _x09_tumbling_daily,
+    "x10_sliding_windows": _x10_sliding_windows,
+    "x11_session_stats": _x11_session_stats,
+}
+
+ORACLES = {
+    "x01_dedup_summary": _X01_SQL,
+    "x02_ngram_jaccard": _X02_SQL,
+    # x03/x04: xxhash64-based signatures have no DuckDB twin -> rows-only
+    "x05_ann_topk": _X05_SQL,
+    "x06_lsh_neardup_embeddings": _X06_SQL,
+    "x07_text_metrics": _X07_SQL,
+    "x08_langid_distribution": _x08_sql(),
+    "x09_tumbling_daily": _X09_SQL,
+    "x10_sliding_windows": _X10_SQL,
+    "x11_session_stats": _X11_SQL,
+}
