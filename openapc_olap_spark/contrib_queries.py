@@ -107,8 +107,15 @@ _X01_SQL = r"""
 # X2: n-gram Jaccard near-dup (exact inverted-index algorithm, oracled)
 # ---------------------------------------------------------------------------
 
-def _x02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the single-row-group testdata file split across cores
+    (a real corpus arrives in many splits; this evens the local comparison)."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _x02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_split(spark, sf_dir)
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_T)
     return pairs.select("id_a", "id_b",
                         F.round("jaccard", 6).alias("jaccard"))
@@ -138,13 +145,13 @@ _X02_SQL = f"""
 # ---------------------------------------------------------------------------
 
 def _x03_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = _docs_split(spark, sf_dir)
     out = dedup.minhash_near_duplicates(docs, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _x04_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = _docs_split(spark, sf_dir)
     return dedup.simhash_near_duplicates(docs, max_hamming=3)
 
 

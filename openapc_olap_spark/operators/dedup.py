@@ -71,21 +71,36 @@ def _affine_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
             for _ in range(num_perm)]
 
 
-def minhash_signature(text_col="text", num_perm: int = 32,
-                      shingle_n: int = 3, seed: int = 42) -> Column:
-    """MinHash signature as array<bigint> of length ``num_perm``.
-
-    Base hash = xxhash64(shingle) (JVM, codegen); permutations are affine
-    maps mod a Mersenne prime. Empty documents get an all-p signature.
-    """
+def base_hashes(text_col="text", shingle_n: int = 3) -> Column:
+    """Per-shingle base hashes (xxhash64 mod p) — materialize this ONCE as a
+    column before fanning out to permutations; inlining it under each
+    permutation re-tokenizes the document num_perm times and blows the
+    expression past codegen limits (measured 15x slowdown)."""
     sh = shingles(text_col, shingle_n)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    mins = []
-    for a, b in _affine_params(num_perm, seed):
-        permuted = F.transform(
-            base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)))
-        mins.append(F.coalesce(F.array_min(permuted), F.lit(_MERSENNE)))
-    return F.array(*mins)
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+
+def minhash_from_hashes(hashes_col, num_perm: int = 32,
+                        seed: int = 42) -> Column:
+    """MinHash signature (array<bigint>, length num_perm) from base hashes
+    in ONE fold: for each shingle hash, all num_perm running minima update
+    via zip_with with the affine (a, b) parameters as literal arrays. The
+    input array is evaluated exactly once per row regardless of projection
+    collapsing, and the per-element work is pure codegen'd arithmetic.
+    Empty documents get an all-p signature (the fold's init)."""
+    h = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
+    params = _affine_params(num_perm, seed)
+    a_arr = F.array(*[F.lit(a) for a, _ in params])
+    b_arr = F.array(*[F.lit(b) for _, b in params])
+    idx = F.sequence(F.lit(1), F.lit(num_perm))
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_perm)
+    return F.aggregate(
+        h, init,
+        lambda acc, x: F.zip_with(
+            acc, idx,
+            lambda m, i: F.least(m, F.pmod(
+                F.element_at(a_arr, i) * x + F.element_at(b_arr, i),
+                F.lit(_MERSENNE)))))
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -106,9 +121,11 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     """
     assert num_perm % bands == 0, "num_perm must be divisible by bands"
     rows_per_band = num_perm // bands
-    sig = (df.select(F.col(id_col).alias("id"),
-                     minhash_signature(text_col, num_perm, shingle_n, seed)
-                     .alias("sig")))
+    sig = (df
+           .select(F.col(id_col).alias("id"),
+                   base_hashes(text_col, shingle_n).alias("__bh"))
+           .select("id", minhash_from_hashes("__bh", num_perm, seed)
+                   .alias("sig")))
     banded = sig.select(
         "id",
         F.explode(F.transform(
@@ -202,23 +219,38 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # X2c: SimHash
 # --------------------------------------------------------------------------
 
-def simhash(text_col="text") -> Column:
-    """64-bit SimHash as bigint, computed entirely with array expressions:
-    per-token xxhash64, then for each bit position the sign of the
-    (+1/-1) vote sum sets the output bit. No shuffle, no UDF."""
-    hs = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
-    n = F.size(hs)
-    bit_cols = []
+def token_hashes(text_col="text") -> Column:
+    """Per-token xxhash64 array — materialize once before the 64-bit vote
+    (inlining it under each bit re-tokenizes 64 times; see base_hashes)."""
+    return F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+
+
+def simhash_from_hashes(hashes_col) -> Column:
+    """64-bit SimHash as bigint from materialized token hashes: for each bit
+    position the sign of the (+1/-1) vote sum sets the output bit. Each
+    per-bit term only references the materialized array column, so the
+    expression stays small and codegen'd. No shuffle, no UDF."""
+    h = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
+    n = F.size(h)
+    out = F.lit(0).cast("long")
+
+    def bit_test(i):
+        # closure (not a default arg: a 2-param lambda would be treated as
+        # the (element, index) form of F.filter)
+        return lambda x: F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1
+
     for i in range(64):
-        ones = F.size(F.filter(
-            hs, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1))
-        # vote = ones - zeros > 0  <=>  2*ones > n
-        bit = F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bit_cols.append(F.shiftleft(bit, i))
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out.bitwiseOR(c)
+        ones = F.size(F.filter(h, bit_test(i)))
+        bit = F.when(ones * 2 > n, F.lit(1).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(F.shiftleft(bit, i))
     return out
+
+
+def simhash(text_col="text") -> Column:
+    """Convenience single-expression form (fine for small frames; prefer
+    materializing token_hashes + simhash_from_hashes in pipelines)."""
+    return simhash_from_hashes(token_hashes(text_col))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -235,7 +267,10 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     at least one of 4 chunks equal), then exact hamming verify.
     Output: (id_a, id_b, hamming).
     """
-    sig = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sig"))
+    sig = (df
+           .select(F.col(id_col).alias("id"),
+                   token_hashes(text_col).alias("__th"))
+           .select("id", simhash_from_hashes("__th").alias("sig")))
     chunks = sig.select(
         "id", "sig",
         F.explode(F.array(*[

@@ -1,0 +1,103 @@
+"""HTTP façade contract tests (HOWTO.md:31-104 behaviors) via direct WSGI
+invocation — no sockets, same app object production would host."""
+
+import json
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from openapc_olap_spark.model import Aggregate, Cube, CubeRegistry
+from openapc_olap_spark.query import QueryEngine
+from openapc_olap_spark.server import SlicerApp
+
+
+@pytest.fixture(scope="module")
+def app(spark):
+    rows = [("Uni A", "2019", 100.0), ("Uni A", "2020", 200.0),
+            ("Uni B", "2020", 300.0), ("Uni B", "2021", 400.0)]
+    df = spark.createDataFrame(rows, ["institution", "period", "euro"])
+    df = df.withColumn("fid", F.row_number().over(
+        Window.orderBy("institution", "period")))
+    df.createOrReplaceTempView("srv")
+    reg = CubeRegistry()
+    reg.register(Cube(
+        name="srv", table="srv", label="Server Cube",
+        dimensions=("institution", "period"), measures=("euro",),
+        aggregates=(Aggregate("amount_sum", "euro", "sum"),
+                    Aggregate("num_items", "euro", "count")),
+        fact_id="fid"))
+    return SlicerApp(QueryEngine(spark, reg))
+
+
+def call(app, path, query=""):
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = dict(headers)
+
+    body = b"".join(app({"PATH_INFO": path, "QUERY_STRING": query},
+                        start_response))
+    return captured["status"], captured["headers"], body
+
+
+def test_cubes_and_model(app):
+    status, headers, body = call(app, "/cubes")
+    assert status == "200 OK"
+    assert headers["Access-Control-Allow-Origin"] == "*"
+    assert json.loads(body) == [{"name": "srv", "label": "Server Cube"}]
+
+    _, _, body = call(app, "/cube/srv/model")
+    model = json.loads(body)
+    assert model["name"] == "srv"
+    assert {a["name"] for a in model["aggregates"]} == {"amount_sum", "num_items"}
+    assert model["dimensions"] == ["institution", "period"]
+
+
+def test_facts_with_cut_and_csv(app):
+    _, _, body = call(app, "/cube/srv/facts", "cut=institution:Uni%20A")
+    rows = json.loads(body)
+    assert [r["euro"] for r in rows] == [100.0, 200.0]
+
+    _, headers, body = call(app, "/cube/srv/facts",
+                            "cut=institution:Uni%20A&format=csv")
+    assert headers["Content-Type"] == "text/csv"
+    assert body.decode().splitlines()[0] == "institution,period,euro,fid"
+
+
+def test_aggregate_envelope(app):
+    _, _, body = call(app, "/cube/srv/aggregate",
+                      "drilldown=period&order=period")
+    env = json.loads(body)
+    assert env["summary"]["amount_sum"] == 1000.0
+    assert env["total_cell_count"] == 3
+    assert [c["period"] for c in env["cells"]] == ["2019", "2020", "2021"]
+    assert env["cells"][1]["amount_sum"] == 500.0
+    assert env["drilldown"] == ["period"]
+
+
+def test_members_fact_cell_and_errors(app):
+    _, _, body = call(app, "/cube/srv/members/institution")
+    assert json.loads(body) == ["Uni A", "Uni B"]
+
+    _, _, body = call(app, "/cube/srv/fact/1")
+    assert json.loads(body)["institution"] == "Uni A"
+
+    _, _, body = call(app, "/cube/srv/cell", "cut=institution:Uni%20B")
+    cell = json.loads(body)
+    assert cell["cell"] == ["institution:Uni B"]
+    assert cell["summary"]["amount_sum"] == 700.0
+
+    status, _, _ = call(app, "/cube/nope/facts")
+    assert status.startswith("404")
+    status, _, _ = call(app, "/cube/srv/members/nope")
+    assert status.startswith("404")
+    status, _, _ = call(app, "/cube/srv/fact/99")
+    assert status.startswith("404")
+
+
+def test_empty_result_is_empty_list(app):
+    """HOWTO.md:99 — a miss returns [] not an error."""
+    _, _, body = call(app, "/cube/srv/facts", "cut=institution:Missing")
+    assert json.loads(body) == []

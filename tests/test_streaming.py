@@ -1,0 +1,74 @@
+"""Streaming-vs-batch parity (SURVEY.md §2.9 X6): the batch window operators
+are the oracle for the Structured Streaming twins, over the same events
+parquet driven through a file-source stream with availableNow."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from openapc_olap_spark import streaming
+from openapc_olap_spark.operators import windows
+from openapc_olap_spark.session import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _rows(df, key_cols):
+    return {tuple(r[c] for c in key_cols): (r["n_events"], r["value_sum"])
+            for r in df.collect()}
+
+
+def test_streaming_tumbling_matches_batch(spark, stream_dir):
+    ev = streaming.read_event_stream(spark, stream_dir)
+    agg = streaming.windowed_aggregate(ev, duration="1 day",
+                                       group_cols=["event_type"])
+    streaming.run_to_memory(streaming.finalize_windows(agg, ["event_type"]),
+                            "t_tumbling")
+    got = _rows(spark.table("t_tumbling"), ["window_start", "event_type"])
+
+    batch = windows.tumbling(load_tables(spark, SF, ["events"])["events"],
+                             duration="1 day", group_cols=["event_type"])
+    want = _rows(batch, ["window_start", "event_type"])
+    assert got == want and len(got) > 0
+
+
+def test_streaming_sessions_match_batch(spark, stream_dir):
+    ev = streaming.read_event_stream(spark, stream_dir)
+    sess = streaming.sessionized(ev, gap="6 hours")
+    streaming.run_to_memory(
+        sess.select(F.col("user_id"),
+                    F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_start"), "n_events", "value_sum"),
+        "t_sessions")
+    got = _rows(spark.table("t_sessions"), ["user_id", "session_start"])
+
+    batch = windows.sessionize(load_tables(spark, SF, ["events"])["events"],
+                               gap="6 hours")
+    want = _rows(batch, ["user_id", "session_start"])
+    assert got == want and len(got) > 0
+
+
+def test_append_mode_emits_closed_windows(spark, stream_dir, tmp_path):
+    """Watermark + append: availableNow emits only windows the final
+    watermark has sealed — the state-eviction behavior that bounds memory."""
+    ev = streaming.read_event_stream(spark, stream_dir)
+    agg = streaming.windowed_aggregate(ev, duration="1 day",
+                                       watermark="1 hour")
+    q = (streaming.finalize_windows(agg).writeStream.format("memory")
+         .queryName("t_append").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    emitted = spark.table("t_append").count()
+    total = windows.tumbling(
+        load_tables(spark, SF, ["events"])["events"], duration="1 day").count()
+    # all but the last open window(s) must be sealed and emitted
+    assert 0 < emitted <= total
+    assert emitted >= total - 2
