@@ -26,7 +26,7 @@ from openapc_olap_spark.session import load_tables
 
 EMB_DIM = 64
 ANN_K = 10
-LSH_NBITS = 4
+LSH_NBITS = 6
 LSH_SEED = 42
 NEARDUP_COS = 0.35
 JACCARD_T = 0.2
@@ -189,12 +189,19 @@ def _x06_lsh_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X06_SQL = f"""
     WITH b AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
-             {_sql_bucket('embedding::DOUBLE[]')} AS bucket
+             {_sql_bucket('embedding::DOUBLE[]')} AS bucket,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) > 0
+                  THEN 1.0 / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                   embedding::DOUBLE[]))
+                  ELSE 0.0 END AS inv_norm
       FROM embeddings)
     SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-           round({_sql_cos('l.v', 'r.v')}, 6) AS cos_sim
+           round(list_dot_product(l.v, r.v) * l.inv_norm * r.inv_norm, 6)
+             AS cos_sim
     FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-    WHERE {_sql_cos('l.v', 'r.v')} >= {NEARDUP_COS}
+    WHERE list_dot_product(l.v, r.v) * l.inv_norm * r.inv_norm
+          >= {NEARDUP_COS}
 """
 
 
@@ -231,8 +238,11 @@ _X07_SQL = f"""
 def _x08_langid_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicted-language histogram; the oracle replicates the stopword-ratio
     argmax (earliest-wins ties, 0.05 floor) with inlined stopword tables."""
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return (docs.select(text.detect_language("text").alias("lang_pred"))
+    docs = _docs_split(spark, sf_dir)
+    return (docs
+            .select(text.tokens("text").alias("__toks"))
+            .select(text.detect_language_from_tokens("__toks")
+                    .alias("lang_pred"))
             .groupBy("lang_pred")
             .agg(F.count(F.lit(1)).alias("n_docs")))
 

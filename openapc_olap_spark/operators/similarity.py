@@ -131,13 +131,24 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               vec_col: str = "embedding",
                               seed: int = 42) -> DataFrame:
     """X2 embedding-cosine near-dup: same-bucket candidate pairs -> exact
-    cosine verify >= threshold. Output (id_a, id_b, cos_sim)."""
-    b = lsh_bucketize(df, nbits, vec_col, None, seed) \
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket")
+    cosine verify >= threshold. Output (id_a, id_b, cos_sim).
+
+    The reciprocal norm is computed once per ROW before the bucket shuffle
+    (it sits under the exchange, so it cannot collapse into the per-pair
+    projection); the per-pair work is then a single dot product — 3x less
+    array folding than evaluating cosine() pairwise (measured at sf0.1).
+    """
+    b = (lsh_bucketize(df, nbits, vec_col, None, seed)
+         .select(F.col(id_col).alias("id"),
+                 F.col(vec_col).cast("array<double>").alias("v"), "bucket")
+         .withColumn("inv_norm", F.when(norm(F.col("v")) > 0,
+                                        F.lit(1.0) / norm(F.col("v")))
+                     .otherwise(F.lit(0.0))))
     l, r = b.alias("l"), b.alias("r")
+    sim = (dot(F.col("l.v"), F.col("r.v"))
+           * F.col("l.inv_norm") * F.col("r.inv_norm"))
     pairs = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
                     & (F.col("l.id") < F.col("r.id")))
              .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     cosine(F.col("l.v").cast("array<double>"),
-                            F.col("r.v").cast("array<double>")).alias("cos_sim")))
+                     sim.alias("cos_sim")))
     return pairs.filter(F.col("cos_sim") >= threshold)

@@ -46,12 +46,20 @@ def bpe_ish_token_count(col="text") -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
 
 
-def stopword_ratio(col="text", lang: str = "en") -> Column:
-    """Fraction of tokens that are stopwords of ``lang`` (0 when empty)."""
-    toks = tokens(col)
+def stopword_ratio_from_tokens(toks_col, lang: str) -> Column:
+    """Stopword-hit ratio over an existing token-array column. Materialize
+    the tokens once (``.select(tokens(...).alias("__toks"))``) when combining
+    several per-language ratios: the multi-reference alias blocks projection
+    collapsing, so the document is tokenized once, not once per language."""
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
     hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
     n = F.size(toks)
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col="text", lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang`` (0 when empty)."""
+    return stopword_ratio_from_tokens(tokens(col), lang)
 
 
 def language_scores(col="text") -> dict[str, Column]:
@@ -59,20 +67,24 @@ def language_scores(col="text") -> dict[str, Column]:
     return {lang: stopword_ratio(col, lang) for lang in STOPWORDS}
 
 
-def detect_language(col="text", threshold: float = 0.05) -> Column:
-    """X4 lang-id: argmax of per-language stopword ratios; 'und'
-    (undetermined) when the best ratio is below ``threshold``.
-
-    Expressed as a fold over literal language ids -> stays codegen'd.
-    """
-    scores = language_scores(col)
+def detect_language_from_tokens(toks_col, threshold: float = 0.05) -> Column:
+    """X4 lang-id over a materialized token array: argmax of per-language
+    stopword ratios (earliest language wins ties); 'und' when the best
+    ratio is not strictly above ``threshold``."""
     best_lang = F.lit("und")
     best_score = F.lit(float(threshold))
-    for lang, score in scores.items():
+    for lang in STOPWORDS:
+        score = stopword_ratio_from_tokens(toks_col, lang)
         is_better = score > best_score
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, score).otherwise(best_score)
     return best_lang
+
+
+def detect_language(col="text", threshold: float = 0.05) -> Column:
+    """Single-expression convenience form (re-tokenizes per language; in
+    pipelines prefer materializing tokens + detect_language_from_tokens)."""
+    return detect_language_from_tokens(tokens(col), threshold)
 
 
 def punctuation_ratio(col="text") -> Column:

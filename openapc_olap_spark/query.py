@@ -89,8 +89,10 @@ class QueryEngine:
 
     def _cell(self, cube: Cube) -> DataFrame:
         """The cube's cut-able cell source (a table scan; cuts applied later
-        so Catalyst can push them into it)."""
-        return self.spark.table(cube.table)
+        so Catalyst can push them into it). A cube-level ``where`` (the
+        institutional-cube slice) is part of the source definition."""
+        df = self.spark.table(cube.table)
+        return df.filter(cube.where) if cube.where else df
 
     def _apply_cuts(self, df: DataFrame, spec: QuerySpec) -> DataFrame:
         pred = cuts_to_predicate(list(spec.cuts))

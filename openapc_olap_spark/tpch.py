@@ -58,8 +58,25 @@ def build_registry() -> CubeRegistry:
     return reg
 
 
+# Single-slot memo: the driver/bench call prepare() once per query; re-listing
+# and re-registering 10 parquet tables added ~0.6s to EVERY query. Keyed by
+# (session, sf_dir) and invalidated on change because views are session-global.
+_CACHE: dict = {}
+
+
 def prepare(spark: SparkSession, sf_dir: str) -> QueryEngine:
-    """Load the driver tables, create the string-dated views, return an engine."""
+    """Load the driver tables, create the string-dated views, return an
+    engine. Memoized per (session, sf_dir)."""
+    key = (id(spark), sf_dir)
+    if _CACHE.get("key") == key:
+        return _CACHE["engine"]
+    engine = _prepare(spark, sf_dir)
+    _CACHE["key"] = key
+    _CACHE["engine"] = engine
+    return engine
+
+
+def _prepare(spark: SparkSession, sf_dir: str) -> QueryEngine:
     tables = load_tables(spark, sf_dir)
     if "orders" in tables:
         tables["orders"].withColumn(

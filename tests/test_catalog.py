@@ -1,0 +1,80 @@
+"""OpenAPC catalog: reference-model parity of the generated metadata and the
+institution-sliced cube path (write parquet -> register -> query through the
+engine, SURVEY.md §1.4/§4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openapc_olap_spark.catalog import (
+    build_openapc_registry,
+    load_manifest,
+    register_cube_tables,
+)
+from openapc_olap_spark.etl.openapc import InputPaths, OpenAPCPipeline
+from openapc_olap_spark.query import QueryEngine, QuerySpec
+
+
+def test_static_model_matches_reference_templates():
+    reg = build_openapc_registry()
+    assert reg.names() == sorted(
+        ["openapc", "openapc_ac", "bpc", "transformative_agreements",
+         "deal", "combined", "doi_lookup", "springer_compact_coverage"])
+    apc = reg.get("openapc").to_model_dict()
+    # MODEL_FIRST_PART: aggregate inventory + dimension list, verbatim
+    assert [(a["name"], a["measure"], a["function"])
+            for a in apc["aggregates"]] == [
+        ("apc_amount_sum", "euro", "sum"),
+        ("apc_num_items", "euro", "count"),
+        ("apc_amount_avg", "euro", "avg"),
+        ("apc_amount_stddev", "euro", "stddev")]
+    assert apc["dimensions"] == [
+        "institution", "period", "publisher", "journal_full_title", "issn",
+        "doi", "is_hybrid", "country", "institution_ror"]
+    ac = reg.get("openapc_ac").to_model_dict()
+    assert ("apc_num_items", "publication_key", "count_distinct") in [
+        (a["name"], a["measure"], a["function"]) for a in ac["aggregates"]]
+    ta = reg.get("transformative_agreements").to_model_dict()
+    assert ta["measures"] == []          # TA counts only (MODEL_LAST_PART:46)
+    cov = reg.get("springer_compact_coverage").to_model_dict()
+    assert len(cov["aggregates"]) == 3 and len(cov["measures"]) == 3
+
+
+@pytest.fixture(scope="module")
+def cubes_dir(spark, openapc_fixture_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cubes"))
+    OpenAPCPipeline(spark, InputPaths.under(openapc_fixture_dir)).write(out)
+    return out
+
+
+def test_institutional_cube_slice_end_to_end(spark, cubes_dir):
+    names = register_cube_tables(spark, cubes_dir)
+    assert "openapc" in names and "deal" in names
+    manifest = load_manifest(spark, cubes_dir)
+    assert manifest, "institutional manifest is empty"
+    reg = build_openapc_registry(manifest)
+    eng = QueryEngine(spark, reg)
+
+    # pick an institutional apc cube from the manifest and verify its facts
+    # are exactly the institution's slice of the shared table
+    row = next(r for r in manifest if r["cube_type"] == "apc")
+    inst_cube = row["cube_name"]
+    got = eng.facts(QuerySpec.from_params(inst_cube))
+    n_inst = got.count()
+    n_direct = (spark.table("openapc")
+                .filter(F.col("institution") == row["institution"]).count())
+    assert n_inst == n_direct > 0
+    assert {r["institution"] for r in got.collect()} == {row["institution"]}
+
+    # aggregates through the sliced cube use the apc aggregate block
+    cells = eng.cells(QuerySpec.from_params(inst_cube, drilldown="period"))
+    assert {"apc_amount_sum", "apc_num_items"} <= set(cells.columns)
+
+
+def test_model_json_shape(spark, cubes_dir):
+    manifest = load_manifest(spark, cubes_dir)
+    reg = build_openapc_registry(manifest)
+    doc = reg.to_model_dict()
+    assert {c["name"] for c in doc["cubes"]} >= {
+        "openapc", "combined", "doi_lookup"}
+    dim_names = {d["name"] for d in doc["dimensions"]}
+    assert {"institution", "period", "doi"} <= dim_names
