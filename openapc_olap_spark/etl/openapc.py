@@ -315,6 +315,38 @@ class OpenAPCPipeline:
         return melt_additional_costs(
             self._source("ac", self.paths.additional_costs))
 
+    # -- diagnostics (T10/T11) -------------------------------------------------
+
+    def institutions_by_cube_type(self) -> DataFrame:
+        """T10: sorted distinct institutions per non-apc cube type — the
+        reference's console report (assets_generator.py:664-676).
+        Output: (cube_type, institutions array<string>)."""
+        frames = [
+            self.openapc_ac_cube().filter(F.col("cost_type") != "apc")
+                .select("institution").withColumn("cube_type", F.lit("apc_ac")),
+            self.bpc_enriched().select("institution")
+                .withColumn("cube_type", F.lit("bpc")),
+            self.ta_enriched().select("institution")
+                .withColumn("cube_type", F.lit("ta")),
+            self.deal_cube().select("institution")
+                .withColumn("cube_type", F.lit("deal")),
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return (out.groupBy("cube_type")
+                .agg(F.sort_array(F.collect_set("institution"))
+                     .alias("institutions")))
+
+    def additional_cost_institutions(self) -> DataFrame:
+        """T11: institutions having >=1 APC row whose DOI carries additional
+        costs (assets_generator.py:723-736) — a left-semi join, so the fact
+        side never materializes the match."""
+        dois = self.additional_costs_long().select("doi").distinct()
+        return (self.apc_enriched()
+                .join(F.broadcast(dois), "doi", "left_semi")
+                .select("institution").distinct())
+
     def openapc_ac_cube(self) -> DataFrame:
         """E17+E5+E6: one 'apc' row per publication plus one row per
         additional cost item joined by DOI (assets_generator.py:532-546).

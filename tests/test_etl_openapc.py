@@ -156,3 +156,18 @@ def test_write_partitioned(pipeline, tmp_path):
     assert len(parts) == 5
     df = pipeline.spark.read.parquet(os.path.join(out, "openapc"))
     assert df.count() == 8
+
+
+def test_t10_institutions_by_cube_type(pipeline):
+    out = {r["cube_type"]: r["institutions"]
+           for r in pipeline.institutions_by_cube_type().collect()}
+    assert out["apc_ac"] == ["TU Alpha"]
+    assert out["bpc"] == ["College Gamma", "TU Alpha"]
+    assert out["ta"] == ["College Gamma", "TU Alpha", "Uni Beta"]
+    assert out["deal"] == ["TU Alpha", "Uni Beta"]
+
+
+def test_t11_additional_cost_institutions(pipeline):
+    got = [r["institution"]
+           for r in pipeline.additional_cost_institutions().collect()]
+    assert got == ["TU Alpha"]
