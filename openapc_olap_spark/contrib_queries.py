@@ -323,6 +323,28 @@ _X11_SQL = """
 """
 
 
+def _x12_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column path: parse the JSON props column with a typed
+    schema (from_json, not string hacking) and aggregate an extracted field
+    per event_type — the pattern for property bags at 100 TB (typed parse
+    once, then columnar)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    parsed = ev.withColumn(
+        "k", F.from_json("props", "struct<k:bigint>").getField("k"))
+    return (parsed.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("k").alias("k_sum"),
+                 F.round(F.avg("k"), 4).alias("k_avg")))
+
+
+_X12_SQL = """
+    SELECT event_type, count(*) AS n_events,
+           sum(json_extract(props, '$.k')::BIGINT) AS k_sum,
+           round(avg(json_extract(props, '$.k')::BIGINT), 4) AS k_avg
+    FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -335,6 +357,7 @@ QUERIES = {
     "x09_tumbling_daily": _x09_tumbling_daily,
     "x10_sliding_windows": _x10_sliding_windows,
     "x11_session_stats": _x11_session_stats,
+    "x12_props_json": _x12_props_json,
 }
 
 ORACLES = {
@@ -348,4 +371,5 @@ ORACLES = {
     "x09_tumbling_daily": _X09_SQL,
     "x10_sliding_windows": _X10_SQL,
     "x11_session_stats": _X11_SQL,
+    "x12_props_json": _X12_SQL,
 }
