@@ -126,6 +126,72 @@ def lsh_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-partitioned scale path
+# --------------------------------------------------------------------------
+
+def train_ivf_centroids(df: DataFrame, k: int = 16,
+                        vec_col: str = "embedding",
+                        seed: int = 42, max_iter: int = 5) -> list[list[float]]:
+    """K-means centroids for IVF list assignment (MLlib, seeded).
+
+    Train on a sample — centroid quality needs thousands of vectors, not
+    100 TB; the full corpus is only ever *assigned*, never iterated.
+    """
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError:  # pragma: no cover - mllib ships with pyspark
+        raise NotImplementedError("pyspark.ml unavailable")
+    train = df.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _nearest_centroid(vec_expr: Column, centroids: list[list[float]]) -> Column:
+    """argmin squared-L2 over literal centroids, as a fold (no UDF)."""
+    best_id = F.lit(0)
+    best_d = F.lit(float("inf"))
+    for i, c in enumerate(centroids):
+        lit_c = _as_double_array(c)
+        d = F.aggregate(F.zip_with(vec_expr, lit_c, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda acc, v: acc + v)
+        closer = d < best_d
+        best_id = F.when(closer, F.lit(i)).otherwise(best_id)
+        best_d = F.when(closer, d).otherwise(best_d)
+    return best_id
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Attach the IVF ``list_id``. At 100 TB, write the table partitioned by
+    list_id so probes are partition-pruned scans of nprobe/k of the data."""
+    return df.withColumn(
+        "list_id", _nearest_centroid(F.col(vec_col).cast("array<double>"),
+                                     centroids))
+
+
+def ivf_top_k(df: DataFrame, centroids: list[list[float]],
+              query_vec: list[float], k: int = 10, nprobe: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN top-k: rank centroids by distance to the query driver-side
+    (k_centroids is tiny), scan only the ``nprobe`` nearest lists, exact
+    cosine rank within them. Plan: pruned scan -> TakeOrderedAndProject."""
+    dists = []
+    for i, c in enumerate(centroids):
+        d = sum((x - y) * (x - y) for x, y in zip(query_vec, c))
+        dists.append((d, i))
+    probe_ids = [i for _, i in sorted(dists)[:nprobe]]
+    assigned = ivf_assign(df, centroids, vec_col)
+    q = _as_double_array(query_vec)
+    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    return (assigned.filter(F.col("list_id").isin(probe_ids))
+            .select(F.col(id_col), sim.alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               nbits: int = 8, id_col: str = "vec_id",
                               vec_col: str = "embedding",

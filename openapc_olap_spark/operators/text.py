@@ -139,13 +139,31 @@ def shingles(col="text", n: int = 3) -> Column:
 
 
 def analyze(df: DataFrame, text_col: str = "text", lang: str = "en") -> DataFrame:
-    """Attach the full text-analysis column block to a documents frame."""
-    return (df
-            .withColumn("n_tokens", token_count(text_col))
+    """Attach the full text-analysis column block to a documents frame.
+
+    Tokenizes ONCE into a materialized array column shared by every
+    token-based metric (the many references block projection collapse, so
+    the 100 TB scan tokenizes each document a single time), then drops it.
+    """
+    c = F.col(text_col)
+    out = df.withColumn("__toks", tokens(text_col))
+    toks = F.col("__toks")
+    n = F.size(toks)
+    total_len = F.aggregate(F.transform(toks, F.length),
+                            F.lit(0), lambda acc, x: acc + x)
+    mean_len = F.when(n > 0, total_len.cast("double") / n).otherwise(F.lit(0.0))
+    stop = stopword_ratio_from_tokens("__toks", lang)
+    punct = punctuation_ratio(text_col)
+    quality = (0.4 * F.least(F.length(c).cast("double") / 1000.0, F.lit(1.0))
+               + 0.4 * F.least(stop / 0.3, F.lit(1.0))
+               + 0.2 * (1.0 - F.least(punct / 0.2, F.lit(1.0))))
+    return (out
+            .withColumn("n_tokens", n)
             .withColumn("n_tokens_bpe", bpe_ish_token_count(text_col))
-            .withColumn("mean_token_len", mean_token_length(text_col))
-            .withColumn("stopword_ratio", stopword_ratio(text_col, lang))
-            .withColumn("punct_ratio", punctuation_ratio(text_col))
-            .withColumn("lang_pred", detect_language(text_col))
-            .withColumn("quality", quality_score(text_col, lang))
-            .withColumn("fingerprint", fingerprint(text_col)))
+            .withColumn("mean_token_len", mean_len)
+            .withColumn("stopword_ratio", stop)
+            .withColumn("punct_ratio", punct)
+            .withColumn("lang_pred", detect_language_from_tokens("__toks"))
+            .withColumn("quality", quality)
+            .withColumn("fingerprint", fingerprint(text_col))
+            .drop("__toks"))

@@ -223,3 +223,19 @@ def test_sample_frames_grid(spark):
         per.setdefault(r["media_id"], []).append((r["frame_idx"], r["frame_ts_ms"]))
     assert sorted(per[1]) == [(0, 0), (1, 1000), (2, 2000)]
     assert sorted(per[2]) == [(0, 0)]
+
+
+def test_ivf_top_k_recall(spark, emb):
+    """IVF ANN: self-hit + high recall vs brute force on the probed set."""
+    cents = similarity.train_ivf_centroids(emb, k=8, seed=42)
+    assert len(cents) == 8 and len(cents[0]) == len(emb.first()["embedding"])
+    q = [float(x) for x in emb.first()["embedding"]]
+    got = similarity.ivf_top_k(emb, cents, q, k=10, nprobe=4).collect()
+    assert 0 < len(got) <= 10
+    assert got[0]["sim"] == pytest.approx(1.0)          # query is in the table
+    sims = [r["sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+    exact = {r["vec_id"] for r in
+             similarity.brute_force_top_k(emb, q, k=10).collect()}
+    recall = len({r["vec_id"] for r in got} & exact) / 10
+    assert recall >= 0.5                                 # nprobe=4 of 8 lists
