@@ -72,3 +72,30 @@ def test_append_mode_emits_closed_windows(spark, stream_dir, tmp_path):
     # all but the last open window(s) must be sealed and emitted
     assert 0 < emitted <= total
     assert emitted >= total - 2
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(spark, stream_dir):
+    """applyInPandasWithState sessionizer: its closed sessions must equal the
+    batch session_window result minus each user's final (still-open)
+    session."""
+    from openapc_olap_spark.streaming.stateful import stateful_sessionize
+
+    ev = streaming.read_event_stream(spark, stream_dir)
+    out = stateful_sessionize(ev, gap="6 hours")
+    q = (out.withColumn("session_start",
+                        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss"))
+         .writeStream.format("memory").queryName("t_stateful")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["session_start"]): (r["n_events"], r["value_sum"])
+           for r in spark.table("t_stateful").collect()}
+
+    batch = windows.sessionize(load_tables(spark, SF, ["events"])["events"],
+                               gap="6 hours").collect()
+    last_start = {}
+    for r in batch:
+        last_start[r["user_id"]] = max(last_start.get(r["user_id"], ""),
+                                       r["session_start"])
+    want = {(r["user_id"], r["session_start"]): (r["n_events"], r["value_sum"])
+            for r in batch if r["session_start"] != last_start[r["user_id"]]}
+    assert got == want and len(got) > 0
