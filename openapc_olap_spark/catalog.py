@@ -75,31 +75,32 @@ def _bpc_aggregates() -> tuple[Aggregate, ...]:
 
 
 def _cube_for_type(cube_type: str, name: str, table: str,
-                   where: str | None = None, label: str | None = None) -> Cube:
+                   where: str | None = None, label: str | None = None,
+                   fact_id: str | None = "fid") -> Cube:
     """One institutional-or-static cube of a given type."""
     if cube_type == "apc":
         return Cube(name=name, table=table, dimensions=_APC_DIMS,
                     measures=("euro",), aggregates=_apc_aggregates(),
-                    where=where, label=label or "openapc cube")
+                    where=where, fact_id=fact_id, label=label or "openapc cube")
     if cube_type == "apc_ac":
         return Cube(name=name, table=table, dimensions=_AC_INST_DIMS,
                     measures=("euro",), aggregates=_ac_aggregates(),
-                    where=where, label=label or "openapc additional costs")
+                    where=where, fact_id=fact_id, label=label or "openapc additional costs")
     if cube_type == "bpc":
         return Cube(name=name, table=table, dimensions=_BPC_DIMS,
                     measures=("euro",), aggregates=_bpc_aggregates(),
-                    where=where, label=label or "Monograph processing charges")
+                    where=where, fact_id=fact_id, label=label or "Monograph processing charges")
     if cube_type == "ta":
         return Cube(name=name, table=table, dimensions=_TA_DIMS,
                     aggregates=(Aggregate("num_items", "journal_full_title",
                                           "count", "Number of Articles"),),
-                    where=where,
+                    where=where, fact_id=fact_id,
                     label=label or "Transformative Agreements data cube "
                                    "(No monetary values!)")
     if cube_type == "deal":
         return Cube(name=name, table=table, dimensions=_DEAL_DIMS,
                     measures=("euro",), aggregates=_apc_aggregates(),
-                    where=where,
+                    where=where, fact_id=fact_id,
                     label=label or "DEAL data (cost data from articles "
                                    "published under the German DEAL agreement)")
     raise ValueError(f"unknown cube type {cube_type!r}")
@@ -119,7 +120,7 @@ def build_openapc_registry(manifest_rows: list[dict] | None = None) -> CubeRegis
     # static openapc_ac uses the template's shorter dimension list
     reg.register(Cube(name="openapc_ac", table="openapc_ac",
                       dimensions=_AC_DIMS, measures=("euro",),
-                      aggregates=_ac_aggregates(),
+                      aggregates=_ac_aggregates(), fact_id="fid",
                       label="openapc additional costs"))
     reg.register(_cube_for_type("bpc", "bpc", "bpc"))
     reg.register(_cube_for_type("ta", "transformative_agreements",
@@ -127,13 +128,13 @@ def build_openapc_registry(manifest_rows: list[dict] | None = None) -> CubeRegis
     reg.register(_cube_for_type("deal", "deal", "deal"))
     reg.register(Cube(
         name="combined", table="combined", dimensions=_COMBINED_DIMS,
-        measures=("euro",), aggregates=_apc_aggregates(),
+        measures=("euro",), aggregates=_apc_aggregates(), fact_id="fid",
         label="combined cube (combines cost data from openapc and "
               "transformative agreements model)"))
     reg.register(Cube(
         name="doi_lookup", table="doi_lookup", dimensions=_DOI_DIMS,
         aggregates=(Aggregate("num_items", "doi", "count",
-                              "Number of Records"),),
+                              "Number of Records"),), fact_id="fid",
         label="DOI lookup cube, contains DOIs from all OpenAPC data sets"))
     reg.register(Cube(
         name="springer_compact_coverage", table="springer_compact_coverage",

@@ -509,12 +509,24 @@ class OpenAPCPipeline:
                     F.col("_full_name").alias("full_name"),
                     "cube_type", "priority"))
 
+    @staticmethod
+    def with_fact_id(df: DataFrame) -> DataFrame:
+        """Stable ``fid`` for Q13 / deterministic pagination: a content hash
+        of the full row. The reference gets this from the autoincrement
+        insert id; a content hash is reproducible AND distributed (a global
+        row_number would serialize the write through one partition).
+        Byte-identical rows share an id — /fact/<id> then returns the first.
+        """
+        cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
+        return df.withColumn("fid", F.xxhash64(F.concat_ws("\x1f", *cols)))
+
     def write(self, out_dir: str) -> None:
         """Materialize cubes as Parquet. The per-institution tables of the
         reference become partitionBy('institution') on the shared cubes —
         partition pruning gives the same per-institution access pattern
         without N×5 physical tables (SURVEY.md §4)."""
         for name, df in self.build_all().items():
+            df = self.with_fact_id(df)
             path = os.path.join(out_dir, name)
             writer = df.write.mode("overwrite")
             if "institution" in df.columns and name != "doi_lookup":

@@ -52,11 +52,16 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     """Keep exactly one row (the min id) per normalized fingerprint.
 
     Deterministic alternative to ``dropDuplicates`` (which keeps an
-    arbitrary row): a single hash aggregation either way.
+    arbitrary row), in ONE shuffle: rank within fingerprint partitions and
+    keep rank 1 (the groupBy(min)+semi-join formulation costs a second
+    shuffle for the join).
     """
-    w_fp = df.withColumn("__fp", fingerprint(text_col))
-    keep = (w_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)))
-    return (w_fp.join(keep, ["__fp", id_col], "left_semi").drop("__fp"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (df.withColumn("__fp", fingerprint(text_col))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__fp", "__rn"))
 
 
 # --------------------------------------------------------------------------

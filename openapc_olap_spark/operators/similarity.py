@@ -126,6 +126,38 @@ def lsh_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
+def write_ann_index(df: DataFrame, path: str, nbits: int = 8,
+                    vec_col: str = "embedding", dim: int | None = None,
+                    seed: int = 42) -> None:
+    """Materialize the SRP-LSH index: the table written partitioned by
+    ``bucket``, so probes become partition-pruned scans (storage-level
+    pruning, not just a filter) — the 100 TB serving shape."""
+    lsh_bucketize(df, nbits, vec_col, dim, seed) \
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ann_index_top_k(spark, path: str, query_vec: list[float], k: int = 10,
+                    nbits: int = 8, max_hamming: int = 1,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42) -> DataFrame:
+    """Top-k against a written ANN index: the bucket predicate prunes
+    partitions before any IO; exact cosine ranks the probed remainder."""
+    planes = random_hyperplanes(len(query_vec), nbits, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        d = sum(x * y for x, y in zip(query_vec, p))
+        qsig |= (1 if d >= 0 else 0) << i
+    probe_buckets = [b for b in range(1 << nbits)
+                     if bin(b ^ qsig).count("1") <= max_hamming]
+    df = spark.read.parquet(path)
+    q = _as_double_array(query_vec)
+    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    return (df.filter(F.col("bucket").isin(probe_buckets))
+            .select(F.col(id_col), sim.alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
 # --------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the centroid-partitioned scale path
 # --------------------------------------------------------------------------

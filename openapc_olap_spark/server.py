@@ -148,7 +148,10 @@ class SlicerApp:
         # fact ids are stable row numbers / integer keys where declared
         if fact_id.lstrip("-").isdigit():
             value = int(fact_id)
-        rows = [r.asDict() for r in self.engine.fact(name, value).collect()]
+        try:
+            rows = [r.asDict() for r in self.engine.fact(name, value).collect()]
+        except ValueError as e:        # cube declares no fact_id column
+            raise HttpError("404 Not Found", str(e)) from e
         if not rows:
             raise HttpError("404 Not Found", f"no fact {fact_id!r}")
         return self._json(rows[0])

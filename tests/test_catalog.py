@@ -78,3 +78,14 @@ def test_model_json_shape(spark, cubes_dir):
         "openapc", "combined", "doi_lookup"}
     dim_names = {d["name"] for d in doc["dimensions"]}
     assert {"institution", "period", "doi"} <= dim_names
+
+
+def test_fact_by_stable_id(spark, cubes_dir):
+    """Q13 on OpenAPC cubes: the written fid content hash resolves a single
+    fact."""
+    register_cube_tables(spark, cubes_dir)
+    reg = build_openapc_registry()
+    eng = QueryEngine(spark, reg)
+    some = spark.table("openapc").select("fid", "doi").first()
+    got = eng.fact("openapc", some["fid"]).collect()
+    assert len(got) == 1 and got[0]["doi"] == some["doi"]

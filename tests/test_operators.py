@@ -239,3 +239,18 @@ def test_ivf_top_k_recall(spark, emb):
              similarity.brute_force_top_k(emb, q, k=10).collect()}
     recall = len({r["vec_id"] for r in got} & exact) / 10
     assert recall >= 0.5                                 # nprobe=4 of 8 lists
+
+
+def test_ann_index_partition_pruned_probe(spark, emb, tmp_path):
+    """Written ANN index: probe is a partition-pruned scan (bucket predicate
+    in PartitionFilters, not a post-scan filter) with correct top-k."""
+    path = str(tmp_path / "ann")
+    similarity.write_ann_index(emb, path, nbits=4)
+    q = [float(x) for x in emb.first()["embedding"]]
+    got = similarity.ann_index_top_k(spark, path, q, k=5, nbits=4,
+                                     max_hamming=1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "bucket" in pf
+    rows = got.collect()
+    assert rows and rows[0]["sim"] == pytest.approx(1.0)
