@@ -111,7 +111,8 @@ def minhash_from_hashes(hashes_col, num_perm: int = 32,
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", num_perm: int = 32,
                            bands: int = 16, shingle_n: int = 3,
-                           seed: int = 42) -> DataFrame:
+                           seed: int = 42,
+                           bucket_cap: int | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded MinHash.
 
     ``bands`` bands of ``num_perm/bands`` rows; two docs are candidates when
@@ -121,8 +122,13 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
 
     Scale shape: explode to ``bands`` rows/doc, shuffle on (band, band_hash),
     self-join inside buckets. Hot buckets (boilerplate docs) are the skew
-    risk — AQE skew-join handles moderate cases; pathological buckets should
-    be length-capped upstream.
+    risk — AQE skew-join handles moderate cases; ``bucket_cap`` handles the
+    pathological ones by dropping buckets with more than cap members before
+    the join (a bucket of b docs yields b*(b-1)/2 pairs — one million
+    identical boilerplate pages would otherwise emit 5e11 candidate rows in
+    a single task's bucket). Docs in a dropped bucket can still pair via
+    their other bands; truly boilerplate-identical docs belong to the exact
+    dedup pass (X1), which handles them in one linear shuffle.
     """
     assert num_perm % bands == 0, "num_perm must be divisible by bands"
     rows_per_band = num_perm // bands
@@ -143,6 +149,12 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                         lambda v: v.cast("string"))),
                 ).alias("bhash")))).alias("bk")
     ).select("id", "bk.band", "bk.bhash")
+    if bucket_cap is not None:
+        small = (banded.groupBy("band", "bhash")
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .filter(F.col("__n") <= bucket_cap)
+                 .select("band", "bhash"))
+        banded = banded.join(small, ["band", "bhash"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     return (left.join(right,
@@ -177,11 +189,12 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", threshold: float = 0.8,
                             num_perm: int = 32, bands: int = 16,
-                            shingle_n: int = 3, seed: int = 42) -> DataFrame:
+                            shingle_n: int = 3, seed: int = 42,
+                            bucket_cap: int | None = None) -> DataFrame:
     """X2 end-to-end: LSH candidates -> exact Jaccard verify -> pairs
     (id_a, id_b, jaccard) with jaccard >= threshold."""
     cands = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands,
-                                   shingle_n, seed)
+                                   shingle_n, seed, bucket_cap)
     return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)
 
 
@@ -191,20 +204,34 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", shingle_n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        doc_freq_cap: int | None = None) -> DataFrame:
     """Exact all-pairs Jaccard >= threshold without a cartesian product:
     candidate pairs come from an inverted-index self-join (any pair with
     Jaccard > 0 shares at least one shingle), counted per pair, then the
     Jaccard is computed from intersection counts and set sizes.
 
     Scale: the explode-join shuffles on shingle value; common shingles fan
-    out — for web-scale corpora prefix filtering or df-capped shingles
-    (drop shingles above a document-frequency cap) bound the blowup.
+    out quadratically (a shingle in d docs contributes d*(d-1)/2 join rows).
+    ``doc_freq_cap`` bounds the blowup by dropping shingles whose document
+    frequency exceeds the cap BEFORE the self-join (stopword-like shingles
+    carry no dedup signal). With a cap the result is a high-recall
+    approximation: a pair is missed only if ALL of its shared shingles are
+    above the cap — for near-dup thresholds (>= 0.8) that requires the pair
+    to consist almost entirely of boilerplate, which is exactly the content
+    a dedup pipeline wants weighted down. Jaccard is still computed against
+    the FULL set sizes, so reported similarity is never inflated.
     """
     sets_df = (df.select(F.col(id_col).alias("id"),
                          shingles(text_col, shingle_n).alias("sh"))
                .withColumn("sh_size", F.size("sh")))
     inv = sets_df.select("id", "sh_size", F.explode("sh").alias("g"))
+    if doc_freq_cap is not None:
+        rare = (inv.groupBy("g")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= doc_freq_cap)
+                .select("g"))
+        inv = inv.join(rare, "g", "left_semi")
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (a.join(b, (F.col("a.g") == F.col("b.g"))

@@ -254,3 +254,86 @@ def test_ann_index_partition_pruned_probe(spark, emb, tmp_path):
     assert "bucket" in pf
     rows = got.collect()
     assert rows and rows[0]["sim"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------- skew utils
+
+def test_salted_aggregate_matches_plain_groupby(spark):
+    from openapc_olap_spark.operators import skew
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"))
+    got = {r["k"]: (r["s"], r["c"]) for r in skew.salted_aggregate(
+        df, ["k"],
+        {"s": F.sum("v"), "c": F.count(F.lit(1))},
+        {"s": F.sum("s"), "c": F.sum("c")},
+        salt_buckets=8).collect()}
+    want = {r["k"]: (r["s"], r["c"]) for r in
+            df.groupBy("k").agg(F.sum("v").alias("s"),
+                                F.count(F.lit(1)).alias("c")).collect()}
+    assert got == want
+
+
+def test_salted_aggregate_is_two_stage(spark):
+    from openapc_olap_spark.operators import skew
+    df = spark.range(0, 100).select((F.col("id") % 3).alias("k"),
+                                    F.col("id").cast("double").alias("v"))
+    out = skew.salted_aggregate(df, ["k"], {"s": F.sum("v")},
+                                {"s": F.sum("s")})
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") >= 2           # (k, salt) stage + k stage
+
+
+def test_salted_join_matches_plain_join(spark):
+    from openapc_olap_spark.operators import skew
+    fact = spark.range(0, 5_000).select(
+        (F.col("id") % 4).alias("k"), F.col("id").alias("row_id"))
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (3, "d")], ["k", "attr"])
+    got = skew.salted_join(fact, dim, "k", salt_buckets=4)
+    want = fact.join(dim, "k")
+    assert got.count() == want.count() == 5_000
+    merged = {(r["row_id"], r["attr"]) for r in got.collect()}
+    assert merged == {(r["row_id"], r["attr"]) for r in want.collect()}
+
+
+def test_key_histogram_finds_hot_key(spark):
+    from openapc_olap_spark.operators import skew
+    df = spark.createDataFrame(
+        [("hot",)] * 90 + [("cold",)] * 10, ["k"])
+    top = skew.key_histogram(df, "k", top_n=1).collect()
+    assert top[0]["k"] == "hot" and top[0]["n_rows"] == 90
+    assert top[0]["share"] == pytest.approx(0.9)
+
+
+# ------------------------------------------------- dedup scale caps
+
+def test_ngram_doc_freq_cap_prunes_common_shingles(spark, docs):
+    # uncapped finds the 1~2 / 1~3 / 2~3 near-dup cluster
+    full = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    assert {(r["id_a"], r["id_b"]) for r in full.collect()} == {
+        (1, 2), (1, 3), (2, 3)}
+    # cap=1 keeps only shingles unique to one doc -> no join rows survive
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.5, doc_freq_cap=1)
+    assert capped.count() == 0
+    # a generous cap changes nothing
+    loose = dedup.ngram_jaccard_pairs(docs, threshold=0.5, doc_freq_cap=100)
+    assert {(r["id_a"], r["id_b"]) for r in loose.collect()} == {
+        (1, 2), (1, 3), (2, 3)}
+
+
+def test_minhash_bucket_cap_drops_pathological_buckets(spark):
+    # 30 identical docs = every band bucket has 30 members; 2 distinct
+    # near-identical docs pair in small buckets and must survive the cap
+    rows = [(i, "boilerplate page exactly the same every time ok")
+            for i in range(30)]
+    rows += [(100, "a genuinely unique document about spark engines here"),
+             (101, "a genuinely unique document about spark engines there")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dedup.minhash_lsh_candidates(df, bucket_cap=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs
+    assert not any(a < 30 and b < 30 for a, b in pairs)   # hot bucket gone
+    # uncapped: the boilerplate cluster floods 30*29/2 = 435 pairs
+    full = dedup.minhash_lsh_candidates(df)
+    assert full.count() >= 435
