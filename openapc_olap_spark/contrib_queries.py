@@ -345,6 +345,76 @@ _X12_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X13: skew-safe two-stage aggregation (operators.skew.salted_aggregate)
+# ---------------------------------------------------------------------------
+
+def _x13_salted_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe drilldown: the salted two-stage plan must produce
+    byte-identical aggregates to a plain GROUP BY (the oracle)."""
+    from openapc_olap_spark.operators import skew
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    out = skew.salted_aggregate(
+        li, ["l_returnflag", "l_linestatus"],
+        {"qty_sum": F.sum("l_quantity"),
+         "n_items": F.count(F.lit(1))},
+        {"qty_sum": F.sum("qty_sum"),
+         "n_items": F.sum("n_items")},
+        salt_buckets=16)
+    return (out.select("l_returnflag", "l_linestatus",
+                       F.round("qty_sum", 2).alias("qty_sum"), "n_items")
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+_X13_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS qty_sum,
+           count(*) AS n_items
+    FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# X14: df-capped n-gram Jaccard (the bounded-blowup scale variant of x02)
+# ---------------------------------------------------------------------------
+
+# At sf0.01 the heaviest shingle appears in 7 docs; cap 5 prunes the ~30
+# most boilerplate shingles so the capped code path genuinely differs from
+# x02 while the oracle replicates the cap exactly.
+NGRAM_DF_CAP = 5
+
+
+def _x14_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_split(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_T,
+                                      doc_freq_cap=NGRAM_DF_CAP)
+    return pairs.select("id_a", "id_b",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
+_X14_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sets AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM s),
+    inv0 AS (
+      SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM sets),
+    rare AS (
+      SELECT g FROM inv0 GROUP BY g HAVING count(*) <= {NGRAM_DF_CAP}),
+    inv AS (
+      SELECT * FROM inv0 WHERE g IN (SELECT g FROM rare)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.sz) AS sa, any_value(b.sz) AS sb,
+             count(*) AS n
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n::DOUBLE / (sa + sb - n), 6) AS jaccard
+    FROM inter WHERE n::DOUBLE / (sa + sb - n) >= {JACCARD_T}
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -358,6 +428,8 @@ QUERIES = {
     "x10_sliding_windows": _x10_sliding_windows,
     "x11_session_stats": _x11_session_stats,
     "x12_props_json": _x12_props_json,
+    "x13_salted_drilldown": _x13_salted_drilldown,
+    "x14_ngram_jaccard_capped": _x14_ngram_jaccard_capped,
 }
 
 ORACLES = {
@@ -372,4 +444,6 @@ ORACLES = {
     "x10_sliding_windows": _X10_SQL,
     "x11_session_stats": _X11_SQL,
     "x12_props_json": _X12_SQL,
+    "x13_salted_drilldown": _X13_SQL,
+    "x14_ngram_jaccard_capped": _X14_SQL,
 }
