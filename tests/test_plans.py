@@ -7,19 +7,19 @@ regression in plan shape fails CI, not a cluster bill.
 - aggregates are partial+final (map-side combine) over ONE scan
 - dimension enrichment joins broadcast (no fact-side shuffle)
 - brute-force top-k is TakeOrderedAndProject (no global sort/shuffle)
+
+Audit predicates live in openapc_olap_spark.plans so they are usable
+outside the test suite too.
 """
 
 import pytest
 from pyspark.sql import functions as F
 
+from openapc_olap_spark import plans
 from openapc_olap_spark.operators import similarity
 from openapc_olap_spark.query import QuerySpec
 from openapc_olap_spark.session import load_tables
 from openapc_olap_spark.tpch import prepare
-
-
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
 
 
 @pytest.fixture(scope="module")
@@ -30,27 +30,25 @@ def engine(spark, sf_dir):
 def test_point_cut_pushes_down_to_scan(engine):
     df = engine.facts(QuerySpec.from_params(
         "customer", cut="c_mktsegment:BUILDING"))
-    plan = plan_of(df)
-    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]" in plan
+    assert plans.filters_pushed(df, "IsNotNull(c_mktsegment)",
+                                "EqualTo(c_mktsegment,BUILDING)")
 
 
 def test_range_cut_pushes_down(engine):
     df = engine.facts(QuerySpec.from_params("part", cut="p_size:10~20"))
-    plan = plan_of(df)
-    assert "GreaterThanOrEqual(p_size,10)" in plan
-    assert "LessThanOrEqual(p_size,20)" in plan
+    assert plans.filters_pushed(df, "GreaterThanOrEqual(p_size,10)",
+                                "LessThanOrEqual(p_size,20)")
 
 
 def test_aggregate_prunes_columns_single_scan(engine):
     df = engine.cells(QuerySpec.from_params("part", drilldown="p_brand"))
-    plan = plan_of(df)
-    assert plan.count("FileScan") == 1
-    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert plans.single_scan(df)
+    scan_line = plans.scan_lines(df)[0]
     assert "p_brand" in scan_line and "p_retailprice" in scan_line
     assert "p_type" not in scan_line and "p_name" not in scan_line   # pruned
     # partial (map-side) + final aggregation around one exchange
-    assert "partial_sum" in plan
-    assert plan.count("Exchange") >= 1
+    assert plans.has_partial_aggregate(df)
+    assert plans.exchange_count(df) >= 1
 
 
 def test_small_dim_join_broadcasts(spark, sf_dir):
@@ -58,18 +56,15 @@ def test_small_dim_join_broadcasts(spark, sf_dir):
     joined = tables["orders"].join(
         F.broadcast(tables["customer"]),
         tables["orders"].o_custkey == tables["customer"].c_custkey)
-    plan = plan_of(joined)
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert plans.has_broadcast_join(joined)
+    assert not plans.has_sort_merge_join(joined)
 
 
 def test_brute_force_topk_has_no_global_sort(spark, sf_dir):
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     q = [float(x) for x in emb.first()["embedding"]]
     df = similarity.brute_force_top_k(emb, q, k=10)
-    plan = plan_of(df)
-    assert "TakeOrderedAndProject" in plan
-    assert "Exchange rangepartitioning" not in plan   # no global sort
+    assert plans.is_top_k(df)
 
 
 def test_institutional_slice_filter_is_in_scan(spark, tmp_path):
@@ -88,6 +83,4 @@ def test_institutional_slice_filter_is_in_scan(spark, tmp_path):
                       aggregates=(Aggregate("s", "euro", "sum"),),
                       where="institution = 'A'"))
     df = QueryEngine(spark, reg).facts(QuerySpec.from_params("inst_a"))
-    plan = plan_of(df)
-    assert "PartitionFilters" in plan
-    assert "institution#" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert "institution#" in plans.partition_filters(df)

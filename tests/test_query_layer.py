@@ -155,3 +155,25 @@ def test_empty_result_is_empty_list(engine):
     """Missing value -> [] not error (HOWTO.md:99)."""
     assert engine.facts(QuerySpec.from_params(
         "mini", cut="institution:Nobody")).collect() == []
+
+
+def test_count_distinct_exact_and_approx(engine, spark):
+    """A5: count_distinct counts distinct non-null measure values; the
+    approx_count_distinct opt-in (100 TB scale path) agrees on tiny
+    cardinalities (HLL++ is exact for small sets)."""
+    spark.createDataFrame(
+        [("X", "k1"), ("X", "k1"), ("X", "k2"), ("Y", None), ("Y", "k3")],
+        ["institution", "pub_key"]).createOrReplaceTempView("dupm")
+    reg = CubeRegistry()
+    reg.register(Cube(
+        "dupm", "dupm", ("institution",), ("pub_key",),
+        (Aggregate("n_exact", "pub_key", "count_distinct"),
+         Aggregate("n_approx", "pub_key", "approx_count_distinct"))))
+    eng = QueryEngine(spark, reg)
+    rows = {r["institution"]: r for r in
+            eng.cells(QuerySpec.from_params(
+                "dupm", drilldown="institution")).collect()}
+    assert rows["X"]["n_exact"] == 2          # k1 deduped
+    assert rows["Y"]["n_exact"] == 1          # NULL not counted
+    assert rows["X"]["n_approx"] == 2
+    assert rows["Y"]["n_approx"] == 1
