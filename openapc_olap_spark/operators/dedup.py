@@ -290,11 +290,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         sets_df = _materialized(sets_df)
     inv = sets_df.select("id", "sh_size", F.explode("sh").alias("g"))
     if doc_freq_cap is not None:
-        rare = (inv.groupBy("g")
-                .agg(F.count(F.lit(1)).alias("__df"))
-                .filter(F.col("__df") <= doc_freq_cap)
-                .select("g"))
-        inv = inv.join(rare, "g", "left_semi")
+        # anti-join against the shingles ABOVE the cap, not semi-join against
+        # those below: the hot set is tiny (boilerplate head), so AQE
+        # broadcasts it and the inverted index never shuffles for the
+        # filter; the semi-join formulation shuffles the full index against
+        # the (large) rare-shingle set. The df count itself moves only
+        # (g, partial count) thanks to map-side combine.
+        hot = (inv.groupBy("g")
+               .agg(F.count(F.lit(1)).alias("__df"))
+               .filter(F.col("__df") > doc_freq_cap)
+               .select("g"))
+        inv = inv.join(hot, "g", "left_anti")
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (a.join(b, (F.col("a.g") == F.col("b.g"))

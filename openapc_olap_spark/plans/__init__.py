@@ -32,6 +32,7 @@ __all__ = [
     "is_top_k",
     "partition_filters",
     "exchange_count",
+    "shuffle_exchange_count",
 ]
 
 
@@ -107,6 +108,15 @@ def partition_filters(df: DataFrame) -> str:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffles in the plan. The unit of cost at 100 TB; audits
-    assert it doesn't grow."""
+    """Number of exchanges of any kind (shuffle + broadcast) in the plan."""
     return plan_of(df).count("Exchange")
+
+
+def shuffle_exchange_count(df: DataFrame) -> int:
+    """Number of SHUFFLE exchanges (hash/range repartitioning) — the unit
+    of cost at 100 TB. Broadcast exchanges are excluded: they move only the
+    small side and are usually the cheap, desired strategy."""
+    plan = plan_of(df)
+    return (plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition"))

@@ -67,6 +67,46 @@ def test_brute_force_topk_has_no_global_sort(spark, sf_dir):
     assert plans.is_top_k(df)
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path, sf_dir):
+    """Two tables bucketed on the join key with equal counts join with ZERO
+    shuffles (the 100 TB fact-fact join strategy: shuffle once at write
+    time, never at query time). sortBy additionally kills the per-bucket
+    Sort."""
+    from openapc_olap_spark.sources import bucketing
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    bucketing.write_bucketed(t["orders"], "orders_b", ["o_orderkey"], 4,
+                             path=str(tmp_path / "ob"))
+    bucketing.write_bucketed(t["lineitem"], "lineitem_b", ["l_orderkey"], 4,
+                             path=str(tmp_path / "lb"))
+    # at test sf the small side would broadcast (the right call there);
+    # model the 100 TB case where neither fact table fits in memory
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert bucketing.colocated(spark, "orders_b", "lineitem_b",
+                                   "o_orderkey", "l_orderkey")
+        joined = (spark.table("orders_b")
+                  .join(spark.table("lineitem_b"),
+                        F.col("o_orderkey") == F.col("l_orderkey"))
+                  .select("o_orderkey", "l_extendedprice"))
+        assert plans.shuffle_exchange_count(joined) == 0
+        assert plans.has_sort_merge_join(joined)
+        # bucketed groupBy on the bucket key: aggregates with no exchange
+        agg = (spark.table("lineitem_b").groupBy("l_orderkey")
+               .agg(F.sum("l_quantity").alias("q")))
+        assert plans.shuffle_exchange_count(agg) == 0
+        # non-bucketed baseline DOES shuffle both sides
+        base = (t["orders"].join(
+            t["lineitem"],
+            t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+            .select("o_orderkey", "l_extendedprice"))
+        assert plans.shuffle_exchange_count(base) >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
 def test_institutional_slice_filter_is_in_scan(spark, tmp_path):
     """A Cube.where institution slice must land in the scan's filters (on a
     partitioned table this becomes partition pruning)."""
