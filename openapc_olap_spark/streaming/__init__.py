@@ -80,6 +80,29 @@ def sessionized(events: DataFrame, gap: str = "10 minutes",
                  F.round(F.sum("value"), 4).alias("value_sum")))
 
 
+def deduplicated(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "30 minutes",
+                 within_watermark: bool = True) -> DataFrame:
+    """Streaming exact dedup — the ingest guard of a training-data pipeline
+    (at-least-once sources like Kafka redeliver; downstream wants each
+    event once).
+
+    ``within_watermark`` uses ``dropDuplicatesWithinWatermark``: duplicates
+    are dropped when they arrive within the watermark delay of the first
+    occurrence, and state is EVICTED afterwards — bounded state, the only
+    viable shape at 100 TB/day (plain dropDuplicates keeps every key seen
+    forever). The contract, matching the guarantee Spark documents: exact
+    dedup among events whose duplicates arrive within the delay; a
+    duplicate arriving later than the delay may reappear — size the
+    watermark to the source's redelivery horizon.
+    """
+    keys = keys or ["event_id"]
+    events = events.withWatermark("ts", watermark)
+    if within_watermark:
+        return events.dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys + ["ts"])
+
+
 def finalize_windows(df: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
     """Project the window struct to the string form the batch operators emit,
     so streaming output compares 1:1 with the batch oracle."""

@@ -215,6 +215,35 @@ def test_decode_images_stub_is_deterministic(spark):
         assert a[i] == b[i]          # partitioning-independent
 
 
+def test_resize_images_passthrough_roundtrip(spark):
+    """Without PIL the resize stage must round-trip payload bytes through
+    Arrow untouched, flag resized=false, and record the target dims."""
+    rows = [(i, bytearray(bytes([i]) * 48)) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    got = {r["media_id"]: r for r in
+           multimodal.resize_images(df, target=(224, 224)).collect()}
+    assert len(got) == 4
+    for i in got:
+        assert bytes(got[i]["payload"]) == bytes([i]) * 48
+        assert (got[i]["width"], got[i]["height"]) == (224, 224)
+        assert got[i]["resized"] is False
+
+
+def test_audio_features_deterministic_shape(spark):
+    rows = [(i, bytearray(bytes([i]) * 16)) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    a = {r["media_id"]: r for r in
+         multimodal.extract_audio_features(df).collect()}
+    b = {r["media_id"]: r for r in
+         multimodal.extract_audio_features(df.repartition(3)).collect()}
+    assert len(a) == 6
+    for i in a:
+        assert len(a[i]["features"]) == 13
+        assert a[i]["sample_rate"] in (8000, 16000, 22000, 44000)
+        assert a[i]["duration_ms"] >= 1000
+        assert a[i] == b[i]          # partitioning-independent
+
+
 def test_sample_frames_grid(spark):
     df = spark.createDataFrame([(1, 3500), (2, 900)], ["media_id", "duration_ms"])
     got = multimodal.sample_frames(df, every_ms=1000).collect()

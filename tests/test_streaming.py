@@ -99,3 +99,25 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, stream_dir):
     want = {(r["user_id"], r["session_start"]): (r["n_events"], r["value_sum"])
             for r in batch if r["session_start"] != last_start[r["user_id"]]}
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark ingest guard: the same file delivered
+    in two microbatches (at-least-once redelivery) must come out once."""
+    import shutil as _sh
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    _sh.copy(f"{SF}/events.parquet", d / "part-000.parquet")
+    _sh.copy(f"{SF}/events.parquet", d / "part-001.parquet")
+
+    ev = streaming.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    deduped = streaming.deduplicated(ev, ["event_id"], watermark="1 hour")
+    q = (deduped.writeStream.format("memory").queryName("t_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    distinct = (load_tables(spark, SF, ["events"])["events"]
+                .select("event_id").distinct().count())
+    out = spark.table("t_dedup")
+    assert out.count() == distinct
+    assert out.select("event_id").distinct().count() == distinct
