@@ -415,6 +415,59 @@ _X14_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X15: multimodal metadata scan (operators.multimodal.with_media_metadata)
+# ---------------------------------------------------------------------------
+
+# Synthetic payloads: document text bytes with a real container magic prefix
+# chosen by doc_id so the sniffer sees a mix of formats. Pure expressions on
+# both engines; media_hash (xxhash64) is excluded (no DuckDB equivalent).
+_MAGICS = [("FFD8FF", "jpeg"), ("89504E47", "png"), ("52494646", "riff")]
+
+
+def _x15_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openapc_olap_spark.operators import multimodal
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    prefix = F.when(F.lit(False), F.lit(None).cast("binary"))
+    for i, (magic, _) in enumerate(_MAGICS):
+        prefix = F.when(F.col("doc_id") % 4 == i,
+                        F.lit(bytes.fromhex(magic))).otherwise(prefix)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 4 == 3, F.encode("text", "utf-8"))
+         .otherwise(F.concat(prefix, F.encode("text", "utf-8")))
+         .alias("payload"))
+    out = multimodal.with_media_metadata(media)
+    return (out.groupBy("media_format")
+            .agg(F.count(F.lit(1)).alias("n_media"),
+                 F.sum("media_bytes").alias("total_bytes"))
+            .orderBy("media_format"))
+
+
+_X15_SQL = """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '\\xFF\\xD8\\xFF'::BLOB || encode(text)
+               WHEN 1 THEN '\\x89PNG'::BLOB || encode(text)
+               WHEN 2 THEN 'RIFF'::BLOB || encode(text)
+               ELSE encode(text)
+             END AS payload
+      FROM documents),
+    sniffed AS (
+      SELECT media_id, octet_length(payload) AS media_bytes,
+             CASE
+               WHEN hex(payload) LIKE 'FFD8FF%' THEN 'jpeg'
+               WHEN hex(payload) LIKE '89504E47%' THEN 'png'
+               WHEN hex(payload) LIKE '52494646%' THEN 'riff'
+               ELSE 'unknown'
+             END AS media_format
+      FROM media)
+    SELECT media_format, count(*) AS n_media, sum(media_bytes) AS total_bytes
+    FROM sniffed GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -430,6 +483,7 @@ QUERIES = {
     "x12_props_json": _x12_props_json,
     "x13_salted_drilldown": _x13_salted_drilldown,
     "x14_ngram_jaccard_capped": _x14_ngram_jaccard_capped,
+    "x15_media_metadata": _x15_media_metadata,
 }
 
 ORACLES = {
@@ -446,4 +500,5 @@ ORACLES = {
     "x12_props_json": _X12_SQL,
     "x13_salted_drilldown": _X13_SQL,
     "x14_ngram_jaccard_capped": _X14_SQL,
+    "x15_media_metadata": _X15_SQL,
 }
