@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from openapc_olap_spark import contrib_queries
+from openapc_olap_spark import contrib_queries, etl_queries
 from openapc_olap_spark.query import QuerySpec
 from openapc_olap_spark.tpch import prepare
 
@@ -314,11 +314,13 @@ ORACLES: dict[str, str] = {
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = dict(QUERIES)
+    out.update(etl_queries.QUERIES)
     out.update(contrib_queries.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
+    out.update(etl_queries.ORACLES)
     out.update(contrib_queries.ORACLES)
     return out
