@@ -141,7 +141,7 @@ _X02_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
-# X2b/X2c: MinHash-LSH + SimHash near-dup (xxhash64-based -> rows-only)
+# X2b/X2c: MinHash-LSH + SimHash near-dup
 # ---------------------------------------------------------------------------
 
 def _x03_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,9 +150,70 @@ def _x03_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+# MinHash candidates are verified with EXACT Jaccard, so the exact all-pairs
+# twin is a valid oracle — and a strict one: a hash-match certifies the LSH
+# candidate stage (32 perms / 16 bands) reached 100% recall at threshold 0.5
+# on this corpus, not just that the verify arithmetic agrees. A missed
+# candidate pair would surface as a row-count + hash mismatch.
+_X03_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sets AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM s),
+    inv AS (
+      SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM sets),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.sz) AS sa, any_value(b.sz) AS sb,
+             count(*) AS n
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n::DOUBLE / (sa + sb - n), 6) AS jaccard
+    FROM inter WHERE n::DOUBLE / (sa + sb - n) >= 0.5
+"""
+
+
 def _x04_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the portable md5 token hash (``token_hashes`` md5 mode)
+    so the DuckDB twin can rebuild bit-identical signatures; the banded
+    candidate join + hamming verify are unchanged."""
     docs = _docs_split(spark, sf_dir)
-    return dedup.simhash_near_duplicates(docs, max_hamming=3)
+    return dedup.simhash_near_duplicates(docs, max_hamming=3,
+                                         token_hash="md5")
+
+
+# Signature replication in SQL: per-token 60-bit md5 hash (identical to the
+# Spark side by construction), per-bit +/- vote over the doc's token
+# multiset, majority -> signature bit; then all-pairs popcount(xor) <= 3
+# (the corpus at oracle SF is small enough that the twin can afford
+# all-pairs where the engine uses the 4x16-bit banded join).
+_X04_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, len(toks) AS n, unnest(toks) AS tk FROM s),
+    h AS (
+      SELECT doc_id, n, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv
+      FROM tok),
+    votes AS (
+      SELECT doc_id, any_value(n) AS n, b.bit AS bit,
+             count(*) FILTER (WHERE (hv >> b.bit) & 1 = 1) AS cnt
+      FROM h CROSS JOIN (SELECT range AS bit FROM range(60)) b
+      GROUP BY doc_id, b.bit),
+    sig0 AS (
+      SELECT doc_id,
+             sum(CASE WHEN 2 * cnt > n THEN (1::BIGINT << bit)
+                      ELSE 0 END)::BIGINT AS sig
+      FROM votes GROUP BY doc_id),
+    sig AS (
+      SELECT d.doc_id, coalesce(s.sig, 0) AS sig
+      FROM documents d LEFT JOIN sig0 s USING (doc_id))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -489,7 +550,8 @@ QUERIES = {
 ORACLES = {
     "x01_dedup_summary": _X01_SQL,
     "x02_ngram_jaccard": _X02_SQL,
-    # x03/x04: xxhash64-based signatures have no DuckDB twin -> rows-only
+    "x03_minhash_neardup": _X03_SQL,
+    "x04_simhash_neardup": _X04_SQL,
     "x05_ann_topk": _X05_SQL,
     "x06_lsh_neardup_embeddings": _X06_SQL,
     "x07_text_metrics": _X07_SQL,

@@ -320,10 +320,25 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # X2c: SimHash
 # --------------------------------------------------------------------------
 
-def token_hashes(text_col="text") -> Column:
-    """Per-token xxhash64 array — materialize once before the 64-bit vote
-    (inlining it under each bit re-tokenizes 64 times; see base_hashes)."""
-    return F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+def token_hashes(text_col="text", method: str = "xxhash64") -> Column:
+    """Per-token hash array — materialize once before the 64-bit vote
+    (inlining it under each bit re-tokenizes 64 times; see base_hashes).
+
+    ``method``: "xxhash64" (default, one JVM hash per token) or "md5" — a
+    portable 60-bit hash (first 15 hex chars of the MD5 digest, so the
+    value fits a signed long) with an exact cross-engine twin:
+    DuckDB ``('0x' || substr(md5(t), 1, 15))::BIGINT`` produces identical
+    values, which puts SimHash under the hash-match oracle gate. MD5 costs
+    a full digest per token; keep xxhash64 for production pipelines."""
+    if method == "md5":
+        def _h(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    elif method == "xxhash64":
+        def _h(t):
+            return F.xxhash64(t)
+    else:
+        raise ValueError(f"unknown token hash method: {method!r}")
+    return F.transform(tokens(text_col), _h)
 
 
 def simhash_from_hashes(hashes_col) -> Column:
@@ -397,7 +412,8 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             max_hamming: int = 3,
                             materialize: bool = True,
-                            method: str = "arrow") -> DataFrame:
+                            method: str = "arrow",
+                            token_hash: str = "xxhash64") -> DataFrame:
     """SimHash near-dup pairs with hamming <= max_hamming.
 
     Candidates via 4x16-bit chunk banding (pigeonhole: hamming <= 3 implies
@@ -412,12 +428,15 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     ``method``: "arrow" (default) signs with the vectorized numpy UDF;
     "expr" uses the pure-Catalyst fold (zero-UDF, same bits) for callers
     that must keep the whole plan JVM-side.
+
+    ``token_hash``: per-token hash family (see ``token_hashes``); "md5"
+    yields a DuckDB-replicable signature for oracle-gated runs.
     """
     sig_col = (_simhash_arrow()("__th") if method == "arrow"
                else simhash_from_hashes("__th"))
     sig = (df
            .select(F.col(id_col).alias("id"),
-                   token_hashes(text_col).alias("__th"))
+                   token_hashes(text_col, method=token_hash).alias("__th"))
            .select("id", sig_col.alias("sig")))
     if materialize:
         sig = _materialized(sig)

@@ -107,6 +107,22 @@ def test_simhash_near_duplicates(docs):
     assert all(4 not in p and 5 not in p for p in pairs)
 
 
+def test_simhash_md5_token_hash_portable(docs, spark):
+    # the md5 mode is the DuckDB-twin contract: 60-bit value = first 15 hex
+    # chars of the digest ('0x'||substr(md5(t),1,15) on the DuckDB side)
+    row = (spark.range(1)
+           .select(dedup.token_hashes(F.lit("hello"), method="md5").alias("h"))
+           .first())
+    assert row["h"] == [0x5D41402ABC4B2A7]    # md5('hello')[:15] as int
+    # arrow and expr signers must agree bit-for-bit under the md5 hash too
+    arrow = dedup.simhash_near_duplicates(docs, max_hamming=10,
+                                          token_hash="md5").collect()
+    expr = dedup.simhash_near_duplicates(docs, max_hamming=10, method="expr",
+                                         token_hash="md5").collect()
+    key = lambda rows: {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert key(arrow) == key(expr)
+
+
 # ------------------------------------------------------------ similarity (X3)
 
 @pytest.fixture(scope="module")
