@@ -529,6 +529,57 @@ _X15_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X4: quality scoring (length / stopword / punctuation composite)
+# ---------------------------------------------------------------------------
+
+def _x16_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality histogram: per-doc ``quality_score`` composite (the
+    cheap LLM-training-data pre-filter) bucketed into deciles. Aggregated
+    output keeps the result bounded at any SF; the oracle recomputes the
+    composite per row with IEEE-identical expression shape, so decile
+    assignment matches bit-for-bit."""
+    docs = _docs_split(spark, sf_dir)
+    scored = docs.select(
+        text.quality_score("text").alias("q"),
+        text.punctuation_ratio("text").alias("p"))
+    decile = F.least(F.floor(F.col("q") * 10), F.lit(9)).cast("int")
+    return (scored
+            .groupBy(decile.alias("q_decile"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("q"), 6).alias("avg_quality"),
+                 F.round(F.avg("p"), 6).alias("avg_punct_ratio"))
+            .orderBy("q_decile"))
+
+
+# Java's \p{Punct} is the 32-char POSIX-ASCII punctuation set, spelled as
+# explicit ranges for DuckDB's RE2 (which would read \p{P} as the broader
+# Unicode category): !-/ :-@ [-` {-~
+_PUNCT_CLASS_SQL = r"[^!-/:-@\[-`{-~]"
+
+_X16_SQL = f"""
+    WITH t AS (
+      SELECT text, {_TOKS_SQL} AS toks FROM documents),
+    m AS (
+      SELECT least(length(text)::DOUBLE / 1000.0, 1.0) AS len_c,
+             least({_sql_stopword_ratio('en')} / 0.3, 1.0) AS stop_c,
+             CASE WHEN length(text) > 0 THEN
+               length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g'))::DOUBLE
+                 / length(text)
+             ELSE 0.0 END AS p
+      FROM t),
+    q AS (
+      SELECT 0.4 * len_c + 0.4 * stop_c
+               + 0.2 * (1.0 - least(p / 0.2, 1.0)) AS q, p
+      FROM m)
+    SELECT least(floor(q * 10), 9)::INT AS q_decile,
+           count(*) AS n_docs,
+           round(avg(q), 6) AS avg_quality,
+           round(avg(p), 6) AS avg_punct_ratio
+    FROM q GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -545,6 +596,7 @@ QUERIES = {
     "x13_salted_drilldown": _x13_salted_drilldown,
     "x14_ngram_jaccard_capped": _x14_ngram_jaccard_capped,
     "x15_media_metadata": _x15_media_metadata,
+    "x16_quality_deciles": _x16_quality_deciles,
 }
 
 ORACLES = {
@@ -563,4 +615,5 @@ ORACLES = {
     "x13_salted_drilldown": _X13_SQL,
     "x14_ngram_jaccard_capped": _X14_SQL,
     "x15_media_metadata": _X15_SQL,
+    "x16_quality_deciles": _X16_SQL,
 }
