@@ -49,6 +49,35 @@ def normalize(rows, cols):
     return [cols[i] for i in idx], out
 
 
+def compare_one(spark, con, sf_dir: str, name: str, fn, sql: str | None):
+    """Run one declared query on Spark (and its oracle on DuckDB when given)
+    and compare. Returns (ok: bool, message: str)."""
+    try:
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:
+        return False, f"{name}: spark error: {e}"
+    if sql is None:
+        return True, f"{name}: rows={len(srows)} (no oracle — rows-only check)"
+    try:
+        res = con.execute(sql)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+    except Exception as e:
+        return False, f"{name}: duckdb error: {e}"
+    sc, sn = normalize(srows, scols)
+    dc, dn = normalize(drows, dcols)
+    if sc != dc:
+        return False, f"{name}: columns differ spark={sc} duck={dc}"
+    if len(sn) != len(dn):
+        return False, f"{name}: rowcount spark={len(sn)} duck={len(dn)}"
+    if sn != dn:
+        diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+        return False, f"{name}: values differ; first diffs: {diffs}"
+    return True, f"{name}: rows={len(sn)} cols={len(sc)} MATCH"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -61,43 +90,13 @@ def main() -> int:
     for name, fn in sorted(queries.items()):
         if only and name not in only:
             continue
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
+        ok, msg = compare_one(spark, con, sf_dir, name, fn,
+                              oracles.get(name))
+        if ok:
+            print(f"ok   {msg}")
+        else:
+            print(f"FAIL {msg}")
             failures += 1
-            continue
-        if name not in oracles:
-            print(f"ok   {name}: rows={len(srows)} (no oracle — rows-only check)")
-            if not srows:
-                print(f"WARN {name}: zero rows")
-            continue
-        try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            failures += 1
-            continue
-        sc, sn = normalize(srows, scols)
-        dc, dn = normalize(drows, dcols)
-        if sc != dc:
-            print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
-            failures += 1
-            continue
-        if len(sn) != len(dn):
-            print(f"FAIL {name}: rowcount spark={len(sn)} duck={len(dn)}")
-            failures += 1
-            continue
-        if sn != dn:
-            diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-            print(f"FAIL {name}: values differ; first diffs: {diffs}")
-            failures += 1
-            continue
-        print(f"ok   {name}: rows={len(sn)} cols={len(sc)} MATCH")
     spark.stop()
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0

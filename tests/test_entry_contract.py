@@ -1,0 +1,52 @@
+"""Driver-contract regression net: the whole `__spark_entry__` surface —
+entry(), every queries() entry, and every oracle_sql() twin — runs inside
+pytest at sf0.001, using the same comparator as scripts/oracle_check.py.
+
+The external twin-runner (and the driver) compare at sf0.01; this keeps a
+broken query or a drifted oracle from surviving `pytest -q` even when the
+script isn't run.
+"""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+import __spark_entry__ as entrymod
+
+_SPEC = importlib.util.spec_from_file_location(
+    "oracle_check", os.path.join(_ROOT, "scripts", "oracle_check.py"))
+oracle_check = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(oracle_check)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_entry_returns_stable_frame(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["l_returnflag", "l_linestatus", "price_amount_sum",
+                          "price_num_items", "price_amount_avg", "qty_sum"]
+
+
+def test_every_oracle_has_a_query():
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert not (set(qs) - set(os_)), "every query should carry an oracle"
+
+
+def test_all_declared_queries_match_oracles_at_sf0001(spark):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = oracle_check.duck_con(SF_DIR)
+    failures = []
+    for name, fn in sorted(qs.items()):
+        ok, msg = oracle_check.compare_one(spark, con, SF_DIR, name, fn,
+                                           oracles.get(name))
+        if not ok:
+            failures.append(msg)
+    assert not failures, "\n".join(failures)
