@@ -124,3 +124,18 @@ def test_institutional_slice_filter_is_in_scan(spark, tmp_path):
                       where="institution = 'A'"))
     df = QueryEngine(spark, reg).facts(QuerySpec.from_params("inst_a"))
     assert "institution#" in plans.partition_filters(df)
+
+
+def test_text_quality_pipeline_prunes_to_text_column(spark, sf_dir):
+    """x16 posture: the quality composite is pure codegen over ONE pruned
+    scan — at 100 TB the documents table is read once, text column only."""
+    from openapc_olap_spark.operators import text
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    df = (docs.select(text.quality_score("text").alias("q"))
+          .groupBy((F.floor(F.col("q") * 10)).alias("d"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    assert plans.single_scan(df)
+    scan_line = plans.scan_lines(df)[0]
+    assert "text" in scan_line
+    assert "doc_id" not in scan_line and "lang" not in scan_line   # pruned
+    assert plans.has_partial_aggregate(df)
