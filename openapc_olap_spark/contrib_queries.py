@@ -4,7 +4,9 @@ Each entry pairs the Spark operator with a DuckDB oracle that replicates the
 *same algorithm* — including the LSH paths, whose random hyperplanes /
 stopword tables are inlined as literals into generated SQL — so the
 correctness gate checks the scalable implementation, not a simplified twin.
-MinHash/SimHash use xxhash64 (no DuckDB equivalent) and are rows-only.
+SimHash signs with a portable md5-derived token hash the SQL twin rebuilds
+bit-for-bit; the MinHash oracle is the exact-Jaccard twin (a match
+certifies LSH candidate recall). Every query here carries an oracle.
 
 Float discipline mirrors __spark_entry__: aggregates/ratios rounded
 identically on both sides.
@@ -580,6 +582,52 @@ _X16_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X3b: IVF ANN (coarse quantizer -> probe-pruned exact rank)
+# ---------------------------------------------------------------------------
+
+def _x17_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k probing 3 of 8 inverted lists. The gate variant uses a
+    deterministic first-k coarse quantizer (the 8 lowest-vec_id embeddings
+    as centroids) instead of the KMeans-trained centroids of
+    ``train_ivf_centroids``, so the oracle can replicate the FULL algorithm
+    — assignment argmin, probe-list selection, in-list exact cosine rank —
+    rather than assume recall. The ``ivf_top_k`` machinery exercised is
+    identical to the production KMeans path."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = [[float(x) for x in r["embedding"]]
+             for r in emb.orderBy("vec_id").limit(8).collect()]
+    out = similarity.ivf_top_k(emb, cents, QUERY_VEC, k=ANN_K, nprobe=3)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+_SQDIST = ("list_sum(list_transform(range(1, len({c}) + 1), "
+           "i -> ({c}[i] - {v}[i]) * ({c}[i] - {v}[i])))")
+
+_X17_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM e ORDER BY vec_id LIMIT 8),
+    qd AS (SELECT {_sql_vec(QUERY_VEC)} AS qv),
+    probe AS (
+      SELECT cid FROM cents, qd
+      ORDER BY {_SQDIST.format(c='c', v='qv')}, cid
+      LIMIT 3),
+    d AS (
+      SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               {_SQDIST.format(c='c.c', v='e.v')}, c.cid) AS rn
+      FROM e CROSS JOIN cents c),
+    a AS (SELECT vec_id, v, cid FROM d WHERE rn = 1)
+    SELECT a.vec_id, round({_sql_cos('a.v', 'qv')}, 6) AS sim
+    FROM a JOIN probe USING (cid), qd
+    ORDER BY sim DESC, a.vec_id ASC
+    LIMIT {ANN_K}
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -597,6 +645,7 @@ QUERIES = {
     "x14_ngram_jaccard_capped": _x14_ngram_jaccard_capped,
     "x15_media_metadata": _x15_media_metadata,
     "x16_quality_deciles": _x16_quality_deciles,
+    "x17_ivf_ann": _x17_ivf_ann,
 }
 
 ORACLES = {
@@ -616,4 +665,5 @@ ORACLES = {
     "x14_ngram_jaccard_capped": _X14_SQL,
     "x15_media_metadata": _X15_SQL,
     "x16_quality_deciles": _X16_SQL,
+    "x17_ivf_ann": _X17_SQL,
 }
