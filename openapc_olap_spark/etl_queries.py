@@ -5,7 +5,7 @@ driver does not ship, so these gate queries drive the SAME operator
 implementations (``openapc_olap_spark.etl.openapc``) over the driver's
 TPC-H-ish parquet: columns are renamed/synthesized deterministically from
 key columns, the ETL function is applied verbatim, and the DuckDB oracle
-replicates the derivation in SQL. This puts E1-E11, E16-E17 and T1-T9 under
+replicates the derivation in SQL. This puts E1-E11, E14, E16-E17 and T1-T9 under
 the driver's hash-match gate instead of pytest-goldens only.
 
 Float discipline: aggregated doubles rounded to 2dp on both sides; the E8
@@ -356,6 +356,79 @@ _E08_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# e09: E14 DOI→journal-id prefix dispatch + ISSN-cache fallback (T4-adjacent)
+# ---------------------------------------------------------------------------
+
+def _e09_journal_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 (springer_compact_coverage.py:295-339): regular-prefix slice
+    extraction (doi[9:14] zero-stripped), hardcoded irregular ids, and the
+    cache-only families resolved through the ISSN-keyed broadcast join —
+    driven over DOIs synthesized across all four dispatch families."""
+    from openapc_olap_spark.etl.coverage import with_journal_id
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    k = F.col("o_orderkey")
+    doi = (F.when(k % 5 == 0,
+                  F.concat(F.lit("10.1007/s"),
+                           F.lpad((k % 97).cast("string"), 5, "0"),
+                           F.lit(".x")))
+           .when(k % 5 == 1,
+                 F.concat(F.lit("10.1038/s"),
+                          F.lpad((k % 89).cast("string"), 5, "0")))
+           .when(k % 5 == 2, F.concat(F.lit("10.14283/j."), k.cast("string")))
+           .when(k % 5 == 3, F.concat(F.lit("10.1140/epjc."), k.cast("string")))
+           .otherwise(F.concat(F.lit("10.9999/other."), k.cast("string"))))
+    src = orders.select(
+        doi.alias("doi"),
+        F.concat(F.lit("issn-"), (k % 7).cast("string")).alias("issn"))
+    cache = spark.createDataFrame(
+        [(f"issn-{i}", str(40000 + i)) for i in range(5)],
+        "issn string, journal_id string")
+    out = with_journal_id(src, cache)
+    return (out.groupBy("journal_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("journal_id"))
+
+
+_E09_SQL = """
+    WITH src AS (
+      SELECT CASE
+               WHEN o_orderkey % 5 = 0 THEN
+                 '10.1007/s' || lpad((o_orderkey % 97)::VARCHAR, 5, '0') || '.x'
+               WHEN o_orderkey % 5 = 1 THEN
+                 '10.1038/s' || lpad((o_orderkey % 89)::VARCHAR, 5, '0')
+               WHEN o_orderkey % 5 = 2 THEN '10.14283/j.' || o_orderkey::VARCHAR
+               WHEN o_orderkey % 5 = 3 THEN '10.1140/epjc.' || o_orderkey::VARCHAR
+               ELSE '10.9999/other.' || o_orderkey::VARCHAR
+             END AS doi,
+             'issn-' || (o_orderkey % 7)::VARCHAR AS issn
+      FROM orders),
+    cache(issn, journal_id) AS (
+      VALUES ('issn-0', '40000'), ('issn-1', '40001'), ('issn-2', '40002'),
+             ('issn-3', '40003'), ('issn-4', '40004')),
+    loc AS (
+      SELECT issn,
+             CASE
+               WHEN starts_with(doi, '10.1007/s') OR starts_with(doi, '10.3758/s')
+                 OR starts_with(doi, '10.1245/s') OR starts_with(doi, '10.1617/s')
+                 OR starts_with(doi, '10.1186/s') OR starts_with(doi, '10.1208/s')
+                 OR starts_with(doi, '10.1365/s') OR starts_with(doi, '10.1038/s')
+                 OR starts_with(doi, '10.1057/s') OR starts_with(doi, '10.2478/s')
+                 OR starts_with(doi, '10.1557/s')
+                 THEN regexp_replace(substring(doi, 10, 5), '^0+', '')
+               WHEN starts_with(doi, '10.14283') THEN '42415'
+               WHEN starts_with(doi, '10.1631') THEN '11582'
+               WHEN starts_with(doi, '10.3938/jkps') THEN '40042'
+               ELSE NULL
+             END AS jid
+      FROM src),
+    j AS (
+      SELECT coalesce(l.jid, c.journal_id) AS journal_id
+      FROM loc l LEFT JOIN cache c ON l.issn = c.issn)
+    SELECT journal_id, count(*) AS n_rows FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "e01_enrich_ror": _e01_enrich_ror,
     "e02_publication_key": _e02_publication_key,
@@ -365,6 +438,7 @@ QUERIES = {
     "e06_prune_semi": _e06_prune_semi,
     "e07_priority_rank": _e07_priority_rank,
     "e08_melt_explode": _e08_melt_explode,
+    "e09_journal_id": _e09_journal_id,
 }
 
 ORACLES = {
@@ -376,4 +450,5 @@ ORACLES = {
     "e06_prune_semi": _E06_SQL,
     "e07_priority_rank": _E07_SQL,
     "e08_melt_explode": _E08_SQL,
+    "e09_journal_id": _E09_SQL,
 }
