@@ -381,7 +381,7 @@ _X11_SQL = """
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
              THEN 1 ELSE 0 END AS new_s
       FROM events)
-    SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+    SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*) AS n_events
     FROM d GROUP BY 1
 """
 
@@ -402,7 +402,7 @@ def _x12_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X12_SQL = """
     SELECT event_type, count(*) AS n_events,
-           sum(json_extract(props, '$.k')::BIGINT) AS k_sum,
+           sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum,
            round(avg(json_extract(props, '$.k')::BIGINT), 4) AS k_avg
     FROM events GROUP BY 1
 """
@@ -526,7 +526,7 @@ _X15_SQL = """
                ELSE 'unknown'
              END AS media_format
       FROM media)
-    SELECT media_format, count(*) AS n_media, sum(media_bytes) AS total_bytes
+    SELECT media_format, count(*) AS n_media, sum(media_bytes)::BIGINT AS total_bytes
     FROM sniffed GROUP BY 1 ORDER BY 1
 """
 
@@ -628,6 +628,53 @@ _X17_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X18: bucket-capped embedding near-dup (the bounded-blowup scale variant
+# of x06, mirroring what x14 is to x02)
+# ---------------------------------------------------------------------------
+
+# At sf0.01 with nbits=6 the hottest bucket holds 24 of 500 vectors; cap 12
+# drops the 8 hottest buckets so the capped path genuinely differs from x06
+# while the oracle replicates the cap exactly (count per bucket, keep <= cap,
+# then the same pair join + cosine verify).
+EMB_BUCKET_CAP = 12
+
+
+def _x18_lsh_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-capped embedding near-dup: buckets with more than
+    EMB_BUCKET_CAP members are dropped before the self-join (the 100 TB
+    guard — a bucket of b members emits b*(b-1)/2 pairs)."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    out = similarity.embedding_near_duplicates(
+        emb, threshold=NEARDUP_COS, nbits=LSH_NBITS, seed=LSH_SEED,
+        bucket_cap=EMB_BUCKET_CAP)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+_X18_SQL = f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_sql_bucket('embedding::DOUBLE[]')} AS bucket,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) > 0
+                  THEN 1.0 / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                   embedding::DOUBLE[]))
+                  ELSE 0.0 END AS inv_norm
+      FROM embeddings),
+    small AS (
+      SELECT bucket FROM b GROUP BY bucket
+      HAVING count(*) <= {EMB_BUCKET_CAP}),
+    bc AS (
+      SELECT * FROM b WHERE bucket IN (SELECT bucket FROM small))
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           round(list_dot_product(l.v, r.v) * l.inv_norm * r.inv_norm, 6)
+             AS cos_sim
+    FROM bc l JOIN bc r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE list_dot_product(l.v, r.v) * l.inv_norm * r.inv_norm
+          >= {NEARDUP_COS}
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -646,6 +693,7 @@ QUERIES = {
     "x15_media_metadata": _x15_media_metadata,
     "x16_quality_deciles": _x16_quality_deciles,
     "x17_ivf_ann": _x17_ivf_ann,
+    "x18_lsh_neardup_capped": _x18_lsh_neardup_capped,
 }
 
 ORACLES = {
@@ -666,4 +714,5 @@ ORACLES = {
     "x15_media_metadata": _X15_SQL,
     "x16_quality_deciles": _X16_SQL,
     "x17_ivf_ann": _X17_SQL,
+    "x18_lsh_neardup_capped": _X18_SQL,
 }

@@ -234,9 +234,9 @@ _E05_SQL = """
     coverage AS (
       SELECT p_brand, coalesce(n_articles, 0) AS n_articles
       FROM part LEFT JOIN counts ON p_partkey = l_partkey)
-    SELECT p_brand, sum(n_articles) AS articles_sum,
+    SELECT p_brand, sum(n_articles)::BIGINT AS articles_sum,
            count(*) AS n_journals,
-           sum(CASE WHEN n_articles = 0 THEN 1 ELSE 0 END) AS n_zero_fill
+           sum(CASE WHEN n_articles = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_fill
     FROM coverage GROUP BY 1 ORDER BY 1
 """
 

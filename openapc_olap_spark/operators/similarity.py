@@ -231,6 +231,7 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               nbits: int = 8, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               seed: int = 42,
+                              bucket_cap: int | None = None,
                               materialize: bool = True) -> DataFrame:
     """X2 embedding-cosine near-dup: same-bucket candidate pairs -> exact
     cosine verify >= threshold. Output (id_a, id_b, cos_sim).
@@ -245,6 +246,20 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
     products are the dominant per-row cost; the cache spills to local disk
     at scale, still cheaper than recomputing nbits x dim multiplies per
     row).
+
+    Scale guards — the same-bucket self-join emits b*(b-1)/2 pairs for a
+    bucket of b members, so at corpus scale BOTH of these matter:
+
+    - ``bucket_cap`` drops buckets with more than cap members before the
+      join (semi-join against the small-bucket key set, identical to the
+      MinHash path's guard in dedup._lsh_candidates_from_sets). A dropped
+      bucket's members are dense near-identical clusters — route those to
+      exact dedup (X1) on a quantized-vector fingerprint instead of
+      enumerating the quadratic pair list.
+    - ``nbits`` must grow with the corpus: expected bucket occupancy is
+      n / 2^nbits, so keep nbits >= log2(n) - log2(target_occupancy)
+      (e.g. 1e9 vectors, ~1k per bucket -> nbits >= 20). The default 8 is
+      sized for test corpora, NOT for production.
     """
     b = (lsh_bucketize(df, nbits, vec_col, None, seed)
          .select(F.col(id_col).alias("id"),
@@ -255,6 +270,12 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
     if materialize:
         from openapc_olap_spark.operators.dedup import _materialized
         b = _materialized(b)
+    if bucket_cap is not None:
+        small = (b.groupBy("bucket")
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .filter(F.col("__n") <= bucket_cap)
+                 .select("bucket"))
+        b = b.join(small, ["bucket"], "left_semi")
     l, r = b.alias("l"), b.alias("r")
     sim = (dot(F.col("l.v"), F.col("r.v"))
            * F.col("l.inv_norm") * F.col("r.inv_norm"))

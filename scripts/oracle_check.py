@@ -49,6 +49,35 @@ def normalize(rows, cols):
     return [cols[i] for i in idx], out
 
 
+_SPARK_KIND = {
+    "byte": "i", "short": "i", "int": "i", "bigint": "i",
+    "float": "f", "double": "f",
+}
+
+
+def _spark_kinds(sdf) -> dict:
+    """Column -> numeric kind ('i'/'f') from the Spark schema, without
+    re-executing the query. Decimals map to 'f' (pandas-side float)."""
+    out = {}
+    for c, t in sdf.dtypes:
+        if t.startswith("decimal"):
+            out[c] = "f"
+        elif t in _SPARK_KIND:
+            out[c] = _SPARK_KIND[t]
+    return out
+
+
+def _duck_kinds(df) -> dict:
+    """Column -> numpy dtype.kind from DuckDB's pandas conversion.
+
+    The driver's hasher compares values AFTER pandas/Arrow conversion, so an
+    int64 on one side vs float64 on the other (e.g. DuckDB SUM(INTEGER) ->
+    HUGEINT -> float64) hash-mismatches even when values are numerically
+    equal. String-normalized compares mask that; dtype kinds catch it.
+    """
+    return {c: df[c].dtype.kind for c in df.columns}
+
+
 def compare_one(spark, con, sf_dir: str, name: str, fn, sql: str | None):
     """Run one declared query on Spark (and its oracle on DuckDB when given)
     and compare. Returns (ok: bool, message: str)."""
@@ -56,6 +85,7 @@ def compare_one(spark, con, sf_dir: str, name: str, fn, sql: str | None):
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
+        skinds = _spark_kinds(sdf)
     except Exception as e:
         return False, f"{name}: spark error: {e}"
     if sql is None:
@@ -64,8 +94,17 @@ def compare_one(spark, con, sf_dir: str, name: str, fn, sql: str | None):
         res = con.execute(sql)
         dcols = [d[0] for d in res.description]
         drows = res.fetchall()
+        dkinds = _duck_kinds(con.execute(sql).df())
     except Exception as e:
         return False, f"{name}: duckdb error: {e}"
+    # Dtype-kind parity mirrors the driver's pandas-level hash: flag any
+    # int-vs-float divergence (nulls legitimately float-pad BOTH sides, and
+    # decimals float on both sides, so only a one-sided drift trips this).
+    for c in set(skinds) & set(dkinds):
+        a, b = skinds[c], dkinds[c]
+        if {a, b} == {"i", "f"}:
+            return False, (f"{name}: dtype kind mismatch on '{c}': "
+                           f"spark={a} duck={b} (driver hash would differ)")
     sc, sn = normalize(srows, scols)
     dc, dn = normalize(drows, dcols)
     if sc != dc:

@@ -164,6 +164,26 @@ def test_embedding_near_duplicates(spark):
     assert got[0]["cos_sim"] == pytest.approx(1.0)
 
 
+def test_embedding_near_duplicates_bucket_cap(emb):
+    """Capped pairs ⊆ uncapped pairs; every dropped pair touches a
+    hot bucket (> cap members); pairs wholly inside small buckets survive."""
+    kw = dict(threshold=0.35, nbits=6, seed=42)
+    pairkey = lambda rows: {(r["id_a"], r["id_b"]) for r in rows}
+    uncapped = pairkey(similarity.embedding_near_duplicates(emb, **kw).collect())
+    capped = pairkey(similarity.embedding_near_duplicates(
+        emb, bucket_cap=12, **kw).collect())
+    assert capped < uncapped          # strictly prunes on this corpus
+    bucketed = similarity.lsh_bucketize(emb, nbits=6, seed=42) \
+        .select("vec_id", "bucket").collect()
+    bucket_of = {r["vec_id"]: r["bucket"] for r in bucketed}
+    sizes = {}
+    for b in bucket_of.values():
+        sizes[b] = sizes.get(b, 0) + 1
+    hot = {b for b, n in sizes.items() if n > 12}
+    for a, b in uncapped - capped:    # dropped ⇒ in a hot bucket
+        assert bucket_of[a] in hot and bucket_of[b] in hot
+
+
 # --------------------------------------------------------------- windows (X6)
 
 def test_tumbling_matches_duckdb(spark):
