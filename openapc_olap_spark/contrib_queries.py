@@ -675,6 +675,103 @@ _X18_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X19: header-parsed image dims (pure binary expressions, no codec/UDF)
+# ---------------------------------------------------------------------------
+
+def _x19_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG IHDR / JPEG SOF dimension parsing JVM-side
+    (``with_image_dims``): payloads are synthesized with real container
+    headers (PNG; JPEG with JFIF-APP0; JPEG with a variable-length APP1 so
+    the marker walk is genuinely exercised) and the oracle re-parses the
+    same bytes from the hex string at arithmetically-derived offsets."""
+    from openapc_olap_spark.operators import multimodal
+    docs = (load_tables(spark, sf_dir, ["documents"])["documents"]
+            .filter(F.col("doc_id") < 400))   # stay under the 500-row cap
+    k = F.col("doc_id")
+    w, h = k % 900 + 16, k % 700 + 9
+    app1_len = k % 5 + 8
+    be = lambda c, n: F.unhex(F.lpad(F.hex(c), 2 * n, "0"))  # noqa: E731
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"), F.lit(b"\x00\x00\x00\x0dIHDR"),
+        be(w, 4), be(h, 4), F.lit(b"\x08\x06\x00"))
+    sof = F.concat(F.lit(b"\xFF\xC0\x00\x11\x08"), be(h, 2), be(w, 2),
+                   F.lit(b"\x03"))
+    jfif = F.concat(F.lit(b"\xFF\xD8\xFF\xE0\x00\x10JFIF"),
+                    F.lit(b"\x00" * 10), sof)
+    app1 = F.concat(F.lit(b"\xFF\xD8\xFF\xE1"), be(app1_len, 2),
+                    F.encode(F.expr("repeat('X', doc_id % 5 + 6)"), "UTF-8"),
+                    sof)
+    media = docs.select(
+        k.alias("media_id"),
+        F.when(k % 4 == 0, png)
+         .when(k % 4 == 1, jfif)
+         .when(k % 4 == 2, app1)
+         .otherwise(F.encode("text", "utf-8")).alias("payload"))
+    out = multimodal.with_image_dims(media)
+    # -1 sentinel instead of NULL: nullable int columns pandas-convert to
+    # float64 and would poison the driver's dtype-sensitive value hash
+    return (out.select("media_id",
+                       F.coalesce("width", F.lit(-1)).alias("width"),
+                       F.coalesce("height", F.lit(-1)).alias("height"))
+            .orderBy("media_id"))
+
+
+# Oracle: build the identical blobs, then PARSE THE BYTES back out of
+# hex(payload) — PNG dims at fixed hex chars 33/41; JPEG SOF offset derived
+# from the APP segment length (0-based byte off*2 + 1, +5/+7 into the SOF).
+_X19_SQL = """
+    WITH m AS (
+      SELECT doc_id, (doc_id % 900 + 16)::BIGINT AS w,
+             (doc_id % 700 + 9)::BIGINT AS h,
+             (doc_id % 5 + 8)::BIGINT AS app1_len, text
+      FROM documents WHERE doc_id < 400),
+    blobs AS (
+      SELECT doc_id, app1_len,
+        CASE WHEN doc_id % 4 = 0 THEN
+          '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB
+            || '\\x00\\x00\\x00\\x0DIHDR'::BLOB
+            || from_hex(lpad(to_hex(w), 8, '0'))
+            || from_hex(lpad(to_hex(h), 8, '0')) || '\\x08\\x06\\x00'::BLOB
+        WHEN doc_id % 4 = 1 THEN
+          '\\xFF\\xD8\\xFF\\xE0\\x00\\x10JFIF'::BLOB
+            || repeat('\\x00'::BLOB, 10)
+            || '\\xFF\\xC0\\x00\\x11\\x08'::BLOB
+            || from_hex(lpad(to_hex(h), 4, '0'))
+            || from_hex(lpad(to_hex(w), 4, '0')) || '\\x03'::BLOB
+        WHEN doc_id % 4 = 2 THEN
+          '\\xFF\\xD8\\xFF\\xE1'::BLOB || from_hex(lpad(to_hex(app1_len),4,'0'))
+            || repeat('X'::BLOB, (doc_id % 5 + 6)::INT)
+            || '\\xFF\\xC0\\x00\\x11\\x08'::BLOB
+            || from_hex(lpad(to_hex(h), 4, '0'))
+            || from_hex(lpad(to_hex(w), 4, '0')) || '\\x03'::BLOB
+        ELSE encode(text)
+        END AS payload
+      FROM m),
+    hx AS (SELECT doc_id, app1_len, hex(payload) AS hs FROM blobs),
+    parsed AS (
+      SELECT doc_id,
+        CASE WHEN hs LIKE '89504E47%'
+               THEN ('0x' || substr(hs, 33, 8))::BIGINT
+             WHEN hs LIKE 'FFD8FF%'
+               THEN ('0x' || substr(hs,
+                 (CASE WHEN substr(hs, 5, 4) = 'FFE0' THEN 20
+                       ELSE (4 + app1_len)::INT END) * 2 + 15, 4))::BIGINT
+        END AS width,
+        CASE WHEN hs LIKE '89504E47%'
+               THEN ('0x' || substr(hs, 41, 8))::BIGINT
+             WHEN hs LIKE 'FFD8FF%'
+               THEN ('0x' || substr(hs,
+                 (CASE WHEN substr(hs, 5, 4) = 'FFE0' THEN 20
+                       ELSE (4 + app1_len)::INT END) * 2 + 11, 4))::BIGINT
+        END AS height
+      FROM hx)
+    SELECT doc_id AS media_id, coalesce(width, -1)::INT AS width,
+           coalesce(height, -1)::INT AS height
+    FROM parsed ORDER BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -694,6 +791,7 @@ QUERIES = {
     "x16_quality_deciles": _x16_quality_deciles,
     "x17_ivf_ann": _x17_ivf_ann,
     "x18_lsh_neardup_capped": _x18_lsh_neardup_capped,
+    "x19_image_dims": _x19_image_dims,
 }
 
 ORACLES = {
@@ -715,4 +813,5 @@ ORACLES = {
     "x16_quality_deciles": _X16_SQL,
     "x17_ivf_ann": _X17_SQL,
     "x18_lsh_neardup_capped": _X18_SQL,
+    "x19_image_dims": _X19_SQL,
 }

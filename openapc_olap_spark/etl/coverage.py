@@ -178,13 +178,19 @@ def read_annual_csvs(spark: SparkSession, paths: list[str]) -> DataFrame:
     return spark.read.csv(paths, header=True, encoding="UTF-8")
 
 
-def build_pubdates_map(journal_csv: DataFrame) -> DataFrame:
+def build_pubdates_map(journal_csv: DataFrame,
+                       seq_col: str | None = None) -> DataFrame:
     """T13: ("Item DOI" -> "Publication Year") with last-wins dedup
-    (springer_compact_coverage.py:247-276)."""
-    # last-wins must be deterministic under shuffles: pin the input order
-    # with an id (partition-major == file/row order for sequential reads)
-    # and take max_by instead of the order-undefined F.last.
-    ordered = journal_csv.withColumn("__seq", F.monotonically_increasing_id())
+    (springer_compact_coverage.py:247-276).
+
+    last-wins must be deterministic under shuffles: an explicit ``seq_col``
+    (export sequence number, ingest timestamp) is the 100 TB-safe contract —
+    "file order" is not a property a distributed scan preserves. Without
+    one, falls back to ``monotonically_increasing_id`` (partition-major ==
+    file/row order for a single sequential read) and takes ``max_by``
+    instead of the order-undefined ``F.last``."""
+    seq = F.col(seq_col) if seq_col else F.monotonically_increasing_id()
+    ordered = journal_csv.withColumn("__seq", seq)
     return (ordered.groupBy(F.col("Item DOI").alias("doi"))
             .agg(F.max_by("Publication Year", "__seq")
                  .alias("cached_pub_year")))

@@ -23,7 +23,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from openapc_olap_spark.etl import schemas
@@ -112,6 +112,49 @@ def publication_key(doi="doi", url="url") -> F.Column:
          .otherwise(F.lit(None).cast("string")))
 
 
+def doi_lookup_select(df: DataFrame, cube_name: str,
+                      ror_col: str = "_ror_id",
+                      full_name_col: str = "_full_name") -> DataFrame:
+    """E13: one source's slice of the DOI->record index — drop 'NA' DOIs,
+    project the lookup columns, build the facts URL for the owning cube
+    (assets_generator.py:263-271,352-356,442-444,526-528,593-603). euro
+    stays STRING (the reference keeps the raw CSV cell)."""
+    return (df.filter(F.col("doi") != "NA")
+            .select(
+                "institution",
+                F.col(ror_col).alias("institution_ror"),
+                F.col(full_name_col).alias("institution_full_name"),
+                F.col("euro").cast("string").alias("euro"),
+                "period", "doi",
+                F.concat(F.lit(FACTS_DOI_URL.format(cube_name)),
+                         F.col("doi")).alias("url")))
+
+
+def institutions_report(frames: dict[str, DataFrame]) -> DataFrame:
+    """T10: sorted distinct institutions per cube type — the reference's
+    console report (assets_generator.py:664-676). Input: cube_type ->
+    frame with an ``institution`` column. One shuffle (the groupBy);
+    collect_set is bounded by institution cardinality (thousands)."""
+    parts = [df.select("institution").withColumn("cube_type", F.lit(ct))
+             for ct, df in frames.items()]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (out.groupBy("cube_type")
+            .agg(F.sort_array(F.collect_set("institution"))
+                 .alias("institutions")))
+
+
+def institutions_with_additional_costs(facts: DataFrame,
+                                       costs_long: DataFrame) -> DataFrame:
+    """T11: institutions having >=1 fact row whose DOI carries additional
+    costs (assets_generator.py:723-736) — a broadcast left-semi join, so
+    the fact side never materializes the match."""
+    dois = costs_long.select("doi").distinct()
+    return (facts.join(F.broadcast(dois), "doi", "left_semi")
+            .select("institution").distinct())
+
+
 def melt_additional_costs(df: DataFrame) -> DataFrame:
     """E16: wide per-DOI cost columns -> long (doi, cost_type, euro); cells
     that do not parse as a float are dropped per-cell
@@ -167,6 +210,9 @@ class OpenAPCPipeline:
         self.paths = paths
         self.validate = validate
         self._cache: dict[str, DataFrame] = {}
+        # (kind, source_name, Observation) triples registered by the
+        # validation observes; drained by check_validations().
+        self._pending_checks: list[tuple[str, str, Observation]] = []
 
     # -- sources -----------------------------------------------------------
 
@@ -205,18 +251,45 @@ class OpenAPCPipeline:
         """E2: broadcast-join institution enrichment with fail-fast parity —
         an unknown institution aborts the load, exactly like the reference's
         KeyError / collected-report paths (assets_generator.py:350,389-394,
-        434-437,487-492,521)."""
+        434-437,487-492,521).
+
+        The unknown-institution count rides on the FIRST real action over
+        the enriched frame via ``df.observe`` (a CollectMetrics node), so
+        validation costs zero extra scans — at 100 TB the old eager
+        ``.collect()`` probe was 3+ full corpus passes before any write.
+        ``write()`` (and ``check_validations()``) raise after the action.
+        """
         joined = df.join(F.broadcast(self.institutions), "institution", "left")
         if self.validate:
-            missing = (joined.filter(F.col("_country").isNull())
-                       .select("institution").distinct()
-                       .limit(20).collect())
-            if missing:
-                names = ", ".join(sorted(r["institution"] for r in missing))
+            obs = Observation()
+            joined = joined.observe(
+                obs,
+                F.count(F.when(F.col("_country").isNull(), 1))
+                 .alias("n_unknown"),
+                F.slice(F.sort_array(F.collect_set(
+                    F.when(F.col("_country").isNull(), F.col("institution")))),
+                    1, 20).alias("examples"))
+            self._pending_checks.append(
+                ("unknown_institution", source_name, obs))
+        return joined
+
+    def check_validations(self) -> None:
+        """Raise the first tripped fail-fast check. Call after an action has
+        materialized the enriched frames (``write`` does this for every
+        source); an Observation whose plan never ran would block, which is
+        the documented contract of ``Observation.get``."""
+        checks, self._pending_checks = self._pending_checks, []
+        for kind, source_name, obs in checks:
+            vals = obs.get
+            if kind == "unknown_institution" and vals["n_unknown"] > 0:
+                names = ", ".join(vals["examples"])
                 raise UnknownInstitutionError(
                     f"institutions not found in institutions file while "
                     f"processing {source_name}: {names}")
-        return joined
+            if kind == "publication_key" and vals["n_missing"] > 0:
+                raise ValueError(
+                    "could not extract a publication key (doi and url both "
+                    f"missing) for row: {vals['example']}")
 
     @staticmethod
     def _project(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -291,20 +364,11 @@ class OpenAPCPipeline:
     def doi_lookup_cube(self) -> DataFrame:
         """E13: DOI -> record index across apc/ta/bpc; euro kept as STRING
         (assets_generator.py:263-271,352-356,442-444,526-528,593-603)."""
-        parts = []
-        for src, cube_name in ((self.apc_enriched(), "openapc"),
-                               (self.bpc_enriched(), "bpc"),
-                               (self.ta_enriched(), "transformative_agreements")):
-            parts.append(
-                src.filter(F.col("doi") != "NA")
-                   .select(
-                       "institution",
-                       F.col("_ror_id").alias("institution_ror"),
-                       F.col("_full_name").alias("institution_full_name"),
-                       F.col("euro").cast("string").alias("euro"),
-                       "period", "doi",
-                       F.concat(F.lit(FACTS_DOI_URL.format(cube_name)),
-                                F.col("doi")).alias("url")))
+        parts = [doi_lookup_select(src, cube_name)
+                 for src, cube_name in
+                 ((self.apc_enriched(), "openapc"),
+                  (self.bpc_enriched(), "bpc"),
+                  (self.ta_enriched(), "transformative_agreements"))]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -321,31 +385,19 @@ class OpenAPCPipeline:
         """T10: sorted distinct institutions per non-apc cube type — the
         reference's console report (assets_generator.py:664-676).
         Output: (cube_type, institutions array<string>)."""
-        frames = [
-            self.openapc_ac_cube().filter(F.col("cost_type") != "apc")
-                .select("institution").withColumn("cube_type", F.lit("apc_ac")),
-            self.bpc_enriched().select("institution")
-                .withColumn("cube_type", F.lit("bpc")),
-            self.ta_enriched().select("institution")
-                .withColumn("cube_type", F.lit("ta")),
-            self.deal_cube().select("institution")
-                .withColumn("cube_type", F.lit("deal")),
-        ]
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return (out.groupBy("cube_type")
-                .agg(F.sort_array(F.collect_set("institution"))
-                     .alias("institutions")))
+        return institutions_report({
+            "apc_ac": self.openapc_ac_cube().filter(F.col("cost_type") != "apc"),
+            "bpc": self.bpc_enriched(),
+            "ta": self.ta_enriched(),
+            "deal": self.deal_cube(),
+        })
 
     def additional_cost_institutions(self) -> DataFrame:
         """T11: institutions having >=1 APC row whose DOI carries additional
         costs (assets_generator.py:723-736) — a left-semi join, so the fact
         side never materializes the match."""
-        dois = self.additional_costs_long().select("doi").distinct()
-        return (self.apc_enriched()
-                .join(F.broadcast(dois), "doi", "left_semi")
-                .select("institution").distinct())
+        return institutions_with_additional_costs(
+            self.apc_enriched(), self.additional_costs_long())
 
     def openapc_ac_cube(self) -> DataFrame:
         """E17+E5+E6: one 'apc' row per publication plus one row per
@@ -358,11 +410,16 @@ class OpenAPCPipeline:
         apc = self.apc_enriched().withColumn("publication_key",
                                              publication_key())
         if self.validate:
-            bad = apc.filter(F.col("publication_key").isNull()).limit(1).collect()
-            if bad:
-                raise ValueError(
-                    "could not extract a publication key (doi and url both "
-                    f"missing) for row: {bad[0].asDict()}")
+            obs = Observation()
+            key_null = F.col("publication_key").isNull()
+            apc = apc.observe(
+                obs,
+                F.count(F.when(key_null, 1)).alias("n_missing"),
+                F.min(F.when(key_null, F.to_json(F.struct("institution",
+                                                          "period", "doi",
+                                                          "url"))))
+                 .alias("example"))
+            self._pending_checks.append(("publication_key", "APC file", obs))
         apc_rows = (apc.withColumn("cost_type", F.lit("apc"))
                        .withColumn("cost_category", F.lit("APC")))
         costs = self.additional_costs_long()
@@ -536,3 +593,8 @@ class OpenAPCPipeline:
          .coalesce(1).write.mode("overwrite")
          .option("header", True)
          .csv(os.path.join(out_dir, "institutional_cubes")))
+        if self.validate:
+            # The write actions above materialized every enriched source, so
+            # all observations have fired; raises on the first tripped check
+            # (reference abort parity, at zero extra scan cost).
+            self.check_validations()

@@ -429,6 +429,385 @@ _E09_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# e10: E4 colon scrub (title columns lose ':' so cut URLs stay parseable)
+# ---------------------------------------------------------------------------
+
+def _e10_colon_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (assets_generator.py:347,429-431,518-520): strip colons from a
+    title column — driven through ``scrub_colons`` verbatim."""
+    from openapc_olap_spark.etl.openapc import scrub_colons
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    src = (part.filter(F.col("p_partkey") % 41 == 0)
+           .select(F.col("p_partkey").alias("rec_id"),
+                   F.concat(F.lit("Journal: "), F.col("p_name"),
+                            F.lit(": "), F.col("p_brand"))
+                   .alias("journal_full_title")))
+    return scrub_colons(src, "journal_full_title").orderBy("rec_id")
+
+
+_E10_SQL = """
+    SELECT p_partkey AS rec_id,
+           replace('Journal: ' || p_name || ': ' || p_brand, ':', '')
+             AS journal_full_title
+    FROM part WHERE p_partkey % 41 = 0 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# e11: E13 doi_lookup projection (drop NA DOIs, facts-URL concat, union)
+# ---------------------------------------------------------------------------
+
+def _e11_doi_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 (assets_generator.py:263-271,593-603): the DOI->record index
+    projection — driven through ``doi_lookup_select`` over two synthesized
+    enriched sources, unioned exactly like ``doi_lookup_cube``."""
+    from openapc_olap_spark.etl.openapc import doi_lookup_select
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    ck = F.col("c_custkey")
+    apc_like = (t["customer"].filter(ck % 29 == 0)
+                .select(
+                    F.concat(F.lit("inst-"), F.col("c_nationkey"))
+                     .alias("institution"),
+                    F.concat(F.lit("ror"), F.col("c_nationkey"))
+                     .alias("_ror_id"),
+                    F.concat(F.lit("Institution "), F.col("c_nationkey"))
+                     .alias("_full_name"),
+                    F.concat((ck % 3000).cast("string"), F.lit(".50"))
+                     .alias("euro"),
+                    (ck % 6 + 2015).cast("string").alias("period"),
+                    F.when(ck % 6 == 0, F.lit("NA"))
+                     .otherwise(F.concat(F.lit("10.1002/apc."),
+                                         ck.cast("string"))).alias("doi")))
+    ok = F.col("o_orderkey")
+    bpc_like = (t["orders"].filter(ok % 127 == 0)
+                .select(
+                    F.concat(F.lit("inst-"), (ok % 25)).alias("institution"),
+                    F.concat(F.lit("ror"), (ok % 25)).alias("_ror_id"),
+                    F.concat(F.lit("Institution "), (ok % 25))
+                     .alias("_full_name"),
+                    F.concat((ok % 4000).cast("string"), F.lit(".00"))
+                     .alias("euro"),
+                    (ok % 5 + 2016).cast("string").alias("period"),
+                    F.when(ok % 9 == 0, F.lit("NA"))
+                     .otherwise(F.concat(F.lit("10.1002/bpc."),
+                                         ok.cast("string"))).alias("doi")))
+    out = (doi_lookup_select(apc_like, "openapc")
+           .unionByName(doi_lookup_select(bpc_like, "bpc")))
+    return out.orderBy("url")
+
+
+_E11_SQL = """
+    WITH apc_like AS (
+      SELECT 'inst-' || c_nationkey AS institution,
+             'ror' || c_nationkey AS institution_ror,
+             'Institution ' || c_nationkey AS institution_full_name,
+             (c_custkey % 3000)::VARCHAR || '.50' AS euro,
+             (c_custkey % 6 + 2015)::VARCHAR AS period,
+             CASE WHEN c_custkey % 6 = 0 THEN 'NA'
+                  ELSE '10.1002/apc.' || c_custkey::VARCHAR END AS doi
+      FROM customer WHERE c_custkey % 29 = 0),
+    bpc_like AS (
+      SELECT 'inst-' || (o_orderkey % 25) AS institution,
+             'ror' || (o_orderkey % 25) AS institution_ror,
+             'Institution ' || (o_orderkey % 25) AS institution_full_name,
+             (o_orderkey % 4000)::VARCHAR || '.00' AS euro,
+             (o_orderkey % 5 + 2016)::VARCHAR AS period,
+             CASE WHEN o_orderkey % 9 = 0 THEN 'NA'
+                  ELSE '10.1002/bpc.' || o_orderkey::VARCHAR END AS doi
+      FROM orders WHERE o_orderkey % 127 = 0),
+    u AS (
+      SELECT institution, institution_ror, institution_full_name, euro,
+             period, doi,
+             'https://olap.openapc.net/cube/openapc/facts?cut=doi:' || doi
+               AS url
+      FROM apc_like WHERE doi <> 'NA'
+      UNION ALL
+      SELECT institution, institution_ror, institution_full_name, euro,
+             period, doi,
+             'https://olap.openapc.net/cube/bpc/facts?cut=doi:' || doi AS url
+      FROM bpc_like WHERE doi <> 'NA')
+    SELECT * FROM u ORDER BY url
+"""
+
+
+# ---------------------------------------------------------------------------
+# e12: T10 distinct-institution report (sorted collect_set per cube type)
+# ---------------------------------------------------------------------------
+
+def _e12_institution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 (assets_generator.py:664-676): sorted distinct institutions per
+    cube type — driven through ``institutions_report``; the array is
+    emitted '|'-joined so both engines hash a plain string."""
+    from openapc_olap_spark.etl.openapc import institutions_report
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    inst = F.concat(F.lit("inst-"), F.col("c_nationkey")).alias("institution")
+    frames = {
+        "apc_ac": cust.filter(F.col("c_mktsegment") == "BUILDING")
+                      .select(inst),
+        "bpc": cust.filter(F.col("c_mktsegment") == "MACHINERY")
+                   .select(inst),
+        "ta": cust.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+                  .filter(F.col("c_nationkey") % 2 == 0).select(inst),
+    }
+    out = institutions_report(frames)
+    return (out.select("cube_type",
+                       F.concat_ws("|", "institutions")
+                        .alias("institutions_list"),
+                       F.size("institutions").alias("n_institutions"))
+            .orderBy("cube_type"))
+
+
+_E12_SQL = """
+    WITH u AS (
+      SELECT 'apc_ac' AS cube_type, 'inst-' || c_nationkey AS institution
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT 'bpc', 'inst-' || c_nationkey
+      FROM customer WHERE c_mktsegment = 'MACHINERY'
+      UNION ALL
+      SELECT 'ta', 'inst-' || c_nationkey
+      FROM customer WHERE c_mktsegment = 'AUTOMOBILE' AND c_nationkey % 2 = 0)
+    SELECT cube_type,
+           array_to_string(list_sort(list(DISTINCT institution)), '|')
+             AS institutions_list,
+           len(list(DISTINCT institution)) AS n_institutions
+    FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# e13: T11 additional-cost institutions (broadcast left-semi join)
+# ---------------------------------------------------------------------------
+
+def _e13_ac_institutions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 (assets_generator.py:723-736): institutions whose facts carry a
+    DOI present in the additional-costs table — driven through
+    ``institutions_with_additional_costs`` (broadcast semi-join)."""
+    from openapc_olap_spark.etl.openapc import (
+        institutions_with_additional_costs,
+    )
+    t = load_tables(spark, sf_dir, ["customer", "part"])
+    facts = t["customer"].select(
+        F.concat(F.lit("inst-"), F.col("c_nationkey")).alias("institution"),
+        F.concat(F.lit("10.1002/"), (F.col("c_custkey") % 500)
+                 .cast("string")).alias("doi"))
+    costs = t["part"].filter(F.col("p_partkey") % 11 == 0).select(
+        F.concat(F.lit("10.1002/"), (F.col("p_partkey") % 120)
+                 .cast("string")).alias("doi"),
+        F.lit("colorpage").alias("cost_type"),
+        F.lit(10.0).alias("euro"))
+    return (institutions_with_additional_costs(facts, costs)
+            .orderBy("institution"))
+
+
+_E13_SQL = """
+    WITH facts AS (
+      SELECT 'inst-' || c_nationkey AS institution,
+             '10.1002/' || (c_custkey % 500)::VARCHAR AS doi
+      FROM customer),
+    costs AS (
+      SELECT DISTINCT '10.1002/' || (p_partkey % 120)::VARCHAR AS doi
+      FROM part WHERE p_partkey % 11 = 0)
+    SELECT DISTINCT institution FROM facts
+    WHERE doi IN (SELECT doi FROM costs)
+    ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# e14: T12+T13 annual CSV exports -> last-wins pubdates map (S1/S7 in-gate:
+# the CSVs are written by the Spark CSV sink and read back by the multi-file
+# CSV scan before the map is built)
+# ---------------------------------------------------------------------------
+
+def _e14_annual_pubdates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12/T13 (springer_compact_coverage.py:247-293): three per-year
+    SpringerLink CSV exports are written (S7 sink), re-read as one frame
+    (T12 multi-file scan), and reduced to the DOI->year map with
+    deterministic last-wins on the explicit export sequence (T13,
+    ``build_pubdates_map`` with ``seq_col`` — the 100 TB-safe contract;
+    "file order" is not something a distributed scan preserves)."""
+    import shutil
+
+    from openapc_olap_spark.etl.coverage import (
+        build_pubdates_map, read_annual_csvs,
+    )
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    k = F.col("o_orderkey")
+    export = orders.select(
+        F.concat(F.lit("10.1007/s"), (k % 300).cast("string"))
+         .alias("Item DOI"),
+        (2015 + k % 8).cast("string").alias("Publication Year"),
+        k.alias("export_seq"),
+        (k % 3).alias("__file"))
+    base = "/root/repo/.gate_tmp/e14_annual"
+    shutil.rmtree(base, ignore_errors=True)
+    paths = []
+    for part_no in range(3):
+        p = f"{base}/export_{part_no}"
+        (export.filter(F.col("__file") == part_no).drop("__file")
+         .write.mode("overwrite").option("header", True).csv(p))
+        paths.append(p)
+    annual = read_annual_csvs(spark, paths)
+    annual = annual.withColumn("export_seq",
+                               F.col("export_seq").cast("long"))
+    return (build_pubdates_map(annual, seq_col="export_seq")
+            .orderBy("doi"))
+
+
+_E14_SQL = """
+    WITH export AS (
+      SELECT '10.1007/s' || (o_orderkey % 300)::VARCHAR AS doi,
+             (2015 + o_orderkey % 8)::VARCHAR AS year,
+             o_orderkey AS seq
+      FROM orders)
+    SELECT doi, arg_max(year, seq) AS cached_pub_year
+    FROM export GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# e15: T14 hybrid-journal catalog filter
+# ---------------------------------------------------------------------------
+
+def _e15_hybrid_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 (springer_compact_coverage.py:85-99): keep Open-Choice hybrid
+    journals from a Springer catalog export — driven through
+    ``hybrid_journals``."""
+    from openapc_olap_spark.etl.coverage import hybrid_journals
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    catalog = part.select(
+        F.col("p_name").alias("Title"),
+        F.col("p_brand").alias("imprint"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("Hybrid (Open Choice)"))
+         .when(F.col("p_partkey") % 3 == 1, F.lit("Fully Open Access"))
+         .otherwise(F.lit("Subscription")).alias("Open Access Option"))
+    return (hybrid_journals(catalog)
+            .groupBy("imprint")
+            .agg(F.count(F.lit(1)).alias("n_hybrid"))
+            .orderBy("imprint"))
+
+
+_E15_SQL = """
+    SELECT p_brand AS imprint, count(*) AS n_hybrid
+    FROM part
+    WHERE p_partkey % 3 = 0
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# e16: springer_compact_coverage end-to-end (E12 filter + E14 extraction +
+# T4 pub-year coalesce + T3 counts + T5 zero-filled coverage join)
+# ---------------------------------------------------------------------------
+
+def _e16_springer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full coverage-cube build (springer_compact_coverage.py:150-239 /
+    assets_generator.py:471-509) driven through
+    ``springer_compact_coverage_cube`` with synthesized TA facts, coverage
+    stats, and pubdate cache; output aggregated per period to stay under
+    the row cap (the per-cell arithmetic is gated by e05)."""
+    from openapc_olap_spark.etl.coverage import springer_compact_coverage_cube
+    t = load_tables(spark, sf_dir, ["orders", "part"])
+    k = F.col("o_orderkey")
+    jid = (k % 120 + 1).cast("string")
+    ta = t["orders"].select(
+        F.when(k % 3 == 0, F.lit("Springer Nature"))
+         .otherwise(F.lit("Wiley-Blackwell")).alias("publisher"),
+        F.concat(F.lit("10.1007/s"), F.lpad(jid, 5, "0"), F.lit(".x"))
+         .alias("doi"),
+        (2016 + k % 4).cast("string").alias("period"),
+        F.lit("issn-x").alias("issn"))
+    pubdates = (t["orders"].filter(k % 7 == 0)
+                .select(jid.alias("journal_id"),
+                        F.concat(F.lit("10.1007/s"), F.lpad(jid, 5, "0"),
+                                 F.lit(".x")).alias("doi"),
+                        (2014 + k % 3).cast("string")
+                        .alias("cached_pub_year"))
+                .distinct())
+    pk = F.col("p_partkey")
+    coverage = (t["part"].filter(pk % 13 == 0)
+                .select((pk % 150 + 1).cast("string").alias("journal_id"),
+                        (2014 + pk % 6).cast("string").alias("period"))
+                .distinct()
+                .withColumn("journal_full_title",
+                            F.concat(F.lit("Journal "), F.col("journal_id")))
+                .withColumn("num_journal_total_articles",
+                            (F.col("journal_id").cast("int") % 50 + 10)
+                            .cast("double"))
+                .withColumn("num_journal_oa_articles",
+                            (F.col("journal_id").cast("int") % 10)
+                            .cast("double"))
+                .select("journal_id", "journal_full_title", "period",
+                        "num_journal_total_articles",
+                        "num_journal_oa_articles"))
+    cube = springer_compact_coverage_cube(ta, coverage, pubdates)
+    return (cube.groupBy("period")
+            .agg(F.count(F.lit(1)).alias("n_journal_years"),
+                 F.round(F.sum("num_springer_compact_articles"), 2)
+                  .alias("compact_sum"),
+                 F.round(F.sum("num_journal_total_articles"), 2)
+                  .alias("total_sum"),
+                 F.round(F.sum("num_journal_oa_articles"), 2)
+                  .alias("oa_sum"))
+            .orderBy("period"))
+
+
+_E16_SQL = """
+    WITH ta AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'Springer Nature'
+                  ELSE 'Wiley-Blackwell' END AS publisher,
+             (o_orderkey % 120 + 1)::VARCHAR AS jid,
+             '10.1007/s' || lpad((o_orderkey % 120 + 1)::VARCHAR, 5, '0')
+               || '.x' AS doi,
+             (2016 + o_orderkey % 4)::VARCHAR AS period
+      FROM orders),
+    pubdates AS (
+      SELECT DISTINCT (o_orderkey % 120 + 1)::VARCHAR AS journal_id,
+             '10.1007/s' || lpad((o_orderkey % 120 + 1)::VARCHAR, 5, '0')
+               || '.x' AS doi,
+             (2014 + o_orderkey % 3)::VARCHAR AS cached_pub_year
+      FROM orders WHERE o_orderkey % 7 = 0),
+    coverage AS (
+      SELECT journal_id, 'Journal ' || journal_id AS journal_full_title,
+             period,
+             (journal_id::INT % 50 + 10)::DOUBLE
+               AS num_journal_total_articles,
+             (journal_id::INT % 10)::DOUBLE AS num_journal_oa_articles
+      FROM (SELECT DISTINCT (p_partkey % 150 + 1)::VARCHAR AS journal_id,
+                   (2014 + p_partkey % 6)::VARCHAR AS period
+            FROM part WHERE p_partkey % 13 = 0)),
+    springer AS (
+      SELECT regexp_replace(substring(doi, 10, 5), '^0+', '') AS journal_id,
+             doi, period
+      FROM ta WHERE publisher = 'Springer Nature'),
+    resolved AS (
+      SELECT s.journal_id,
+             coalesce(p.cached_pub_year, s.period) AS pub_year
+      FROM springer s
+      LEFT JOIN pubdates p
+        ON s.journal_id = p.journal_id AND s.doi = p.doi),
+    counts AS (
+      SELECT journal_id, pub_year AS period,
+             count(*)::DOUBLE AS num_springer_compact_articles
+      FROM resolved GROUP BY 1, 2),
+    cube AS (
+      SELECT c.period,
+             coalesce(n.num_springer_compact_articles, 0.0)
+               AS num_springer_compact_articles,
+             c.num_journal_total_articles, c.num_journal_oa_articles
+      FROM coverage c
+      LEFT JOIN counts n
+        ON c.journal_id = n.journal_id AND c.period = n.period)
+    SELECT period, count(*) AS n_journal_years,
+           round(sum(num_springer_compact_articles), 2) AS compact_sum,
+           round(sum(num_journal_total_articles), 2) AS total_sum,
+           round(sum(num_journal_oa_articles), 2) AS oa_sum
+    FROM cube GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "e01_enrich_ror": _e01_enrich_ror,
     "e02_publication_key": _e02_publication_key,
@@ -439,6 +818,13 @@ QUERIES = {
     "e07_priority_rank": _e07_priority_rank,
     "e08_melt_explode": _e08_melt_explode,
     "e09_journal_id": _e09_journal_id,
+    "e10_colon_scrub": _e10_colon_scrub,
+    "e11_doi_lookup": _e11_doi_lookup,
+    "e12_institution_report": _e12_institution_report,
+    "e13_ac_institutions": _e13_ac_institutions,
+    "e14_annual_pubdates": _e14_annual_pubdates,
+    "e15_hybrid_catalog": _e15_hybrid_catalog,
+    "e16_springer_coverage": _e16_springer_coverage,
 }
 
 ORACLES = {
@@ -451,4 +837,11 @@ ORACLES = {
     "e07_priority_rank": _E07_SQL,
     "e08_melt_explode": _E08_SQL,
     "e09_journal_id": _E09_SQL,
+    "e10_colon_scrub": _E10_SQL,
+    "e11_doi_lookup": _E11_SQL,
+    "e12_institution_report": _E12_SQL,
+    "e13_ac_institutions": _E13_SQL,
+    "e14_annual_pubdates": _E14_SQL,
+    "e15_hybrid_catalog": _E15_SQL,
+    "e16_springer_coverage": _E16_SQL,
 }

@@ -58,6 +58,81 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
 
 
 # --------------------------------------------------------------------------
+# Header-level dimension parsing (pure expressions — no codec, no UDF)
+# --------------------------------------------------------------------------
+
+def _be_uint(payload: F.Column, off0: F.Column, nbytes: int) -> F.Column:
+    """Big-endian unsigned int of ``nbytes`` at 0-based offset ``off0`` of a
+    binary column: substring -> hex -> conv. Pure JVM expressions."""
+    return F.conv(F.hex(F.substring(payload, off0 + 1, nbytes)), 16, 10) \
+            .cast("long")
+
+
+# SOF markers that carry frame dims (baseline/progressive/lossless families;
+# C4/C8/CC are DHT/JPG/DAC, not frames).
+_JPEG_SOF_CODES = [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+
+
+def with_image_dims(df: DataFrame, payload_col: str = "payload",
+                    max_jpeg_segments: int = 8) -> DataFrame:
+    """Attach ``width``/``height`` parsed from PNG/JPEG HEADERS with pure
+    binary expressions — no codec library, no Python boundary, so real
+    dimensions come out of a petabyte scan at full codegen speed (the
+    full-decode path stays in ``decode_images``).
+
+    - PNG: IHDR is mandated to be the first chunk, so width/height are
+      fixed-offset big-endian u32 at bytes 16-23.
+    - JPEG: dims live in the SOF segment at a variable offset; segments are
+      walked marker-to-marker (length fields are big-endian u16 including
+      themselves) for up to ``max_jpeg_segments`` hops — APP0/EXIF/ICC/DQT
+      headers are covered well within 8. Each hop is one withColumn so the
+      expression tree grows linearly, not exponentially.
+
+    Other/unknown formats -> NULL dims.
+    """
+    p = F.col(payload_col)
+    head8 = F.hex(F.expr(f"substring({payload_col}, 1, 4)"))
+    is_png = head8.startswith("89504E47")
+    is_jpeg = head8.startswith("FFD8FF")
+
+    out = df
+    # ---- JPEG marker walk: __off{i} = 0-based offset of the i-th marker
+    out = out.withColumn("__joff0", F.lit(2).cast("long"))
+    out = out.withColumn("__jh0", F.lit(None).cast("long"))
+    out = out.withColumn("__jw0", F.lit(None).cast("long"))
+    for i in range(max_jpeg_segments):
+        off = F.col(f"__joff{i}")
+        code = _be_uint(p, off + 1, 1)
+        seg_len = _be_uint(p, off + 2, 2)
+        is_sof = code.isin(_JPEG_SOF_CODES)
+        # standalone markers (RSTn, TEM) have no length field; SOS (DA)
+        # starts entropy data — stop by pinning the offset
+        standalone = code.isin([0x01] + list(range(0xD0, 0xD8)))
+        stop = code.isin([0xDA, 0xD9]) | off.isNull()
+        out = out.withColumn(
+            f"__jh{i + 1}",
+            F.coalesce(F.col(f"__jh{i}"),
+                       F.when(is_jpeg & is_sof, _be_uint(p, off + 5, 2))))
+        out = out.withColumn(
+            f"__jw{i + 1}",
+            F.coalesce(F.col(f"__jw{i}"),
+                       F.when(is_jpeg & is_sof, _be_uint(p, off + 7, 2))))
+        out = out.withColumn(
+            f"__joff{i + 1}",
+            F.when(is_sof | stop, F.lit(None).cast("long"))
+             .when(standalone, off + 2)
+             .otherwise(off + 2 + seg_len))
+    last_h, last_w = f"__jh{max_jpeg_segments}", f"__jw{max_jpeg_segments}"
+    width = (F.when(is_png, _be_uint(p, F.lit(16), 4))
+             .when(is_jpeg, F.col(last_w))).cast("int")
+    height = (F.when(is_png, _be_uint(p, F.lit(20), 4))
+              .when(is_jpeg, F.col(last_h))).cast("int")
+    out = out.withColumn("width", width).withColumn("height", height)
+    return out.drop(*[c for c in out.columns if c.startswith("__j")])
+
+
+# --------------------------------------------------------------------------
 # Decode kernels (STUBS — codec libs absent in this container)
 # --------------------------------------------------------------------------
 

@@ -73,7 +73,16 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
     Every dim row is replicated ``salt_buckets`` times so each salted fact
     partition finds its match; result equals ``fact.join(dim, key, how)``
     with the hot keys' rows spread over ``salt_buckets`` tasks.
+
+    Only ``inner`` and ``left`` are supported: an unmatched dim key under
+    right/full-outer would surface once per salt replica (salt_buckets
+    duplicate rows instead of one). Flip the sides (dim-skew is rare) or
+    dedup unmatched dim rows separately if you need outer semantics.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: "
+            "unmatched dim-side keys would emit one row per salt replica")
     f = with_salt(fact, salt_buckets, seed)
     d = dim.withColumn(
         "__salt",

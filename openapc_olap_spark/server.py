@@ -134,11 +134,13 @@ class SlicerApp:
 
     def _members(self, name: str, dim: str, q: dict) -> tuple[bytes, str]:
         try:
-            df = self.engine.members(
-                name, dim,
-                int(q["page"]) if "page" in q else None,
-                int(q["pagesize"]) if "pagesize" in q else None)
+            page = int(q["page"]) if "page" in q else None
+            pagesize = int(q["pagesize"]) if "pagesize" in q else None
         except ValueError as e:
+            raise HttpError("400 Bad Request", f"bad query: {e}") from e
+        try:
+            df = self.engine.members(name, dim, page, pagesize)
+        except ValueError as e:        # unknown cube / dimension
             raise HttpError("404 Not Found", str(e)) from e
         return self._json([r[dim] for r in df.collect()])
 

@@ -48,6 +48,40 @@ def test_unknown_institution_aborts(spark, openapc_fixture_dir, tmp_path):
     p = OpenAPCPipeline(spark, InputPaths.under(str(bad_dir)))
     with pytest.raises(UnknownInstitutionError, match="Unknown U"):
         p.openapc_cube().collect()
+        p.check_validations()
+
+
+def test_unknown_institution_aborts_write(spark, openapc_fixture_dir, tmp_path):
+    """Reference abort parity through the build path (assets_generator.py
+    :487-492): write() raises after materializing, via observed metrics."""
+    import csv
+    import shutil
+    bad_dir = tmp_path / "bad"
+    shutil.copytree(openapc_fixture_dir, bad_dir)
+    with open(bad_dir / "apc_de.csv", "a", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Unknown U", "2021", "100.00", "10.1/x", "FALSE", "P",
+                    "J", "NA", "NA", "NA", "NA", "NA", "NA", "NA", "NA",
+                    "NA", "NA", "NA"])
+    p = OpenAPCPipeline(spark, InputPaths.under(str(bad_dir)))
+    with pytest.raises(UnknownInstitutionError, match="Unknown U"):
+        p.write(str(tmp_path / "out"))
+
+
+def test_build_is_action_free(spark, openapc_fixture_dir, monkeypatch):
+    """Plan construction must trigger NO Spark jobs — validation rides the
+    write action via df.observe, not eager collects (100 TB: the old probe
+    cost 3+ full corpus passes before the first write)."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side action during plan construction")
+
+    for action in ("collect", "count", "take", "first", "head", "toPandas"):
+        monkeypatch.setattr(SparkDF, action, boom)
+    p = OpenAPCPipeline(spark, InputPaths.under(openapc_fixture_dir))
+    p.build_all()
+    p.institutional_manifest()
 
 
 def test_combined_cube(pipeline):

@@ -184,6 +184,37 @@ def test_embedding_near_duplicates_bucket_cap(emb):
         assert bucket_of[a] in hot and bucket_of[b] in hot
 
 
+def test_with_image_dims_header_parse(spark):
+    """PNG IHDR fixed-offset parse + JPEG bounded marker walk (APP0/APP1/DQT
+    before SOF), non-image -> NULL dims — all pure expressions."""
+    import struct
+
+    from openapc_olap_spark.operators.multimodal import with_image_dims
+
+    def png(w, h):
+        return (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+                + struct.pack(">II", w, h) + b"\x08\x06\x00")
+
+    def jpeg(w, h, app1_len=None):
+        b = b"\xFF\xD8\xFF\xE0" + struct.pack(">H", 16) + b"JFIF" + b"\x00" * 10
+        if app1_len:
+            b += b"\xFF\xE1" + struct.pack(">H", app1_len) + b"X" * (app1_len - 2)
+        b += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" * 65      # DQT
+        b += (b"\xFF\xC0" + struct.pack(">H", 17) + b"\x08"
+              + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9)
+        b += b"\xFF\xDA\x00\x08entropy"
+        return b
+
+    rows = [(1, png(640, 480)), (2, jpeg(800, 600)),
+            (3, jpeg(1024, 768, app1_len=50)), (4, b"RIFFxxxxWAVE"),
+            (5, b"\xFF\xD8\xFF" + b"\x00" * 4)]   # truncated jpeg
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["width"], r["height"])
+           for r in with_image_dims(df).collect()}
+    assert got == {1: (640, 480), 2: (800, 600), 3: (1024, 768),
+                   4: (None, None), 5: (None, None)}
+
+
 # --------------------------------------------------------------- windows (X6)
 
 def test_tumbling_matches_duckdb(spark):
@@ -360,6 +391,9 @@ def test_salted_join_matches_plain_join(spark):
     assert got.count() == want.count() == 5_000
     merged = {(r["row_id"], r["attr"]) for r in got.collect()}
     assert merged == {(r["row_id"], r["attr"]) for r in want.collect()}
+    # outer joins would duplicate unmatched dim keys per salt replica
+    with pytest.raises(ValueError, match="inner.*left"):
+        skew.salted_join(fact, dim, "k", how="full")
 
 
 def test_key_histogram_finds_hot_key(spark):

@@ -95,6 +95,11 @@ def test_members_fact_cell_and_errors(app):
     assert status.startswith("404")
     status, _, _ = call(app, "/cube/srv/fact/99")
     assert status.startswith("404")
+    # non-integer paging params are a client error, not a 404/500
+    status, _, _ = call(app, "/cube/srv/members/institution", "page=abc")
+    assert status.startswith("400")
+    status, _, _ = call(app, "/cube/srv/members/institution", "pagesize=1.5")
+    assert status.startswith("400")
 
 
 def test_empty_result_is_empty_list(app):
