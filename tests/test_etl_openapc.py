@@ -68,6 +68,43 @@ def test_unknown_institution_aborts_write(spark, openapc_fixture_dir, tmp_path):
         p.write(str(tmp_path / "out"))
 
 
+def test_generate_yamls_field_equivalent(pipeline, tmp_path):
+    """generate_yamls (reference assets_generator.py:738-789): one parseable
+    YAML per institution; header from the institutions dim, hierarchies in
+    manifest priority order, per-type spec field-equivalent to the
+    reference templates."""
+    import yaml as pyyaml
+
+    from openapc_olap_spark.etl.yamls import generate_yamls
+    out = tmp_path / "yamls"
+    written = generate_yamls(pipeline.institutional_manifest(),
+                             pipeline.institutions, str(out))
+    assert written, "no yaml files written"
+    docs = {p: pyyaml.safe_load(open(p)) for p in written}
+    for path, doc in docs.items():
+        assert doc["source"] == "Open APC"
+        assert doc["dataset"] == doc["slug"]
+        assert doc["default"] in doc["hierarchies"]
+        # priority 0 cube type is the default hierarchy
+        first_type = doc["default"]
+        h = doc["hierarchies"][first_type]
+        assert h["cube"]
+        assert {"name", "primary_aggregate", "filters", "table_items",
+                "drilldowns"} <= set(h)
+        # every hierarchy's percentage row relates to its primary aggregate
+        for htype, hier in doc["hierarchies"].items():
+            pct = [t for t in hier["table_items"]
+                   if t["type"] == "total_percentage"]
+            assert len(pct) == 1
+            assert pct[0]["relates_to"] == hier["primary_aggregate"]
+    # template parity spot-checks (YAML_STATIC_PART_APC / _TA)
+    any_doc = next(iter(docs.values()))
+    apc = any_doc["hierarchies"]["apc"]
+    assert apc["primary_aggregate"] == "apc_amount_sum"
+    assert apc["drilldowns"] == ["publisher", "journal_full_title", "doi"]
+    assert {f["field"] for f in apc["filters"]} == {"period", "is_hybrid"}
+
+
 def test_build_is_action_free(spark, openapc_fixture_dir, monkeypatch):
     """Plan construction must trigger NO Spark jobs — validation rides the
     write action via df.observe, not eager collects (100 TB: the old probe
