@@ -96,33 +96,43 @@ def with_image_dims(df: DataFrame, payload_col: str = "payload",
     is_png = head8.startswith("89504E47")
     is_jpeg = head8.startswith("FFD8FF")
 
-    out = df
-    # ---- JPEG marker walk: __off{i} = 0-based offset of the i-th marker
-    out = out.withColumn("__joff0", F.lit(2).cast("long"))
-    out = out.withColumn("__jh0", F.lit(None).cast("long"))
-    out = out.withColumn("__jw0", F.lit(None).cast("long"))
+    # ---- JPEG marker walk: __joff{i} = 0-based offset of the i-th marker.
+    # The whole walk is ONE select using lateral column aliases (each hop
+    # references the previous hop's alias in the same projection), so the
+    # plan is built with a single analysis pass; a withColumn(s)-per-hop
+    # chain re-analyzed a deepening plan each call and cost ~0.1s per hop
+    # in plan build alone. Referencing the previous hop by ALIAS also keeps
+    # the expression tree linear in hops instead of exponential.
+    cols = [F.col("*"),
+            F.lit(2).cast("long").alias("__joff0"),
+            F.lit(None).cast("long").alias("__jh0"),
+            F.lit(None).cast("long").alias("__jw0")]
     for i in range(max_jpeg_segments):
         off = F.col(f"__joff{i}")
-        code = _be_uint(p, off + 1, 1)
-        seg_len = _be_uint(p, off + 2, 2)
+        # marker code and segment length get their own aliases so the
+        # downstream when-chains reference 1-node columns, keeping the
+        # projection's total expression size (and analysis time) small
+        cols += [_be_uint(p, off + 1, 1).alias(f"__jc{i}"),
+                 _be_uint(p, off + 2, 2).alias(f"__jl{i}")]
+        code = F.col(f"__jc{i}")
         is_sof = code.isin(_JPEG_SOF_CODES)
         # standalone markers (RSTn, TEM) have no length field; SOS (DA)
         # starts entropy data — stop by pinning the offset
         standalone = code.isin([0x01] + list(range(0xD0, 0xD8)))
         stop = code.isin([0xDA, 0xD9]) | off.isNull()
-        out = out.withColumn(
-            f"__jh{i + 1}",
+        cols += [
             F.coalesce(F.col(f"__jh{i}"),
-                       F.when(is_jpeg & is_sof, _be_uint(p, off + 5, 2))))
-        out = out.withColumn(
-            f"__jw{i + 1}",
+                       F.when(is_jpeg & is_sof, _be_uint(p, off + 5, 2)))
+             .alias(f"__jh{i + 1}"),
             F.coalesce(F.col(f"__jw{i}"),
-                       F.when(is_jpeg & is_sof, _be_uint(p, off + 7, 2))))
-        out = out.withColumn(
-            f"__joff{i + 1}",
+                       F.when(is_jpeg & is_sof, _be_uint(p, off + 7, 2)))
+             .alias(f"__jw{i + 1}"),
             F.when(is_sof | stop, F.lit(None).cast("long"))
              .when(standalone, off + 2)
-             .otherwise(off + 2 + seg_len))
+             .otherwise(off + 2 + F.col(f"__jl{i}"))
+             .alias(f"__joff{i + 1}"),
+        ]
+    out = df.select(*cols)
     last_h, last_w = f"__jh{max_jpeg_segments}", f"__jw{max_jpeg_segments}"
     width = (F.when(is_png, _be_uint(p, F.lit(16), 4))
              .when(is_jpeg, F.col(last_w))).cast("int")
