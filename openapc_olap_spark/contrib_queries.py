@@ -772,6 +772,133 @@ _X19_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X20: PII redaction (training-data hygiene pass)
+# ---------------------------------------------------------------------------
+
+def _x20_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counts + typed redaction (``text.pii_counts``/``redact_pii``)
+    over documents with synthesized emails/URLs/phones injected; an
+    email-shaped string inside a URL query exercises the url-first
+    precedence. The oracle rebuilds the text, counts with the same RE2/
+    Java-compatible patterns, and md5-hashes the same redacted output."""
+    docs = (load_tables(spark, sf_dir, ["documents"])["documents"]
+            .filter(F.col("doc_id") < 300))
+    k = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), k.cast("string"), F.lit("@example.com or "),
+        F.lit("https://ex.org/p/"), k.cast("string"), F.lit("?u=a@b.co"),
+        F.lit(" call 555-123-4567."))
+    df = docs.select(k.alias("doc_id"), injected.alias("txt"))
+    counts = text.pii_counts("txt")
+    return (df.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["url"].alias("n_url"),
+        counts["phone"].alias("n_phone"),
+        F.md5(text.redact_pii("txt")).alias("redacted_md5"))
+        .orderBy("doc_id"))
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+_X20_SQL = f"""
+    WITH d AS (
+      SELECT doc_id,
+             text || ' Contact user' || doc_id || '@example.com or ' ||
+             'https://ex.org/p/' || doc_id || '?u=a@b.co' ||
+             ' call 555-123-4567.' AS txt
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id,
+           len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS n_email,
+           len(regexp_extract_all(txt, '{_PII_URL}')) AS n_url,
+           len(regexp_extract_all(txt, '{_PII_PHONE}')) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(txt,
+               '{_PII_URL}', '[url]', 'g'),
+               '{_PII_EMAIL}', '[email]', 'g'),
+               '{_PII_PHONE}', '[phone]', 'g')) AS redacted_md5
+    FROM d ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# X21: within-document repetition ratio (boilerplate/spam signal)
+# ---------------------------------------------------------------------------
+
+def _x21_repetition_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text.repetition_ratio`` (1 - distinct/total 3-gram shingles) over
+    documents with synthesized repeated chunks, bucketed into deciles; the
+    oracle rebuilds the with-duplicates shingle list positionally (RE2 has
+    no lookahead, so the regex extraction is replicated as a
+    generate_series transform over the token list — same count, same
+    elements)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    injected = F.concat(
+        F.col("text"), F.lit(" "),
+        F.expr("repeat('lorem ipsum dolor ', CAST(doc_id % 4 AS INT))"))
+    scored = docs.select(
+        text.repetition_ratio(injected).alias("r"))
+    decile = F.least(F.floor(F.col("r") * 10), F.lit(9)).cast("int")
+    return (scored.groupBy(decile.alias("r_decile"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("r"), 6).alias("avg_repetition"))
+            .orderBy("r_decile"))
+
+
+_X21_SQL = r"""
+    WITH d AS (
+      SELECT text || ' ' || repeat('lorem ipsum dolor ', (doc_id % 4)::INT)
+               AS txt
+      FROM documents),
+    t AS (
+      SELECT list_filter(string_split_regex(
+               trim(regexp_replace(lower(txt), '\s+', ' ', 'g')), ' '),
+             x -> x <> '') AS toks
+      FROM d),
+    sh AS (
+      SELECT list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g
+      FROM t),
+    r AS (
+      SELECT CASE WHEN len(g) > 0
+                  THEN 1.0 - len(list_distinct(g))::DOUBLE / len(g)
+                  ELSE 0.0 END AS r
+      FROM sh)
+    SELECT least(floor(r * 10), 9)::INT AS r_decile,
+           count(*) AS n_docs, round(avg(r), 6) AS avg_repetition
+    FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# X22: corpus vocabulary / token frequencies (vocab induction input)
+# ---------------------------------------------------------------------------
+
+def _x22_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text.token_frequencies``: corpus-wide (token, n_occurrences,
+    n_docs) via one explode + one map-side-combined shuffle; top 50 by
+    occurrences with a total order for deterministic ties."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = text.token_frequencies(docs, "text", "doc_id")
+    return (out.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+            .limit(50))
+
+
+_X22_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents)
+    SELECT token, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM t GROUP BY 1
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 50
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -792,6 +919,9 @@ QUERIES = {
     "x17_ivf_ann": _x17_ivf_ann,
     "x18_lsh_neardup_capped": _x18_lsh_neardup_capped,
     "x19_image_dims": _x19_image_dims,
+    "x20_pii_redaction": _x20_pii_redaction,
+    "x21_repetition_deciles": _x21_repetition_deciles,
+    "x22_vocab_top": _x22_vocab_top,
 }
 
 ORACLES = {
@@ -814,4 +944,7 @@ ORACLES = {
     "x17_ivf_ann": _X17_SQL,
     "x18_lsh_neardup_capped": _X18_SQL,
     "x19_image_dims": _X19_SQL,
+    "x20_pii_redaction": _X20_SQL,
+    "x21_repetition_deciles": _X21_SQL,
+    "x22_vocab_top": _X22_SQL,
 }

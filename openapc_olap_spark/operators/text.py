@@ -138,6 +138,75 @@ def shingles(col="text", n: int = 3) -> Column:
     return F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene pre-filter)
+# ---------------------------------------------------------------------------
+
+# Conservative patterns expressible identically in Java regex (Spark) and
+# RE2 (DuckDB oracle): no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_counts(col="text") -> dict[str, Column]:
+    """Per-kind PII match counts (one codegen'd regexp_count per kind)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {kind: F.regexp_count(c, F.lit(pat))
+            for kind, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(col="text", replacement: str = "[{kind}]") -> Column:
+    """Replace emails, URLs and phone-shaped digit runs with typed
+    placeholder tokens ('[email]', '[url]', '[phone]') — the standard
+    hygiene pass before LLM training. Pure chained regexp_replace: one
+    codegen'd scan, no Python boundary.
+
+    URL redaction runs FIRST so an address embedded in a query string is
+    claimed by [url], giving a deterministic kind-precedence; the phone
+    pattern is deliberately narrow (NNN-NNN-NNNN) — broaden per corpus.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in ("url", "email", "phone"):
+        c = F.regexp_replace(c, PII_PATTERNS[kind],
+                             replacement.format(kind=kind))
+    return c
+
+
+def repetition_ratio(col="text", n: int = 3) -> Column:
+    """Within-document repetition: 1 - distinct/total word n-grams — the
+    cheap boilerplate/spam signal (high for pages that repeat the same
+    sentences). 0 for docs shorter than n tokens. One regex pass (the
+    shingle extraction) + array ops, all codegen'd."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    pat = r"(?<=^| )(?=(\S+" + r" \S+" * (n - 1) + r"))"
+    all_sh = F.regexp_extract_all(norm, F.lit(pat), 1)   # with duplicates
+    total = F.size(all_sh)
+    return F.when(total > 0,
+                  1.0 - F.size(F.array_distinct(all_sh)).cast("double")
+                  / total).otherwise(F.lit(0.0))
+
+
+def token_frequencies(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: (token, n_docs, n_occurrences) — the input to
+    vocab induction / stopword discovery / df-cap sizing. One explode +
+    one shuffle (the groupBy), map-side combined; output cardinality is
+    the vocabulary, not the corpus. n_docs counts distinct ``id_col``
+    values containing the token (the document frequency that sizes
+    ``doc_freq_cap`` in the n-gram dedup path)."""
+    exploded = df.select(F.col(id_col).alias("__doc"),
+                         F.explode(tokens(text_col)).alias("token"))
+    out = (exploded.groupBy("token")
+           .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                F.countDistinct("__doc").alias("n_docs")))
+    return out.filter(F.col("n_occurrences") >= min_count)
+
+
 def analyze(df: DataFrame, text_col: str = "text", lang: str = "en") -> DataFrame:
     """Attach the full text-analysis column block to a documents frame.
 

@@ -47,6 +47,47 @@ def test_detect_language(docs):
     assert langs[5] == "de"
 
 
+def test_redact_pii_precedence_and_counts(spark):
+    rows = [(1, "Mail a.b-c@uni-x.de or visit https://x.org/y?m=z@q.io "
+                "or call 555-123-4567 now"),
+            (2, "no pii here at all"),
+            (3, "http://plain.example and plain@example.org")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    counts = text.pii_counts("text")
+    got = {r["doc_id"]: r.asDict() for r in df.select(
+        "doc_id", counts["email"].alias("e"), counts["url"].alias("u"),
+        counts["phone"].alias("p"),
+        text.redact_pii("text").alias("red")).collect()}
+    # the email inside the URL query string is claimed by [url] (url-first)
+    assert got[1]["u"] == 1 and got[1]["p"] == 1
+    assert got[1]["red"] == ("Mail [email] or visit [url] "
+                             "or call [phone] now")
+    assert got[2]["red"] == "no pii here at all"
+    assert got[3]["red"] == "[url] and [email]"
+
+
+def test_repetition_ratio(spark):
+    rows = [(1, "a b c a b c a b c"),       # 7 trigrams, 3 distinct
+            (2, "all words totally unique here"),
+            (3, "x y")]                     # shorter than n -> 0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["r"] for r in df.select(
+        "doc_id", text.repetition_ratio("text").alias("r")).collect()}
+    assert got[1] == pytest.approx(1 - 3 / 7)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
+def test_token_frequencies(spark):
+    rows = [(1, "the cat sat"), (2, "the dog sat"), (3, "the the end")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["token"]: (r["n_occurrences"], r["n_docs"])
+           for r in text.token_frequencies(df, "text", "doc_id").collect()}
+    assert got["the"] == (4, 3)          # two in doc 3, one in each other
+    assert got["sat"] == (2, 2)
+    assert got["cat"] == (1, 1)
+
+
 def test_shingles_and_quality_bounds(spark, docs):
     row = docs.filter("doc_id = 1").select(
         text.shingles("text", 3).alias("sh"),
