@@ -192,18 +192,25 @@ def repetition_ratio(col="text", n: int = 3) -> Column:
 
 def token_frequencies(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
-                      min_count: int = 1) -> DataFrame:
+                      min_count: int = 1,
+                      exact_docs: bool = True) -> DataFrame:
     """Corpus vocabulary: (token, n_docs, n_occurrences) — the input to
-    vocab induction / stopword discovery / df-cap sizing. One explode +
-    one shuffle (the groupBy), map-side combined; output cardinality is
-    the vocabulary, not the corpus. n_docs counts distinct ``id_col``
-    values containing the token (the document frequency that sizes
-    ``doc_freq_cap`` in the n-gram dedup path)."""
+    vocab induction / stopword discovery / df-cap sizing. n_docs is the
+    document frequency that sizes ``doc_freq_cap`` in the n-gram dedup
+    path; output cardinality is the vocabulary, not the corpus.
+
+    Shuffle budget: exact document counts need TWO map-side-combined
+    shuffles (Spark pre-aggregates on (token, doc) before the distinct
+    count); ``exact_docs=False`` uses approx_count_distinct (HLL) for ONE
+    shuffle — at 100 TB prefer approx, a df-cap threshold does not care
+    about ±2%."""
     exploded = df.select(F.col(id_col).alias("__doc"),
                          F.explode(tokens(text_col)).alias("token"))
+    n_docs = (F.countDistinct("__doc") if exact_docs
+              else F.approx_count_distinct("__doc"))
     out = (exploded.groupBy("token")
            .agg(F.count(F.lit(1)).alias("n_occurrences"),
-                F.countDistinct("__doc").alias("n_docs")))
+                n_docs.alias("n_docs")))
     return out.filter(F.col("n_occurrences") >= min_count)
 
 

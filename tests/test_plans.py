@@ -126,6 +126,64 @@ def test_institutional_slice_filter_is_in_scan(spark, tmp_path):
     assert "institution#" in plans.partition_filters(df)
 
 
+def test_pii_redaction_is_single_scan_no_shuffle(spark, sf_dir):
+    """x20 posture: redaction + counts are pure expressions — a petabyte
+    hygiene pass is ONE scan with zero exchanges."""
+    from openapc_olap_spark.operators import text
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    counts = text.pii_counts("text")
+    df = docs.select("doc_id", text.redact_pii("text").alias("red"),
+                     counts["email"].alias("e"))
+    assert plans.single_scan(df)
+    assert plans.shuffle_exchange_count(df) == 0
+
+
+def test_vocab_build_shuffle_budget(spark, sf_dir):
+    """x22 posture: explode -> groupBy(token) with map-side combine.
+    Exact document counts cost 2 shuffles (pre-agg on (token, doc));
+    the approx (HLL) path is the single-shuffle 100 TB default."""
+    from openapc_olap_spark.operators import text
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    exact = text.token_frequencies(docs, "text", "doc_id")
+    assert plans.single_scan(exact)
+    assert plans.has_partial_aggregate(exact)
+    assert plans.shuffle_exchange_count(exact) == 2
+    approx = text.token_frequencies(docs, "text", "doc_id",
+                                    exact_docs=False)
+    assert plans.shuffle_exchange_count(approx) == 1
+
+
+def test_ac_institutions_semi_join_broadcasts(spark, sf_dir):
+    """e13/T11 posture: the additional-cost DOI set broadcasts; the fact
+    side never shuffles for the membership probe."""
+    from pyspark.sql import functions as F2
+    from openapc_olap_spark.etl.openapc import (
+        institutions_with_additional_costs,
+    )
+    t = load_tables(spark, sf_dir, ["customer", "part"])
+    facts = t["customer"].select(
+        F2.concat(F2.lit("i"), F2.col("c_nationkey")).alias("institution"),
+        F2.col("c_custkey").cast("string").alias("doi"))
+    costs = t["part"].select(
+        F2.col("p_partkey").cast("string").alias("doi"))
+    df = institutions_with_additional_costs(facts, costs)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_sort_merge_join(df)
+
+
+def test_image_dims_single_scan_no_shuffle(spark, sf_dir):
+    """x19 posture: the header parse (PNG fixed offsets + JPEG marker walk)
+    is one pruned scan, no exchanges, fully JVM-side."""
+    from pyspark.sql import functions as F2
+    from openapc_olap_spark.operators import multimodal
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    media = docs.select(F2.col("doc_id").alias("media_id"),
+                        F2.encode("text", "utf-8").alias("payload"))
+    df = multimodal.with_image_dims(media).select("media_id", "width")
+    assert plans.single_scan(df)
+    assert plans.shuffle_exchange_count(df) == 0
+
+
 def test_text_quality_pipeline_prunes_to_text_column(spark, sf_dir):
     """x16 posture: the quality composite is pure codegen over ONE pruned
     scan — at 100 TB the documents table is read once, text column only."""
