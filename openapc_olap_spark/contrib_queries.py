@@ -773,6 +773,126 @@ _X19_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# X23: WAV header metadata (little-endian fixed-offset parse, no codec)
+# ---------------------------------------------------------------------------
+
+def _x23_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``with_wav_metadata``: channels / sample rate / bits / duration out
+    of canonical RIFF-WAVE headers with pure expressions; payloads are
+    synthesized with real little-endian header fields (plus non-WAV rows)
+    and the oracle re-parses the same bytes from the hex string with
+    explicit byte swaps."""
+    from openapc_olap_spark.operators import multimodal
+    docs = (load_tables(spark, sf_dir, ["documents"])["documents"]
+            .filter(F.col("doc_id") < 400))
+    k = F.col("doc_id")
+    channels = (k % 2 + 1).cast("long")
+    rate = F.element_at(F.array(F.lit(8000), F.lit(16000), F.lit(22050),
+                                F.lit(44100)), (k % 4 + 1).cast("int")) \
+            .cast("long")
+    bits = F.lit(16).cast("long")
+    data = ((k % 1000 + 100) * 4).cast("long")
+
+    def le(c, n):
+        c = c.cast("long")
+        return F.unhex(F.concat(*[
+            F.lpad(F.hex(F.shiftright(c, 8 * i) % 256), 2, "0")
+            for i in range(n)]))
+
+    wav = F.concat(
+        F.lit(b"RIFF"), le(data + 36, 4), F.lit(b"WAVEfmt "),
+        le(F.lit(16).cast("long"), 4), le(F.lit(1).cast("long"), 2),
+        le(channels, 2), le(rate, 4),
+        le(rate * channels * bits / 8, 4),
+        le(channels * bits / 8, 2), le(bits, 2),
+        F.lit(b"data"), le(data, 4), F.lit(b"\x00\x00\x00\x00"))
+    media = docs.select(
+        k.alias("media_id"),
+        F.when(k % 5 == 4, F.encode("text", "utf-8")).otherwise(wav)
+         .alias("payload"))
+    out = multimodal.with_wav_metadata(media)
+    neg = F.lit(-1)
+    return (out.select(
+        "media_id",
+        F.coalesce("wav_channels", neg).alias("wav_channels"),
+        F.coalesce("wav_sample_rate", neg).alias("wav_sample_rate"),
+        F.coalesce("wav_bits", neg).alias("wav_bits"),
+        F.coalesce("wav_duration_ms", neg.cast("long"))
+         .alias("wav_duration_ms"))
+        .orderBy("media_id"))
+
+
+# byte k (0-based) of payload = substr(hex, 2k+1, 2); LE fields concat the
+# byte hex pairs in reverse order before the int cast.
+def _le_sql(off0: int, nbytes: int) -> str:
+    parts = " || ".join(f"substr(hs, {2 * (off0 + i) + 1}, 2)"
+                        for i in reversed(range(nbytes)))
+    return f"('0x' || {parts})::BIGINT"
+
+
+_X23_SQL = f"""
+    WITH m AS (
+      SELECT doc_id, (doc_id % 2 + 1)::BIGINT AS ch,
+             ([8000, 16000, 22050, 44100][(doc_id % 4 + 1)::INT])::BIGINT
+               AS rate,
+             16::BIGINT AS bits,
+             ((doc_id % 1000 + 100) * 4)::BIGINT AS data, text
+      FROM documents WHERE doc_id < 400),
+    le AS (
+      SELECT doc_id, ch, rate, bits, data, text,
+             rate * ch * bits // 8 AS byterate, ch * bits // 8 AS align
+      FROM m),
+    blobs AS (
+      SELECT doc_id, ch, rate,
+        CASE WHEN doc_id % 5 = 4 THEN encode(text) ELSE
+          'RIFF'::BLOB
+          || from_hex(lpad(to_hex((data + 36) % 256), 2, '0'))
+          || from_hex(lpad(to_hex(((data + 36) // 256) % 256), 2, '0'))
+          || from_hex(lpad(to_hex(((data + 36) // 65536) % 256), 2, '0'))
+          || from_hex(lpad(to_hex(((data + 36) // 16777216) % 256), 2, '0'))
+          || 'WAVEfmt '::BLOB
+          || '\\x10\\x00\\x00\\x00\\x01\\x00'::BLOB
+          || from_hex(lpad(to_hex(ch % 256), 2, '0')) || '\\x00'::BLOB
+          || from_hex(lpad(to_hex(rate % 256), 2, '0'))
+          || from_hex(lpad(to_hex((rate // 256) % 256), 2, '0'))
+          || from_hex(lpad(to_hex((rate // 65536) % 256), 2, '0'))
+          || '\\x00'::BLOB
+          || from_hex(lpad(to_hex(byterate % 256), 2, '0'))
+          || from_hex(lpad(to_hex((byterate // 256) % 256), 2, '0'))
+          || from_hex(lpad(to_hex((byterate // 65536) % 256), 2, '0'))
+          || '\\x00'::BLOB
+          || from_hex(lpad(to_hex(align % 256), 2, '0')) || '\\x00'::BLOB
+          || from_hex(lpad(to_hex(bits % 256), 2, '0')) || '\\x00'::BLOB
+          || 'data'::BLOB
+          || from_hex(lpad(to_hex(data % 256), 2, '0'))
+          || from_hex(lpad(to_hex((data // 256) % 256), 2, '0'))
+          || from_hex(lpad(to_hex((data // 65536) % 256), 2, '0'))
+          || from_hex(lpad(to_hex((data // 16777216) % 256), 2, '0'))
+          || '\\x00\\x00\\x00\\x00'::BLOB
+        END AS payload
+      FROM le),
+    hx AS (SELECT doc_id, hex(payload) AS hs FROM blobs),
+    parsed AS (
+      SELECT doc_id,
+        (substr(hs, 1, 8) = '52494646'
+         AND substr(hs, 17, 16) = '57415645666D7420'
+         AND substr(hs, 73, 8) = '64617461') AS is_wav,
+        {_le_sql(22, 2)} AS pch, {_le_sql(24, 4)} AS prate,
+        {_le_sql(34, 2)} AS pbits, {_le_sql(40, 4)} AS pdata
+      FROM hx)
+    SELECT doc_id AS media_id,
+           (CASE WHEN is_wav THEN pch ELSE -1 END)::INT AS wav_channels,
+           (CASE WHEN is_wav THEN prate ELSE -1 END)::INT
+             AS wav_sample_rate,
+           (CASE WHEN is_wav THEN pbits ELSE -1 END)::INT AS wav_bits,
+           (CASE WHEN is_wav
+                 THEN round(pdata * 1000.0 / (prate * pch * pbits / 8))
+                 ELSE -1 END)::BIGINT AS wav_duration_ms
+    FROM parsed ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # X20: PII redaction (training-data hygiene pass)
 # ---------------------------------------------------------------------------
 
@@ -922,6 +1042,7 @@ QUERIES = {
     "x20_pii_redaction": _x20_pii_redaction,
     "x21_repetition_deciles": _x21_repetition_deciles,
     "x22_vocab_top": _x22_vocab_top,
+    "x23_wav_metadata": _x23_wav_metadata,
 }
 
 ORACLES = {
@@ -947,4 +1068,5 @@ ORACLES = {
     "x20_pii_redaction": _X20_SQL,
     "x21_repetition_deciles": _X21_SQL,
     "x22_vocab_top": _X22_SQL,
+    "x23_wav_metadata": _X23_SQL,
 }

@@ -196,6 +196,29 @@ def build_pubdates_map(journal_csv: DataFrame,
                  .alias("cached_pub_year")))
 
 
+def upsert_last_wins(existing: DataFrame, updates: DataFrame,
+                     keys: list[str], seq_col: str) -> DataFrame:
+    """T15 incremental cache refresh, in-engine: merge a new batch of
+    cache rows into the stored table with per-key last-wins on an explicit
+    sequence column (export number, fetch timestamp).
+
+    The reference rewrites its whole JSON cache on every run
+    (springer_compact_coverage.py:52-66); at scale the cache lives as a
+    keyed table and refresh is this one map-side-combined shuffle:
+    union -> groupBy(keys) -> max_by(struct(seq, payload)) — the struct
+    max makes ties on ``seq_col`` resolve deterministically by payload
+    order instead of arrival order.
+    """
+    combined = existing.unionByName(updates)
+    payload = [c for c in combined.columns if c not in keys]
+    assert seq_col in payload, f"{seq_col} must be a non-key column"
+    ordered = [seq_col] + [c for c in payload if c != seq_col]
+    best = (combined.groupBy(*keys)
+            .agg(F.max(F.struct(*ordered)).alias("__best")))
+    return best.select(*keys,
+                       *[F.col(f"__best.{c}").alias(c) for c in payload])
+
+
 def hybrid_journals(catalog_csv: DataFrame) -> DataFrame:
     """T14: keep Open-Choice hybrid journals from a Springer catalog
     (springer_compact_coverage.py:85-99)."""

@@ -585,6 +585,12 @@ class OpenAPCPipeline:
         for name, df in self.build_all().items():
             df = self.with_fact_id(df)
             path = os.path.join(out_dir, name)
+            if "period" in df.columns:
+                # cluster rows by period inside each file so period cuts
+                # (the dominant slicer predicate) skip row groups via
+                # parquet min/max stats — free at write time, and the sort
+                # is per-partition, no shuffle
+                df = df.sortWithinPartitions("period")
             writer = df.write.mode("overwrite")
             if "institution" in df.columns and name != "doi_lookup":
                 writer = writer.partitionBy("institution")

@@ -808,6 +808,51 @@ _E16_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# e17: T15 incremental cache upsert (per-key last-wins merge)
+# ---------------------------------------------------------------------------
+
+def _e17_cache_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 (springer_compact_coverage.py:52-66 full-rewrite cache, here the
+    scale shape): merge an update batch into a stored cache table with
+    per-key last-wins on the explicit sequence — driven through
+    ``upsert_last_wins``; seq values are unique per key by construction so
+    the oracle's arg_max is deterministic."""
+    from openapc_olap_spark.etl.coverage import upsert_last_wins
+    t = load_tables(spark, sf_dir, ["part", "orders"])
+    existing = t["part"].select(
+        F.concat(F.lit("10.1/"), (F.col("p_partkey") % 200).cast("string"))
+         .alias("doi"),
+        F.col("p_partkey").alias("seq"),
+        (2010 + F.col("p_partkey") % 6).cast("string").alias("year"))
+    updates = (t["orders"].filter(F.col("o_orderkey") % 9 == 0)
+               .select(
+                   F.concat(F.lit("10.1/"),
+                            (F.col("o_orderkey") % 250).cast("string"))
+                    .alias("doi"),
+                   (F.lit(100000) + F.col("o_orderkey")).alias("seq"),
+                   (2016 + F.col("o_orderkey") % 5).cast("string")
+                    .alias("year")))
+    merged = upsert_last_wins(existing, updates, ["doi"], "seq")
+    return merged.orderBy("doi")
+
+
+_E17_SQL = """
+    WITH existing AS (
+      SELECT '10.1/' || (p_partkey % 200)::VARCHAR AS doi,
+             p_partkey AS seq, (2010 + p_partkey % 6)::VARCHAR AS year
+      FROM part),
+    updates AS (
+      SELECT '10.1/' || (o_orderkey % 250)::VARCHAR AS doi,
+             100000 + o_orderkey AS seq,
+             (2016 + o_orderkey % 5)::VARCHAR AS year
+      FROM orders WHERE o_orderkey % 9 = 0),
+    u AS (SELECT * FROM existing UNION ALL SELECT * FROM updates)
+    SELECT doi, max(seq) AS seq, arg_max(year, seq) AS year
+    FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "e01_enrich_ror": _e01_enrich_ror,
     "e02_publication_key": _e02_publication_key,
@@ -825,6 +870,7 @@ QUERIES = {
     "e14_annual_pubdates": _e14_annual_pubdates,
     "e15_hybrid_catalog": _e15_hybrid_catalog,
     "e16_springer_coverage": _e16_springer_coverage,
+    "e17_cache_upsert": _e17_cache_upsert,
 }
 
 ORACLES = {
@@ -844,4 +890,5 @@ ORACLES = {
     "e14_annual_pubdates": _E14_SQL,
     "e15_hybrid_catalog": _E15_SQL,
     "e16_springer_coverage": _E16_SQL,
+    "e17_cache_upsert": _E17_SQL,
 }

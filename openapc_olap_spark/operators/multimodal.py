@@ -142,6 +142,51 @@ def with_image_dims(df: DataFrame, payload_col: str = "payload",
     return out.drop(*[c for c in out.columns if c.startswith("__j")])
 
 
+def _le_uint(payload: F.Column, off0: F.Column | int, nbytes: int) -> F.Column:
+    """Little-endian unsigned int at 0-based offset: per-byte hex taken in
+    reverse order, then conv. Pure JVM expressions (no UDF)."""
+    off = F.lit(off0) if isinstance(off0, int) else off0
+    parts = [F.hex(F.substring(payload, off + nbytes - i, 1))
+             for i in range(nbytes)]
+    return F.conv(F.concat(*[F.lpad(b, 2, "0") for b in parts]), 16, 10) \
+            .cast("long")
+
+
+def with_wav_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach audio metadata parsed from canonical WAV headers with pure
+    binary expressions: channels, sample rate, bits per sample, and the
+    duration derived from the data-chunk size — a petabyte audio-metadata
+    scan with no codec library and no Python boundary (full decode stays
+    in ``extract_audio_features``).
+
+    Canonical layout (RIFF spec): 'RIFF' u32size 'WAVE' 'fmt ' u32=16
+    u16fmt u16channels u32rate u32byterate u16align u16bits 'data' u32size.
+    All multi-byte fields little-endian. Non-canonical files (extra chunks
+    before 'fmt ') and non-WAV payloads -> NULLs; the guard checks all
+    three structure markers, not just the RIFF magic.
+    """
+    p = F.col(payload_col)
+    is_wav = (F.hex(F.substring(p, 1, 4)) == "52494646") \
+        & (F.hex(F.substring(p, 9, 8)) == "57415645666D7420") \
+        & (F.hex(F.substring(p, 37, 4)) == "64617461")
+    channels = F.when(is_wav, _le_uint(p, 22, 2)).cast("int")
+    rate = F.when(is_wav, _le_uint(p, 24, 4)).cast("int")
+    bits = F.when(is_wav, _le_uint(p, 34, 2)).cast("int")
+    data_bytes = F.when(is_wav, _le_uint(p, 40, 4))
+    bytes_per_sec = (F.col("wav_sample_rate") * F.col("wav_channels")
+                     * F.col("wav_bits") / 8)
+    return (df
+            .withColumn("wav_channels", channels)
+            .withColumn("wav_sample_rate", rate)
+            .withColumn("wav_bits", bits)
+            .withColumn("wav_data_bytes", data_bytes)
+            .withColumn(
+                "wav_duration_ms",
+                F.when(bytes_per_sec > 0,
+                       F.round(F.col("wav_data_bytes") * 1000.0
+                               / bytes_per_sec).cast("long"))))
+
+
 # --------------------------------------------------------------------------
 # Decode kernels (STUBS — codec libs absent in this container)
 # --------------------------------------------------------------------------

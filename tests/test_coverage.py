@@ -101,3 +101,20 @@ def test_pubdates_map_and_hybrid_filter(spark):
         [("J1", "Hybrid (Open Choice)"), ("J2", "Full Open Access")],
         ["Title", "Open Access Option"])
     assert [r["Title"] for r in coverage.hybrid_journals(cat).collect()] == ["J1"]
+
+
+def test_upsert_last_wins(spark):
+    """T15 incremental refresh: per-key last-wins on the explicit seq;
+    seq ties resolve deterministically via the payload struct order."""
+    existing = spark.createDataFrame(
+        [("a", 1, "2015"), ("b", 2, "2016")], ["doi", "seq", "year"])
+    updates = spark.createDataFrame(
+        [("a", 5, "2019"),               # newer seq wins
+         ("b", 1, "1999"),               # older seq loses
+         ("c", 3, "2020"),               # new key inserted
+         ("c", 3, "2021")],              # seq tie -> larger payload wins
+        ["doi", "seq", "year"])
+    got = {r["doi"]: (r["seq"], r["year"])
+           for r in coverage.upsert_last_wins(
+               existing, updates, ["doi"], "seq").collect()}
+    assert got == {"a": (5, "2019"), "b": (2, "2016"), "c": (3, "2021")}

@@ -256,6 +256,34 @@ def test_with_image_dims_header_parse(spark):
                    4: (None, None), 5: (None, None)}
 
 
+def test_with_wav_metadata_header_parse(spark):
+    """Canonical WAV header parse (little-endian fields) via pure
+    expressions; non-WAV and truncated payloads -> NULLs."""
+    import struct
+
+    from openapc_olap_spark.operators.multimodal import with_wav_metadata
+
+    def wav(channels, rate, bits, n_frames):
+        data = n_frames * channels * bits // 8
+        return (b"RIFF" + struct.pack("<I", 36 + data) + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                              rate * channels * bits // 8,
+                              channels * bits // 8, bits)
+                + b"data" + struct.pack("<I", data) + b"\x00" * 8)
+
+    rows = [(1, wav(1, 8000, 16, 4000)),      # 0.5 s mono
+            (2, wav(2, 44100, 16, 44100)),    # 1 s stereo
+            (3, b"RIFFxxxxAVI LIST"),          # RIFF but not WAVE
+            (4, b"\x89PNG\r\n\x1a\n")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in with_wav_metadata(df).collect()}
+    assert got[1]["wav_channels"] == 1 and got[1]["wav_sample_rate"] == 8000
+    assert got[1]["wav_bits"] == 16 and got[1]["wav_duration_ms"] == 500
+    assert got[2]["wav_channels"] == 2 and got[2]["wav_duration_ms"] == 1000
+    assert got[3]["wav_sample_rate"] is None
+    assert got[4]["wav_sample_rate"] is None
+
+
 # --------------------------------------------------------------- windows (X6)
 
 def test_tumbling_matches_duckdb(spark):

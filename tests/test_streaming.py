@@ -121,3 +121,38 @@ def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
     out = spark.table("t_dedup")
     assert out.count() == distinct
     assert out.select("event_id").distinct().count() == distinct
+
+
+def test_streaming_stateless_text_transforms_match_batch(spark, tmp_path):
+    """Stateless text operators (PII redaction, quality scoring) run
+    unchanged inside a streaming query — the same Column expressions are
+    the transformation in both engines, so the batch result is the oracle
+    (append mode, no state, no watermark needed)."""
+    import shutil as _sh
+
+    from openapc_olap_spark.operators import text
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    _sh.copy(f"{SF}/documents.parquet", d / "part-000.parquet")
+
+    batch_docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stream_docs = (spark.readStream.schema(batch_docs.schema)
+                   .parquet(str(d)))
+
+    def transform(df):
+        return df.select(
+            "doc_id",
+            text.redact_pii("text").alias("red"),
+            F.round(text.quality_score("text"), 6).alias("q"))
+
+    q = (transform(stream_docs).writeStream.format("memory")
+         .queryName("t_redact").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {r["doc_id"]: (r["red"], r["q"])
+           for r in spark.table("t_redact").collect()}
+    want = {r["doc_id"]: (r["red"], r["q"])
+            for r in transform(batch_docs).collect()}
+    assert got == want and len(got) > 0
