@@ -245,7 +245,8 @@ def _x06_lsh_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replicates the bucketing with the identical hyperplanes."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     out = similarity.embedding_near_duplicates(
-        emb, threshold=NEARDUP_COS, nbits=LSH_NBITS, seed=LSH_SEED)
+        emb, threshold=NEARDUP_COS, nbits=LSH_NBITS, seed=LSH_SEED,
+        dim=EMB_DIM)
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
@@ -647,7 +648,7 @@ def _x18_lsh_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     out = similarity.embedding_near_duplicates(
         emb, threshold=NEARDUP_COS, nbits=LSH_NBITS, seed=LSH_SEED,
-        bucket_cap=EMB_BUCKET_CAP)
+        bucket_cap=EMB_BUCKET_CAP, dim=EMB_DIM)
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 

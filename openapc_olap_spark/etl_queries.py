@@ -641,7 +641,8 @@ def _e14_annual_pubdates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2015 + k % 8).cast("string").alias("Publication Year"),
         k.alias("export_seq"),
         (k % 3).alias("__file"))
-    base = "/root/repo/.gate_tmp/e14_annual"
+    import tempfile
+    base = f"{tempfile.gettempdir()}/openapc_gate_tmp/e14_annual"
     shutil.rmtree(base, ignore_errors=True)
     paths = []
     for part_no in range(3):

@@ -76,9 +76,9 @@ _JPEG_SOF_CODES = [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
 
 def with_image_dims(df: DataFrame, payload_col: str = "payload",
                     max_jpeg_segments: int = 8) -> DataFrame:
-    """Attach ``width``/``height`` parsed from PNG/JPEG HEADERS with pure
-    binary expressions — no codec library, no Python boundary, so real
-    dimensions come out of a petabyte scan at full codegen speed (the
+    """Attach ``width``/``height`` parsed from PNG/JPEG/GIF/WebP HEADERS
+    with pure binary expressions — no codec library, no Python boundary, so
+    real dimensions come out of a petabyte scan at full codegen speed (the
     full-decode path stays in ``decode_images``).
 
     - PNG: IHDR is mandated to be the first chunk, so width/height are
@@ -88,6 +88,12 @@ def with_image_dims(df: DataFrame, payload_col: str = "payload",
       themselves) for up to ``max_jpeg_segments`` hops — APP0/EXIF/ICC/DQT
       headers are covered well within 8. Each hop is one withColumn so the
       expression tree grows linearly, not exponentially.
+    - GIF (87a/89a): logical-screen dims, little-endian u16 at bytes 6-9.
+    - WebP: RIFF+'WEBP' container; the first chunk's fourcc dispatches —
+      'VP8 ' lossy (14-bit LE dims after the 0x9D012A sync code), 'VP8L'
+      lossless (two 14-bit fields packed in the LE u32 after the 0x2F
+      signature byte, stored minus one), 'VP8X' extended (24-bit LE
+      canvas dims, stored minus one).
 
     Other/unknown formats -> NULL dims.
     """
@@ -95,6 +101,27 @@ def with_image_dims(df: DataFrame, payload_col: str = "payload",
     head8 = F.hex(F.expr(f"substring({payload_col}, 1, 4)"))
     is_png = head8.startswith("89504E47")
     is_jpeg = head8.startswith("FFD8FF")
+    is_gif = head8.startswith("47494638")
+    is_webp = (head8 == "52494646") \
+        & (F.hex(F.substring(p, 9, 4)) == "57454250")
+    webp_cc = F.hex(F.substring(p, 13, 4))
+    # VP8 (lossy): 3-byte frame tag at 20-22, sync 9D012A at 23-25,
+    # then 14-bit LE width/height at 26-27 / 28-29
+    vp8_ok = is_webp & (webp_cc == "56503820") \
+        & (F.hex(F.substring(p, 24, 3)) == "9D012A")
+    vp8_w = _le_uint(p, 26, 2).bitwiseAND(F.lit(0x3FFF))
+    vp8_h = _le_uint(p, 28, 2).bitwiseAND(F.lit(0x3FFF))
+    # VP8L (lossless): signature 0x2F at byte 20, LE u32 at 21-24 packs
+    # (width-1) in bits 0-13 and (height-1) in bits 14-27
+    vp8l_ok = is_webp & (webp_cc == "5650384C") \
+        & (F.hex(F.substring(p, 21, 1)) == "2F")
+    vp8l_bits = _le_uint(p, 21, 4)
+    vp8l_w = vp8l_bits.bitwiseAND(F.lit(0x3FFF)) + 1
+    vp8l_h = F.shiftright(vp8l_bits, 14).bitwiseAND(F.lit(0x3FFF)) + 1
+    # VP8X (extended): 24-bit LE canvas dims minus one at 24-26 / 27-29
+    vp8x_ok = is_webp & (webp_cc == "56503858")
+    vp8x_w = _le_uint(p, 24, 3) + 1
+    vp8x_h = _le_uint(p, 27, 3) + 1
 
     # ---- JPEG marker walk: __joff{i} = 0-based offset of the i-th marker.
     # The whole walk is ONE select using lateral column aliases (each hop
@@ -135,9 +162,17 @@ def with_image_dims(df: DataFrame, payload_col: str = "payload",
     out = df.select(*cols)
     last_h, last_w = f"__jh{max_jpeg_segments}", f"__jw{max_jpeg_segments}"
     width = (F.when(is_png, _be_uint(p, F.lit(16), 4))
-             .when(is_jpeg, F.col(last_w))).cast("int")
+             .when(is_jpeg, F.col(last_w))
+             .when(is_gif, _le_uint(p, 6, 2))
+             .when(vp8_ok, vp8_w)
+             .when(vp8l_ok, vp8l_w)
+             .when(vp8x_ok, vp8x_w)).cast("int")
     height = (F.when(is_png, _be_uint(p, F.lit(20), 4))
-              .when(is_jpeg, F.col(last_h))).cast("int")
+              .when(is_jpeg, F.col(last_h))
+              .when(is_gif, _le_uint(p, 8, 2))
+              .when(vp8_ok, vp8_h)
+              .when(vp8l_ok, vp8l_h)
+              .when(vp8x_ok, vp8x_h)).cast("int")
     out = out.withColumn("width", width).withColumn("height", height)
     return out.drop(*[c for c in out.columns if c.startswith("__j")])
 

@@ -232,7 +232,8 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               vec_col: str = "embedding",
                               seed: int = 42,
                               bucket_cap: int | None = None,
-                              materialize: bool = True) -> DataFrame:
+                              materialize: bool = True,
+                              dim: int | None = None) -> DataFrame:
     """X2 embedding-cosine near-dup: same-bucket candidate pairs -> exact
     cosine verify >= threshold. Output (id_a, id_b, cos_sim).
 
@@ -260,8 +261,11 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
       n / 2^nbits, so keep nbits >= log2(n) - log2(target_occupancy)
       (e.g. 1e9 vectors, ~1k per bucket -> nbits >= 20). The default 8 is
       sized for test corpora, NOT for production.
+
+    Pass ``dim`` (the embedding length) explicitly in pipelines — omitting
+    it costs an extra driver-side first-row probe job per call.
     """
-    b = (lsh_bucketize(df, nbits, vec_col, None, seed)
+    b = (lsh_bucketize(df, nbits, vec_col, dim, seed)
          .select(F.col(id_col).alias("id"),
                  F.col(vec_col).cast("array<double>").alias("v"), "bucket")
          .withColumn("inv_norm", F.when(norm(F.col("v")) > 0,
