@@ -681,11 +681,13 @@ _X18_SQL = f"""
 # ---------------------------------------------------------------------------
 
 def _x19_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PNG IHDR / JPEG SOF dimension parsing JVM-side
-    (``with_image_dims``): payloads are synthesized with real container
-    headers (PNG; JPEG with JFIF-APP0; JPEG with a variable-length APP1 so
-    the marker walk is genuinely exercised) and the oracle re-parses the
-    same bytes from the hex string at arithmetically-derived offsets."""
+    """PNG IHDR / JPEG SOF / GIF logical-screen / WebP (VP8L lossless +
+    VP8X extended) dimension parsing JVM-side (``with_image_dims``):
+    payloads are synthesized with real container headers (JPEG both with
+    JFIF-APP0 and with a variable-length APP1 so the marker walk is
+    genuinely exercised) and the oracle re-parses the same bytes from the
+    hex string at arithmetically-derived offsets — big-endian, little-
+    endian, and packed-14-bit fields alike."""
     from openapc_olap_spark.operators import multimodal
     docs = (load_tables(spark, sf_dir, ["documents"])["documents"]
             .filter(F.col("doc_id") < 400))   # stay under the 500-row cap
@@ -693,6 +695,13 @@ def _x19_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, h = k % 900 + 16, k % 700 + 9
     app1_len = k % 5 + 8
     be = lambda c, n: F.unhex(F.lpad(F.hex(c), 2 * n, "0"))  # noqa: E731
+
+    def le(c, n):
+        c = c.cast("long")
+        return F.unhex(F.concat(*[
+            F.lpad(F.hex(F.shiftright(c, 8 * i) % 256), 2, "0")
+            for i in range(n)]))
+
     png = F.concat(
         F.lit(b"\x89PNG\r\n\x1a\n"), F.lit(b"\x00\x00\x00\x0dIHDR"),
         be(w, 4), be(h, 4), F.lit(b"\x08\x06\x00"))
@@ -703,11 +712,22 @@ def _x19_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     app1 = F.concat(F.lit(b"\xFF\xD8\xFF\xE1"), be(app1_len, 2),
                     F.encode(F.expr("repeat('X', doc_id % 5 + 6)"), "UTF-8"),
                     sof)
+    gif = F.concat(F.lit(b"GIF89a"), le(w, 2), le(h, 2),
+                   F.lit(b"\xF7\x00\x00"))
+    vp8l = F.concat(F.lit(b"RIFF"), le(F.lit(18), 4), F.lit(b"WEBPVP8L"),
+                    le(F.lit(10), 4), F.lit(b"\x2F"),
+                    le((w - 1) + (h - 1) * 16384, 4))
+    vp8x = F.concat(F.lit(b"RIFF"), le(F.lit(22), 4), F.lit(b"WEBPVP8X"),
+                    le(F.lit(10), 4), F.lit(b"\x00\x00\x00\x00"),
+                    le(w - 1, 3), le(h - 1, 3))
     media = docs.select(
         k.alias("media_id"),
-        F.when(k % 4 == 0, png)
-         .when(k % 4 == 1, jfif)
-         .when(k % 4 == 2, app1)
+        F.when(k % 7 == 0, png)
+         .when(k % 7 == 1, jfif)
+         .when(k % 7 == 2, app1)
+         .when(k % 7 == 4, gif)
+         .when(k % 7 == 5, vp8l)
+         .when(k % 7 == 6, vp8x)
          .otherwise(F.encode("text", "utf-8")).alias("payload"))
     out = multimodal.with_image_dims(media)
     # -1 sentinel instead of NULL: nullable int columns pandas-convert to
@@ -720,7 +740,10 @@ def _x19_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Oracle: build the identical blobs, then PARSE THE BYTES back out of
 # hex(payload) — PNG dims at fixed hex chars 33/41; JPEG SOF offset derived
-# from the APP segment length (0-based byte off*2 + 1, +5/+7 into the SOF).
+# from the APP segment length (0-based byte off*2 + 1, +5/+7 into the SOF);
+# GIF dims as LE16 at bytes 6-9; WebP VP8L packed 14-bit fields out of the
+# LE32 after the 0x2F signature; VP8X LE24 minus-one dims at bytes 24-29.
+# (byte k, 0-based, = substr(hs, 2k+1, 2); LE fields concat reversed.)
 _X19_SQL = """
     WITH m AS (
       SELECT doc_id, (doc_id % 900 + 16)::BIGINT AS w,
@@ -729,44 +752,93 @@ _X19_SQL = """
       FROM documents WHERE doc_id < 400),
     blobs AS (
       SELECT doc_id, app1_len,
-        CASE WHEN doc_id % 4 = 0 THEN
+        CASE WHEN doc_id % 7 = 0 THEN
           '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB
             || '\\x00\\x00\\x00\\x0DIHDR'::BLOB
             || from_hex(lpad(to_hex(w), 8, '0'))
             || from_hex(lpad(to_hex(h), 8, '0')) || '\\x08\\x06\\x00'::BLOB
-        WHEN doc_id % 4 = 1 THEN
+        WHEN doc_id % 7 = 1 THEN
           '\\xFF\\xD8\\xFF\\xE0\\x00\\x10JFIF'::BLOB
             || repeat('\\x00'::BLOB, 10)
             || '\\xFF\\xC0\\x00\\x11\\x08'::BLOB
             || from_hex(lpad(to_hex(h), 4, '0'))
             || from_hex(lpad(to_hex(w), 4, '0')) || '\\x03'::BLOB
-        WHEN doc_id % 4 = 2 THEN
+        WHEN doc_id % 7 = 2 THEN
           '\\xFF\\xD8\\xFF\\xE1'::BLOB || from_hex(lpad(to_hex(app1_len),4,'0'))
             || repeat('X'::BLOB, (doc_id % 5 + 6)::INT)
             || '\\xFF\\xC0\\x00\\x11\\x08'::BLOB
             || from_hex(lpad(to_hex(h), 4, '0'))
             || from_hex(lpad(to_hex(w), 4, '0')) || '\\x03'::BLOB
+        WHEN doc_id % 7 = 4 THEN
+          'GIF89a'::BLOB
+            || from_hex(lpad(to_hex(w % 256), 2, '0'))
+            || from_hex(lpad(to_hex(w // 256), 2, '0'))
+            || from_hex(lpad(to_hex(h % 256), 2, '0'))
+            || from_hex(lpad(to_hex(h // 256), 2, '0'))
+            || '\\xF7\\x00\\x00'::BLOB
+        WHEN doc_id % 7 = 5 THEN
+          'RIFF\\x12\\x00\\x00\\x00WEBPVP8L\\x0A\\x00\\x00\\x00\\x2F'::BLOB
+            || from_hex(lpad(to_hex(((w-1) + (h-1)*16384) % 256), 2, '0'))
+            || from_hex(lpad(to_hex((((w-1) + (h-1)*16384) // 256) % 256), 2, '0'))
+            || from_hex(lpad(to_hex((((w-1) + (h-1)*16384) // 65536) % 256), 2, '0'))
+            || from_hex(lpad(to_hex((((w-1) + (h-1)*16384) // 16777216) % 256), 2, '0'))
+        WHEN doc_id % 7 = 6 THEN
+          'RIFF\\x16\\x00\\x00\\x00WEBPVP8X\\x0A\\x00\\x00\\x00'::BLOB
+            || '\\x00\\x00\\x00\\x00'::BLOB
+            || from_hex(lpad(to_hex((w-1) % 256), 2, '0'))
+            || from_hex(lpad(to_hex(((w-1) // 256) % 256), 2, '0'))
+            || from_hex(lpad(to_hex(((w-1) // 65536) % 256), 2, '0'))
+            || from_hex(lpad(to_hex((h-1) % 256), 2, '0'))
+            || from_hex(lpad(to_hex(((h-1) // 256) % 256), 2, '0'))
+            || from_hex(lpad(to_hex(((h-1) // 65536) % 256), 2, '0'))
         ELSE encode(text)
         END AS payload
       FROM m),
     hx AS (SELECT doc_id, app1_len, hex(payload) AS hs FROM blobs),
-    parsed AS (
+    webp AS (
       SELECT doc_id,
+        substr(hs, 1, 8) = '52494646' AND substr(hs, 17, 8) = '57454250'
+          AS is_webp,
+        substr(hs, 25, 8) AS cc,
+        try_cast('0x' || substr(hs, 49, 2) || substr(hs, 47, 2)
+                 || substr(hs, 45, 2) || substr(hs, 43, 2) AS BIGINT)
+          AS vp8l_bits,
+        try_cast('0x' || substr(hs, 53, 2) || substr(hs, 51, 2)
+                 || substr(hs, 49, 2) AS BIGINT) AS x_w,
+        try_cast('0x' || substr(hs, 59, 2) || substr(hs, 57, 2)
+                 || substr(hs, 55, 2) AS BIGINT) AS x_h
+      FROM hx),
+    parsed AS (
+      SELECT hx.doc_id,
         CASE WHEN hs LIKE '89504E47%'
-               THEN ('0x' || substr(hs, 33, 8))::BIGINT
+               THEN try_cast('0x' || substr(hs, 33, 8) AS BIGINT)
              WHEN hs LIKE 'FFD8FF%'
-               THEN ('0x' || substr(hs,
+               THEN try_cast('0x' || substr(hs,
                  (CASE WHEN substr(hs, 5, 4) = 'FFE0' THEN 20
-                       ELSE (4 + app1_len)::INT END) * 2 + 15, 4))::BIGINT
+                       ELSE (4 + app1_len)::INT END) * 2 + 15, 4) AS BIGINT)
+             WHEN hs LIKE '47494638%'
+               THEN try_cast('0x' || substr(hs, 15, 2) || substr(hs, 13, 2)
+                             AS BIGINT)
+             WHEN is_webp AND cc = '5650384C' AND substr(hs, 41, 2) = '2F'
+               THEN vp8l_bits % 16384 + 1
+             WHEN is_webp AND cc = '56503858'
+               THEN x_w + 1
         END AS width,
         CASE WHEN hs LIKE '89504E47%'
-               THEN ('0x' || substr(hs, 41, 8))::BIGINT
+               THEN try_cast('0x' || substr(hs, 41, 8) AS BIGINT)
              WHEN hs LIKE 'FFD8FF%'
-               THEN ('0x' || substr(hs,
+               THEN try_cast('0x' || substr(hs,
                  (CASE WHEN substr(hs, 5, 4) = 'FFE0' THEN 20
-                       ELSE (4 + app1_len)::INT END) * 2 + 11, 4))::BIGINT
+                       ELSE (4 + app1_len)::INT END) * 2 + 11, 4) AS BIGINT)
+             WHEN hs LIKE '47494638%'
+               THEN try_cast('0x' || substr(hs, 19, 2) || substr(hs, 17, 2)
+                             AS BIGINT)
+             WHEN is_webp AND cc = '5650384C' AND substr(hs, 41, 2) = '2F'
+               THEN (vp8l_bits // 16384) % 16384 + 1
+             WHEN is_webp AND cc = '56503858'
+               THEN x_h + 1
         END AS height
-      FROM hx)
+      FROM hx JOIN webp USING (doc_id))
     SELECT doc_id AS media_id, coalesce(width, -1)::INT AS width,
            coalesce(height, -1)::INT AS height
     FROM parsed ORDER BY 1
@@ -1020,6 +1092,146 @@ _X22_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X24: FLAC STREAMINFO + MP3 frame-header metadata (pure-expression parses)
+# ---------------------------------------------------------------------------
+
+def _x24_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``with_flac_metadata`` + ``with_mp3_metadata``: sample rate / channels
+    / duration out of FLAC STREAMINFO bit-fields, and bitrate / sample rate
+    out of the first MPEG frame header (behind a variable-length ID3v2 tag
+    for a quarter of the rows, so the syncsafe-skip arithmetic is genuinely
+    exercised). Payloads carry real header bytes; the oracle re-parses the
+    same bytes from hex(payload) with explicit bit arithmetic."""
+    from openapc_olap_spark.operators import multimodal
+    docs = (load_tables(spark, sf_dir, ["documents"])["documents"]
+            .filter(F.col("doc_id") < 400))
+    k = F.col("doc_id")
+    be = lambda c, n: F.unhex(F.lpad(F.hex(c.cast("long")), 2 * n, "0"))  # noqa: E731
+    # FLAC fixture fields
+    rate = F.element_at(F.array(F.lit(8000), F.lit(16000), F.lit(22050),
+                                F.lit(44100), F.lit(48000)),
+                        (k % 5 + 1).cast("int")).cast("long")
+    ch = (k % 2 + 1).cast("long")
+    total = ((k % 1000 + 100) * 100).cast("long")
+    flac = F.concat(
+        F.lit(b"fLaC\x80\x00\x00\x22"),
+        F.lit(b"\x10\x00\x10\x00"),              # min/max blocksize filler
+        F.lit(b"\x00\x00\x00\x00\x00\x00"),      # min/max framesize filler
+        be(F.shiftright(rate, 12), 1),
+        be(F.shiftright(rate, 4) % 256, 1),
+        be((rate % 16) * 16 + (ch - 1) * 2, 1),  # bits=16 -> top bit-field 0
+        F.lit(b"\xF0"),                           # (16-1)<<4, total<2^32
+        be(total, 4),
+        F.lit(b"\x00" * 16))                      # md5 filler
+    # MP3 fixture fields (MPEG1 Layer III, no CRC)
+    br_idx = (k % 14 + 1).cast("long")
+    sr_idx = (k % 3).cast("long")
+    frame = F.concat(F.lit(b"\xFF\xFB"), be(br_idx * 16 + sr_idx * 4, 1),
+                     F.lit(b"\x44"), F.lit(b"\x00" * 8))
+    taglen = (k % 5 + 6).cast("long")
+    id3 = F.concat(F.lit(b"ID3\x04\x00\x00\x00\x00\x00"), be(taglen, 1),
+                   F.encode(F.expr("repeat('X', doc_id % 5 + 6)"), "UTF-8"),
+                   frame)
+    media = docs.select(
+        k.alias("media_id"),
+        F.when(k % 4 == 0, flac)
+         .when(k % 4 == 1, frame)
+         .when(k % 4 == 2, id3)
+         .otherwise(F.encode("text", "utf-8")).alias("payload"))
+    out = multimodal.with_mp3_metadata(
+        multimodal.with_flac_metadata(media))
+    neg = F.lit(-1)
+    return (out.select(
+        "media_id",
+        F.coalesce("flac_sample_rate", neg).alias("flac_sample_rate"),
+        F.coalesce("flac_channels", neg).alias("flac_channels"),
+        F.coalesce("flac_duration_ms", neg.cast("long"))
+         .alias("flac_duration_ms"),
+        F.coalesce("mp3_bitrate_kbps", neg).alias("mp3_bitrate_kbps"),
+        F.coalesce("mp3_sample_rate", neg).alias("mp3_sample_rate"))
+        .orderBy("media_id"))
+
+
+# Oracle: rebuild the identical blobs, then re-parse the header bytes out of
+# hex(payload) — FLAC STREAMINFO bit-fields at fixed hex offsets (byte k,
+# 0-based, = substr(hs, 2k+1, 2)); the MP3 frame offset is 0 or 10+taglen
+# (ID3v2 syncsafe length), and bitrate/sample-rate come from the Layer III
+# tables indexed by the re-parsed nibbles.
+_X24_SQL = """
+    WITH m AS (
+      SELECT doc_id,
+             ([8000, 16000, 22050, 44100, 48000][(doc_id % 5 + 1)::INT])::BIGINT
+               AS rate,
+             (doc_id % 2 + 1)::BIGINT AS ch,
+             ((doc_id % 1000 + 100) * 100)::BIGINT AS total,
+             (doc_id % 14 + 1)::BIGINT AS br_idx,
+             (doc_id % 3)::BIGINT AS sr_idx,
+             (doc_id % 5 + 6)::BIGINT AS taglen, text
+      FROM documents WHERE doc_id < 400),
+    blobs AS (
+      SELECT doc_id, taglen,
+        CASE WHEN doc_id % 4 = 0 THEN
+          'fLaC'::BLOB || '\\x80\\x00\\x00\\x22'::BLOB
+            || '\\x10\\x00\\x10\\x00'::BLOB
+            || repeat('\\x00'::BLOB, 6)
+            || from_hex(lpad(to_hex(rate // 4096), 2, '0'))
+            || from_hex(lpad(to_hex((rate // 16) % 256), 2, '0'))
+            || from_hex(lpad(to_hex((rate % 16) * 16 + (ch - 1) * 2), 2, '0'))
+            || '\\xF0'::BLOB
+            || from_hex(lpad(to_hex(total), 8, '0'))
+            || repeat('\\x00'::BLOB, 16)
+        WHEN doc_id % 4 = 1 THEN
+          '\\xFF\\xFB'::BLOB
+            || from_hex(lpad(to_hex(br_idx * 16 + sr_idx * 4), 2, '0'))
+            || '\\x44'::BLOB || repeat('\\x00'::BLOB, 8)
+        WHEN doc_id % 4 = 2 THEN
+          'ID3'::BLOB || '\\x04\\x00\\x00\\x00\\x00\\x00'::BLOB
+            || from_hex(lpad(to_hex(taglen), 2, '0'))
+            || repeat('X'::BLOB, taglen::INT)
+            || '\\xFF\\xFB'::BLOB
+            || from_hex(lpad(to_hex(br_idx * 16 + sr_idx * 4), 2, '0'))
+            || '\\x44'::BLOB || repeat('\\x00'::BLOB, 8)
+        ELSE encode(text)
+        END AS payload
+      FROM m),
+    hx AS (SELECT doc_id, taglen, hex(payload) AS hs FROM blobs),
+    flac AS (
+      SELECT doc_id,
+        (substr(hs, 1, 8) = '664C6143'
+         AND try_cast('0x' || substr(hs, 9, 2) AS BIGINT) % 128 = 0) AS is_flac,
+        try_cast('0x' || substr(hs, 37, 6) AS BIGINT) // 16 AS prate,
+        (try_cast('0x' || substr(hs, 41, 2) AS BIGINT) // 2) % 8 + 1 AS pch,
+        (try_cast('0x' || substr(hs, 43, 2) AS BIGINT) % 16) * 4294967296
+          + try_cast('0x' || substr(hs, 45, 8) AS BIGINT) AS ptotal
+      FROM hx),
+    mp3 AS (
+      SELECT hx.doc_id,
+        CASE WHEN substr(hs, 1, 6) = '494433'
+             THEN (10 + taglen)::INT ELSE 0 END AS off,
+        hs
+      FROM hx),
+    mp3p AS (
+      SELECT doc_id,
+        substr(hs, off * 2 + 1, 4) = 'FFFB' AS is_mp3,
+        try_cast('0x' || substr(hs, off * 2 + 5, 2) AS BIGINT) // 16 AS pbr,
+        (try_cast('0x' || substr(hs, off * 2 + 5, 2) AS BIGINT) // 4) % 4 AS psr
+      FROM mp3)
+    SELECT f.doc_id AS media_id,
+           (CASE WHEN is_flac THEN prate ELSE -1 END)::INT AS flac_sample_rate,
+           (CASE WHEN is_flac THEN pch ELSE -1 END)::INT AS flac_channels,
+           (CASE WHEN is_flac THEN round(ptotal * 1000.0 / prate)
+                 ELSE -1 END)::BIGINT AS flac_duration_ms,
+           (CASE WHEN is_mp3 AND pbr BETWEEN 1 AND 14
+                 THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320][pbr::INT]
+                 ELSE -1 END)::INT AS mp3_bitrate_kbps,
+           (CASE WHEN is_mp3 AND psr < 3
+                 THEN [44100,48000,32000][(psr + 1)::INT]
+                 ELSE -1 END)::INT AS mp3_sample_rate
+    FROM flac f JOIN mp3p USING (doc_id) ORDER BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -1044,6 +1256,7 @@ QUERIES = {
     "x21_repetition_deciles": _x21_repetition_deciles,
     "x22_vocab_top": _x22_vocab_top,
     "x23_wav_metadata": _x23_wav_metadata,
+    "x24_audio_headers": _x24_audio_headers,
 }
 
 ORACLES = {
@@ -1070,4 +1283,5 @@ ORACLES = {
     "x21_repetition_deciles": _X21_SQL,
     "x22_vocab_top": _X22_SQL,
     "x23_wav_metadata": _X23_SQL,
+    "x24_audio_headers": _X24_SQL,
 }

@@ -222,6 +222,105 @@ def with_wav_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                                / bytes_per_sec).cast("long"))))
 
 
+def with_flac_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach ``flac_sample_rate`` / ``flac_channels`` / ``flac_bits`` /
+    ``flac_total_samples`` / ``flac_duration_ms`` parsed from the FLAC
+    STREAMINFO block with pure binary expressions (no codec, no UDF).
+
+    Layout (FLAC spec): 'fLaC' magic, then a 4-byte metadata-block header
+    whose type field must be 0 (STREAMINFO is mandated first); the block
+    carries min/max blocksize (2+2) and min/max framesize (3+3), then a
+    packed bit-field at bytes 18-25: sample rate (20 bits), channels-1
+    (3 bits), bits-per-sample-1 (5 bits), total samples (36 bits). Non-FLAC
+    payloads and non-STREAMINFO first blocks -> NULLs.
+    """
+    p = F.col(payload_col)
+    # header byte 4: 1-bit last-block flag + 7-bit type; type must be 0
+    is_flac = (F.hex(F.substring(p, 1, 4)) == "664C6143") \
+        & (_be_uint(p, F.lit(4), 1).bitwiseAND(F.lit(0x7F)) == 0)
+    b20 = _be_uint(p, F.lit(20), 1)
+    b21 = _be_uint(p, F.lit(21), 1)
+    rate = F.when(is_flac, F.shiftright(_be_uint(p, F.lit(18), 3), 4))
+    channels = F.when(
+        is_flac, F.shiftright(b20, 1).bitwiseAND(F.lit(0x7)) + 1)
+    bits = F.when(
+        is_flac,
+        F.shiftleft(b20.bitwiseAND(F.lit(0x1)), 4)
+        .bitwiseOR(F.shiftright(b21, 4)) + 1)
+    total = F.when(
+        is_flac,
+        F.shiftleft(b21.bitwiseAND(F.lit(0xF)), 32)
+        .bitwiseOR(_be_uint(p, F.lit(22), 4)))
+    return (df
+            .withColumn("flac_sample_rate", rate.cast("int"))
+            .withColumn("flac_channels", channels.cast("int"))
+            .withColumn("flac_bits", bits.cast("int"))
+            .withColumn("flac_total_samples", total)
+            .withColumn(
+                "flac_duration_ms",
+                F.when(rate > 0,
+                       F.round(total * 1000.0 / rate).cast("long"))))
+
+
+# Layer III bitrate (kbps) / sample-rate tables, by MPEG version. Index 0 is
+# 'free' and 15 invalid -> NULL.
+_MP3_BITRATES_V1 = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATES_V2 = [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_RATES_V1 = [44100, 48000, 32000]
+_MP3_RATES_V2 = [22050, 24000, 16000]
+_MP3_RATES_V25 = [11025, 12000, 8000]
+
+
+def with_mp3_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach ``mp3_version`` / ``mp3_bitrate_kbps`` / ``mp3_sample_rate``
+    parsed from the first MPEG audio frame header with pure binary
+    expressions (no codec, no UDF).
+
+    An optional ID3v2 tag ('ID3' + version/flags + 4-byte syncsafe length)
+    is skipped arithmetically; the 4-byte frame header must then carry the
+    11-bit sync (0xFFE). Version bits select the Layer III bitrate /
+    sample-rate tables (MPEG1, MPEG2, MPEG2.5); 'free'/invalid bitrate or
+    reserved fields -> NULLs. Non-MP3 payloads -> NULLs.
+    """
+    p = F.col(payload_col)
+    has_id3 = F.hex(F.substring(p, 1, 3)) == "494433"
+    syncsafe = (
+        F.shiftleft(_be_uint(p, F.lit(6), 1).bitwiseAND(F.lit(0x7F)), 21)
+        .bitwiseOR(F.shiftleft(_be_uint(p, F.lit(7), 1)
+                               .bitwiseAND(F.lit(0x7F)), 14))
+        .bitwiseOR(F.shiftleft(_be_uint(p, F.lit(8), 1)
+                               .bitwiseAND(F.lit(0x7F)), 7))
+        .bitwiseOR(_be_uint(p, F.lit(9), 1).bitwiseAND(F.lit(0x7F))))
+    off = F.when(has_id3, syncsafe + 10).otherwise(F.lit(0).cast("long"))
+    h0 = _be_uint(p, off, 1)
+    h1 = _be_uint(p, off + 1, 1)
+    h2 = _be_uint(p, off + 2, 1)
+    is_frame = (h0 == 0xFF) & (h1.bitwiseAND(F.lit(0xE0)) == 0xE0)
+    version_bits = F.shiftright(h1, 3).bitwiseAND(F.lit(0x3))  # 0=2.5,2=2,3=1
+    layer_bits = F.shiftright(h1, 1).bitwiseAND(F.lit(0x3))    # 1 = Layer III
+    ok = is_frame & (version_bits != 1) & (layer_bits == 1)
+    version = F.when(ok, F.when(version_bits == 3, "1")
+                     .when(version_bits == 2, "2").otherwise("2.5"))
+    br_idx = F.shiftright(h2, 4).bitwiseAND(F.lit(0xF))
+    sr_idx = F.shiftright(h2, 2).bitwiseAND(F.lit(0x3))
+    arr = lambda xs: F.array(*[F.lit(x) for x in xs])  # noqa: E731
+    br_ok = ok & (br_idx > 0) & (br_idx < 15)
+    bitrate = F.when(br_ok & (version_bits == 3),
+                     F.element_at(arr(_MP3_BITRATES_V1), br_idx.cast("int"))) \
+        .when(br_ok, F.element_at(arr(_MP3_BITRATES_V2), br_idx.cast("int")))
+    sr_ok = ok & (sr_idx < 3)
+    s_idx = (sr_idx + 1).cast("int")
+    rate = F.when(sr_ok & (version_bits == 3),
+                  F.element_at(arr(_MP3_RATES_V1), s_idx)) \
+        .when(sr_ok & (version_bits == 2),
+              F.element_at(arr(_MP3_RATES_V2), s_idx)) \
+        .when(sr_ok, F.element_at(arr(_MP3_RATES_V25), s_idx))
+    return (df
+            .withColumn("mp3_version", version)
+            .withColumn("mp3_bitrate_kbps", bitrate.cast("int"))
+            .withColumn("mp3_sample_rate", rate.cast("int")))
+
+
 # --------------------------------------------------------------------------
 # Decode kernels (STUBS — codec libs absent in this container)
 # --------------------------------------------------------------------------

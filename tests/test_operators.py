@@ -284,6 +284,112 @@ def test_with_wav_metadata_header_parse(spark):
     assert got[4]["wav_sample_rate"] is None
 
 
+def test_with_image_dims_gif_webp(spark):
+    """GIF logical-screen LE16 dims; WebP VP8 lossy (sync-coded 14-bit),
+    VP8L lossless (packed minus-one fields), VP8X extended (LE24 minus-one);
+    bad sync / unknown fourcc -> NULLs."""
+    import struct
+
+    from openapc_olap_spark.operators.multimodal import with_image_dims
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\xF7\x00\x00"
+
+    def webp(fourcc, body):
+        chunk = fourcc + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    def vp8(w, h):
+        return webp(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                    + struct.pack("<HH", w, h))
+
+    def vp8l(w, h):
+        bits = (w - 1) | ((h - 1) << 14)
+        return webp(b"VP8L", b"\x2f" + struct.pack("<I", bits))
+
+    def vp8x(w, h):
+        return webp(b"VP8X", b"\x00\x00\x00\x00"
+                    + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3])
+
+    rows = [(1, gif(320, 200)), (2, vp8(640, 360)), (3, vp8l(1, 16384)),
+            (4, vp8x(16384, 9000)), (5, webp(b"ANMF", b"\x00" * 10)),
+            (6, b"RIFF\x00\x00\x00\x00AVI LIST")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["width"], r["height"])
+           for r in with_image_dims(df).collect()}
+    assert got == {1: (320, 200), 2: (640, 360), 3: (1, 16384),
+                   4: (16384, 9000), 5: (None, None), 6: (None, None)}
+
+
+def test_with_flac_metadata_streaminfo(spark):
+    """FLAC STREAMINFO bit-field parse: 20-bit rate, 3-bit channels-1,
+    5-bit bits-1, 36-bit total samples; non-FLAC and non-STREAMINFO-first
+    files -> NULLs."""
+    import struct
+
+    from openapc_olap_spark.operators.multimodal import with_flac_metadata
+
+    def flac(rate, ch, bits, total, first_type=0):
+        packed = (rate << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | total
+        return (b"fLaC" + bytes([0x80 | first_type]) + b"\x00\x00\x22"
+                + b"\x10\x00\x10\x00" + b"\x00" * 6
+                + struct.pack(">Q", packed) + b"\x00" * 16)
+
+    rows = [(1, flac(44100, 2, 16, 441000)),          # 10 s stereo
+            (2, flac(96000, 8, 24, 2 ** 35)),         # max-ish fields
+            (3, flac(8000, 1, 16, 4000, first_type=4)),  # VORBIS_COMMENT first
+            (4, b"fLa" + b"\x00" * 20)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in with_flac_metadata(df).collect()}
+    assert got[1]["flac_sample_rate"] == 44100
+    assert got[1]["flac_channels"] == 2 and got[1]["flac_bits"] == 16
+    assert got[1]["flac_duration_ms"] == 10000
+    assert got[2]["flac_sample_rate"] == 96000
+    assert got[2]["flac_channels"] == 8 and got[2]["flac_bits"] == 24
+    assert got[2]["flac_total_samples"] == 2 ** 35
+    assert got[3]["flac_sample_rate"] is None
+    assert got[4]["flac_sample_rate"] is None
+
+
+def test_with_mp3_metadata_frame_header(spark):
+    """MPEG frame-header parse: MPEG1/MPEG2/MPEG2.5 Layer III tables, ID3v2
+    syncsafe skip (incl. a >127-byte tag exercising the 7-bit packing),
+    free/invalid bitrate -> NULL, reserved version/layer -> NULLs."""
+    from openapc_olap_spark.operators.multimodal import with_mp3_metadata
+
+    def frame(version_bits, br_idx, sr_idx, layer_bits=1):
+        h1 = 0xE0 | (version_bits << 3) | (layer_bits << 1)
+        return bytes([0xFF, h1, (br_idx << 4) | (sr_idx << 2), 0x44]) + b"\x00" * 4
+
+    def id3(taglen, body):
+        ss = bytes([(taglen >> 21) & 0x7F, (taglen >> 14) & 0x7F,
+                    (taglen >> 7) & 0x7F, taglen & 0x7F])
+        return b"ID3\x04\x00\x00" + ss + b"Y" * taglen + body
+
+    rows = [(1, frame(3, 9, 0)),                  # MPEG1 L3 128kbps 44100
+            (2, frame(2, 9, 1)),                  # MPEG2 L3 80kbps 24000
+            (3, frame(0, 1, 2)),                  # MPEG2.5 L3 8kbps 8000
+            (4, id3(200, frame(3, 14, 2))),       # big tag, 320kbps 32000
+            (5, frame(3, 0, 0)),                  # free bitrate -> NULL kbps
+            (6, frame(1, 9, 0)),                  # reserved version
+            (7, frame(3, 9, 0, layer_bits=2)),    # Layer II -> NULLs
+            (8, b"not audio at all")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in with_mp3_metadata(df).collect()}
+    assert got[1]["mp3_version"] == "1"
+    assert (got[1]["mp3_bitrate_kbps"], got[1]["mp3_sample_rate"]) == (128, 44100)
+    assert (got[2]["mp3_bitrate_kbps"], got[2]["mp3_sample_rate"]) == (80, 24000)
+    assert got[2]["mp3_version"] == "2"
+    assert (got[3]["mp3_bitrate_kbps"], got[3]["mp3_sample_rate"]) == (8, 8000)
+    assert got[3]["mp3_version"] == "2.5"
+    assert (got[4]["mp3_bitrate_kbps"], got[4]["mp3_sample_rate"]) == (320, 32000)
+    assert got[5]["mp3_bitrate_kbps"] is None
+    assert got[5]["mp3_sample_rate"] == 44100    # rate valid even if free-bitrate
+    assert got[6]["mp3_version"] is None
+    assert got[7]["mp3_version"] is None
+    assert got[8]["mp3_version"] is None
+
+
 # --------------------------------------------------------------- windows (X6)
 
 def test_tumbling_matches_duckdb(spark):
