@@ -14,6 +14,7 @@ identically on both sides.
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1232,6 +1233,85 @@ _X24_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X25/X26: Structured Streaming under the hash gate (file source,
+# availableNow) — the batch SQL is the oracle, per SURVEY.md §2.9 X6
+# ---------------------------------------------------------------------------
+
+def _stream_dir(sf_dir: str, name: str, copies: int) -> str:
+    """Stage ``events.parquet`` as a streaming source directory (file
+    streams read directories, and the testdata is read-only). ``copies``
+    > 1 plants byte-identical duplicate files so a streaming dedup gate
+    has real duplicates to drop."""
+    import shutil
+    import tempfile
+
+    d = f"{tempfile.gettempdir()}/openapc_gate_tmp/{name}_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    for i in range(copies):
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-{i:03d}.parquet")
+    return d
+
+
+def _x25_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 streaming: the x09 tumbling-daily aggregate driven through the
+    REAL streaming path — readStream file source, watermark, stateful
+    windowed aggregation, availableNow trigger, memory sink — and gated
+    against the BATCH oracle (identical SQL to x09). A single availableNow
+    batch can't drop late data, so streaming output must equal the batch
+    twin bit-for-bit."""
+    from openapc_olap_spark import streaming
+
+    d = _stream_dir(sf_dir, "x25_stream", copies=1)
+    ev = streaming.read_event_stream(spark, d)
+    agg = streaming.windowed_aggregate(ev, duration="1 day",
+                                       group_cols=["event_type"])
+    streaming.run_to_memory(
+        streaming.finalize_windows(agg, ["event_type"]), "x25_stream")
+    return spark.table("x25_stream").orderBy("window_start", "event_type")
+
+
+_X25_SQL = """
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS value_sum
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _x26_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 streaming ingest dedup, made load-bearing: the source directory
+    holds TWO byte-identical copies of the events file (an at-least-once
+    redelivery), ``dropDuplicatesWithinWatermark`` on event_id must drop
+    exactly the second copy, and the per-type totals of what survives are
+    gated against the single-copy batch oracle — double-counts or dropped
+    originals both break the hash."""
+    from openapc_olap_spark import streaming
+
+    d = _stream_dir(sf_dir, "x26_stream", copies=2)
+    ev = streaming.read_event_stream(spark, d)
+    deduped = streaming.deduplicated(ev, keys=["event_id"],
+                                     watermark="30 minutes")
+    streaming.run_to_memory(
+        deduped.select("event_id", "event_type", "value"),
+        "x26_stream", output_mode="append")
+    return (spark.table("x26_stream")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("value_sum"))
+            .orderBy("event_type"))
+
+
+_X26_SQL = """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 4) AS value_sum
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -1257,6 +1337,8 @@ QUERIES = {
     "x22_vocab_top": _x22_vocab_top,
     "x23_wav_metadata": _x23_wav_metadata,
     "x24_audio_headers": _x24_audio_headers,
+    "x25_streaming_tumbling": _x25_streaming_tumbling,
+    "x26_streaming_dedup": _x26_streaming_dedup,
 }
 
 ORACLES = {
@@ -1284,4 +1366,6 @@ ORACLES = {
     "x22_vocab_top": _X22_SQL,
     "x23_wav_metadata": _X23_SQL,
     "x24_audio_headers": _X24_SQL,
+    "x25_streaming_tumbling": _X25_SQL,
+    "x26_streaming_dedup": _X26_SQL,
 }

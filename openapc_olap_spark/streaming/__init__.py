@@ -22,11 +22,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Event-table schema (TESTDATA.md); ts arrives as int64 nanos under
-# spark.sql.legacy.parquet.nanosAsLong (see session._DEFAULT_CONFS).
+# Event-table schema (TESTDATA.md). The parquet stores ts as
+# TIMESTAMP(NANOS); current Spark reads that natively as TIMESTAMP_NTZ
+# (µs precision, truncating) in both batch and streaming readers, so the
+# stream declares NTZ and matches session.load_tables bit-for-bit. (The
+# legacy nanosAsLong long-read path is inert on this Spark; load_tables
+# keeps a dtype-conditional repair for sessions where it still applies.)
 EVENTS_RAW_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
+    T.StructField("ts", T.TimestampNTZType()),
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
@@ -37,7 +41,8 @@ EVENTS_RAW_SCHEMA = T.StructType([
 def read_event_stream(spark: SparkSession, path: str,
                       fmt: str = "parquet",
                       max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-source event stream with the ns->timestamp repair applied.
+    """File-source event stream (explicit schema — streaming sources cannot
+    infer one).
 
     ``maxFilesPerTrigger`` bounds per-microbatch input — the knob that keeps
     a backlogged 100 TB directory from becoming one giant first batch.
@@ -46,7 +51,10 @@ def read_event_stream(spark: SparkSession, path: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # watermarks demand TIMESTAMP (not NTZ); the session timezone is pinned
+    # UTC (session._DEFAULT_CONFS) so the cast is value-preserving and the
+    # windows land identically to the batch twins
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_aggregate(events: DataFrame, duration: str = "1 hour",
