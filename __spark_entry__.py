@@ -202,6 +202,73 @@ def _q15_total_percentage(spark, sf_dir):
     )
 
 
+def _wsgi_get(app, path: str, query: str = "") -> bytes:
+    """Drive a WSGI app in-process (no socket): returns the response body.
+    Status captured via closure; non-200 raises so a gate can't silently
+    pass on an error envelope."""
+    state: dict = {}
+
+    def start_response(status, headers):
+        state["status"] = status
+
+    body = b"".join(app({"PATH_INFO": path, "QUERY_STRING": query},
+                        start_response))
+    if not state.get("status", "").startswith("200"):
+        raise RuntimeError(f"{path} -> {state.get('status')}: {body[:200]!r}")
+    return body
+
+
+def _q16_cell_http(spark, sf_dir):
+    """Q15 `/cube/<c>/cell` through the REAL HTTP surface (server.SlicerApp
+    WSGI, reference HOWTO.md:69-71): the JSON summary envelope for a cut
+    cell, re-framed for the gate. The single-row createDataFrame is the
+    response envelope, not data movement; rounding happens in Spark so both
+    engines share one rounding rule."""
+    import json
+
+    from openapc_olap_spark.server import SlicerApp
+
+    eng = prepare(spark, sf_dir)
+    body = _wsgi_get(SlicerApp(eng), "/cube/lineitem/cell",
+                     "cut=l_returnflag:A|l_linestatus:F")
+    doc = json.loads(body)
+    assert doc["cube"] == "lineitem" and doc["cell"], doc
+    df = spark.createDataFrame(
+        [doc["summary"]],
+        "price_amount_sum double, price_num_items long, "
+        "price_amount_avg double, price_amount_stddev double, "
+        "qty_sum double, parts_distinct long")
+    return df.select(
+        F.round("price_amount_sum", 2).alias("price_amount_sum"),
+        "price_num_items",
+        F.round("price_amount_avg", 4).alias("price_amount_avg"),
+        F.round("price_amount_stddev", 4).alias("price_amount_stddev"),
+        F.round("qty_sum", 2).alias("qty_sum"),
+        "parts_distinct")
+
+
+def _q17_model_http(spark, sf_dir):
+    """S8 `/cube/<c>/model` through the HTTP surface, for the REAL OpenAPC
+    catalog (catalog.build_openapc_registry —
+    assets_generator.py:616-642 / MODEL_FIRST_PART): the apc cube's
+    aggregate declarations flattened to rows. The oracle is the literal
+    reference model — a parity pin, not a recomputation."""
+    import json
+
+    from openapc_olap_spark.catalog import build_openapc_registry
+    from openapc_olap_spark.query import QueryEngine
+    from openapc_olap_spark.server import SlicerApp
+
+    app = SlicerApp(QueryEngine(spark, build_openapc_registry()))
+    doc = json.loads(_wsgi_get(app, "/cube/openapc/model"))
+    rows = [(a["name"], a["measure"], a["function"], a["label"],
+             len(doc["dimensions"])) for a in doc["aggregates"]]
+    df = spark.createDataFrame(
+        rows, "agg_name string, measure string, fn string, label string, "
+              "n_dimensions int")
+    return df.orderBy("agg_name")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_facts_page": _q01_facts_page,
     "q02_cut_point": _q02_cut_point,
@@ -218,6 +285,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_fact_by_id": _q13_fact_by_id,
     "q14_members": _q14_members,
     "q15_total_percentage": _q15_total_percentage,
+    "q16_cell_http": _q16_cell_http,
+    "q17_model_http": _q17_model_http,
 }
 
 ORACLES: dict[str, str] = {
@@ -308,6 +377,26 @@ ORACLES: dict[str, str] = {
                round(sum(l_extendedprice) * 100.0 /
                      sum(sum(l_extendedprice)) OVER (), 6) AS total_percentage
         FROM lineitem GROUP BY 1
+    """,
+    "q16_cell_http": """
+        SELECT round(sum(l_extendedprice), 2) AS price_amount_sum,
+               count(*) AS price_num_items,
+               round(avg(l_extendedprice), 4) AS price_amount_avg,
+               round(stddev_samp(l_extendedprice), 4) AS price_amount_stddev,
+               round(sum(l_quantity), 2) AS qty_sum,
+               count(DISTINCT l_partkey) AS parts_distinct
+        FROM lineitem WHERE l_returnflag = 'A' AND l_linestatus = 'F'
+    """,
+    # parity pin: the literal reference model (MODEL_FIRST_PART:15-40) the
+    # /cube/openapc/model endpoint must emit
+    "q17_model_http": """
+        SELECT * FROM (VALUES
+          ('apc_amount_avg',    'euro', 'avg',    'Mean Value',          9),
+          ('apc_amount_stddev', 'euro', 'stddev', 'Standard Deviation',  9),
+          ('apc_amount_sum',    'euro', 'sum',    'Sum',                 9),
+          ('apc_num_items',     'euro', 'count',  'Number of Articles',  9)
+        ) AS t(agg_name, measure, fn, label, n_dimensions)
+        ORDER BY agg_name
     """,
 }
 

@@ -15,6 +15,8 @@ DECIMAL ≡ DuckDB ``round_even`` on DECIMAL).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -854,6 +856,129 @@ _E17_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# e18: S5 partitioned store + institutional where-cube serving path, with
+# dynamic partition pruning doing the per-institution access
+# ---------------------------------------------------------------------------
+
+def _e18_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core serving pattern (assets_generator.py:678-702):
+    per-institution cubes are ``where institution = ...`` slices over ONE
+    ``partitionBy('institution')`` Parquet store (SURVEY.md §4). The gate
+    writes a cube derived from customer, registers a sliced institutional
+    cube through the real catalog/query machinery, and drilldowns one
+    institution — the slice predicate lands as a PartitionFilter (asserted
+    in tests/test_plans.py on this exact shape), so the scan touches 1 of
+    25 partition directories, the same access pattern that serves one
+    institution out of 100 TB."""
+    import tempfile
+
+    from openapc_olap_spark.model import Aggregate, Cube, CubeRegistry
+    from openapc_olap_spark.query import QueryEngine, QuerySpec
+
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    facts = cust.select(
+        F.concat(F.lit("inst-"), F.col("c_nationkey")).alias("institution"),
+        (F.col("c_custkey") % 10 + 2015).cast("string").alias("period"),
+        F.col("c_acctbal").cast("double").alias("euro"))
+    base = (f"{tempfile.gettempdir()}/openapc_gate_tmp/"
+            f"e18_cube_{os.path.basename(sf_dir.rstrip('/'))}")
+    facts.write.mode("overwrite").partitionBy("institution").parquet(base)
+    spark.read.parquet(base).createOrReplaceTempView("e18_openapc")
+    reg = CubeRegistry()
+    reg.register(Cube(
+        name="inst5_apc", table="e18_openapc",
+        dimensions=("institution", "period"), measures=("euro",),
+        aggregates=(Aggregate("euro_sum", "euro", "sum"),
+                    Aggregate("n_items", "euro", "count"),
+                    Aggregate("euro_avg", "euro", "avg")),
+        where="institution = 'inst-5'"))
+    df = QueryEngine(spark, reg).cells(
+        QuerySpec.from_params("inst5_apc", drilldown="period"))
+    return (df.select("period",
+                      F.round("euro_sum", 2).alias("euro_sum"),
+                      "n_items",
+                      F.round("euro_avg", 4).alias("euro_avg"))
+            .orderBy("period"))
+
+
+_E18_SQL = """
+    SELECT (c_custkey % 10 + 2015)::VARCHAR AS period,
+           round(sum(c_acctbal), 2) AS euro_sum,
+           count(*) AS n_items,
+           round(avg(c_acctbal), 4) AS euro_avg
+    FROM customer WHERE c_nationkey = 5
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# e19: S6 manifest sink round-trip -> catalog institutional-cube construction
+# ---------------------------------------------------------------------------
+
+def _e19_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 + catalog (assets_generator.py:39,678-702): manifest rows derived
+    from nation are written through the pipeline's sink shape (single-file
+    CSV with header, the institutional_cubes.csv contract), read back via
+    ``catalog.load_manifest``, and ``build_openapc_registry`` registers one
+    where-sliced institutional cube per row. The gate emits each cube's
+    binding — physical table, slice predicate, dimension/aggregate arity —
+    so a drift in the catalog templates or the CSV round-trip breaks the
+    hash. Driver-side assembly is manifest-bounded (~10^3 rows at full
+    scale), the same inherently-driver-side shape as the reference's
+    generate_yamls."""
+    import tempfile
+
+    from openapc_olap_spark.catalog import build_openapc_registry, load_manifest
+
+    nation = load_tables(spark, sf_dir, ["nation"])["nation"]
+    types = F.array(*[F.lit(t) for t in ("apc", "apc_ac", "bpc", "ta", "deal")])
+    ctype = F.element_at(types, (F.col("n_nationkey") % 5 + 1).cast("int"))
+    manifest = nation.select(
+        F.col("n_name").alias("institution"),
+        F.concat(F.lit("c"), F.col("n_nationkey").cast("string"),
+                 F.lit("_"), ctype).alias("cube_name"),
+        F.concat(F.lit("Institution "), F.col("n_name")).alias("full_name"),
+        ctype.alias("cube_type"),
+        (F.col("n_nationkey") % 3).alias("priority"))
+    base = (f"{tempfile.gettempdir()}/openapc_gate_tmp/"
+            f"e19_manifest_{os.path.basename(sf_dir.rstrip('/'))}")
+    (manifest.coalesce(1).write.mode("overwrite")
+     .option("header", True).csv(f"{base}/institutional_cubes"))
+    rows = load_manifest(spark, base)
+    reg = build_openapc_registry(rows)
+    static = {"openapc", "openapc_ac", "bpc", "transformative_agreements",
+              "deal", "combined", "doi_lookup", "springer_compact_coverage"}
+    data = [(c.name, c.table, c.where, len(c.dimensions), len(c.aggregates),
+             c.label)
+            for c in (reg.get(n) for n in reg.names() if n not in static)]
+    df = spark.createDataFrame(
+        data, "cube_name string, table_name string, where_clause string, "
+              "n_dims int, n_aggs int, label string")
+    return df.orderBy("cube_name")
+
+
+_E19_SQL = """
+    WITH m AS (
+      SELECT n_name AS institution, n_nationkey,
+             ['apc','apc_ac','bpc','ta','deal'][(n_nationkey % 5 + 1)::INT]
+               AS cube_type
+      FROM nation)
+    SELECT 'c' || n_nationkey || '_' || cube_type AS cube_name,
+           CASE cube_type WHEN 'apc' THEN 'openapc'
+                WHEN 'apc_ac' THEN 'openapc_ac' WHEN 'bpc' THEN 'bpc'
+                WHEN 'ta' THEN 'transformative_agreements'
+                ELSE 'deal' END AS table_name,
+           'institution = ''' || institution || '''' AS where_clause,
+           CASE cube_type WHEN 'apc' THEN 9 WHEN 'apc_ac' THEN 12
+                WHEN 'bpc' THEN 8 WHEN 'ta' THEN 9 ELSE 9 END AS n_dims,
+           CASE cube_type WHEN 'apc' THEN 4 WHEN 'apc_ac' THEN 5
+                WHEN 'bpc' THEN 4 WHEN 'ta' THEN 1 ELSE 4 END AS n_aggs,
+           'Institution ' || institution AS label
+    FROM m ORDER BY 1
+"""
+
+
 QUERIES = {
     "e01_enrich_ror": _e01_enrich_ror,
     "e02_publication_key": _e02_publication_key,
@@ -872,6 +997,8 @@ QUERIES = {
     "e15_hybrid_catalog": _e15_hybrid_catalog,
     "e16_springer_coverage": _e16_springer_coverage,
     "e17_cache_upsert": _e17_cache_upsert,
+    "e18_partition_prune": _e18_partition_prune,
+    "e19_manifest_roundtrip": _e19_manifest_roundtrip,
 }
 
 ORACLES = {
@@ -892,4 +1019,6 @@ ORACLES = {
     "e15_hybrid_catalog": _E15_SQL,
     "e16_springer_coverage": _E16_SQL,
     "e17_cache_upsert": _E17_SQL,
+    "e18_partition_prune": _E18_SQL,
+    "e19_manifest_roundtrip": _E19_SQL,
 }

@@ -126,6 +126,17 @@ def test_institutional_slice_filter_is_in_scan(spark, tmp_path):
     assert "institution#" in plans.partition_filters(df)
 
 
+def test_e18_institution_drilldown_partition_pruned(spark, sf_dir):
+    """The e18 gate's exact shape end-to-end: partitionBy store -> catalog
+    where-cube -> drilldown; the institution slice must be a PartitionFilter
+    (1 of 25 directories scanned) and the aggregate map-side combined."""
+    from openapc_olap_spark.etl_queries import _e18_partition_prune
+    df = _e18_partition_prune(spark, sf_dir)
+    pf = plans.partition_filters(df)
+    assert "institution#" in pf and "inst-5" in pf
+    assert plans.has_partial_aggregate(df)
+
+
 def test_pii_redaction_is_single_scan_no_shuffle(spark, sf_dir):
     """x20 posture: redaction + counts are pure expressions — a petabyte
     hygiene pass is ONE scan with zero exchanges."""
