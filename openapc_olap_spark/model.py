@@ -32,9 +32,23 @@ AGGREGATE_FUNCTIONS = {
     "stddev": lambda m: F.stddev(F.col(m)),  # sample stddev = PostgreSQL stddev
     "min": lambda m: F.min(F.col(m)),
     "max": lambda m: F.max(F.col(m)),
+    # MERGE SEMANTICS: count_distinct is exact and computed by full
+    # re-aggregation — every query re-scans the cube's fact rows, so
+    # incremental loads (the e17 upsert flow) need no distinct-state merge;
+    # correctness under upserts follows from the facts being correct. What
+    # does NOT merge is a per-batch countDistinct RESULT: distinct counts
+    # of two batches cannot be added (shared values double-count). Pipelines
+    # that want pre-aggregated distinct state across batches must carry a
+    # mergeable sketch instead: hll_sketch (build per batch) + hll_merge
+    # (union sketches, estimate) below — tested against the full-recompute
+    # oracle in tests/test_query_layer.py.
     "count_distinct": lambda m: F.countDistinct(F.col(m)),
     # opt-in scale path for count_distinct at 100 TB (documented divergence)
     "approx_count_distinct": lambda m: F.approx_count_distinct(F.col(m)),
+    # mergeable distinct-count state for incremental/rollup flows: a binary
+    # HLL sketch column that unions associatively across batches
+    "hll_sketch": lambda m: F.hll_sketch_agg(F.col(m)),
+    "hll_merge": lambda m: F.hll_sketch_estimate(F.hll_union_agg(F.col(m))),
 }
 
 

@@ -177,3 +177,42 @@ def test_count_distinct_exact_and_approx(engine, spark):
     assert rows["Y"]["n_exact"] == 1          # NULL not counted
     assert rows["X"]["n_approx"] == 2
     assert rows["Y"]["n_approx"] == 1
+
+
+def test_count_distinct_incremental_merge(spark, sf_dir):
+    """Merge semantics for incremental loads (model.py AGGREGATE_FUNCTIONS):
+
+    1. re-aggregation — count_distinct over the UNION of two upsert batches
+       equals the full recompute exactly (the declared semantics: queries
+       re-scan facts, so distinct state never needs merging);
+    2. per-batch RESULTS do not add (shared keys double-count) — the trap
+       the docs call out;
+    3. the mergeable path — per-batch hll_sketch state, hll_merge across
+       batches — matches the exact full recompute on this cardinality
+       (HLL sparse mode is exact for small sets) and stays associative.
+    """
+    from openapc_olap_spark.session import load_tables
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    key = (F.col("doc_id") % 97).alias("k")          # overlapping key space
+    inst = (F.col("doc_id") % 3).alias("institution")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0).select(inst, key)
+    b2 = docs.filter(F.col("doc_id") % 3 != 1).select(inst, key)
+
+    exact_union = (b1.unionAll(b2).groupBy("institution")
+                   .agg(F.countDistinct("k").alias("n")))
+    want = {r["institution"]: r["n"] for r in exact_union.collect()}
+
+    per_batch = [
+        {r["institution"]: r["n"] for r in
+         b.groupBy("institution").agg(F.countDistinct("k").alias("n"))
+         .collect()} for b in (b1, b2)]
+    assert any(per_batch[0][i] + per_batch[1][i] != want[i] for i in want), \
+        "fixture must exhibit the double-count trap"
+
+    sketches = [b.groupBy("institution")
+                 .agg(F.hll_sketch_agg("k").alias("sk")) for b in (b1, b2)]
+    merged = (sketches[0].unionAll(sketches[1])
+              .groupBy("institution")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n")))
+    got = {r["institution"]: r["n"] for r in merged.collect()}
+    assert got == want
