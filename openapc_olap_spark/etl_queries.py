@@ -979,6 +979,61 @@ _E19_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# e20: S2 JSON cache scan — nested coverage_stats.json -> journal-year rows
+# ---------------------------------------------------------------------------
+
+def _e20_json_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (assets_generator.py:495-509 / coverage_stats.json shape): the
+    whole-file nested JSON cache {journal: {title, years: {year: stats}}}
+    flattened to one row per journal-year by ``load_coverage_stats``. The
+    fixture doc is generated arithmetically (journal j carries j%3+1
+    years), so the oracle rebuilds the same rows from generate_series and
+    any drift in row multiplicity, numeric coercion, or column naming
+    breaks the hash. Driver-side by design: the reference's caches are
+    whole-file JSON bounded by the Springer journal universe (~10^4)."""
+    import json as _json
+    import tempfile
+
+    from openapc_olap_spark.etl.coverage import load_coverage_stats
+
+    doc = {
+        f"J{j}": {
+            "title": f"Journal {j}",
+            "years": {
+                str(2015 + y): {
+                    "num_journal_total_articles": float(10 + (j * 7 + y * 3) % 50),
+                    "num_journal_oa_articles": float((j * 5 + y) % 10),
+                } for y in range(j % 3 + 1)
+            },
+        } for j in range(120)
+    }
+    base = f"{tempfile.gettempdir()}/openapc_gate_tmp"
+    os.makedirs(base, exist_ok=True)
+    path = f"{base}/e20_coverage_stats.json"
+    with open(path, "w", encoding="utf-8") as f:
+        _json.dump(doc, f)
+    df = load_coverage_stats(spark, path)
+    return (df.groupBy("period")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.round(F.sum("num_journal_total_articles"), 1)
+                  .alias("total_articles"),
+                 F.round(F.sum("num_journal_oa_articles"), 1)
+                  .alias("oa_articles"))
+            .orderBy("period"))
+
+
+_E20_SQL = """
+    WITH j AS (SELECT unnest(generate_series(0, 119)) AS j),
+    y AS (SELECT j, unnest(generate_series(0, j % 3)) AS y FROM j)
+    SELECT (2015 + y)::VARCHAR AS period,
+           count(*) AS n_cells,
+           round(sum((10 + (j * 7 + y * 3) % 50)::DOUBLE), 1) AS total_articles,
+           round(sum(((j * 5 + y) % 10)::DOUBLE), 1) AS oa_articles
+    FROM y GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "e01_enrich_ror": _e01_enrich_ror,
     "e02_publication_key": _e02_publication_key,
@@ -999,6 +1054,7 @@ QUERIES = {
     "e17_cache_upsert": _e17_cache_upsert,
     "e18_partition_prune": _e18_partition_prune,
     "e19_manifest_roundtrip": _e19_manifest_roundtrip,
+    "e20_json_cache": _e20_json_cache,
 }
 
 ORACLES = {
@@ -1021,4 +1077,5 @@ ORACLES = {
     "e17_cache_upsert": _E17_SQL,
     "e18_partition_prune": _E18_SQL,
     "e19_manifest_roundtrip": _E19_SQL,
+    "e20_json_cache": _E20_SQL,
 }

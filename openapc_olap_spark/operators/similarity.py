@@ -126,12 +126,15 @@ def lsh_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
-def write_ann_index(df: DataFrame, path: str, nbits: int = 8,
-                    vec_col: str = "embedding", dim: int | None = None,
-                    seed: int = 42) -> None:
+def write_ann_index(df: DataFrame, path: str, dim: int, nbits: int = 8,
+                    vec_col: str = "embedding", seed: int = 42) -> None:
     """Materialize the SRP-LSH index: the table written partitioned by
     ``bucket``, so probes become partition-pruned scans (storage-level
-    pruning, not just a filter) — the 100 TB serving shape."""
+    pruning, not just a filter) — the 100 TB serving shape.
+
+    ``dim`` (embedding length) is REQUIRED here: this is a pipeline entry
+    point, and inferring it would cost a hidden driver-side first-row job
+    before the write."""
     lsh_bucketize(df, nbits, vec_col, dim, seed) \
         .write.mode("overwrite").partitionBy("bucket").parquet(path)
 

@@ -516,8 +516,8 @@ def test_ann_index_partition_pruned_probe(spark, emb, tmp_path):
     """Written ANN index: probe is a partition-pruned scan (bucket predicate
     in PartitionFilters, not a post-scan filter) with correct top-k."""
     path = str(tmp_path / "ann")
-    similarity.write_ann_index(emb, path, nbits=4)
     q = [float(x) for x in emb.first()["embedding"]]
+    similarity.write_ann_index(emb, path, dim=len(q), nbits=4)
     got = similarity.ann_index_top_k(spark, path, q, k=5, nbits=4,
                                      max_hamming=1)
     plan = got._jdf.queryExecution().executedPlan().toString()
