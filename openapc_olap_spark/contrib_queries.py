@@ -1312,6 +1312,56 @@ _X26_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X27: winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+def _x27_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text.with_winnow_fingerprints`` (MOSS winnowing, k=8 window=4):
+    per-doc fingerprint count and extrema. The oracle rebuilds the full
+    scheme — every k-gram's portable md5-60bit hash, every window minimum,
+    the distinct — in SQL, so hash choice, window arithmetic, and the
+    short-doc fallbacks are all under the value hash. Text capped at 1200
+    chars to bound gate cost; production winnows full text."""
+    docs = (load_tables(spark, sf_dir, ["documents"])["documents"]
+            .filter(F.col("doc_id") < 400)
+            .select("doc_id", F.substring("text", 1, 1200).alias("text")))
+    out = text.with_winnow_fingerprints(docs, k=8, window=4)
+    fp = F.col("fingerprints")
+    return (out.select(
+        "doc_id",
+        F.size(fp).alias("n_fingerprints"),
+        F.coalesce(F.array_min(fp), F.lit(-1)).alias("fp_min"),
+        F.coalesce(F.array_max(fp), F.lit(-1)).alias("fp_max"))
+        .orderBy("doc_id"))
+
+
+_X27_SQL = """
+    WITH d AS (
+      SELECT doc_id, lower(substr(text, 1, 1200)) AS t
+      FROM documents WHERE doc_id < 400),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(t) - 7, 0)),
+               i -> ('0x' || substr(md5(substr(t, i::INT, 8)), 1, 15))::BIGINT)
+               AS kgh
+      FROM d),
+    m AS (
+      SELECT doc_id, CASE
+          WHEN len(kgh) - 3 >= 1 THEN
+            list_transform(generate_series(1, len(kgh) - 3),
+              j -> list_min(list_slice(kgh, j::INT, (j + 3)::INT)))
+          WHEN len(kgh) > 0 THEN [list_min(kgh)]
+          ELSE []::BIGINT[] END AS mins
+      FROM g),
+    f AS (SELECT doc_id, list_distinct(mins) AS fp FROM m)
+    SELECT doc_id, len(fp) AS n_fingerprints,
+           coalesce(list_min(fp), -1) AS fp_min,
+           coalesce(list_max(fp), -1) AS fp_max
+    FROM f ORDER BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -1339,6 +1389,7 @@ QUERIES = {
     "x24_audio_headers": _x24_audio_headers,
     "x25_streaming_tumbling": _x25_streaming_tumbling,
     "x26_streaming_dedup": _x26_streaming_dedup,
+    "x27_winnow_fingerprints": _x27_winnow_fingerprints,
 }
 
 ORACLES = {
@@ -1368,4 +1419,5 @@ ORACLES = {
     "x24_audio_headers": _X24_SQL,
     "x25_streaming_tumbling": _X25_SQL,
     "x26_streaming_dedup": _X26_SQL,
+    "x27_winnow_fingerprints": _X27_SQL,
 }

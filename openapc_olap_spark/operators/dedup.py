@@ -317,6 +317,46 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 # --------------------------------------------------------------------------
+# X2e: winnowing near-dup (rolling-hash fingerprints -> inverted index)
+# --------------------------------------------------------------------------
+
+def winnow_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 8,
+                           window: int = 4, min_shared: int = 2,
+                           doc_freq_cap: int | None = None) -> DataFrame:
+    """Partial-overlap near-dup candidates via winnowing fingerprints
+    (text.with_winnow_fingerprints): docs sharing >= ``min_shared``
+    fingerprints. Catches copied PASSAGES (any shared substring of length
+    >= k + window - 1 guarantees a shared fingerprint) that whole-document
+    schemes miss.
+
+    Same scale shape as the n-gram inverted index: explode fingerprints,
+    self-join on the fingerprint key (shuffle bounded by posting-list
+    sizes), count shared per pair. ``doc_freq_cap`` anti-joins the
+    boilerplate head (fingerprints present in more than cap docs — licence
+    blocks, navigation chrome) before the quadratic fan-out, exactly like
+    the x14 df-cap. Output: (id_a, id_b, n_shared).
+    """
+    from openapc_olap_spark.operators import text as _text
+
+    fps = (_text.with_winnow_fingerprints(df, text_col, k, window)
+           .select(F.col(id_col).alias("id"),
+                   F.explode("fingerprints").alias("fp")))
+    if doc_freq_cap is not None:
+        hot = (fps.groupBy("fp")
+               .agg(F.count(F.lit(1)).alias("__df"))
+               .filter(F.col("__df") > doc_freq_cap)
+               .select("fp"))
+        fps = fps.join(hot, "fp", "left_anti")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
+# --------------------------------------------------------------------------
 # X2c: SimHash
 # --------------------------------------------------------------------------
 

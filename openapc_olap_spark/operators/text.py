@@ -139,6 +139,57 @@ def shingles(col="text", n: int = 3) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+def kgram_hashes(col="text", k: int = 8) -> Column:
+    """Rolling character k-gram hashes of the lowercased text:
+    ``array<long>`` with one 60-bit hash per position (len-k+1 grams).
+
+    Portable hash (md5 hex prefix -> long, the ``token_hashes`` md5
+    family), so a DuckDB twin reproduces every value bit-for-bit. Pure
+    higher-order expressions — the rolling window never leaves the JVM.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    n = F.length(c) - k + 1
+    gram = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.encode(F.substring(c, i, k), "utf-8")), 1, 15),
+        16, 10).cast("long")
+    return (F.when(n >= 1, F.transform(F.sequence(F.lit(1), n), gram))
+            .otherwise(F.array().cast("array<long>")))
+
+
+def with_winnow_fingerprints(df: DataFrame, col: str = "text", k: int = 8,
+                             window: int = 4,
+                             out: str = "fingerprints") -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
+    2003): hash every character k-gram, slide a ``window`` over the hash
+    sequence, keep each window's minimum, distinct the survivors. Guarantees
+    any shared substring of length >= k + window - 1 yields at least one
+    shared fingerprint — the rolling-hash near-dup primitive that catches
+    partial overlap exact dedup misses.
+
+    The k-gram array is materialized once per row (multi-reference alias
+    blocks projection collapse); window minima are O(window) slice-mins per
+    position — fine for the small constant windows the scheme uses. Docs
+    shorter than a full window contribute their single global minimum,
+    empty/short-of-k docs an empty set. No shuffle, no Python boundary;
+    downstream near-dup joins explode fingerprints into an inverted index
+    exactly like the n-gram Jaccard path.
+    """
+    df = df.withColumn("__kgh", kgram_hashes(col, k))
+    hs = F.col("__kgh")
+    m = F.size(hs) - window + 1
+    mins = (F.when(m >= 1,
+                   F.transform(F.sequence(F.lit(1), m),
+                               lambda j: F.array_min(F.slice(hs, j, window))))
+            .when(F.size(hs) > 0, F.array(F.array_min(hs)))
+            .otherwise(F.array().cast("array<long>")))
+    return (df.withColumn(out, F.array_sort(F.array_distinct(mins)))
+            .drop("__kgh"))
+
+
+# ---------------------------------------------------------------------------
 # PII redaction (training-data hygiene pre-filter)
 # ---------------------------------------------------------------------------
 

@@ -108,6 +108,63 @@ def test_analyze_runs_on_driver_documents(spark):
 
 # --------------------------------------------------------------- dedup (X1/X2)
 
+def test_winnow_fingerprints_match_python(spark):
+    """Winnowing fingerprints match a straightforward Python reference
+    (hash every k-gram, window minima, distinct), including the short-doc
+    and empty-doc edge cases; and the scheme's guarantee holds: docs
+    sharing a substring of length >= k + window - 1 share a fingerprint."""
+    import hashlib
+
+    from openapc_olap_spark.operators.text import with_winnow_fingerprints
+
+    k, w = 8, 4
+
+    def ref(text):
+        t = text.lower()
+        grams = [int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:15], 16)
+                 for i in range(len(t) - k + 1)]
+        if not grams:
+            return []
+        if len(grams) < w:
+            return [min(grams)]
+        return sorted({min(grams[j:j + w]) for j in range(len(grams) - w + 1)})
+
+    shared = "a very distinctive shared passage of text"
+    rows = [(1, "The quick brown fox jumps over the lazy dog. " + shared),
+            (2, shared + " surrounded by totally different material here"),
+            (3, "completely unrelated content with no overlap whatsoever"),
+            (4, "tiny"),          # shorter than k -> no grams
+            (5, "ninechars"),     # exactly k -> one gram, short of window
+            (6, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: list(r["fingerprints"]) for r in
+           with_winnow_fingerprints(df, k=k, window=w).collect()}
+    for did, text in rows:
+        assert got[did] == ref(text), f"doc {did}"
+    assert set(got[1]) & set(got[2])          # shared substring detected
+    assert not (set(got[1]) & set(got[3]))
+
+
+def test_winnow_candidate_pairs_finds_copied_passage(spark):
+    """Two docs sharing one long passage (and nothing else) pair up; an
+    unrelated doc pairs with neither; the df-cap drops a boilerplate
+    footer present in every doc."""
+    from openapc_olap_spark.operators.dedup import winnow_candidate_pairs
+
+    passage = ("this exact paragraph was copied verbatim between the two "
+               "documents and is long enough to winnow")
+    footer = " all rights reserved standard footer text"
+    rows = [(1, "first document unique preamble. " + passage + footer),
+            (2, passage + " second document entirely different tail." + footer),
+            (3, "nothing in common with the others at all, none." + footer)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             winnow_candidate_pairs(df, min_shared=2,
+                                    doc_freq_cap=2).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 def test_exact_dedup(spark, docs):
     kept = dedup.exact_dedup(docs).select("doc_id").rdd.map(lambda r: r[0]).collect()
     assert sorted(kept) == [1, 3, 4, 5]   # 2 collapses into 1 (min id kept)
