@@ -414,7 +414,7 @@ _CERT_FIRST = [
     "x19_image_dims", "x20_pii_redaction", "x21_repetition_deciles",
     "x22_vocab_top", "x23_wav_metadata", "x24_audio_headers",
     "x25_streaming_tumbling", "x26_streaming_dedup",
-    "x27_winnow_fingerprints",
+    "x27_winnow_fingerprints", "x28_curation_funnel",
     "e18_partition_prune", "e19_manifest_roundtrip", "e20_json_cache",
     "q16_cell_http", "q17_model_http",
 ]
@@ -424,7 +424,7 @@ _CERT_TAIL = [
     "q09_order_topk", "q10_pagination_cells", "q12_point_lookup",
     "q13_fact_by_id", "q14_members", "x01_dedup_summary",
     "x09_tumbling_daily", "x10_sliding_windows", "x12_props_json",
-    "x15_media_metadata",
+    "x15_media_metadata", "q02_cut_point",
 ]
 
 

@@ -1362,6 +1362,84 @@ _X27_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X28: end-to-end curation funnel (quality -> dedup -> redaction -> tokens)
+# ---------------------------------------------------------------------------
+
+def _x28_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``curation.curation_funnel``: the composed training-data prep flow
+    in one window+aggregate pass. PII is injected into a fifth of the docs
+    so the redaction stage is load-bearing; the oracle recomputes the FULL
+    funnel — the x16 quality composite, the x01 fingerprint window dedup
+    (among passing docs, via (passes DESC, id) ranking), the x20 redaction
+    patterns, and post-redaction token counts — so every stage's arithmetic
+    and the stage wiring are all under one value hash."""
+    from openapc_olap_spark.operators import curation
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    k = F.col("doc_id")
+    aug = docs.select(
+        k.alias("doc_id"),
+        F.when(k % 5 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" Contact user"), k.cast("string"),
+                        F.lit("@example.com via https://ex.org/u/"),
+                        k.cast("string"), F.lit(" or 555-123-4567.")))
+         .otherwise(F.col("text")).alias("text"))
+    return curation.curation_funnel(aug, min_quality=0.35)
+
+
+_X28_SQL = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               text || ' Contact user' || doc_id || '@example.com via ' ||
+               'https://ex.org/u/' || doc_id || ' or 555-123-4567.'
+             ELSE text END AS text
+      FROM documents),
+    t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM d),
+    m AS (
+      SELECT doc_id, text,
+             least(length(text)::DOUBLE / 1000.0, 1.0) AS len_c,
+             least({_sql_stopword_ratio('en')} / 0.3, 1.0) AS stop_c,
+             CASE WHEN length(text) > 0 THEN
+               length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g'))::DOUBLE
+                 / length(text)
+             ELSE 0.0 END AS p
+      FROM t),
+    q AS (
+      SELECT doc_id, text,
+             (0.4 * len_c + 0.4 * stop_c
+              + 0.2 * (1.0 - least(p / 0.2, 1.0))) >= 0.35 AS qp
+      FROM m),
+    s AS (
+      SELECT doc_id, qp,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             len(regexp_extract_all(text, '{_PII_EMAIL}'))
+               + len(regexp_extract_all(text, '{_PII_URL}'))
+               + len(regexp_extract_all(text, '{_PII_PHONE}')) AS pii,
+             len(list_filter(string_split_regex(lower(
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                     '{_PII_URL}', '[url]', 'g'),
+                     '{_PII_EMAIL}', '[email]', 'g'),
+                     '{_PII_PHONE}', '[phone]', 'g')), '\\s+'),
+               x -> x <> '')) AS toks
+      FROM q),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY fp
+                                   ORDER BY qp DESC, doc_id) AS rn
+      FROM s)
+    SELECT count(*) AS n_input,
+           sum(qp::INT)::BIGINT AS n_quality,
+           sum((qp AND rn = 1)::INT)::BIGINT AS n_unique,
+           sum(CASE WHEN qp AND rn = 1 THEN pii ELSE 0 END)::BIGINT
+             AS n_pii_matches,
+           sum(CASE WHEN qp AND rn = 1 THEN toks ELSE 0 END)::BIGINT
+             AS total_tokens
+    FROM ranked
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -1390,6 +1468,7 @@ QUERIES = {
     "x25_streaming_tumbling": _x25_streaming_tumbling,
     "x26_streaming_dedup": _x26_streaming_dedup,
     "x27_winnow_fingerprints": _x27_winnow_fingerprints,
+    "x28_curation_funnel": _x28_curation_funnel,
 }
 
 ORACLES = {
@@ -1420,4 +1499,5 @@ ORACLES = {
     "x25_streaming_tumbling": _X25_SQL,
     "x26_streaming_dedup": _X26_SQL,
     "x27_winnow_fingerprints": _X27_SQL,
+    "x28_curation_funnel": _X28_SQL,
 }

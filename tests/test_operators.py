@@ -165,6 +165,43 @@ def test_winnow_candidate_pairs_finds_copied_passage(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_curate_matches_funnel(spark):
+    """curate() (production path) and curation_funnel() (single-pass
+    monitoring view) agree: kept-doc count, PII totals, token totals; the
+    curated output has unique fingerprints, passes the quality bar, and
+    carries no unredacted PII."""
+    import re
+
+    from openapc_olap_spark.operators import curation
+    from openapc_olap_spark.operators.text import PII_PATTERNS, fingerprint
+
+    base = ("the quick brown fox jumps over the lazy dog and then the dog "
+            "chases the fox around the yard for a while ") * 3
+    rows = [(1, base + "unique tail one contact a@b.com"),
+            (2, base + "unique tail one contact a@b.com"),   # exact dup of 1
+            (3, base + "another document with https://x.org/p linked"),
+            (4, "low"),                                       # fails quality
+            (5, base + "phone 555-123-4567 here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cur = curation.curate(df, min_quality=0.35)
+    got = {r["doc_id"]: r for r in cur.collect()}
+    assert set(got) == {1, 3, 5}                  # 2 deduped, 4 filtered
+    for r in got.values():
+        assert r["quality"] >= 0.35
+        for pat in PII_PATTERNS.values():
+            assert not re.search(pat, r["text"])
+    fps = cur.select(fingerprint("text")).collect()
+    assert len({x[0] for x in fps}) == len(fps)
+
+    funnel = curation.curation_funnel(df, min_quality=0.35).first()
+    assert funnel["n_input"] == 5
+    assert funnel["n_quality"] == 4
+    assert funnel["n_unique"] == 3
+    assert funnel["n_pii_matches"] == sum(r["n_pii_matches"]
+                                          for r in got.values())
+    assert funnel["total_tokens"] == sum(r["n_tokens"] for r in got.values())
+
+
 def test_exact_dedup(spark, docs):
     kept = dedup.exact_dedup(docs).select("doc_id").rdd.map(lambda r: r[0]).collect()
     assert sorted(kept) == [1, 3, 4, 5]   # 2 collapses into 1 (min id kept)
