@@ -159,6 +159,12 @@ def generate_yamls(manifest: DataFrame, institutions: DataFrame,
     of rows); the collect here is the same scale as the reference's CSV
     read, not a fact-side action.
     """
+    _YAML_ROW_GUARD = 100_000          # manifests are ~10^3 at full scale;
+    n = institutions.limit(_YAML_ROW_GUARD + 1).count()
+    if n > _YAML_ROW_GUARD:            # a fact frame passed by mistake would
+        raise ValueError(              # otherwise OOM the driver silently
+            f"generate_yamls: institutions frame exceeds {_YAML_ROW_GUARD} "
+            "rows — this expects the institution dimension, not facts")
     inst_rows = {r["institution"]: r for r in institutions.collect()}
     by_inst: dict[str, list] = {}
     for r in manifest.collect():

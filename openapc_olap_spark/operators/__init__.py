@@ -10,9 +10,11 @@ genuinely needed (multimodal decode); never row-at-a-time Python.
 """
 
 from openapc_olap_spark.operators import (  # noqa: F401
+    curation,
     dedup,
     multimodal,
     similarity,
+    skew,
     text,
     windows,
 )
