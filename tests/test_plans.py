@@ -126,6 +126,31 @@ def test_institutional_slice_filter_is_in_scan(spark, tmp_path):
     assert "institution#" in plans.partition_filters(df)
 
 
+def test_winnow_fingerprints_single_scan_no_shuffle(spark, sf_dir):
+    """x27 posture: winnowing is per-row higher-order expressions — a
+    petabyte fingerprint pass must be one scan with zero shuffles, reading
+    only the needed columns."""
+    from openapc_olap_spark.operators.text import with_winnow_fingerprints
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    df = with_winnow_fingerprints(
+        docs.select("doc_id", "text")).select("doc_id", "fingerprints")
+    assert plans.single_scan(df)
+    assert plans.shuffle_exchange_count(df) == 0
+    assert "title" not in plans.scan_lines(df)[0]          # pruned
+
+
+def test_curation_funnel_one_window_one_agg(spark, sf_dir):
+    """x28 posture: the composed funnel is exactly two shuffles over one
+    scan — the fingerprint window (dedup ranking) and the final aggregate —
+    with map-side partial aggregation."""
+    from openapc_olap_spark.operators.curation import curation_funnel
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    df = curation_funnel(docs)
+    assert plans.single_scan(df)
+    assert plans.shuffle_exchange_count(df) <= 2
+    assert plans.has_partial_aggregate(df)
+
+
 def test_e18_institution_drilldown_partition_pruned(spark, sf_dir):
     """The e18 gate's exact shape end-to-end: partitionBy store -> catalog
     where-cube -> drilldown; the institution slice must be a PartitionFilter
