@@ -40,6 +40,24 @@ def test_every_oracle_has_a_query():
     assert not (set(qs) - set(os_)), "every query should carry an oracle"
 
 
+def test_certification_window_invariants():
+    """The driver checks the FIRST 50 queries() entries (insertion order) —
+    README 'Certification schedule'. Guard the schedule: every entry of
+    _CERT_FIRST (never driver-certified) must sit inside the window, the
+    rotated-out tail must be exactly _CERT_TAIL (all r02+r03-certified),
+    and the declared names must be unique and fully oracled."""
+    qs = entrymod.queries()
+    names = list(qs)
+    assert len(names) == len(set(names))
+    window = set(names[:50])
+    assert set(entrymod._CERT_FIRST) <= window, \
+        "a never-certified gate fell outside the driver's 50-query window"
+    assert names[50:] == [n for n in names if n in set(entrymod._CERT_TAIL)], \
+        "rotated-out tail must be exactly _CERT_TAIL, in order"
+    assert len(names) - 50 == len(entrymod._CERT_TAIL), \
+        "grow _CERT_TAIL when declaring new queries (keep total-50 rotated)"
+
+
 def test_all_declared_queries_match_oracles_at_sf0001(spark):
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     con = oracle_check.duck_con(SF_DIR)
