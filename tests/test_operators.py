@@ -484,6 +484,113 @@ def test_with_mp3_metadata_frame_header(spark):
     assert got[8]["mp3_version"] is None
 
 
+def test_media_header_parsers_randomized_roundtrip(spark):
+    """Seeded randomized round-trip over every pure-expression header
+    parser: synthesize 200 random-but-valid headers per format in Python
+    (PNG, JPEG-with-APPn, GIF, WebP VP8L/VP8X, WAV, FLAC, MP3+ID3), parse
+    them back in ONE Spark job each, and compare field-for-field with the
+    generator's ground truth."""
+    import random
+    import struct
+
+    from openapc_olap_spark.operators.multimodal import (
+        with_flac_metadata, with_image_dims, with_mp3_metadata,
+        with_wav_metadata,
+    )
+
+    rng = random.Random(20260813)
+    img_rows, img_want = [], {}
+    for i in range(200):
+        w, h = rng.randint(1, 16383), rng.randint(1, 16383)
+        kind = i % 5
+        if kind == 0:
+            b = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+                 + struct.pack(">II", w, h) + b"\x08\x06\x00")
+        elif kind == 1:
+            app_len = rng.randint(3, 200)
+            b = (b"\xFF\xD8\xFF\xE1" + struct.pack(">H", app_len)
+                 + b"Z" * (app_len - 2)
+                 + b"\xFF\xC0\x00\x11\x08" + struct.pack(">HH", h, w) + b"\x03")
+        elif kind == 2:
+            w, h = min(w, 65535), min(h, 65535)
+            b = b"GIF87a" + struct.pack("<HH", w, h) + b"\x80\x00\x00"
+        elif kind == 3:
+            bits = (w - 1) | ((h - 1) << 14)
+            body = b"\x2f" + struct.pack("<I", bits)
+            b = (b"RIFF" + struct.pack("<I", 12 + len(body)) + b"WEBP"
+                 + b"VP8L" + struct.pack("<I", len(body)) + body)
+        else:
+            body = (b"\x00\x00\x00\x00" + struct.pack("<I", w - 1)[:3]
+                    + struct.pack("<I", h - 1)[:3])
+            b = (b"RIFF" + struct.pack("<I", 12 + len(body)) + b"WEBP"
+                 + b"VP8X" + struct.pack("<I", len(body)) + body)
+        img_rows.append((i, b))
+        img_want[i] = (w, h)
+    got = {r["media_id"]: (r["width"], r["height"]) for r in with_image_dims(
+        spark.createDataFrame(img_rows, "media_id long, payload binary"))
+        .collect()}
+    assert got == img_want
+
+    audio_rows, flac_want, mp3_want, wav_want = [], {}, {}, {}
+    v1_br = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    v2_br = [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+    for i in range(200):
+        kind = i % 3
+        if kind == 0:
+            rate = rng.randint(8000, 655350)
+            ch = rng.randint(1, 8)
+            bits = rng.choice([8, 16, 24, 32])
+            total = rng.randint(0, 2 ** 36 - 1)
+            packed = ((rate << 44) | ((ch - 1) << 41)
+                      | ((bits - 1) << 36) | total)
+            b = (b"fLaC\x80\x00\x00\x22" + b"\x10\x00\x10\x00" + b"\x00" * 6
+                 + struct.pack(">Q", packed) + b"\x00" * 16)
+            flac_want[i] = (rate, ch, bits, total)
+        elif kind == 1:
+            ver = rng.choice([3, 2, 0])
+            br, sr = rng.randint(1, 14), rng.randint(0, 2)
+            hdr = bytes([0xFF, 0xE0 | (ver << 3) | 2,
+                         (br << 4) | (sr << 2), 0x00]) + b"\x00" * 4
+            if rng.random() < 0.5:
+                taglen = rng.randint(1, 5000)
+                ss = bytes([(taglen >> 21) & 0x7F, (taglen >> 14) & 0x7F,
+                            (taglen >> 7) & 0x7F, taglen & 0x7F])
+                b = b"ID3\x03\x00\x00" + ss + b"\x00" * taglen + hdr
+            else:
+                b = hdr
+            table = v1_br if ver == 3 else v2_br
+            rates = ([44100, 48000, 32000] if ver == 3 else
+                     [22050, 24000, 16000] if ver == 2 else
+                     [11025, 12000, 8000])
+            mp3_want[i] = (table[br - 1], rates[sr])
+        else:
+            ch, rate = rng.randint(1, 8), rng.randint(8000, 192000)
+            bits = rng.choice([8, 16, 24])
+            frames = rng.randint(1, 10 ** 6)
+            data = frames * ch * bits // 8
+            b = (b"RIFF" + struct.pack("<I", 36 + data) + b"WAVEfmt "
+                 + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                               rate * ch * bits // 8, ch * bits // 8, bits)
+                 + b"data" + struct.pack("<I", data) + b"\x00" * 4)
+            wav_want[i] = (ch, rate, bits)
+        audio_rows.append((i, b))
+    adf = spark.createDataFrame(audio_rows, "media_id long, payload binary")
+    parsed = {r["media_id"]: r.asDict() for r in
+              with_mp3_metadata(with_wav_metadata(
+                  with_flac_metadata(adf))).collect()}
+    for i, (rate, ch, bits, total) in flac_want.items():
+        r = parsed[i]
+        assert (r["flac_sample_rate"], r["flac_channels"], r["flac_bits"],
+                r["flac_total_samples"]) == (rate, ch, bits, total), i
+    for i, (kbps, rate) in mp3_want.items():
+        r = parsed[i]
+        assert (r["mp3_bitrate_kbps"], r["mp3_sample_rate"]) == (kbps, rate), i
+    for i, (ch, rate, bits) in wav_want.items():
+        r = parsed[i]
+        assert (r["wav_channels"], r["wav_sample_rate"],
+                r["wav_bits"]) == (ch, rate, bits), i
+
+
 # --------------------------------------------------------------- windows (X6)
 
 def test_tumbling_matches_duckdb(spark):
