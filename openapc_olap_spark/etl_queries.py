@@ -1011,8 +1011,11 @@ def _e20_json_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"{tempfile.gettempdir()}/openapc_gate_tmp"
     os.makedirs(base, exist_ok=True)
     path = f"{base}/e20_coverage_stats.json"
-    with open(path, "w", encoding="utf-8") as f:
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
         _json.dump(doc, f)
+    os.replace(tmp, path)           # atomic: concurrent gate runs can't
+    # observe a half-written cache
     df = load_coverage_stats(spark, path)
     return (df.groupBy("period")
             .agg(F.count(F.lit(1)).alias("n_cells"),
