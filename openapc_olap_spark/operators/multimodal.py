@@ -97,6 +97,18 @@ def with_image_dims(df: DataFrame, payload_col: str = "payload",
 
     Other/unknown formats -> NULL dims.
     """
+    # The walk builds several hundred Column objects — each a py4j
+    # round-trip — so the finished (cols, width, height) expression trees
+    # are memoized per (payload_col, hops): unresolved Columns are
+    # immutable and bind at select-time, so reuse across DataFrames is
+    # safe, and repeated callers (gates, bench, per-batch pipelines) pay
+    # the construction cost once per process instead of ~2 s per call.
+    memo_key = (payload_col, max_jpeg_segments)
+    if memo_key in _IMAGE_DIMS_MEMO:
+        cols, width, height = _IMAGE_DIMS_MEMO[memo_key]
+        out = df.select(*cols)
+        return out.select(*df.columns, width.alias("width"),
+                          height.alias("height"))
     p = F.col(payload_col)
     head8 = F.hex(F.expr(f"substring({payload_col}, 1, 4)"))
     is_png = head8.startswith("89504E47")
@@ -173,8 +185,16 @@ def with_image_dims(df: DataFrame, payload_col: str = "payload",
               .when(vp8_ok, vp8_h)
               .when(vp8l_ok, vp8l_h)
               .when(vp8x_ok, vp8x_h)).cast("int")
-    out = out.withColumn("width", width).withColumn("height", height)
-    return out.drop(*[c for c in out.columns if c.startswith("__j")])
+    # ONE final projection with statically-known names: a withColumn /
+    # .columns / drop chain here re-ANALYZED the ~40-alias lateral walk on
+    # every call (4 extra analysis passes of per-call driver time at 8
+    # hops); listing df.columns avoids asking `out` for its schema
+    _IMAGE_DIMS_MEMO[memo_key] = (cols, width, height)
+    return out.select(*df.columns, width.alias("width"),
+                      height.alias("height"))
+
+
+_IMAGE_DIMS_MEMO: dict = {}
 
 
 def _le_uint(payload: F.Column, off0: F.Column | int, nbytes: int) -> F.Column:
