@@ -90,6 +90,13 @@ def hyperplane_signature(vec_col: Column | str, planes: list[list[float]]) -> Co
     return sig
 
 
+# Built signature Columns memoized per (vec_col, dim, nbits, seed): the
+# nbits x dim literal-array construction is hundreds of py4j round-trips
+# (~0.8 s driver time per call under load); unresolved Columns are
+# immutable and bind at select-time, so reuse across frames is safe.
+_SIG_MEMO: dict = {}
+
+
 def lsh_bucketize(df: DataFrame, nbits: int = 8, vec_col: str = "embedding",
                   dim: int | None = None, seed: int = 42) -> DataFrame:
     """Attach the LSH ``bucket`` column. ``dim`` defaults to the first row's
@@ -97,8 +104,11 @@ def lsh_bucketize(df: DataFrame, nbits: int = 8, vec_col: str = "embedding",
     if dim is None:
         first = df.select(F.size(vec_col)).first()
         dim = first[0] if first else 0
-    planes = random_hyperplanes(dim, nbits, seed)
-    return df.withColumn("bucket", hyperplane_signature(vec_col, planes))
+    key = (vec_col, dim, nbits, seed)
+    if key not in _SIG_MEMO:
+        planes = random_hyperplanes(dim, nbits, seed)
+        _SIG_MEMO[key] = hyperplane_signature(vec_col, planes)
+    return df.withColumn("bucket", _SIG_MEMO[key])
 
 
 def lsh_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
