@@ -1440,6 +1440,70 @@ _X28_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X29/X30: training-batch assembly — sequence packing + hash split
+# ---------------------------------------------------------------------------
+
+def _x29_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``packing.pack_summary``: next-fit streaming packing of documents
+    into 512-token training bins across 8 md5 shards. The oracle rebuilds
+    the identical shard hash, in-shard cumulative token sum, and
+    starting-offset bin cut in SQL window functions — shard assignment,
+    ordering, and boundary arithmetic all under the value hash."""
+    from openapc_olap_spark.operators import packing
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = packing.pack_summary(docs, capacity=512, n_shards=8)
+    return out.orderBy("shard", "bin_id")
+
+
+_X29_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8
+               AS shard,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                 x -> x <> '')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start
+      FROM t)
+    SELECT shard, (start // 512)::BIGINT AS bin_id,
+           count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+    FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _x30_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``packing.hash_split``: deterministic engine-portable train/val/test
+    assignment (salted md5 permille buckets); gated on the per-split doc
+    counts and token totals so bucket arithmetic and boundaries are pinned."""
+    from openapc_olap_spark.operators import packing
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = packing.hash_split(docs, val_permille=50, test_permille=50)
+    return (out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text")).alias("total_chars"))
+            .orderBy("split"))
+
+
+_X30_SQL = """
+    WITH b AS (
+      SELECT text,
+             ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 50 THEN 'val'
+                WHEN bucket < 100 THEN 'test'
+                ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           sum(length(text))::BIGINT AS total_chars
+    FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -1469,6 +1533,8 @@ QUERIES = {
     "x26_streaming_dedup": _x26_streaming_dedup,
     "x27_winnow_fingerprints": _x27_winnow_fingerprints,
     "x28_curation_funnel": _x28_curation_funnel,
+    "x29_sequence_packing": _x29_sequence_packing,
+    "x30_hash_split": _x30_hash_split,
 }
 
 ORACLES = {
@@ -1500,4 +1566,6 @@ ORACLES = {
     "x26_streaming_dedup": _X26_SQL,
     "x27_winnow_fingerprints": _X27_SQL,
     "x28_curation_funnel": _X28_SQL,
+    "x29_sequence_packing": _X29_SQL,
+    "x30_hash_split": _X30_SQL,
 }

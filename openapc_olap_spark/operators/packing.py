@@ -1,0 +1,90 @@
+"""Training-batch assembly operators (SURVEY.md §2.9): deterministic
+sequence packing and hash-based dataset splits.
+
+Both are pure window/expression plans with exact cross-engine twins, so the
+batch-assembly stage of a pretraining pipeline sits under the same DuckDB
+hash gate as the analytics operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from openapc_olap_spark.operators import text
+
+
+def _md5_bucket(col: Column, buckets: int) -> Column:
+    """Portable uniform bucket in [0, buckets): md5-prefix mod buckets —
+    same value in any engine (DuckDB twin: ('0x'||substr(md5(x),1,15))::BIGINT
+    % buckets), unlike xxhash64 which is Spark-specific."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.encode(col.cast("string"), "utf-8")),
+                           1, 15), 16, 10).cast("long"),
+        F.lit(buckets))
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", capacity: int = 2048,
+                   n_shards: int = 64,
+                   token_count_col: str | None = None) -> DataFrame:
+    """Next-fit streaming sequence packing: assign each document to a
+    fixed-token-capacity training bin, deterministically.
+
+    Documents are hashed to ``n_shards`` independent shards (md5 bucket of
+    the id — reproducible across runs AND engines), ordered by id within
+    the shard, and concatenated conceptually; a bin is cut every
+    ``capacity`` tokens, with each document assigned by its starting
+    offset (next-fit: a document may straddle its bin's boundary — the
+    standard concat-then-chunk pretraining shape where sequences are
+    chunked downstream, not re-ordered).
+
+    Scale: packing is embarrassingly parallel ACROSS shards — the only
+    shuffle is the shard hash partition + the in-shard window sort, so
+    1000 executors pack 1000 shards independently; no global order, no
+    driver-side loop. Capacity waste amortizes per shard. Output: one row
+    per document (shard, bin_id, doc id, n_tokens, bin_offset).
+    """
+    toks = (F.col(token_count_col) if token_count_col
+            else text.token_count(text_col))
+    base = df.select(
+        F.col(id_col),
+        _md5_bucket(F.col(id_col), n_shards).alias("shard"),
+        toks.alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy(F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    out = base.withColumn("__start", cum - F.col("n_tokens"))
+    return out.select(
+        "shard",
+        F.floor(F.col("__start") / capacity).cast("long").alias("bin_id"),
+        F.col(id_col),
+        "n_tokens",
+        F.pmod(F.col("__start"), F.lit(capacity)).alias("bin_offset"))
+
+
+def pack_summary(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", capacity: int = 2048,
+                 n_shards: int = 64) -> DataFrame:
+    """Per-bin packing summary (the batch manifest a trainer consumes):
+    (shard, bin_id, n_docs, total_tokens)."""
+    packed = pack_sequences(df, id_col, text_col, capacity, n_shards)
+    return (packed.groupBy("shard", "bin_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens")))
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               val_permille: int = 10, test_permille: int = 10,
+               salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test split by content-independent id hash:
+    stable under re-runs, engine-portable (md5 bucket of salt||id over
+    1000), and leakage-free as long as ids are stable. Adds a ``split``
+    column; never moves data."""
+    b = _md5_bucket(F.concat(F.lit(salt), F.lit(":"),
+                             F.col(id_col).cast("string")), 1000)
+    return df.withColumn(
+        "split",
+        F.when(b < val_permille, "val")
+         .when(b < val_permille + test_permille, "test")
+         .otherwise("train"))

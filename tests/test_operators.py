@@ -591,6 +591,60 @@ def test_media_header_parsers_randomized_roundtrip(spark):
                 r["wav_bits"]) == (ch, rate, bits), i
 
 
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: every doc assigned exactly once with tokens
+    preserved; bin offsets are in [0, capacity); bins are contiguous and
+    non-decreasing in id within a shard; deterministic across runs."""
+    from openapc_olap_spark.operators.packing import pack_sequences
+    from openapc_olap_spark.operators.text import token_count
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 37 + 1)) for i in range(300)], ["doc_id", "text"])
+    cap = 64
+    packed = pack_sequences(docs, capacity=cap, n_shards=4).collect()
+    assert len(packed) == 300
+    assert {r["doc_id"] for r in packed} == set(range(300))
+    want_tokens = {r["doc_id"]: r["n"] for r in
+                   docs.select("doc_id", token_count("text").alias("n"))
+                   .collect()}
+    by_shard: dict = {}
+    for r in packed:
+        assert r["n_tokens"] == want_tokens[r["doc_id"]]
+        assert 0 <= r["bin_offset"] < cap
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        bins = [r["bin_id"] for r in shard_rows]
+        assert bins == sorted(bins)                       # non-decreasing
+        # start offsets are the exclusive cumsum -> bin cut arithmetic
+        cum = 0
+        for r in shard_rows:
+            assert r["bin_id"] == cum // cap and r["bin_offset"] == cum % cap
+            cum += r["n_tokens"]
+    again = pack_sequences(docs, capacity=cap, n_shards=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, packed))
+
+
+def test_hash_split_deterministic_and_balanced(spark):
+    """hash_split: stable assignment, roughly-right fractions, and salt
+    changes reshuffle membership."""
+    from openapc_olap_spark.operators.packing import hash_split
+
+    docs = spark.createDataFrame([(i,) for i in range(5000)], ["doc_id"])
+    s1 = {r["doc_id"]: r["split"] for r in
+          hash_split(docs, val_permille=100, test_permille=100).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in
+          hash_split(docs, val_permille=100, test_permille=100).collect()}
+    assert s1 == s2
+    n_val = sum(1 for v in s1.values() if v == "val")
+    n_test = sum(1 for v in s1.values() if v == "test")
+    assert 350 <= n_val <= 650 and 350 <= n_test <= 650    # ~500 each
+    s3 = {r["doc_id"]: r["split"] for r in
+          hash_split(docs, val_permille=100, test_permille=100,
+                     salt="other").collect()}
+    assert s3 != s1
+
+
 # --------------------------------------------------------------- windows (X6)
 
 def test_tumbling_matches_duckdb(spark):
