@@ -13,6 +13,7 @@ from openapc_olap_spark.operators import (  # noqa: F401
     curation,
     dedup,
     multimodal,
+    packing,
     similarity,
     skew,
     text,
