@@ -145,6 +145,39 @@ def test_winnow_fingerprints_match_python(spark):
     assert not (set(got[1]) & set(got[3]))
 
 
+def test_winnowing_guarantee_property():
+    """Winnowing's detection guarantee, property-tested in pure Python on
+    the reference implementation that test_winnow_fingerprints_match_python
+    proves bit-identical to the Spark operator: any two texts sharing a
+    substring of length >= k + window - 1 share at least one fingerprint."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    k, w = 8, 4
+
+    def fps(text):
+        t = text.lower()
+        grams = [int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:15], 16)
+                 for i in range(len(t) - k + 1)]
+        if not grams:
+            return set()
+        if len(grams) < w:
+            return {min(grams)}
+        return {min(grams[j:j + w]) for j in range(len(grams) - w + 1)}
+
+    alpha = st.text(alphabet="ab ", min_size=0, max_size=40)
+    shared = st.text(alphabet="xyz", min_size=k + w - 1, max_size=30)
+
+    @settings(max_examples=200, deadline=None)
+    @given(pre_a=alpha, post_a=alpha, pre_b=alpha, post_b=alpha, s=shared)
+    def check(pre_a, post_a, pre_b, post_b, s):
+        assert fps(pre_a + s + post_a) & fps(pre_b + s + post_b)
+
+    check()
+
+
 def test_winnow_candidate_pairs_finds_copied_passage(spark):
     """Two docs sharing one long passage (and nothing else) pair up; an
     unrelated doc pairs with neither; the df-cap drops a boilerplate

@@ -126,6 +126,22 @@ def test_institutional_slice_filter_is_in_scan(spark, tmp_path):
     assert "institution#" in plans.partition_filters(df)
 
 
+def test_audio_header_parsers_single_scan_no_shuffle(spark, sf_dir):
+    """x23/x24 posture: WAV/FLAC/MP3 header parsing is pure binary
+    expressions — a petabyte audio-metadata pass is one scan, zero
+    shuffles, no Python boundary."""
+    from openapc_olap_spark.operators.multimodal import (
+        with_flac_metadata, with_mp3_metadata, with_wav_metadata,
+    )
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        F.encode("text", "utf-8").alias("payload"))
+    df = with_mp3_metadata(with_flac_metadata(with_wav_metadata(media)))
+    assert plans.single_scan(df)
+    assert plans.shuffle_exchange_count(df) == 0
+    assert "Python" not in plans.plan_of(df)      # no UDF eval nodes
+
+
 def test_winnow_fingerprints_single_scan_no_shuffle(spark, sf_dir):
     """x27 posture: winnowing is per-row higher-order expressions — a
     petabyte fingerprint pass must be one scan with zero shuffles, reading
