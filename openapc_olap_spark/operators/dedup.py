@@ -117,20 +117,35 @@ def minhash_from_hashes(hashes_col, num_perm: int = 32,
     via zip_with with the affine (a, b) parameters as literal arrays. The
     input array is evaluated exactly once per row regardless of projection
     collapsing, and the per-element work is pure codegen'd arithmetic.
-    Empty documents get an all-p signature (the fold's init)."""
+    Empty documents get an all-p signature (the fold's init).
+
+    Built Columns are memoized for string-named inputs (same rationale as
+    similarity._SIG_MEMO: the literal-array + nested-lambda construction
+    is dozens of py4j round-trips per call; unresolved Columns are
+    immutable, so reuse across frames is safe)."""
+    memo_key = (hashes_col, num_perm, seed) \
+        if isinstance(hashes_col, str) else None
+    if memo_key in _MINHASH_MEMO:
+        return _MINHASH_MEMO[memo_key]
     h = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
     params = _affine_params(num_perm, seed)
     a_arr = F.array(*[F.lit(a) for a, _ in params])
     b_arr = F.array(*[F.lit(b) for _, b in params])
     idx = F.sequence(F.lit(1), F.lit(num_perm))
     init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_perm)
-    return F.aggregate(
+    sig = F.aggregate(
         h, init,
         lambda acc, x: F.zip_with(
             acc, idx,
             lambda m, i: F.least(m, F.pmod(
                 F.element_at(a_arr, i) * x + F.element_at(b_arr, i),
                 F.lit(_MERSENNE)))))
+    if memo_key is not None:
+        _MINHASH_MEMO[memo_key] = sig
+    return sig
+
+
+_MINHASH_MEMO: dict = {}
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -391,7 +406,10 @@ def simhash_from_hashes(hashes_col) -> Column:
     the counters assembling the signature MSB-first. The earlier 64-term
     formulation (one size(filter(...)) per bit) produced identical bits but
     an expression tree Catalyst re-analyzed in ~1.5 s per plan — 8x slower
-    end-to-end than this at sf0.1. No shuffle, no UDF."""
+    end-to-end than this at sf0.1. No shuffle, no UDF. Built Columns are
+    memoized for string-named inputs (see _MINHASH_MEMO rationale)."""
+    if isinstance(hashes_col, str) and hashes_col in _SIMHASH_MEMO:
+        return _SIMHASH_MEMO[hashes_col]
     h = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
     n = F.size(h)
     masks = F.array(*[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
@@ -404,10 +422,16 @@ def simhash_from_hashes(hashes_col) -> Column:
             acc, masks,
             lambda c, m: c + F.when(x.bitwiseAND(m) != 0, one)
                               .otherwise(zero)))
-    return F.aggregate(
+    sig = F.aggregate(
         F.reverse(counts), zero,
         lambda acc, c: F.shiftleft(acc, 1).bitwiseOR(
             F.when(c * 2 > n, one).otherwise(zero)))
+    if isinstance(hashes_col, str):
+        _SIMHASH_MEMO[hashes_col] = sig
+    return sig
+
+
+_SIMHASH_MEMO: dict = {}
 
 
 def simhash(text_col="text") -> Column:
