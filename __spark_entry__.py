@@ -415,7 +415,7 @@ _CERT_FIRST = [
     "x22_vocab_top", "x23_wav_metadata", "x24_audio_headers",
     "x25_streaming_tumbling", "x26_streaming_dedup",
     "x27_winnow_fingerprints", "x28_curation_funnel",
-    "x29_sequence_packing", "x30_hash_split",
+    "x29_sequence_packing", "x30_hash_split", "x31_profile",
     "e18_partition_prune", "e19_manifest_roundtrip", "e20_json_cache",
     "q16_cell_http", "q17_model_http",
 ]
@@ -426,7 +426,7 @@ _CERT_TAIL = [
     "q13_fact_by_id", "q14_members", "x01_dedup_summary",
     "x09_tumbling_daily", "x10_sliding_windows", "x12_props_json",
     "x15_media_metadata", "q02_cut_point", "q07_drilldown",
-    "q06_aggregate_summary",
+    "q06_aggregate_summary", "q08_multi_drilldown",
 ]
 
 

@@ -1504,6 +1504,46 @@ _X30_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X31: one-pass dataset profiling
+# ---------------------------------------------------------------------------
+
+def _x31_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``profile.profile`` over lineitem's numeric columns with exact
+    interpolated quantiles (the gate-deterministic opt-in; approx sketches
+    are the documented 100 TB default). One scan, one aggregate, stack to
+    long form; the oracle recomputes every statistic per column."""
+    from openapc_olap_spark.operators.profile import profile
+    li = (load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+          .filter(F.col("l_partkey") % 50 == 0))   # exact quantiles buffer
+    # values per agg — gate on a deterministic ~2% slice to bound that;
+    # the approx default profiles the full table in bounded memory
+    out = profile(li, ["l_quantity", "l_extendedprice", "l_discount"],
+                  quantiles=(0.5, 0.95), exact=True)
+    return (out.select(
+        "column", "n", "nulls",
+        F.round("min", 4).alias("min"), F.round("max", 4).alias("max"),
+        F.round("mean", 4).alias("mean"), F.round("std", 4).alias("std"),
+        F.round("q50", 4).alias("q50"), F.round("q95", 4).alias("q95"))
+        .orderBy("column"))
+
+
+def _x31_sql() -> str:
+    parts = []
+    for c in ("l_quantity", "l_extendedprice", "l_discount"):
+        parts.append(f"""
+      SELECT '{c}' AS "column", count({c}) AS n,
+             sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+             round(min({c})::DOUBLE, 4) AS min,
+             round(max({c})::DOUBLE, 4) AS max,
+             round(avg({c}), 4) AS mean,
+             round(stddev_samp({c}), 4) AS std,
+             round(quantile_cont({c}, 0.5), 4) AS q50,
+             round(quantile_cont({c}, 0.95), 4) AS q95
+      FROM lineitem WHERE l_partkey % 50 = 0""")
+    return " UNION ALL ".join(parts) + " ORDER BY 1"
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -1535,6 +1575,7 @@ QUERIES = {
     "x28_curation_funnel": _x28_curation_funnel,
     "x29_sequence_packing": _x29_sequence_packing,
     "x30_hash_split": _x30_hash_split,
+    "x31_profile": _x31_profile,
 }
 
 ORACLES = {
@@ -1568,4 +1609,5 @@ ORACLES = {
     "x28_curation_funnel": _X28_SQL,
     "x29_sequence_packing": _X29_SQL,
     "x30_hash_split": _X30_SQL,
+    "x31_profile": _x31_sql(),
 }

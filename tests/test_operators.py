@@ -624,6 +624,32 @@ def test_media_header_parsers_randomized_roundtrip(spark):
                 r["wav_bits"]) == (ch, rate, bits), i
 
 
+def test_profile_matches_numpy(spark):
+    """profile() stats match numpy on a frame with nulls; approx and exact
+    quantiles agree on small data."""
+    import numpy as np
+
+    from openapc_olap_spark.operators.profile import profile
+
+    vals = [float(v) for v in range(1, 101)]
+    rows = [(v,) for v in vals] + [(None,)] * 7
+    df = spark.createDataFrame(rows, "x double")
+    for exact in (True, False):
+        r = {row["column"]: row for row in
+             profile(df, ["x"], quantiles=(0.5, 0.95), exact=exact).collect()}
+        p = r["x"]
+        assert p["n"] == 100 and p["nulls"] == 7
+        assert p["min"] == 1.0 and p["max"] == 100.0
+        assert abs(p["mean"] - np.mean(vals)) < 1e-9
+        assert abs(p["std"] - np.std(vals, ddof=1)) < 1e-9
+        if exact:
+            assert abs(p["q50"] - np.percentile(vals, 50)) < 1e-9
+            assert abs(p["q95"] - np.percentile(vals, 95)) < 1e-9
+        else:
+            assert abs(p["q50"] - 50.5) <= 1.0       # sketch tolerance
+            assert abs(p["q95"] - 95.05) <= 1.5
+
+
 def test_pack_sequences_invariants(spark):
     """Packing invariants: every doc assigned exactly once with tokens
     preserved; bin offsets are in [0, capacity); bins are contiguous and

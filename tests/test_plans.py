@@ -126,6 +126,19 @@ def test_institutional_slice_filter_is_in_scan(spark, tmp_path):
     assert "institution#" in plans.partition_filters(df)
 
 
+def test_profile_is_one_pass(spark, sf_dir):
+    """x31 posture: profiling N columns is ONE scan + ONE aggregate (no
+    per-column jobs), map-side combined, reading only the profiled
+    columns."""
+    from openapc_olap_spark.operators.profile import profile
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    df = profile(li, ["l_quantity", "l_extendedprice"])
+    assert plans.single_scan(df)
+    assert plans.has_partial_aggregate(df)
+    scan = plans.scan_lines(df)[0]
+    assert "l_quantity" in scan and "l_comment" not in scan
+
+
 def test_audio_header_parsers_single_scan_no_shuffle(spark, sf_dir):
     """x23/x24 posture: WAV/FLAC/MP3 header parsing is pure binary
     expressions — a petabyte audio-metadata pass is one scan, zero
