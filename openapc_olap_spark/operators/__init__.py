@@ -14,6 +14,7 @@ from openapc_olap_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
     packing,
+    profile,
     similarity,
     skew,
     text,
