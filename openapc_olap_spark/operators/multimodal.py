@@ -11,22 +11,29 @@ beside them. The design for 100 TB:
   prunes columns around them and the Python boundary moves whole record
   batches, never rows.
 
-The actual pixel/sample decoding needs codec libraries (PIL / librosa /
-pyav) that are NOT in this container, so the decode kernels are STUBBED:
-``_decode_image_bytes`` raises ``NotImplementedError`` unless PIL is
-importable, and the pipeline-level functions fall back to a deterministic
-fake (seeded by the payload's content hash) so the Spark-side plumbing —
-schema, batching, partitioning — is fully real and testable.
+The decode kernels are REAL for the uncompressed / stdlib-decodable
+containers — BMP (24-bit BI_RGB), PPM (P6), PNG (zlib inflate + unfilter),
+and WAV PCM (8/16-bit) — implemented dependency-free in pure Python +
+numpy, so pixel sums, nearest-neighbor resizes, and audio energy/ZCR come
+out of the actual bytes on any cluster. PIL / librosa stay as the rich
+path for the compressed codecs (JPEG/GIF/WebP, MP3/FLAC audio decode);
+without them those formats raise ``NotImplementedError``, and each kernel
+takes an ``on_error`` knob — ``'fail'`` (default: decode errors surface),
+``'null'`` (null outputs for failed rows), or ``'fake'`` (deterministic
+content-hash stand-ins, the explicit opt-in for plumbing tests).
 """
 
 from __future__ import annotations
 
+import struct
 import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from openapc_olap_spark.operators._memo import memoized
 
 # Magic-byte prefixes (hex) for container sniffing — public file signatures.
 _MAGIC = {
@@ -103,12 +110,17 @@ def with_image_dims(df: DataFrame, payload_col: str = "payload",
     # immutable and bind at select-time, so reuse across DataFrames is
     # safe, and repeated callers (gates, bench, per-batch pipelines) pay
     # the construction cost once per process instead of ~2 s per call.
-    memo_key = (payload_col, max_jpeg_segments)
-    if memo_key in _IMAGE_DIMS_MEMO:
-        cols, width, height = _IMAGE_DIMS_MEMO[memo_key]
-        out = df.select(*cols)
-        return out.select(*df.columns, width.alias("width"),
-                          height.alias("height"))
+    cols, width, height = memoized(
+        _IMAGE_DIMS_MEMO, (payload_col, max_jpeg_segments),
+        lambda: _build_image_dims(payload_col, max_jpeg_segments))
+    # re-applying the parser (or joining with decode output) must replace
+    # any pre-existing width/height, not duplicate the names
+    keep = [c for c in df.columns if c not in ("width", "height")]
+    return df.select(*cols).select(*keep, width.alias("width"),
+                                   height.alias("height"))
+
+
+def _build_image_dims(payload_col: str, max_jpeg_segments: int):
     p = F.col(payload_col)
     head8 = F.hex(F.expr(f"substring({payload_col}, 1, 4)"))
     is_png = head8.startswith("89504E47")
@@ -135,7 +147,7 @@ def with_image_dims(df: DataFrame, payload_col: str = "payload",
     vp8x_w = _le_uint(p, 24, 3) + 1
     vp8x_h = _le_uint(p, 27, 3) + 1
 
-    # ---- JPEG marker walk: __joff{i} = 0-based offset of the i-th marker.
+    # ---- JPEG marker walk: __mmjoff{i} = 0-based offset of the i-th marker.
     # The whole walk is ONE select using lateral column aliases (each hop
     # references the previous hop's alias in the same projection), so the
     # plan is built with a single analysis pass; a withColumn(s)-per-hop
@@ -143,36 +155,35 @@ def with_image_dims(df: DataFrame, payload_col: str = "payload",
     # in plan build alone. Referencing the previous hop by ALIAS also keeps
     # the expression tree linear in hops instead of exponential.
     cols = [F.col("*"),
-            F.lit(2).cast("long").alias("__joff0"),
-            F.lit(None).cast("long").alias("__jh0"),
-            F.lit(None).cast("long").alias("__jw0")]
+            F.lit(2).cast("long").alias("__mmjoff0"),
+            F.lit(None).cast("long").alias("__mmjh0"),
+            F.lit(None).cast("long").alias("__mmjw0")]
     for i in range(max_jpeg_segments):
-        off = F.col(f"__joff{i}")
+        off = F.col(f"__mmjoff{i}")
         # marker code and segment length get their own aliases so the
         # downstream when-chains reference 1-node columns, keeping the
         # projection's total expression size (and analysis time) small
-        cols += [_be_uint(p, off + 1, 1).alias(f"__jc{i}"),
-                 _be_uint(p, off + 2, 2).alias(f"__jl{i}")]
-        code = F.col(f"__jc{i}")
+        cols += [_be_uint(p, off + 1, 1).alias(f"__mmjc{i}"),
+                 _be_uint(p, off + 2, 2).alias(f"__mmjl{i}")]
+        code = F.col(f"__mmjc{i}")
         is_sof = code.isin(_JPEG_SOF_CODES)
         # standalone markers (RSTn, TEM) have no length field; SOS (DA)
         # starts entropy data — stop by pinning the offset
         standalone = code.isin([0x01] + list(range(0xD0, 0xD8)))
         stop = code.isin([0xDA, 0xD9]) | off.isNull()
         cols += [
-            F.coalesce(F.col(f"__jh{i}"),
+            F.coalesce(F.col(f"__mmjh{i}"),
                        F.when(is_jpeg & is_sof, _be_uint(p, off + 5, 2)))
-             .alias(f"__jh{i + 1}"),
-            F.coalesce(F.col(f"__jw{i}"),
+             .alias(f"__mmjh{i + 1}"),
+            F.coalesce(F.col(f"__mmjw{i}"),
                        F.when(is_jpeg & is_sof, _be_uint(p, off + 7, 2)))
-             .alias(f"__jw{i + 1}"),
+             .alias(f"__mmjw{i + 1}"),
             F.when(is_sof | stop, F.lit(None).cast("long"))
              .when(standalone, off + 2)
-             .otherwise(off + 2 + F.col(f"__jl{i}"))
-             .alias(f"__joff{i + 1}"),
+             .otherwise(off + 2 + F.col(f"__mmjl{i}"))
+             .alias(f"__mmjoff{i + 1}"),
         ]
-    out = df.select(*cols)
-    last_h, last_w = f"__jh{max_jpeg_segments}", f"__jw{max_jpeg_segments}"
+    last_h, last_w = f"__mmjh{max_jpeg_segments}", f"__mmjw{max_jpeg_segments}"
     width = (F.when(is_png, _be_uint(p, F.lit(16), 4))
              .when(is_jpeg, F.col(last_w))
              .when(is_gif, _le_uint(p, 6, 2))
@@ -185,13 +196,10 @@ def with_image_dims(df: DataFrame, payload_col: str = "payload",
               .when(vp8_ok, vp8_h)
               .when(vp8l_ok, vp8l_h)
               .when(vp8x_ok, vp8x_h)).cast("int")
-    # ONE final projection with statically-known names: a withColumn /
-    # .columns / drop chain here re-ANALYZED the ~40-alias lateral walk on
-    # every call (4 extra analysis passes of per-call driver time at 8
-    # hops); listing df.columns avoids asking `out` for its schema
-    _IMAGE_DIMS_MEMO[memo_key] = (cols, width, height)
-    return out.select(*df.columns, width.alias("width"),
-                      height.alias("height"))
+    # the caller applies cols as ONE projection with statically-known names
+    # (a withColumn/.columns/drop chain re-ANALYZED the ~40-alias lateral
+    # walk on every call — 4 extra analysis passes at 8 hops)
+    return cols, width, height
 
 
 _IMAGE_DIMS_MEMO: dict = {}
@@ -342,26 +350,237 @@ def with_mp3_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Decode kernels (STUBS — codec libs absent in this container)
+# Decode kernels — REAL dependency-free codecs for uncompressed / stdlib-
+# decodable containers (BMP 24-bit, PPM P6, PNG via zlib, WAV PCM 8/16-bit);
+# PIL / librosa remain the rich path for compressed formats.
 # --------------------------------------------------------------------------
 
-def _decode_image_bytes(payload: bytes) -> tuple[int, int, int]:
-    """Decode (width, height, channels) from image bytes. Real path needs
-    PIL; raises NotImplementedError when unavailable."""
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> bytes:
+    """Undo PNG scanline filters (types 0-4). Sequential by spec — each
+    byte depends on the decoded left/up neighbours — so this is a plain
+    loop; runs per-image inside an Arrow batch, not per-row driver code."""
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanlines")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos:pos + stride])
+        pos += stride
+        if f == 1:      # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:    # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:    # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:    # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unsupported PNG filter {f}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return bytes(out)
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python PNG decode (8-bit, non-interlaced, non-palette) using
+    stdlib zlib for the IDAT inflate. -> (w, h, channels, pixel bytes,
+    row-major, channel-interleaved)."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, w, h, ch, idat = 8, None, None, None, bytearray()
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # body + length/type/CRC
+        if typ == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    "PNG variant beyond the pure decoder; install pillow")
+            ch = _PNG_CHANNELS[color]
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    return w, h, ch, _png_unfilter(zlib.decompress(bytes(idat)), w, h, ch)
+
+
+def _encode_png(w: int, h: int, ch: int, px: bytes) -> bytes:
+    """Minimal PNG encoder (filter 0 rows, one IDAT)."""
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    stride = w * ch
+    raw = b"".join(b"\x00" + px[y * stride:(y + 1) * stride]
+                   for y in range(h))
+    return (_PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    """Uncompressed 24-bit BI_RGB BMP decode -> (w, h, 3, RGB bytes,
+    top-down row-major). Handles bottom-up storage, 4-byte row padding,
+    and the stored BGR channel order."""
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    w, h = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    (comp,) = struct.unpack("<I", data[30:34])
+    if bpp != 24 or comp != 0 or hdr_size < 40:
+        raise NotImplementedError(
+            "only uncompressed 24-bit BI_RGB in the pure BMP decoder; "
+            "install pillow for other variants")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(data) < pix_off + h * stride:
+        raise ValueError("truncated BMP pixel array")
+    arr = (np.frombuffer(data, np.uint8, count=h * stride, offset=pix_off)
+           .reshape(h, stride)[:, :w * 3].reshape(h, w, 3))
+    if bottom_up:
+        arr = arr[::-1]
+    return w, h, 3, arr[..., ::-1].tobytes()   # BGR -> RGB
+
+
+def _encode_bmp(w: int, h: int, ch: int, px: bytes) -> bytes:
+    """Encode RGB (or grayscale, expanded) pixels as a bottom-up 24-bit
+    BI_RGB BMP with standard 4-byte row padding."""
+    import numpy as np
+
+    arr = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    elif ch == 4 or ch == 2:
+        arr = arr[..., :3] if ch == 4 else np.repeat(arr[..., :1], 3, axis=2)
+    bgr = arr[::-1, :, ::-1]                   # bottom-up, RGB -> BGR
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w * 3] = bgr.reshape(h, w * 3)
+    body = rows.tobytes()
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                            2835, 2835, 0, 0))
+    return header + body
+
+
+def _decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
+    """PPM (P6, maxval 255) decode -> (w, h, 3, RGB bytes)."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        vals.append(int(data[start:pos]))
+    pos += 1                                   # single whitespace after maxval
+    w, h, maxv = vals
+    if maxv != 255:
+        raise NotImplementedError("only maxval-255 PPM in the pure decoder")
+    need = w * h * 3
+    if len(data) < pos + need:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, 3, bytes(data[pos:pos + need])
+
+
+def _encode_ppm(w: int, h: int, ch: int, px: bytes) -> bytes:
+    import numpy as np
+
+    arr = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+    if ch != 3:
+        arr = (np.repeat(arr[..., :1], 3, axis=2) if ch in (1, 2)
+               else arr[..., :3])
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _decode_image_bytes(payload: bytes) -> tuple[int, int, int, bytes | None]:
+    """Decode (width, height, channels, pixel_bytes) from image bytes.
+
+    BMP / PPM / PNG decode dependency-free (real pixels on any cluster);
+    other containers go through PIL and raise ``NotImplementedError`` when
+    it is absent. ``pixel_bytes`` is row-major channel-interleaved uint8.
+    """
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
     try:
         import io
 
+        import numpy as np
         from PIL import Image  # noqa: F401  (absent in this container)
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "image decode requires PIL; install pillow on the cluster") from exc
+            "decoding this image format requires PIL; install pillow "
+            "on the cluster") from exc
     with Image.open(io.BytesIO(payload)) as im:  # pragma: no cover
-        return im.width, im.height, len(im.getbands())
+        arr = np.asarray(im)
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        return im.width, im.height, ch, arr.astype(np.uint8).tobytes()
+
+
+def _pixel_features(w: int, h: int, ch: int, px: bytes,
+                    n_features: int) -> list[float]:
+    """Content statistics from decoded pixels, fixed order:
+    [n_pixels, byte_sum, byte_min, byte_max, ch0_sum, ch1_sum, ch2_sum,
+    byte_mean]. Sums/extrema are integers (exact in float32 for images up
+    to ~100x100), so oracles can recompute them bit-for-bit."""
+    import numpy as np
+
+    a = np.frombuffer(px, np.uint8)
+    per_ch = a.reshape(-1, ch).sum(axis=0, dtype=np.int64) if a.size else []
+    feats = [float(w * h), float(a.sum(dtype=np.int64)),
+             float(a.min()) if a.size else 0.0,
+             float(a.max()) if a.size else 0.0]
+    for i in range(3):
+        feats.append(float(per_ch[i]) if i < ch and a.size else 0.0)
+    feats.append(float(a.mean()) if a.size else 0.0)
+    feats = feats[:n_features]
+    return feats + [0.0] * (n_features - len(feats))
 
 
 def _fake_dims(content_hash: int) -> tuple[int, int, int]:
-    """Deterministic stand-in dims seeded by the content hash, so tests and
-    local pipelines exercise the full plumbing with stable outputs."""
+    """Deterministic stand-in dims seeded by the content hash — the
+    ``on_error='fake'`` plumbing-test path, never the default."""
     h = content_hash & 0x7FFFFFFF
     return 64 + h % 1024, 64 + (h >> 10) % 1024, 1 + (h >> 20) % 4
 
@@ -377,16 +596,26 @@ IMAGE_DECODE_SCHEMA = T.StructType([
 
 def decode_images(df: DataFrame, id_col: str = "media_id",
                   payload_col: str = "payload",
-                  n_features: int = 8) -> DataFrame:
+                  n_features: int = 8,
+                  on_error: str = "fail") -> DataFrame:
     """Decode + feature-extract stage as an Arrow-batched ``mapInPandas``.
 
-    Output: (media_id, width, height, channels, features array<float>).
-    Features are a tiny content-derived vector (stub for a real embedding
-    model). Only (id, payload) are shipped across the Python boundary —
+    Output: (media_id, width, height, channels, features array<float>)
+    where features are real pixel statistics (``_pixel_features`` order).
+    Only (id, payload) are shipped across the Python boundary —
     select-project before mapInPandas keeps column pruning effective.
+
+    ``on_error``: ``'fail'`` (default) re-raises decode errors with the
+    failing media id — a corrupt image or a missing codec library stops
+    the job instead of silently fabricating dimensions; ``'null'`` emits
+    null dims/features for failed rows (count them downstream); ``'fake'``
+    opts in to the deterministic content-hash stand-in dims.
     """
-    import pandas as pd
     import numpy as np
+    import pandas as pd
+
+    if on_error not in ("fail", "null", "fake"):
+        raise ValueError(f"on_error must be fail|null|fake, got {on_error!r}")
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
@@ -395,18 +624,33 @@ def decode_images(df: DataFrame, id_col: str = "media_id",
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
                 try:
-                    w, h, c = _decode_image_bytes(data)
-                except Exception:
-                    # deterministic fake path (see module docstring)
-                    w, h, c = _fake_dims(zlib.crc32(data))
-                rng = np.random.default_rng(zlib.crc32(data + b"f"))
-                feats = rng.random(n_features, dtype=np.float32)
+                    w, h, c, px = _decode_image_bytes(data)
+                    feats = _pixel_features(w, h, c, px, n_features)
+                except Exception as exc:
+                    if on_error == "fail":
+                        raise RuntimeError(
+                            f"image decode failed for media_id={mid}: "
+                            f"{exc}") from exc
+                    if on_error == "null":
+                        w = h = c = None
+                        feats = None
+                    else:                      # 'fake'
+                        w, h, c = _fake_dims(zlib.crc32(data))
+                        rng = np.random.default_rng(zlib.crc32(data + b"f"))
+                        feats = rng.random(n_features,
+                                           dtype=np.float32).tolist()
                 out["media_id"].append(int(mid))
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(c)
-                out["features"].append(feats.tolist())
-            yield pd.DataFrame(out)
+                out["features"].append(feats)
+            yield pd.DataFrame({
+                "media_id": out["media_id"],
+                "width": pd.array(out["width"], dtype="Int32"),
+                "height": pd.array(out["height"], dtype="Int32"),
+                "channels": pd.array(out["channels"], dtype="Int32"),
+                "features": pd.Series(out["features"], dtype="object"),
+            })
 
     return (df.select(F.col(id_col).cast("long").alias(id_col), payload_col)
             .mapInPandas(batches, IMAGE_DECODE_SCHEMA))
@@ -423,18 +667,23 @@ RESIZE_SCHEMA = T.StructType([
 
 def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224),
                   id_col: str = "media_id",
-                  payload_col: str = "payload") -> DataFrame:
+                  payload_col: str = "payload",
+                  on_error: str = "fail") -> DataFrame:
     """Resize stage (model-input normalization) as Arrow-batched
     ``mapInPandas``: (media_id, payload, width, height, resized).
 
-    Real path re-encodes via PIL (absent here); the fallback passes the
-    payload through untouched with ``resized=false`` and the target dims
-    recorded — the batch shape, binary round-trip through Arrow, and
-    schema are the distributed substance and are fully exercised. Payloads
-    stream batch-at-a-time; partition sizing (maxPartitionBytes) is the
-    memory bound, not the driver."""
+    BMP/PPM/PNG are REALLY resized (nearest-neighbor resample, re-encoded
+    in the same container) dependency-free; other formats go through PIL.
+    ``on_error``: ``'fail'`` (default) raises with the media id;
+    ``'null'`` nulls the payload for failed rows; ``'passthrough'`` ships
+    the original bytes with ``resized=false`` (the opt-in lenient mode).
+    Payloads stream batch-at-a-time; partition sizing (maxPartitionBytes)
+    is the memory bound, not the driver."""
     import pandas as pd
 
+    if on_error not in ("fail", "null", "passthrough"):
+        raise ValueError(
+            f"on_error must be fail|null|passthrough, got {on_error!r}")
     tw, th = target
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -446,8 +695,13 @@ def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224),
                 try:
                     resized_bytes = _resize_image_bytes(data, tw, th)
                     ok = True
-                except Exception:
-                    resized_bytes, ok = data, False
+                except Exception as exc:
+                    if on_error == "fail":
+                        raise RuntimeError(
+                            f"image resize failed for media_id={mid}: "
+                            f"{exc}") from exc
+                    resized_bytes = None if on_error == "null" else data
+                    ok = False
                 out["media_id"].append(int(mid))
                 out["payload"].append(resized_bytes)
                 out["width"].append(tw)
@@ -460,19 +714,109 @@ def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224),
 
 
 def _resize_image_bytes(payload: bytes, w: int, h: int) -> bytes:
-    """Re-encode image bytes at (w, h). Needs PIL; raises
-    NotImplementedError when unavailable."""
+    """Re-encode image bytes at (w, h) by nearest-neighbor resampling.
+
+    BMP/PPM/PNG: decode with the pure decoders, resample by index
+    (floor(i * src / dst) — the standard nearest-neighbor grid), re-encode
+    the same container. Other formats: PIL, raising ``NotImplementedError``
+    when it is unavailable."""
+    import numpy as np
+
+    kind = None
+    if payload[:2] == b"BM":
+        kind, enc = "bmp", _encode_bmp
+    elif payload[:2] == b"P6":
+        kind, enc = "ppm", _encode_ppm
+    elif payload[:8] == _PNG_MAGIC:
+        kind, enc = "png", _encode_png
+    if kind is not None:
+        sw, sh, ch, px = _decode_image_bytes(payload)
+        arr = np.frombuffer(px, np.uint8).reshape(sh, sw, ch)
+        yi = (np.arange(h) * sh) // h
+        xi = (np.arange(w) * sw) // w
+        res = arr[yi][:, xi]
+        return enc(w, h, ch, res.tobytes())
     try:
         import io
 
         from PIL import Image  # noqa: F401  (absent in this container)
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "image resize requires PIL; install pillow on the cluster") from exc
+            "resizing this image format requires PIL; install pillow "
+            "on the cluster") from exc
     with Image.open(io.BytesIO(payload)) as im:  # pragma: no cover
         buf = io.BytesIO()
         im.resize((w, h)).save(buf, format=im.format or "PNG")
         return buf.getvalue()
+
+
+# --------------------------------------------------------------------------
+# Audio decode (WAV PCM — real; compressed formats need librosa/soundfile)
+# --------------------------------------------------------------------------
+
+def _decode_wav_samples(payload: bytes):
+    """Parse a RIFF-WAVE PCM payload -> (sample_rate, channels,
+    np.ndarray int32 interleaved samples). Walks chunks (not fixed
+    offsets), so LIST/fact chunks before 'data' are handled; 8-bit
+    (unsigned, recentred) and 16-bit (signed LE) PCM supported."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF-WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)               # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt / data chunk")
+    audio_fmt, channels, rate = struct.unpack("<HHI", fmt[:8])
+    (bits,) = struct.unpack("<H", fmt[14:16])
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            "only 8/16-bit PCM WAV in the pure decoder; install "
+            "librosa/soundfile for other encodings")
+    if bits == 16:
+        samples = np.frombuffer(data, "<i2",
+                                count=len(data) // 2).astype(np.int32)
+    else:
+        samples = np.frombuffer(data, np.uint8).astype(np.int32) - 128
+    return rate, channels, samples
+
+
+def _audio_features(rate: int, channels: int, samples,
+                    n_features: int) -> tuple[int, list[float]]:
+    """Real signal features over channel 0 (de-interleaved), fixed order:
+    [n_samples_total, ch0_sum, ch0_sum_abs, ch0_zero_crossings,
+    ch0_max_abs, ch0_rms, ch0_zcr_ratio, ch0_energy_mean]. The first five
+    are integers (exact in float32 for clips up to ~10^5 samples), so
+    oracles can recompute them from the same bytes. Returns
+    (duration_ms, features)."""
+    import numpy as np
+
+    ch0 = samples[::channels] if channels > 1 else samples
+    n_per_ch = ch0.size
+    duration_ms = int(round(n_per_ch * 1000.0 / rate)) if rate else 0
+    if n_per_ch:
+        sum_ = int(ch0.sum(dtype=np.int64))
+        sum_abs = int(np.abs(ch0).sum(dtype=np.int64))
+        # sign-change count with the >= 0 convention (0 counts as positive)
+        zc = int(np.count_nonzero((ch0[:-1] >= 0) != (ch0[1:] >= 0)))
+        max_abs = int(np.abs(ch0).max())
+        energy = float(np.mean(ch0.astype(np.float64) ** 2))
+        rms = float(energy ** 0.5)
+        zcr = float(zc) / (n_per_ch - 1) if n_per_ch > 1 else 0.0
+    else:
+        sum_ = sum_abs = zc = max_abs = 0
+        energy = rms = zcr = 0.0
+    feats = [float(samples.size), float(sum_), float(sum_abs), float(zc),
+             float(max_abs), rms, zcr, energy][:n_features]
+    return duration_ms, feats + [0.0] * (n_features - len(feats))
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType([
@@ -485,16 +829,24 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
 
 def extract_audio_features(df: DataFrame, id_col: str = "media_id",
                            payload_col: str = "payload",
-                           n_features: int = 13) -> DataFrame:
-    """Audio feature extraction (MFCC-shaped) as Arrow-batched
-    ``mapInPandas``: (media_id, duration_ms, sample_rate, features).
+                           n_features: int = 13,
+                           on_error: str = "fail") -> DataFrame:
+    """Audio decode + feature extraction as Arrow-batched ``mapInPandas``:
+    (media_id, duration_ms, sample_rate, features).
 
-    Real decode needs librosa/soundfile (absent here); the fallback derives
-    deterministic pseudo-features from the content hash so the plumbing is
-    testable. Same pruning discipline as decode_images: only (id, payload)
-    crosses the Python boundary."""
+    WAV PCM is decoded for real (``_decode_wav_samples``) and the features
+    are genuine signal statistics (``_audio_features`` order: counts/sums/
+    zero-crossings exact, then rms/zcr/energy). Compressed audio needs
+    librosa/soundfile and raises ``NotImplementedError`` without them.
+    ``on_error``: ``'fail'`` (default) raises with the media id; ``'null'``
+    emits null features; ``'fake'`` opts in to content-hash pseudo
+    features (plumbing tests only). Same pruning discipline as
+    decode_images: only (id, payload) crosses the Python boundary."""
     import numpy as np
     import pandas as pd
+
+    if on_error not in ("fail", "null", "fake"):
+        raise ValueError(f"on_error must be fail|null|fake, got {on_error!r}")
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
@@ -502,14 +854,34 @@ def extract_audio_features(df: DataFrame, id_col: str = "media_id",
                    "features": []}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                h = zlib.crc32(data)
-                rng = np.random.default_rng(h)
+                try:
+                    rate, channels, samples = _decode_wav_samples(data)
+                    dur, feats = _audio_features(rate, channels, samples,
+                                                 n_features)
+                except Exception as exc:
+                    if on_error == "fail":
+                        raise RuntimeError(
+                            f"audio decode failed for media_id={mid}: "
+                            f"{exc}") from exc
+                    if on_error == "null":
+                        rate = dur = feats = None
+                    else:                      # 'fake'
+                        h = zlib.crc32(data)
+                        rng = np.random.default_rng(h)
+                        dur = int(1000 + h % 600_000)
+                        rate = int((8, 16, 22, 44)[h % 4]) * 1000
+                        feats = rng.standard_normal(n_features) \
+                            .astype(np.float32).tolist()
                 out["media_id"].append(int(mid))
-                out["duration_ms"].append(int(1000 + h % 600_000))
-                out["sample_rate"].append(int((8, 16, 22, 44)[h % 4]) * 1000)
-                out["features"].append(
-                    rng.standard_normal(n_features).astype(np.float32).tolist())
-            yield pd.DataFrame(out)
+                out["duration_ms"].append(dur)
+                out["sample_rate"].append(rate)
+                out["features"].append(feats)
+            yield pd.DataFrame({
+                "media_id": out["media_id"],
+                "duration_ms": pd.array(out["duration_ms"], dtype="Int64"),
+                "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                "features": pd.Series(out["features"], dtype="object"),
+            })
 
     return (df.select(F.col(id_col).cast("long").alias(id_col), payload_col)
             .mapInPandas(batches, AUDIO_FEATURES_SCHEMA))

@@ -758,26 +758,96 @@ def test_media_metadata_sniffs_magic_bytes(spark):
     assert len({got[i]["media_hash"] for i in got}) == 4
 
 
-def test_decode_images_stub_is_deterministic(spark):
-    rows = [(i, bytearray(bytes([i]) * 32)) for i in range(1, 9)]
+def _bmp_rows(n):
+    """n small BMPs with deterministic pixels (w=4+i%3, h=3+i%2)."""
+    from openapc_olap_spark.operators.multimodal import _encode_bmp
+    rows = []
+    for i in range(1, n + 1):
+        w, h = 4 + i % 3, 3 + i % 2
+        px = bytes((i * 7 + j * 13) % 256 for j in range(w * h * 3))
+        rows.append((i, bytearray(_encode_bmp(w, h, 3, px)), w, h, px))
+    return rows
+
+
+def test_decode_images_real_bmp_ppm_png(spark):
+    """The decode kernel is REAL for BMP/PPM/PNG: dims and pixel-stat
+    features come from the actual bytes, identically across partitionings."""
+    import numpy as np
+    from openapc_olap_spark.operators.multimodal import (
+        _encode_bmp, _encode_png, _encode_ppm)
+    px = bytes((j * 11) % 256 for j in range(6 * 4 * 3))
+    rows = [(1, bytearray(_encode_bmp(6, 4, 3, px))),
+            (2, bytearray(_encode_ppm(6, 4, 3, px))),
+            (3, bytearray(_encode_png(6, 4, 3, px)))]
     df = spark.createDataFrame(rows, ["media_id", "payload"])
     a = {r["media_id"]: r for r in multimodal.decode_images(df).collect()}
     b = {r["media_id"]: r for r in
-         multimodal.decode_images(df.repartition(4)).collect()}
-    assert len(a) == 8
+         multimodal.decode_images(df.repartition(3)).collect()}
+    arr = np.frombuffer(px, np.uint8)
+    for i in a:
+        assert (a[i]["width"], a[i]["height"], a[i]["channels"]) == (6, 4, 3)
+        f = a[i]["features"]
+        assert f[0] == 24.0 and f[1] == float(arr.sum())
+        assert f[2] == float(arr.min()) and f[3] == float(arr.max())
+        assert f[4] == float(arr.reshape(-1, 3)[:, 0].sum())
+        assert a[i] == b[i]          # partitioning-independent
+
+
+def test_decode_images_on_error_modes(spark):
+    """Corrupt bytes: default 'fail' raises (no silent fake dims), 'null'
+    nulls the row, 'fake' opts in to the deterministic stand-in."""
+    import pytest
+    rows = [(i, bytearray(bytes([i]) * 32)) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    with pytest.raises(Exception, match="image decode failed for media_id="):
+        multimodal.decode_images(df).collect()
+    nulls = multimodal.decode_images(df, on_error="null").collect()
+    assert len(nulls) == 4 and all(r["width"] is None for r in nulls)
+    a = {r["media_id"]: r for r in
+         multimodal.decode_images(df, on_error="fake").collect()}
+    b = {r["media_id"]: r for r in
+         multimodal.decode_images(df.repartition(4), on_error="fake")
+         .collect()}
     for i in a:
         assert a[i]["width"] >= 64 and a[i]["channels"] in (1, 2, 3, 4)
         assert len(a[i]["features"]) == 8
         assert a[i] == b[i]          # partitioning-independent
 
 
-def test_resize_images_passthrough_roundtrip(spark):
-    """Without PIL the resize stage must round-trip payload bytes through
-    Arrow untouched, flag resized=false, and record the target dims."""
-    rows = [(i, bytearray(bytes([i]) * 48)) for i in range(1, 5)]
+def test_resize_images_real_nearest_neighbor(spark):
+    """BMP/PNG payloads are really resized: decode(resize(x)) has the
+    target dims and the exact nearest-neighbor pixel grid."""
+    import numpy as np
+    from openapc_olap_spark.operators.multimodal import (
+        _decode_image_bytes, _encode_bmp, _encode_png)
+    px = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    rows = [(1, bytearray(_encode_bmp(2, 2, 3, px))),
+            (2, bytearray(_encode_png(2, 2, 3, px)))]
     df = spark.createDataFrame(rows, ["media_id", "payload"])
     got = {r["media_id"]: r for r in
-           multimodal.resize_images(df, target=(224, 224)).collect()}
+           multimodal.resize_images(df, target=(4, 4)).collect()}
+    src = np.frombuffer(px, np.uint8).reshape(2, 2, 3)
+    expect = src[(np.arange(4) * 2) // 4][:, (np.arange(4) * 2) // 4]
+    for i in got:
+        assert got[i]["resized"] is True
+        w, h, c, out_px = _decode_image_bytes(bytes(got[i]["payload"]))
+        assert (w, h, c) == (4, 4, 3)
+        assert np.array_equal(
+            np.frombuffer(out_px, np.uint8).reshape(4, 4, 3), expect)
+
+
+def test_resize_images_passthrough_roundtrip(spark):
+    """on_error='passthrough' (the opt-in lenient mode) round-trips
+    undecodable payload bytes through Arrow untouched, flags
+    resized=false, and records the target dims; the default fails."""
+    import pytest
+    rows = [(i, bytearray(bytes([i]) * 48)) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    with pytest.raises(Exception, match="image resize failed for media_id="):
+        multimodal.resize_images(df, target=(224, 224)).collect()
+    got = {r["media_id"]: r for r in
+           multimodal.resize_images(df, target=(224, 224),
+                                    on_error="passthrough").collect()}
     assert len(got) == 4
     for i in got:
         assert bytes(got[i]["payload"]) == bytes([i]) * 48
@@ -785,13 +855,55 @@ def test_resize_images_passthrough_roundtrip(spark):
         assert got[i]["resized"] is False
 
 
-def test_audio_features_deterministic_shape(spark):
-    rows = [(i, bytearray(bytes([i]) * 16)) for i in range(1, 7)]
+def _wav_payload(rate, channels, samples_i16):
+    import struct
+    import numpy as np
+    data = np.asarray(samples_i16, dtype="<i2").tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, channels, rate,
+                          rate * channels * 2, channels * 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_audio_features_real_wav_pcm(spark):
+    """WAV PCM decode is real: duration/sample-rate from the header,
+    features (sums, zero-crossings, rms) from the actual samples."""
+    import numpy as np
+    mono = [0, 1000, -1000, 500, -500, 250]
+    stereo = [10, -99, -20, 99, 30, -99, -40, 99]  # ch0 = 10,-20,30,-40
+    rows = [(1, bytearray(_wav_payload(8000, 1, mono))),
+            (2, bytearray(_wav_payload(16000, 2, stereo)))]
     df = spark.createDataFrame(rows, ["media_id", "payload"])
     a = {r["media_id"]: r for r in
          multimodal.extract_audio_features(df).collect()}
     b = {r["media_id"]: r for r in
-         multimodal.extract_audio_features(df.repartition(3)).collect()}
+         multimodal.extract_audio_features(df.repartition(2)).collect()}
+    m = np.array(mono)
+    assert a[1]["sample_rate"] == 8000
+    assert a[1]["duration_ms"] == round(len(mono) * 1000 / 8000)
+    f = a[1]["features"]
+    assert f[0] == 6.0 and f[1] == float(m.sum())
+    assert f[2] == float(np.abs(m).sum()) and f[3] == 4.0  # sign flips
+    s0 = np.array(stereo[::2])
+    g = a[2]["features"]
+    assert g[0] == 8.0 and g[1] == float(s0.sum()) and g[3] == 3.0
+    assert a[1] == b[1] and a[2] == b[2]   # partitioning-independent
+
+
+def test_audio_features_on_error_modes(spark):
+    import pytest
+    rows = [(i, bytearray(bytes([i]) * 16)) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    with pytest.raises(Exception, match="audio decode failed for media_id="):
+        multimodal.extract_audio_features(df).collect()
+    nulls = multimodal.extract_audio_features(df, on_error="null").collect()
+    assert all(r["sample_rate"] is None for r in nulls)
+    a = {r["media_id"]: r for r in
+         multimodal.extract_audio_features(df, on_error="fake").collect()}
+    b = {r["media_id"]: r for r in
+         multimodal.extract_audio_features(df.repartition(3),
+                                           on_error="fake").collect()}
     assert len(a) == 6
     for i in a:
         assert len(a[i]["features"]) == 13
