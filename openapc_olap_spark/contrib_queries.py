@@ -180,10 +180,14 @@ _X03_SQL = f"""
 def _x04_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash with the portable md5 token hash (``token_hashes`` md5 mode)
     so the DuckDB twin can rebuild bit-identical signatures; the banded
-    candidate join + hamming verify are unchanged."""
+    candidate join + hamming verify are unchanged. ``method='both'``
+    computes the Arrow-vectorized AND the pure-expression signature per
+    row with an in-plan assert_true equality check, so the vectorized
+    path is itself driver-certified — a bit divergence fails the gate
+    run, not just a local test."""
     docs = _docs_split(spark, sf_dir)
     return dedup.simhash_near_duplicates(docs, max_hamming=3,
-                                         token_hash="md5")
+                                         token_hash="md5", method="both")
 
 
 # Signature replication in SQL: per-token 60-bit md5 hash (identical to the
@@ -1544,6 +1548,253 @@ def _x31_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY 1"
 
 
+# ---------------------------------------------------------------------------
+# X32/X34: REAL pixel/sample decode under the hash gate — the DuckDB oracle
+# recomputes pixel sums / sample statistics from the same payload bytes the
+# mapInPandas kernels decode (multimodal._decode_bmp/_decode_ppm/
+# _decode_wav_samples), so the codec arithmetic itself is hash-certified.
+# ---------------------------------------------------------------------------
+
+def _le_bytes(c, n: int):
+    """Little-endian n-byte binary encoding of a long column (gate-side
+    payload synthesis; mirrors the x23 helper)."""
+    c = c.cast("long")
+    return F.unhex(F.concat(*[
+        F.lpad(F.hex(F.shiftright(c, 8 * i) % 256), 2, "0")
+        for i in range(n)]))
+
+
+def _x32_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``decode_images`` over synthesized 4xH 24-bit BMPs (and PPMs every
+    7th doc) whose pixel bytes are the documents' own utf-8 text bytes:
+    the decoder parses the real container (bottom-up rows, BGR order for
+    BMP; ASCII header for PPM) and emits pixel statistics the oracle
+    recomputes byte-by-byte from hex(payload bytes). Integer stats only —
+    exact in float32 at these sizes, so the value hash is strict."""
+    from openapc_olap_spark.operators import multimodal
+
+    docs = (load_tables(spark, sf_dir, ["documents"])["documents"]
+            .filter(F.col("doc_id") < 200))
+    k = F.col("doc_id")
+    h = (k % 8 + 4).cast("long")
+    npx = (h * 12).cast("long")          # 4 px/row * 3 B/px, stride 12 (no pad)
+    px = F.expr(
+        "substring(encode(rpad(text, 200, 'x'), 'utf-8'), 1, "
+        "CAST((doc_id % 8 + 4) * 12 AS INT))")
+    le = _le_bytes
+    bmp = F.concat(
+        F.lit(b"BM"), le(npx + 54, 4), F.lit(b"\x00\x00\x00\x00"),
+        le(F.lit(54), 4),
+        le(F.lit(40), 4), le(F.lit(4), 4), le(h, 4), le(F.lit(1), 2),
+        le(F.lit(24), 2), le(F.lit(0), 4), le(npx, 4), le(F.lit(2835), 4),
+        le(F.lit(2835), 4), le(F.lit(0), 4), le(F.lit(0), 4), px)
+    ppm = F.concat(
+        F.encode(F.concat(F.lit("P6\n4 "), h.cast("string"),
+                          F.lit("\n255\n")), "utf-8"), px)
+    media = docs.select(
+        k.alias("media_id"),
+        F.when(k % 7 == 3, ppm).otherwise(bmp).alias("payload"))
+    out = multimodal.decode_images(media)       # on_error='fail': any codec
+    f = F.col("features")                       # slip aborts the gate
+    return (out.select(
+        "media_id", "width", "height", "channels",
+        F.element_at(f, 1).cast("long").alias("n_px"),
+        F.element_at(f, 2).cast("long").alias("px_sum"),
+        F.element_at(f, 3).cast("long").alias("px_min"),
+        F.element_at(f, 4).cast("long").alias("px_max"),
+        F.element_at(f, 5).cast("long").alias("ch0_sum"))
+        .orderBy("media_id"))
+
+
+# BMP stores rows bottom-up in BGR order, so the decoder's ch0 (red) is the
+# source byte at index i % 3 = 2; PPM is direct RGB (i % 3 = 0). Sums/extrema
+# are order-invariant, so the oracle works on the flat pixel-byte stream.
+_X32_SQL = """
+    WITH m AS (
+      SELECT doc_id, (doc_id % 8 + 4) AS h, (doc_id % 7 = 3) AS is_ppm,
+             substr(hex(encode(rpad(text, 200, 'x'))),
+                    1, (doc_id % 8 + 4) * 24) AS dh
+      FROM documents WHERE doc_id < 200),
+    b AS (
+      SELECT doc_id, h, is_ppm,
+             unnest(generate_series(0, h * 12 - 1)) AS i, dh
+      FROM m),
+    v AS (
+      SELECT doc_id, h, is_ppm, i,
+             ('0x' || substr(dh, 2 * i + 1, 2))::INT AS byte
+      FROM b)
+    SELECT doc_id AS media_id, 4 AS width, h::INT AS height, 3 AS channels,
+           (4 * any_value(h))::BIGINT AS n_px,
+           sum(byte)::BIGINT AS px_sum,
+           min(byte)::BIGINT AS px_min,
+           max(byte)::BIGINT AS px_max,
+           sum(CASE WHEN i % 3 = (CASE WHEN is_ppm THEN 0 ELSE 2 END)
+                    THEN byte ELSE 0 END)::BIGINT AS ch0_sum
+    FROM v GROUP BY doc_id, h, is_ppm ORDER BY media_id
+"""
+
+
+def _x34_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``extract_audio_features`` over synthesized mono 16-bit PCM WAVs: a
+    fixed 3-sample signed preamble (-100, 100, -200 — guaranteeing sign
+    transitions) followed by the documents' text bytes as samples. The
+    oracle re-decodes every int16 (LE, two's complement) from hex(payload)
+    and recomputes the count/sum/abs-sum/zero-crossing/max-abs features
+    plus the header-derived duration — the sample arithmetic of the
+    decode kernel is fully under the value hash."""
+    from openapc_olap_spark.operators import multimodal
+
+    docs = (load_tables(spark, sf_dir, ["documents"])["documents"]
+            .filter(F.col("doc_id") < 200))
+    k = F.col("doc_id")
+    n = (k % 120 + 40).cast("long")                  # total samples
+    rate = F.element_at(F.array(F.lit(8000), F.lit(16000), F.lit(22050),
+                                F.lit(44100)), (k % 4 + 1).cast("int")) \
+            .cast("long")
+    data_bytes = n * 2
+    pcm = F.concat(
+        F.lit(b"\x9c\xff\x64\x00\x38\xff"),          # -100, 100, -200
+        F.expr("substring(encode(rpad(text, 330, 'x'), 'utf-8'), 1, "
+               "CAST((doc_id % 120 + 40) * 2 - 6 AS INT))"))
+    le = _le_bytes
+    wav = F.concat(
+        F.lit(b"RIFF"), le(data_bytes + 36, 4), F.lit(b"WAVEfmt "),
+        le(F.lit(16), 4), le(F.lit(1), 2), le(F.lit(1), 2),
+        le(rate, 4), le(rate * 2, 4), le(F.lit(2), 2), le(F.lit(16), 2),
+        F.lit(b"data"), le(data_bytes, 4), pcm)
+    media = docs.select(k.alias("media_id"), wav.alias("payload"))
+    out = multimodal.extract_audio_features(media)
+    f = F.col("features")
+    return (out.select(
+        "media_id", "duration_ms",
+        "sample_rate",
+        F.element_at(f, 1).cast("long").alias("n_samples"),
+        F.element_at(f, 2).cast("long").alias("s_sum"),
+        F.element_at(f, 3).cast("long").alias("s_abs"),
+        F.element_at(f, 4).cast("long").alias("zc"),
+        F.element_at(f, 5).cast("long").alias("max_abs"))
+        .orderBy("media_id"))
+
+
+_X34_SQL = """
+    WITH m AS (
+      SELECT doc_id, (doc_id % 120 + 40)::BIGINT AS n,
+             ([8000, 16000, 22050, 44100][(doc_id % 4 + 1)::INT])::BIGINT
+               AS rate,
+             '9CFF640038FF' ||
+             substr(hex(encode(rpad(text, 330, 'x'))),
+                    1, ((doc_id % 120 + 40) * 2 - 6) * 2) AS dh
+      FROM documents WHERE doc_id < 200),
+    idx AS (
+      SELECT doc_id, n, rate, dh,
+             unnest(generate_series(0, (n - 1)::INT)) AS i
+      FROM m),
+    s16 AS (
+      SELECT doc_id, n, rate, i,
+             ('0x' || substr(dh, 4 * i + 1, 2))::BIGINT
+             + 256 * ('0x' || substr(dh, 4 * i + 3, 2))::BIGINT AS v
+      FROM idx),
+    sv AS (
+      SELECT doc_id, n, rate, i,
+             CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+      FROM s16),
+    z AS (
+      SELECT doc_id, n, rate, s,
+             CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY i)
+                       IS NOT NULL
+                   AND ((lag(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+                        <> (s >= 0))
+                  THEN 1 ELSE 0 END AS zc
+      FROM sv)
+    SELECT doc_id AS media_id,
+           floor(any_value(n) * 1000.0 / any_value(rate) + 0.5)::BIGINT
+             AS duration_ms,
+           any_value(rate)::INT AS sample_rate,
+           any_value(n)::BIGINT AS n_samples,
+           sum(s)::BIGINT AS s_sum,
+           sum(abs(s))::BIGINT AS s_abs,
+           sum(zc)::BIGINT AS zc,
+           max(abs(s))::BIGINT AS max_abs
+    FROM z GROUP BY doc_id ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# X33: custom stateful streaming sessionization (applyInPandasWithState)
+# gated against the batch gaps-and-islands oracle
+# ---------------------------------------------------------------------------
+
+def _x33_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stateful_sessionize`` (explicit per-user GroupState, X6's custom
+    operator) driven through the real streaming path under availableNow.
+    It emits a session only when a LATER event closes it, so each user's
+    final (still-open) session stays in state — the oracle is the x11
+    gaps-and-islands rewrite minus each user's last island. Start/end
+    timestamps, event counts and value sums are all under the hash."""
+    from openapc_olap_spark import streaming
+    from openapc_olap_spark.streaming import stateful
+
+    d = _stream_dir(sf_dir, "x33_stream", copies=1)
+    ev = streaming.read_event_stream(spark, d)
+    sess = stateful.stateful_sessionize(ev, gap="6 hours")
+    streaming.run_to_memory(sess, "x33_stream", output_mode="append")
+    detail = spark.table("x33_stream").select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("ss"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("se"),
+        F.col("n_events").alias("ne"),
+        F.col("value_sum").alias("vs"))
+    # per-user rollup (thousands of raw sessions -> 150 rows) that still
+    # pins EVERY session's boundaries + event count: md5 over the sorted
+    # 'start|end|n' strings — lexicographic sort == chronological for
+    # the fixed-width timestamp format, same ordering the SQL twin uses
+    sig = F.md5(F.concat_ws(";", F.array_sort(F.collect_list(
+        F.concat_ws("|", "ss", "se", F.col("ne").cast("string"))))))
+    return (detail.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("ne").alias("n_events"),
+                 F.round(F.sum("vs"), 4).alias("value_sum"),
+                 sig.alias("sessions_md5"))
+            .orderBy("user_id"))
+
+
+_X33_SQL = """
+    WITH d AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 6 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    i AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS island
+      FROM d),
+    s AS (
+      SELECT user_id, island,
+             min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events, round(sum(value), 4) AS value_sum
+      FROM i GROUP BY 1, 2),
+    last AS (SELECT user_id, max(island) AS li FROM s GROUP BY 1),
+    closed AS (
+      SELECT s.user_id,
+             strftime(session_start, '%Y-%m-%d %H:%M:%S') || '|' ||
+             strftime(session_end, '%Y-%m-%d %H:%M:%S') || '|' ||
+             n_events AS line,
+             n_events, value_sum
+      FROM s JOIN last USING (user_id)
+      WHERE s.island < last.li)
+    SELECT user_id,
+           count(*) AS n_sessions,
+           sum(n_events)::BIGINT AS n_events,
+           round(sum(value_sum), 4) AS value_sum,
+           md5(string_agg(line, ';' ORDER BY line)) AS sessions_md5
+    FROM closed GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -1576,6 +1827,9 @@ QUERIES = {
     "x29_sequence_packing": _x29_sequence_packing,
     "x30_hash_split": _x30_hash_split,
     "x31_profile": _x31_profile,
+    "x32_image_decode": _x32_image_decode,
+    "x33_stateful_sessions": _x33_stateful_sessions,
+    "x34_wav_decode": _x34_wav_decode,
 }
 
 ORACLES = {
@@ -1610,4 +1864,7 @@ ORACLES = {
     "x29_sequence_packing": _X29_SQL,
     "x30_hash_split": _X30_SQL,
     "x31_profile": _x31_sql(),
+    "x32_image_decode": _X32_SQL,
+    "x33_stateful_sessions": _X33_SQL,
+    "x34_wav_decode": _X34_SQL,
 }

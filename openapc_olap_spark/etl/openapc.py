@@ -585,14 +585,20 @@ class OpenAPCPipeline:
         for name, df in self.build_all().items():
             df = self.with_fact_id(df)
             path = os.path.join(out_dir, name)
-            if "period" in df.columns:
-                # cluster rows by period inside each file so period cuts
-                # (the dominant slicer predicate) skip row groups via
-                # parquet min/max stats — free at write time, and the sort
-                # is per-partition, no shuffle
-                df = df.sortWithinPartitions("period")
+            partitioned = "institution" in df.columns and name != "doi_lookup"
+            # cluster rows by (institution, period) inside each task so
+            # period cuts (the dominant slicer predicate) skip row groups
+            # via parquet min/max stats — free at write time, per-partition,
+            # no shuffle. Institution MUST lead when the write is
+            # partitioned: the dynamic-partition writer otherwise inserts
+            # its own (unstable) sort on the partition column, which would
+            # destroy the period clustering inside each institution's file.
+            keys = ([] if not partitioned else ["institution"]) \
+                + (["period"] if "period" in df.columns else [])
+            if keys:
+                df = df.sortWithinPartitions(*keys)
             writer = df.write.mode("overwrite")
-            if "institution" in df.columns and name != "doi_lookup":
+            if partitioned:
                 writer = writer.partitionBy("institution")
             writer.parquet(path)
         (self.institutional_manifest()

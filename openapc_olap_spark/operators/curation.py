@@ -68,9 +68,15 @@ def curation_funnel(df: DataFrame, id_col: str = "doc_id",
                                            F.col("__id").asc())
     ranked = scored.withColumn("__rn", F.row_number().over(w))
     kept = F.col("__qp") & (F.col("__rn") == 1)
+    zero = F.lit(0).cast("long")
+    # coalesce: sum over zero rows is NULL — an empty input/partition must
+    # still report a fully-defined (all-zero) funnel to monitoring
     return ranked.agg(
         F.count(F.lit(1)).alias("n_input"),
-        F.sum(F.col("__qp").cast("long")).alias("n_quality"),
-        F.sum(kept.cast("long")).alias("n_unique"),
-        F.sum(F.when(kept, F.col("__pii")).otherwise(0)).alias("n_pii_matches"),
-        F.sum(F.when(kept, F.col("__toks")).otherwise(0)).alias("total_tokens"))
+        F.coalesce(F.sum(F.col("__qp").cast("long")), zero)
+         .alias("n_quality"),
+        F.coalesce(F.sum(kept.cast("long")), zero).alias("n_unique"),
+        F.coalesce(F.sum(F.when(kept, F.col("__pii")).otherwise(0)), zero)
+         .alias("n_pii_matches"),
+        F.coalesce(F.sum(F.when(kept, F.col("__toks")).otherwise(0)), zero)
+         .alias("total_tokens"))

@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from openapc_olap_spark.operators._memo import memoized
 from openapc_olap_spark.operators.text import fingerprint, shingles, tokens
 
 # A large prime < 2^31 for affine minhash permutations (Carter-Wegman style).
@@ -123,26 +124,26 @@ def minhash_from_hashes(hashes_col, num_perm: int = 32,
     similarity._SIG_MEMO: the literal-array + nested-lambda construction
     is dozens of py4j round-trips per call; unresolved Columns are
     immutable, so reuse across frames is safe)."""
-    memo_key = (hashes_col, num_perm, seed) \
-        if isinstance(hashes_col, str) else None
-    if memo_key in _MINHASH_MEMO:
-        return _MINHASH_MEMO[memo_key]
-    h = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
+    if isinstance(hashes_col, str):
+        return memoized(_MINHASH_MEMO, (hashes_col, num_perm, seed),
+                        lambda: _build_minhash(F.col(hashes_col), num_perm,
+                                               seed))
+    return _build_minhash(hashes_col, num_perm, seed)
+
+
+def _build_minhash(h, num_perm: int, seed: int) -> Column:
     params = _affine_params(num_perm, seed)
     a_arr = F.array(*[F.lit(a) for a, _ in params])
     b_arr = F.array(*[F.lit(b) for _, b in params])
     idx = F.sequence(F.lit(1), F.lit(num_perm))
     init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_perm)
-    sig = F.aggregate(
+    return F.aggregate(
         h, init,
         lambda acc, x: F.zip_with(
             acc, idx,
             lambda m, i: F.least(m, F.pmod(
                 F.element_at(a_arr, i) * x + F.element_at(b_arr, i),
                 F.lit(_MERSENNE)))))
-    if memo_key is not None:
-        _MINHASH_MEMO[memo_key] = sig
-    return sig
 
 
 _MINHASH_MEMO: dict = {}
@@ -408,9 +409,13 @@ def simhash_from_hashes(hashes_col) -> Column:
     an expression tree Catalyst re-analyzed in ~1.5 s per plan — 8x slower
     end-to-end than this at sf0.1. No shuffle, no UDF. Built Columns are
     memoized for string-named inputs (see _MINHASH_MEMO rationale)."""
-    if isinstance(hashes_col, str) and hashes_col in _SIMHASH_MEMO:
-        return _SIMHASH_MEMO[hashes_col]
-    h = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
+    if isinstance(hashes_col, str):
+        return memoized(_SIMHASH_MEMO, hashes_col,
+                        lambda: _build_simhash(F.col(hashes_col)))
+    return _build_simhash(hashes_col)
+
+
+def _build_simhash(h) -> Column:
     n = F.size(h)
     masks = F.array(*[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
                       for i in range(64)])
@@ -422,13 +427,10 @@ def simhash_from_hashes(hashes_col) -> Column:
             acc, masks,
             lambda c, m: c + F.when(x.bitwiseAND(m) != 0, one)
                               .otherwise(zero)))
-    sig = F.aggregate(
+    return F.aggregate(
         F.reverse(counts), zero,
         lambda acc, c: F.shiftleft(acc, 1).bitwiseOR(
             F.when(c * 2 > n, one).otherwise(zero)))
-    if isinstance(hashes_col, str):
-        _SIMHASH_MEMO[hashes_col] = sig
-    return sig
 
 
 _SIMHASH_MEMO: dict = {}
@@ -491,17 +493,29 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
 
     ``method``: "arrow" (default) signs with the vectorized numpy UDF;
     "expr" uses the pure-Catalyst fold (zero-UDF, same bits) for callers
-    that must keep the whole plan JVM-side.
+    that must keep the whole plan JVM-side; "both" computes BOTH and
+    asserts bit-identity in-plan (``assert_true`` per row, distributed) —
+    the self-certifying mode oracle gates run, so the vectorized path is
+    hash-certified too, not just test-asserted.
 
     ``token_hash``: per-token hash family (see ``token_hashes``); "md5"
     yields a DuckDB-replicable signature for oracle-gated runs.
     """
-    sig_col = (_simhash_arrow()("__th") if method == "arrow"
-               else simhash_from_hashes("__th"))
-    sig = (df
-           .select(F.col(id_col).alias("id"),
-                   token_hashes(text_col, method=token_hash).alias("__th"))
-           .select("id", sig_col.alias("sig")))
+    base = df.select(F.col(id_col).alias("id"),
+                     token_hashes(text_col, method=token_hash).alias("__th"))
+    if method == "both":
+        two = base.select("id", _simhash_arrow()("__th").alias("__sig_a"),
+                          simhash_from_hashes("__th").alias("__sig_e"))
+        verified = F.coalesce(
+            F.assert_true(F.col("__sig_a") == F.col("__sig_e"),
+                          F.lit("simhash arrow/expr bit mismatch"))
+            .cast("long"),
+            F.col("__sig_a"))
+        sig = two.select("id", verified.alias("sig"))
+    else:
+        sig_col = (_simhash_arrow()("__th") if method == "arrow"
+                   else simhash_from_hashes("__th"))
+        sig = base.select("id", sig_col.alias("sig"))
     if materialize:
         sig = _materialized(sig)
     chunks = sig.select(

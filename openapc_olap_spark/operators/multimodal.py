@@ -801,7 +801,9 @@ def _audio_features(rate: int, channels: int, samples,
 
     ch0 = samples[::channels] if channels > 1 else samples
     n_per_ch = ch0.size
-    duration_ms = int(round(n_per_ch * 1000.0 / rate)) if rate else 0
+    # half-away-from-zero, matching SQL round() (Python round() is
+    # half-to-even and would diverge from cross-engine oracles)
+    duration_ms = int(n_per_ch * 1000.0 / rate + 0.5) if rate else 0
     if n_per_ch:
         sum_ = int(ch0.sum(dtype=np.int64))
         sum_abs = int(np.abs(ch0).sum(dtype=np.int64))

@@ -44,6 +44,12 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
     1000 executors pack 1000 shards independently; no global order, no
     driver-side loop. Capacity waste amortizes per shard. Output: one row
     per document (shard, bin_id, doc id, n_tokens, bin_offset).
+
+    Determinism precondition: ``id_col`` values must be UNIQUE — the
+    in-shard order is (id, n_tokens), so duplicate ids with equal token
+    counts would make the cumulative offsets ambiguous across engines.
+    With unique ids the output is bit-stable across runs AND engines
+    (the contract hash_split's leakage guarantee builds on).
     """
     toks = (F.col(token_count_col) if token_count_col
             else text.token_count(text_col))
@@ -51,7 +57,8 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         _md5_bucket(F.col(id_col), n_shards).alias("shard"),
         toks.alias("n_tokens"))
-    w = (Window.partitionBy("shard").orderBy(F.col(id_col).asc())
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col(id_col).asc(), F.col("n_tokens").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum("n_tokens").over(w)
     out = base.withColumn("__start", cum - F.col("n_tokens"))

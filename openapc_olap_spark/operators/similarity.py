@@ -23,6 +23,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from openapc_olap_spark.operators._memo import memoized
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns (JVM-side fold)."""
@@ -93,22 +95,25 @@ def hyperplane_signature(vec_col: Column | str, planes: list[list[float]]) -> Co
 # Built signature Columns memoized per (vec_col, dim, nbits, seed): the
 # nbits x dim literal-array construction is hundreds of py4j round-trips
 # (~0.8 s driver time per call under load); unresolved Columns are
-# immutable and bind at select-time, so reuse across frames is safe.
+# immutable and bind at select-time, so reuse across frames is safe. The
+# memo is gateway-scoped (operators._memo) so a JVM restart invalidates it.
 _SIG_MEMO: dict = {}
 
 
 def lsh_bucketize(df: DataFrame, nbits: int = 8, vec_col: str = "embedding",
                   dim: int | None = None, seed: int = 42) -> DataFrame:
     """Attach the LSH ``bucket`` column. ``dim`` defaults to the first row's
-    length (pass explicitly in production)."""
+    length — that probe is a hidden driver-side job, so every pipeline
+    entry point requires ``dim`` explicitly; the default exists for
+    interactive exploration only."""
     if dim is None:
         first = df.select(F.size(vec_col)).first()
         dim = first[0] if first else 0
-    key = (vec_col, dim, nbits, seed)
-    if key not in _SIG_MEMO:
-        planes = random_hyperplanes(dim, nbits, seed)
-        _SIG_MEMO[key] = hyperplane_signature(vec_col, planes)
-    return df.withColumn("bucket", _SIG_MEMO[key])
+    sig = memoized(
+        _SIG_MEMO, (vec_col, dim, nbits, seed),
+        lambda: hyperplane_signature(vec_col,
+                                     random_hyperplanes(dim, nbits, seed)))
+    return df.withColumn("bucket", sig)
 
 
 def lsh_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -245,8 +250,8 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               vec_col: str = "embedding",
                               seed: int = 42,
                               bucket_cap: int | None = None,
-                              materialize: bool = True,
-                              dim: int | None = None) -> DataFrame:
+                              materialize: bool = True, *,
+                              dim: int) -> DataFrame:
     """X2 embedding-cosine near-dup: same-bucket candidate pairs -> exact
     cosine verify >= threshold. Output (id_a, id_b, cos_sim).
 
@@ -275,8 +280,9 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
       (e.g. 1e9 vectors, ~1k per bucket -> nbits >= 20). The default 8 is
       sized for test corpora, NOT for production.
 
-    Pass ``dim`` (the embedding length) explicitly in pipelines — omitting
-    it costs an extra driver-side first-row probe job per call.
+    ``dim`` (the embedding length) is REQUIRED — like ``write_ann_index``,
+    this is a pipeline entry point, and inferring the length would cost a
+    hidden driver-side first-row probe job per call.
     """
     b = (lsh_bucketize(df, nbits, vec_col, dim, seed)
          .select(F.col(id_col).alias("id"),

@@ -1,0 +1,175 @@
+"""Certification-schedule manifest (VERDICT r04 item 4 / ADVICE r04).
+
+The external driver hash-certifies only the FIRST 50 entries of
+``__spark_entry__.queries()``; queries rotated into the tail are trusted on
+the premise that their implementing code is UNCHANGED since the round that
+certified them. This module makes that premise checkable in CI instead of
+prose:
+
+- ``build_manifest()`` records, per gate query: a sha256 of the gate
+  callable's source, of its oracle SQL, of its harness module's shared
+  UPPERCASE constants, and of every ENGINE module it executes through
+  (module granularity for engine code; function granularity only for the
+  two declarative query-pack files, whose entries are self-contained
+  Spark/SQL pairs).
+- ``python scripts/cert_manifest.py`` rewrites ``tests/cert_manifest.json``
+  — run it ONLY when the _CERT_TAIL set has just been (re)verified, i.e.
+  after rotating every touched query into _CERT_FIRST.
+- ``tests/test_entry_contract.py`` fails if any _CERT_TAIL query's hashes
+  differ from the committed manifest, forcing the rotation.
+
+Known granularity limits (documented, accepted): module-level *private*
+helpers inside the query packs (e.g. _docs_split) are not hashed per-query;
+they are covered by the UPPERCASE-constant hash only when they read shared
+constants. Engine code — where regressions actually live — is hashed
+wholesale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MANIFEST_PATH = os.path.join(REPO, "tests", "cert_manifest.json")
+
+_P = "openapc_olap_spark"
+
+# Engine modules every gate executes through (session bootstrap + loaders).
+_COMMON = [f"{_P}/session.py"]
+_QUERY_STACK = [f"{_P}/query.py", f"{_P}/cuts.py", f"{_P}/model.py",
+                f"{_P}/tpch.py"]
+_ETL_STACK = [f"{_P}/etl/openapc.py", f"{_P}/etl/coverage.py",
+              f"{_P}/etl/schemas.py", f"{_P}/etl/yamls.py",
+              f"{_P}/catalog.py", f"{_P}/model.py", f"{_P}/query.py",
+              f"{_P}/server.py"]
+_OPS = f"{_P}/operators"
+_MEMO = [f"{_OPS}/_memo.py"]
+
+# Per-query ENGINE-module dependencies (repo-relative). Over-inclusion is
+# safe (it only forces extra rotation); omission is the failure mode, so
+# lists err broad.
+DEPS: dict[str, list[str]] = {}
+for _q in ["q01_facts_page", "q02_cut_point", "q03_cut_range", "q04_cut_set",
+           "q05_cut_negate", "q06_aggregate_summary", "q07_drilldown",
+           "q08_multi_drilldown", "q09_order_topk", "q10_pagination_cells",
+           "q11_envelope_rollup", "q12_point_lookup", "q13_fact_by_id",
+           "q14_members", "q15_total_percentage"]:
+    DEPS[_q] = _QUERY_STACK[:]
+DEPS["q16_cell_http"] = _QUERY_STACK + [f"{_P}/server.py"]
+DEPS["q17_model_http"] = _QUERY_STACK + [f"{_P}/server.py",
+                                         f"{_P}/catalog.py"]
+# e-gates resolve by prefix in deps_for() -> _ETL_STACK
+
+_X_DEPS = {
+    "x01_dedup_summary": [f"{_OPS}/text.py", f"{_OPS}/dedup.py"] + _MEMO,
+    "x02_ngram_jaccard": [f"{_OPS}/text.py", f"{_OPS}/dedup.py"] + _MEMO,
+    "x03_minhash_neardup": [f"{_OPS}/text.py", f"{_OPS}/dedup.py"] + _MEMO,
+    "x04_simhash_neardup": [f"{_OPS}/text.py", f"{_OPS}/dedup.py"] + _MEMO,
+    "x05_ann_topk": [f"{_OPS}/similarity.py"] + _MEMO,
+    "x06_lsh_neardup_embeddings": [f"{_OPS}/similarity.py",
+                                   f"{_OPS}/dedup.py"] + _MEMO,
+    "x07_text_metrics": [f"{_OPS}/text.py"],
+    "x08_langid_distribution": [f"{_OPS}/text.py"],
+    "x09_tumbling_daily": [f"{_OPS}/windows.py"],
+    "x10_sliding_windows": [f"{_OPS}/windows.py"],
+    "x11_session_stats": [f"{_OPS}/windows.py"],
+    "x12_props_json": [],
+    "x13_salted_drilldown": [f"{_OPS}/skew.py"],
+    "x14_ngram_jaccard_capped": [f"{_OPS}/text.py",
+                                 f"{_OPS}/dedup.py"] + _MEMO,
+    "x15_media_metadata": [f"{_OPS}/multimodal.py"] + _MEMO,
+    "x16_quality_deciles": [f"{_OPS}/text.py"],
+    "x17_ivf_ann": [f"{_OPS}/similarity.py"] + _MEMO,
+    "x18_lsh_neardup_capped": [f"{_OPS}/similarity.py",
+                               f"{_OPS}/dedup.py"] + _MEMO,
+    "x19_image_dims": [f"{_OPS}/multimodal.py"] + _MEMO,
+    "x20_pii_redaction": [f"{_OPS}/text.py"],
+    "x21_repetition_deciles": [f"{_OPS}/text.py"],
+    "x22_vocab_top": [f"{_OPS}/text.py"],
+    "x23_wav_metadata": [f"{_OPS}/multimodal.py"] + _MEMO,
+    "x24_audio_headers": [f"{_OPS}/multimodal.py"] + _MEMO,
+    "x25_streaming_tumbling": [f"{_P}/streaming/__init__.py",
+                               f"{_OPS}/windows.py"],
+    "x26_streaming_dedup": [f"{_P}/streaming/__init__.py"],
+    "x27_winnow_fingerprints": [f"{_OPS}/text.py"],
+    "x28_curation_funnel": [f"{_OPS}/curation.py", f"{_OPS}/text.py"],
+    "x29_sequence_packing": [f"{_OPS}/packing.py", f"{_OPS}/text.py"],
+    "x30_hash_split": [f"{_OPS}/packing.py", f"{_OPS}/text.py"],
+    "x31_profile": [f"{_OPS}/profile.py"],
+    "x32_image_decode": [f"{_OPS}/multimodal.py"] + _MEMO,
+    "x33_stateful_sessions": [f"{_P}/streaming/__init__.py",
+                              f"{_P}/streaming/stateful.py"],
+    "x34_wav_decode": [f"{_OPS}/multimodal.py"] + _MEMO,
+}
+DEPS.update(_X_DEPS)
+
+
+def deps_for(name: str) -> list[str]:
+    if name in DEPS:
+        mods = DEPS[name]
+    elif name.startswith("e"):
+        mods = _ETL_STACK
+    else:
+        raise KeyError(f"no dependency mapping for gate {name!r}; add one "
+                       f"to scripts/cert_manifest.py DEPS")
+    return sorted(set(mods + _COMMON))
+
+
+def _sha_file(rel: str) -> str:
+    with open(os.path.join(REPO, rel), "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _sha_text(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def _const_sha(mod) -> str:
+    """Hash of the harness module's shared UPPERCASE constants (the values
+    gate callables read besides their own source); QUERIES/ORACLES
+    registries excluded — they change whenever a gate is added, which is
+    not a semantic change to existing gates."""
+    consts = {}
+    for k, v in sorted(vars(mod).items()):
+        if (k.isupper() and k not in ("QUERIES", "ORACLES")
+                and isinstance(v, (int, float, str, bool, list, tuple))):
+            consts[k] = repr(v)
+    return _sha_text(json.dumps(consts, sort_keys=True))
+
+
+def build_manifest() -> dict:
+    import sys
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    out: dict = {"modules": {}, "queries": {}}
+    needed: set[str] = set()
+    for name, fn in qs.items():
+        mods = deps_for(name)
+        needed.update(mods)
+        out["queries"][name] = {
+            "src": _sha_text(inspect.getsource(fn)),
+            "oracle": _sha_text(oracles.get(name, "")),
+            "consts": _const_sha(inspect.getmodule(fn)),
+            "deps": mods,
+        }
+    for rel in sorted(needed):
+        out["modules"][rel] = _sha_file(rel)
+    return out
+
+
+def main() -> None:
+    manifest = build_manifest()
+    with open(MANIFEST_PATH, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {MANIFEST_PATH}: {len(manifest['queries'])} queries, "
+          f"{len(manifest['modules'])} modules")
+
+
+if __name__ == "__main__":
+    main()

@@ -68,3 +68,63 @@ def test_all_declared_queries_match_oracles_at_sf0001(spark):
         if not ok:
             failures.append(msg)
     assert not failures, "\n".join(failures)
+
+
+def test_cert_tail_code_unchanged_since_manifest():
+    """The tail premise, enforced (VERDICT r04 item 4): a _CERT_TAIL query
+    sits outside the driver's 50-query window ONLY because its code is
+    unchanged since the round that certified it. tests/cert_manifest.json
+    records, per gate: sha256 of the callable source, its oracle SQL, the
+    harness module's shared constants, and every engine module it executes
+    through. Any drift here fails — rotate the query into _CERT_FIRST and
+    regenerate the manifest (scripts/cert_manifest.py)."""
+    import hashlib
+    import inspect
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "cert_manifest", os.path.join(_ROOT, "scripts", "cert_manifest.py"))
+    cm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cm)
+
+    with open(os.path.join(_ROOT, "tests", "cert_manifest.json")) as f:
+        manifest = json.load(f)
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    problems = []
+    for name in entrymod._CERT_TAIL:
+        rec = manifest["queries"].get(name)
+        if rec is None:
+            problems.append(f"{name}: not in cert_manifest.json")
+            continue
+        fn = qs[name]
+        src = hashlib.sha256(inspect.getsource(fn).encode()).hexdigest()
+        if src != rec["src"]:
+            problems.append(f"{name}: gate callable source changed")
+        osha = hashlib.sha256(oracles.get(name, "").encode()).hexdigest()
+        if osha != rec["oracle"]:
+            problems.append(f"{name}: oracle SQL changed")
+        if cm._const_sha(inspect.getmodule(fn)) != rec["consts"]:
+            problems.append(f"{name}: harness shared constants changed")
+        for mod in rec["deps"]:
+            if cm._sha_file(mod) != manifest["modules"][mod]:
+                problems.append(f"{name}: engine module {mod} changed")
+    assert not problems, (
+        "tail queries must be rotated into _CERT_FIRST (and the manifest "
+        "regenerated) when their code changes:\n" + "\n".join(problems))
+
+
+def test_cert_manifest_covers_every_gate():
+    """Every declared gate has a manifest record and a dependency mapping,
+    so a future tail rotation can never silently lack coverage."""
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "cert_manifest", os.path.join(_ROOT, "scripts", "cert_manifest.py"))
+    cm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cm)
+    with open(os.path.join(_ROOT, "tests", "cert_manifest.json")) as f:
+        manifest = json.load(f)
+    for name in entrymod.queries():
+        assert name in manifest["queries"], f"{name}: regenerate manifest"
+        assert cm.deps_for(name), name

@@ -242,3 +242,37 @@ def test_t11_additional_cost_institutions(pipeline):
     got = [r["institution"]
            for r in pipeline.additional_cost_institutions().collect()]
     assert got == ["TU Alpha"]
+
+
+def test_write_clusters_institution_period(pipeline, tmp_path):
+    """SCALING.md write-locality promise, asserted on actual parquet
+    footers: partitioned cubes are written sortWithinPartitions
+    (institution, period), so inside every physical file the period column
+    is non-decreasing and consecutive row-group min/max stats are ordered —
+    period cuts then skip row groups. Institution leads the sort so the
+    dynamic-partition writer does not inject its own (unstable) sort."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "sorted_out")
+    pipeline.write(out)
+    checked = 0
+    for path in glob.glob(f"{out}/*/institution=*/*.parquet"):
+        pf = pq.ParquetFile(path)
+        names = pf.schema_arrow.names
+        if "period" not in names:
+            continue
+        md = pf.metadata
+        col = names.index("period")
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            assert st is not None and st.has_min_max, path
+            if prev_max is not None:
+                assert st.min >= prev_max, path   # ordered row groups
+            prev_max = st.max
+        vals = pf.read(columns=["period"]).column("period").to_pylist()
+        assert vals == sorted(vals), path         # clustered inside file
+        checked += 1
+    assert checked > 0

@@ -325,8 +325,8 @@ def test_embedding_near_duplicates(spark):
     vecs = [(1, [1.0, 0.0, 0.5]), (2, [2.0, 0.0, 1.0]),   # colinear -> cos 1
             (3, [-1.0, 2.0, 0.0])]
     df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
-    got = dedup_pairs = similarity.embedding_near_duplicates(
-        df, threshold=0.99, nbits=4).collect()
+    got = similarity.embedding_near_duplicates(
+        df, threshold=0.99, nbits=4, dim=3).collect()
     assert len(got) == 1
     assert (got[0]["id_a"], got[0]["id_b"]) == (1, 2)
     assert got[0]["cos_sim"] == pytest.approx(1.0)
@@ -335,7 +335,7 @@ def test_embedding_near_duplicates(spark):
 def test_embedding_near_duplicates_bucket_cap(emb):
     """Capped pairs ⊆ uncapped pairs; every dropped pair touches a
     hot bucket (> cap members); pairs wholly inside small buckets survive."""
-    kw = dict(threshold=0.35, nbits=6, seed=42)
+    kw = dict(threshold=0.35, nbits=6, seed=42, dim=64)
     pairkey = lambda rows: {(r["id_a"], r["id_b"]) for r in rows}
     uncapped = pairkey(similarity.embedding_near_duplicates(emb, **kw).collect())
     capped = pairkey(similarity.embedding_near_duplicates(
@@ -1037,3 +1037,14 @@ def test_minhash_bucket_cap_drops_pathological_buckets(spark):
     # uncapped: the boilerplate cluster floods 30*29/2 = 435 pairs
     full = dedup.minhash_lsh_candidates(df)
     assert full.count() >= 435
+
+
+def test_curation_funnel_empty_input_all_zero(spark):
+    """Empty input must yield a fully-defined all-zero funnel row (sum over
+    zero rows is NULL without the coalesce) — monitoring consumers read
+    these counts directly."""
+    from openapc_olap_spark.operators import curation
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = curation.curation_funnel(empty).collect()[0]
+    assert row.asDict() == {"n_input": 0, "n_quality": 0, "n_unique": 0,
+                            "n_pii_matches": 0, "total_tokens": 0}
