@@ -1795,6 +1795,51 @@ _X33_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X35: duplicate-group resolution — connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _x35_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup.duplicate_groups`` (iterative min-label propagation with
+    per-round lineage checkpointing) over the MinHash near-dup pair graph:
+    one row per connected component, (canon_id = min doc id, n_members).
+    The oracle resolves the same components with a recursive-CTE
+    transitive closure over the exact-Jaccard pair set — component
+    membership, canonical choice, and group sizes all under the hash."""
+    docs = _docs_split(spark, sf_dir)
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5)
+    return dedup.duplicate_groups(pairs).orderBy("canon_id")
+
+
+_X35_SQL = f"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sets AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM s),
+    inv AS (
+      SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM sets),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.sz) AS sa, any_value(b.sz) AS sb,
+             count(*) AS n
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    p AS (
+      SELECT id_a, id_b FROM inter
+      WHERE n::DOUBLE / (sa + sb - n) >= 0.5),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (
+      SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+    SELECT comp AS canon_id, count(*) AS n_members
+    FROM comp GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -1830,6 +1875,7 @@ QUERIES = {
     "x32_image_decode": _x32_image_decode,
     "x33_stateful_sessions": _x33_stateful_sessions,
     "x34_wav_decode": _x34_wav_decode,
+    "x35_duplicate_groups": _x35_duplicate_groups,
 }
 
 ORACLES = {
@@ -1867,4 +1913,5 @@ ORACLES = {
     "x32_image_decode": _X32_SQL,
     "x33_stateful_sessions": _X33_SQL,
     "x34_wav_decode": _X34_SQL,
+    "x35_duplicate_groups": _X35_SQL,
 }

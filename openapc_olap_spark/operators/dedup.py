@@ -535,3 +535,95 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                      hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"))
              .distinct())
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# X2f: duplicate-group resolution (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Resolve the connected components of an undirected pair graph:
+    output (id, comp) where ``comp`` is the MINIMUM node id reachable from
+    ``id`` — the canonical representative every dedup pipeline needs after
+    pair generation (pairs alone don't say which doc to keep when dups
+    chain a-b, b-c).
+
+    Algorithm: iterative min-label propagation. Each round, every node
+    offers its current label to its neighbours; labels are re-aggregated
+    by min; convergence when no label changes. Rounds needed = graph
+    diameter — for near-dup graphs that is tiny (candidate generation
+    emits near-cliques; chains longer than a few hops are rare), so the
+    loop runs 2-4 rounds in practice, each round one join + one map-side
+    combined min-aggregate on (node) keys. The edge frame is persisted
+    once and reused every round; per-round label frames are
+    localCheckpoint-ed so the plan stays constant-size across rounds
+    (the standard iterative-DataFrame lineage guard). For adversarial
+    long-chain graphs at 100 TB, the same loop upgrades to alternating
+    large-star/small-star (Kiveris et al.), which bounds rounds at
+    O(log n) — the driver-side loop shape (a handful of actions, no
+    per-row driver work) is unchanged. Raises after ``max_iter`` rounds
+    without convergence rather than returning silently-wrong labels.
+    """
+    sym = (edges.select(F.col(src).cast("long").alias("a"),
+                        F.col(dst).cast("long").alias("b"))
+           .union(edges.select(F.col(dst).cast("long").alias("a"),
+                               F.col(src).cast("long").alias("b")))
+           .distinct())
+    sym = _materialized(sym)
+    # localCheckpoint (not persist) each round: persisting caches DATA but
+    # the logical plan still nests one join+union+agg deeper per round —
+    # analysis cost and driver heap grow until they blow up (~30 rounds
+    # OOMs a 4 GB driver even on toy graphs). Checkpointing truncates the
+    # lineage, keeping every round's plan constant-size; the re-compute-
+    # on-executor-loss caveat is confined to this iterative loop.
+    labels = (sym.select(F.col("a").alias("id")).distinct()
+              .withColumn("comp", F.col("id"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        # neighbour offers: node b receives a's current label
+        offers = (sym.join(labels, sym["a"] == labels["id"])
+                  .select(F.col("b").alias("id"), F.col("comp")))
+        new_labels = (labels.select("id", "comp").union(offers)
+                      .groupBy("id").agg(F.min("comp").alias("comp"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.comp") != F.col("o.comp"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            sym.unpersist()
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(graph diameter exceeds max_iter; raise max_iter or switch to "
+        f"the large-star/small-star variant)")
+
+
+def duplicate_groups(pairs: DataFrame, src: str = "id_a",
+                     dst: str = "id_b") -> DataFrame:
+    """Per-group summary of the near-dup pair graph: one row per
+    connected component — (canon_id, n_members), canon_id = min doc id.
+    Feed any pair family (x02/x03/x04/x06) in; groups say which docs
+    collapse together and which single doc survives."""
+    comp = connected_components(pairs, src, dst)
+    return (comp.groupBy(F.col("comp").alias("canon_id"))
+            .agg(F.count(F.lit(1)).alias("n_members")))
+
+
+def resolve_duplicates(df: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Attach ``canon_id`` to every row of ``df``: the component
+    representative for docs in the pair graph, the doc's own id otherwise
+    (singletons). ``df.filter(col(id_col) == col('canon_id'))`` is then
+    the deduplicated corpus — one broadcast-friendly left join against
+    the (tiny relative to the corpus) component map."""
+    comp = connected_components(pairs, src, dst)
+    return (df.join(comp, df[id_col] == comp["id"], "left")
+            .drop("id")
+            .withColumn("canon_id",
+                        F.coalesce(F.col("comp"), F.col(id_col)))
+            .drop("comp"))

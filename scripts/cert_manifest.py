@@ -103,6 +103,7 @@ _X_DEPS = {
     "x33_stateful_sessions": [f"{_P}/streaming/__init__.py",
                               f"{_P}/streaming/stateful.py"],
     "x34_wav_decode": [f"{_OPS}/multimodal.py"] + _MEMO,
+    "x35_duplicate_groups": [f"{_OPS}/text.py", f"{_OPS}/dedup.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

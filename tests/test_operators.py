@@ -1048,3 +1048,44 @@ def test_curation_funnel_empty_input_all_zero(spark):
     row = curation.curation_funnel(empty).collect()[0]
     assert row.asDict() == {"n_input": 0, "n_quality": 0, "n_unique": 0,
                             "n_pii_matches": 0, "total_tokens": 0}
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation resolves chains (a-b, b-c -> one component),
+    cliques, and leaves separate components separate; deterministic across
+    partitionings."""
+    pairs = [(1, 2), (2, 3),          # chain -> {1,2,3}
+             (10, 11), (10, 12), (11, 12),   # clique -> {10,11,12}
+             (20, 21)]                # pair  -> {20,21}
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r["id"]: r["comp"] for r in
+           dedup.connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    got2 = {r["id"]: r["comp"] for r in
+            dedup.connected_components(df.repartition(5)).collect()}
+    assert got2 == got
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 30-node path graph (diameter 29) still converges: min-label
+    propagation moves the min one hop per round but max_iter bounds it."""
+    pairs = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r["id"]: r["comp"] for r in
+           dedup.connected_components(df, max_iter=40).collect()}
+    assert set(got.values()) == {0} and len(got) == 31
+
+
+def test_duplicate_groups_and_resolve(spark, docs):
+    """End-to-end over real near-dup pairs: docs 1/2/3 chain through
+    shared text, 4/5 are singletons; resolve_duplicates keeps exactly one
+    doc per group."""
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    groups = {r["canon_id"]: r["n_members"]
+              for r in dedup.duplicate_groups(pairs).collect()}
+    assert groups == {1: 3}
+    resolved = dedup.resolve_duplicates(docs, pairs)
+    canon = {r["doc_id"]: r["canon_id"] for r in resolved.collect()}
+    assert canon == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+    kept = resolved.filter(F.col("doc_id") == F.col("canon_id")).count()
+    assert kept == 3
