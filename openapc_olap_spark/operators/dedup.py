@@ -550,21 +550,19 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     pair generation (pairs alone don't say which doc to keep when dups
     chain a-b, b-c).
 
-    Algorithm: iterative min-label propagation. Each round, every node
-    offers its current label to its neighbours; labels are re-aggregated
-    by min; convergence when no label changes. Rounds needed = graph
-    diameter — for near-dup graphs that is tiny (candidate generation
-    emits near-cliques; chains longer than a few hops are rare), so the
-    loop runs 2-4 rounds in practice, each round one join + one map-side
-    combined min-aggregate on (node) keys. The edge frame is persisted
+    Algorithm: iterative min-label propagation with pointer-jumping
+    compression. Each round, (1) every node offers its current label to
+    its neighbours and labels re-aggregate by min (one join + one
+    map-side combined min-agg on node keys), then (2) labels shortcut
+    through their own target (comp -> comp(comp)), so the distance a
+    component min travels roughly doubles per round — convergence in
+    O(log diameter) rounds, and near-dup graphs (near-cliques from
+    candidate generation) finish in 2-3. The edge frame is persisted
     once and reused every round; per-round label frames are
     localCheckpoint-ed so the plan stays constant-size across rounds
-    (the standard iterative-DataFrame lineage guard). For adversarial
-    long-chain graphs at 100 TB, the same loop upgrades to alternating
-    large-star/small-star (Kiveris et al.), which bounds rounds at
-    O(log n) — the driver-side loop shape (a handful of actions, no
-    per-row driver work) is unchanged. Raises after ``max_iter`` rounds
-    without convergence rather than returning silently-wrong labels.
+    (the standard iterative-DataFrame lineage guard). Raises after
+    ``max_iter`` rounds without convergence rather than returning
+    silently-wrong labels.
     """
     sym = (edges.select(F.col(src).cast("long").alias("a"),
                         F.col(dst).cast("long").alias("b"))
@@ -585,8 +583,22 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         # neighbour offers: node b receives a's current label
         offers = (sym.join(labels, sym["a"] == labels["id"])
                   .select(F.col("b").alias("id"), F.col("comp")))
-        new_labels = (labels.select("id", "comp").union(offers)
-                      .groupBy("id").agg(F.min("comp").alias("comp"))
+        prop = (labels.select("id", "comp").union(offers)
+                .groupBy("id").agg(F.min("comp").alias("comp")))
+        # pointer-jumping compression (Wyllie shortcutting): follow
+        # comp -> comp(comp) once per round. A label value is always
+        # itself a node id, so the self-join resolves; labels only ever
+        # decrease toward the component min, and comp(comp) is reachable
+        # whenever comp is, so correctness is unchanged while the
+        # distance a min travels per round roughly doubles — convergence
+        # drops from O(diameter) to O(log diameter) rounds (a 30-node
+        # chain: 30 rounds -> 6).
+        jump = prop.select(F.col("id").alias("__jid"),
+                           F.col("comp").alias("__jcomp"))
+        new_labels = (prop.join(jump, prop["comp"] == jump["__jid"], "left")
+                      .select("id",
+                              F.coalesce(F.col("__jcomp"), F.col("comp"))
+                              .alias("comp"))
                       .localCheckpoint())
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
@@ -598,8 +610,8 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
-        f"(graph diameter exceeds max_iter; raise max_iter or switch to "
-        f"the large-star/small-star variant)")
+        f"(raise max_iter; with pointer-jumping the bound is "
+        f"~log2(diameter) + constant)")
 
 
 def duplicate_groups(pairs: DataFrame, src: str = "id_a",

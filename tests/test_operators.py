@@ -1066,14 +1066,57 @@ def test_connected_components_chain_and_clique(spark):
     assert got2 == got
 
 
-def test_connected_components_long_chain_converges(spark):
-    """A 30-node path graph (diameter 29) still converges: min-label
-    propagation moves the min one hop per round but max_iter bounds it."""
+def test_connected_components_long_chain_converges_log_rounds(spark):
+    """A 30-node path graph (diameter 29) converges within 8 rounds: the
+    pointer-jumping compression makes propagation distance double per
+    round (plain one-hop propagation would need 30+ rounds and fail this
+    max_iter)."""
     pairs = [(i, i + 1) for i in range(30)]
     df = spark.createDataFrame(pairs, ["id_a", "id_b"])
     got = {r["id"]: r["comp"] for r in
-           dedup.connected_components(df, max_iter=40).collect()}
+           dedup.connected_components(df, max_iter=8).collect()}
     assert set(got.values()) == {0} and len(got) == 31
+
+
+def test_connected_components_matches_union_find_property(spark):
+    """Random-graph property check against a pure-Python union-find
+    reference: component partitioning and min-representative choice match
+    on 10 seeded random graphs."""
+    import random
+
+    def uf_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(members) for members in comp.values()
+                for n in members}
+
+    rng = random.Random(7)
+    for trial in range(10):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        nodes = sorted({x for e in edges for x in e})
+        expect = uf_components(edges, nodes)
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["id"]: r["comp"] for r in
+               dedup.connected_components(df).collect()}
+        assert got == expect, f"trial {trial}: {edges}"
 
 
 def test_duplicate_groups_and_resolve(spark, docs):
