@@ -1796,6 +1796,33 @@ _X33_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# X36: IVF written-index round trip — partition-pruned ANN serving path
+# ---------------------------------------------------------------------------
+
+def _x36_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``write_ivf_index`` -> ``ivf_index_top_k``: assign, write
+    partitionBy(list_id), probe as a partition-pruned read — the ANN
+    SERVING path (x17 exercises the compute path). Same deterministic
+    first-k quantizer as x17, so the oracle re-derives assignment,
+    probe selection, and in-list ranking from the raw table; any loss
+    or duplication through the parquet round trip breaks the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = [[float(x) for x in r["embedding"]]
+             for r in emb.orderBy("vec_id").limit(8).collect()]
+    d = (f"{tempfile.gettempdir()}/openapc_gate_tmp/"
+         f"x36_ivf_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(d, ignore_errors=True)
+    similarity.write_ivf_index(emb, d, cents)
+    out = similarity.ivf_index_top_k(spark, d, cents, QUERY_VEC,
+                                     k=ANN_K, nprobe=3)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
 # X35: duplicate-group resolution — connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 
@@ -1876,6 +1903,7 @@ QUERIES = {
     "x33_stateful_sessions": _x33_stateful_sessions,
     "x34_wav_decode": _x34_wav_decode,
     "x35_duplicate_groups": _x35_duplicate_groups,
+    "x36_ivf_index": _x36_ivf_index,
 }
 
 ORACLES = {
@@ -1914,4 +1942,5 @@ ORACLES = {
     "x33_stateful_sessions": _X33_SQL,
     "x34_wav_decode": _X34_SQL,
     "x35_duplicate_groups": _X35_SQL,
+    "x36_ivf_index": _X17_SQL,    # identical semantics re-derived from raw
 }

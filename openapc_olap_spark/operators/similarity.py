@@ -225,6 +225,40 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
                                      centroids))
 
 
+def write_ivf_index(df: DataFrame, path: str, centroids: list[list[float]],
+                    vec_col: str = "embedding") -> None:
+    """Materialize the IVF index: the corpus written partitioned by
+    ``list_id``, the serving twin of ``write_ann_index`` — probes then
+    read only the ``nprobe`` nearest lists as partition-pruned scans
+    (storage-level pruning, ~nprobe/k of the bytes), which is the 100 TB
+    ANN serving shape."""
+    ivf_assign(df, centroids, vec_col) \
+        .write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_index_top_k(spark, path: str, centroids: list[list[float]],
+                    query_vec: list[float], k: int = 10, nprobe: int = 4,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Top-k against a written IVF index: centroid ranking happens
+    driver-side (k_centroids is tiny), the ``list_id`` predicate prunes
+    partitions before any IO, exact cosine ranks the probed remainder.
+    Identical results to ``ivf_top_k`` over the same centroids — minus
+    the full-corpus assignment scan."""
+    dists = []
+    for i, c in enumerate(centroids):
+        d = sum((x - y) * (x - y) for x, y in zip(query_vec, c))
+        dists.append((d, i))
+    probe_ids = [i for _, i in sorted(dists)[:nprobe]]
+    df = spark.read.parquet(path)
+    q = _as_double_array(query_vec)
+    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    return (df.filter(F.col("list_id").isin(probe_ids))
+            .select(F.col(id_col), sim.alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
 def ivf_top_k(df: DataFrame, centroids: list[list[float]],
               query_vec: list[float], k: int = 10, nprobe: int = 4,
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -104,6 +104,7 @@ _X_DEPS = {
                               f"{_P}/streaming/stateful.py"],
     "x34_wav_decode": [f"{_OPS}/multimodal.py"] + _MEMO,
     "x35_duplicate_groups": [f"{_OPS}/text.py", f"{_OPS}/dedup.py"] + _MEMO,
+    "x36_ivf_index": [f"{_OPS}/similarity.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

@@ -262,3 +262,24 @@ def test_text_quality_pipeline_prunes_to_text_column(spark, sf_dir):
     assert "text" in scan_line
     assert "doc_id" not in scan_line and "lang" not in scan_line   # pruned
     assert plans.has_partial_aggregate(df)
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, tmp_path, sf_dir):
+    """x36 serving shape: a written IVF index is probed via a list_id
+    PartitionFilter (storage-level pruning — only nprobe of k directories
+    are read), and the probed result equals the compute-path ivf_top_k
+    over the same centroids."""
+    from openapc_olap_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [[float(x) for x in r["embedding"]]
+             for r in emb.orderBy("vec_id").limit(8).collect()]
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, path, cents)
+    probed = similarity.ivf_index_top_k(spark, path, cents, q, k=10,
+                                        nprobe=3)
+    assert "list_id#" in plans.partition_filters(probed)
+    direct = similarity.ivf_top_k(emb, cents, q, k=10, nprobe=3)
+    as_pairs = lambda df: [(r["vec_id"], round(r["sim"], 9))
+                           for r in df.collect()]
+    assert as_pairs(probed) == as_pairs(direct)
