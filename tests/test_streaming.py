@@ -156,3 +156,29 @@ def test_streaming_stateless_text_transforms_match_batch(spark, tmp_path):
     want = {r["doc_id"]: (r["red"], r["q"])
             for r in transform(batch_docs).collect()}
     assert got == want and len(got) > 0
+
+
+def test_parquet_sink_checkpoint_exactly_once(spark, stream_dir, tmp_path):
+    """write_stream_parquet (the production sink shape): output matches the
+    batch twin, and a RESTART against the same checkpoint with unchanged
+    input writes nothing new — the checkpoint gives exactly-once across
+    job restarts, which is what makes periodic availableNow rollups safe
+    to re-run at 100 TB."""
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    ev = streaming.read_event_stream(spark, stream_dir)
+    agg = streaming.windowed_aggregate(ev, duration="1 day",
+                                       watermark="1 hour")
+    q = streaming.write_stream_parquet(
+        streaming.finalize_windows(agg), out, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(out).collect()
+    assert len(first) > 0
+    # restart: same source, same checkpoint -> no new input, no new rows
+    ev2 = streaming.read_event_stream(spark, stream_dir)
+    agg2 = streaming.windowed_aggregate(ev2, duration="1 day",
+                                        watermark="1 hour")
+    q2 = streaming.write_stream_parquet(
+        streaming.finalize_windows(agg2), out, ckpt)
+    q2.awaitTermination()
+    second = spark.read.parquet(out).collect()
+    assert sorted(map(tuple, second)) == sorted(map(tuple, first))
