@@ -1132,3 +1132,14 @@ def test_duplicate_groups_and_resolve(spark, docs):
     assert canon == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
     kept = resolved.filter(F.col("doc_id") == F.col("canon_id")).count()
     assert kept == 3
+
+
+def test_connected_components_empty_and_no_pairs(spark):
+    """Empty pair frames: components are empty, and resolve_duplicates
+    maps every doc to itself (all singletons kept)."""
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(empty).count() == 0
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["canon_id"]
+           for r in dedup.resolve_duplicates(docs, empty).collect()}
+    assert got == {1: 1, 2: 2}
