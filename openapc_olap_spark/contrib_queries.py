@@ -701,11 +701,7 @@ def _x19_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     app1_len = k % 5 + 8
     be = lambda c, n: F.unhex(F.lpad(F.hex(c), 2 * n, "0"))  # noqa: E731
 
-    def le(c, n):
-        c = c.cast("long")
-        return F.unhex(F.concat(*[
-            F.lpad(F.hex(F.shiftright(c, 8 * i) % 256), 2, "0")
-            for i in range(n)]))
+    le = _le_bytes   # shared LE byte encoder (defined with the x32 gate)
 
     png = F.concat(
         F.lit(b"\x89PNG\r\n\x1a\n"), F.lit(b"\x00\x00\x00\x0dIHDR"),
@@ -871,11 +867,7 @@ def _x23_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = F.lit(16).cast("long")
     data = ((k % 1000 + 100) * 4).cast("long")
 
-    def le(c, n):
-        c = c.cast("long")
-        return F.unhex(F.concat(*[
-            F.lpad(F.hex(F.shiftright(c, 8 * i) % 256), 2, "0")
-            for i in range(n)]))
+    le = _le_bytes   # shared LE byte encoder (defined with the x32 gate)
 
     wav = F.concat(
         F.lit(b"RIFF"), le(data + 36, 4), F.lit(b"WAVEfmt "),

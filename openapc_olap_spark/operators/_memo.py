@@ -15,6 +15,7 @@ matters is the gateway lifetime, which this module enforces.
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 from typing import Any
 
@@ -23,18 +24,26 @@ from pyspark import SparkContext
 _TOKEN_KEY = "__gateway_token"
 
 
-def _gateway_token() -> int | None:
+def _gateway_ref() -> weakref.ref | None:
+    """Weak reference to the active gateway. A weakref (not ``id()``)
+    identifies it: CPython recycles addresses of freed objects, so an
+    id-equal token could validate a memo against a NEW gateway that
+    happens to land at the old address — exactly the stale-JVM-reference
+    failure this module exists to prevent. The weakref also goes dead
+    when the old gateway is collected, forcing a clear."""
     sc = SparkContext._active_spark_context
-    return id(sc._gateway) if sc is not None else None
+    return weakref.ref(sc._gateway) if sc is not None else None
 
 
 def memoized(memo: dict, key: Any, build: Callable[[], Any]) -> Any:
     """Return ``memo[key]``, building it with ``build()`` on first use.
     The whole memo is invalidated when the py4j gateway changes."""
-    tok = _gateway_token()
-    if memo.get(_TOKEN_KEY) != tok:
+    ref = _gateway_ref()
+    cur = ref() if ref is not None else None
+    old = memo.get(_TOKEN_KEY)
+    if old is None or old() is not cur:
         memo.clear()
-        memo[_TOKEN_KEY] = tok
+        memo[_TOKEN_KEY] = ref if ref is not None else (lambda: None)
     if key not in memo:
         memo[key] = build()
     return memo[key]

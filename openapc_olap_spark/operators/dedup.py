@@ -579,39 +579,46 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     labels = (sym.select(F.col("a").alias("id")).distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint())
-    for _ in range(max_iter):
-        # neighbour offers: node b receives a's current label
-        offers = (sym.join(labels, sym["a"] == labels["id"])
-                  .select(F.col("b").alias("id"), F.col("comp")))
-        prop = (labels.select("id", "comp").union(offers)
-                .groupBy("id").agg(F.min("comp").alias("comp")))
-        # pointer-jumping compression (Wyllie shortcutting): follow
-        # comp -> comp(comp) once per round. A label value is always
-        # itself a node id, so the self-join resolves; labels only ever
-        # decrease toward the component min, and comp(comp) is reachable
-        # whenever comp is, so correctness is unchanged while the
-        # distance a min travels per round roughly doubles — convergence
-        # drops from O(diameter) to O(log diameter) rounds (a 30-node
-        # chain: 30 rounds -> 6).
-        jump = prop.select(F.col("id").alias("__jid"),
-                           F.col("comp").alias("__jcomp"))
-        new_labels = (prop.join(jump, prop["comp"] == jump["__jid"], "left")
-                      .select("id",
-                              F.coalesce(F.col("__jcomp"), F.col("comp"))
-                              .alias("comp"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.comp") != F.col("o.comp"))
-                   .count())
-        labels = new_labels
-        if changed == 0:
-            sym.unpersist()
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
-        f"(raise max_iter; with pointer-jumping the bound is "
-        f"~log2(diameter) + constant)")
+    try:
+        for _ in range(max_iter):
+            # neighbour offers: node b receives a's current label
+            offers = (sym.join(labels, sym["a"] == labels["id"])
+                      .select(F.col("b").alias("id"), F.col("comp")))
+            # checkpoint prop before the self-join below — otherwise the
+            # propagation shuffle+aggregate subtree is evaluated once per
+            # join side, doubling every round's cost
+            prop = (labels.select("id", "comp").union(offers)
+                    .groupBy("id").agg(F.min("comp").alias("comp"))
+                    .localCheckpoint())
+            # pointer-jumping compression (Wyllie shortcutting): follow
+            # comp -> comp(comp) once per round. A label value is always
+            # itself a node id, so the self-join resolves; labels only
+            # ever decrease toward the component min, and comp(comp) is
+            # reachable whenever comp is, so correctness is unchanged
+            # while the distance a min travels per round roughly doubles
+            # — convergence drops from O(diameter) to O(log diameter)
+            # rounds (a 30-node chain: 30 rounds -> 6).
+            jump = prop.select(F.col("id").alias("__jid"),
+                               F.col("comp").alias("__jcomp"))
+            new_labels = (prop
+                          .join(jump, prop["comp"] == jump["__jid"], "left")
+                          .select("id",
+                                  F.coalesce(F.col("__jcomp"),
+                                             F.col("comp")).alias("comp"))
+                          .localCheckpoint())
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "id")
+                       .filter(F.col("n.comp") != F.col("o.comp"))
+                       .count())
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(raise max_iter; with pointer-jumping the bound is "
+            f"~log2(diameter) + constant)")
+    finally:
+        sym.unpersist()
 
 
 def duplicate_groups(pairs: DataFrame, src: str = "id_a",
@@ -633,9 +640,11 @@ def resolve_duplicates(df: DataFrame, pairs: DataFrame,
     (singletons). ``df.filter(col(id_col) == col('canon_id'))`` is then
     the deduplicated corpus — one broadcast-friendly left join against
     the (tiny relative to the corpus) component map."""
-    comp = connected_components(pairs, src, dst)
-    return (df.join(comp, df[id_col] == comp["id"], "left")
-            .drop("id")
+    # collision-proof aliases: dropping a bare 'id'/'comp' would also
+    # drop (or clash with) same-named columns of the caller's frame
+    comp = connected_components(pairs, src, dst).select(
+        F.col("id").alias("__cc_id"), F.col("comp").alias("__cc_comp"))
+    return (df.join(comp, df[id_col] == comp["__cc_id"], "left")
             .withColumn("canon_id",
-                        F.coalesce(F.col("comp"), F.col(id_col)))
-            .drop("comp"))
+                        F.coalesce(F.col("__cc_comp"), F.col(id_col)))
+            .drop("__cc_id", "__cc_comp"))

@@ -534,15 +534,25 @@ def _decode_image_bytes(payload: bytes) -> tuple[int, int, int, bytes | None]:
     """Decode (width, height, channels, pixel_bytes) from image bytes.
 
     BMP / PPM / PNG decode dependency-free (real pixels on any cluster);
-    other containers go through PIL and raise ``NotImplementedError`` when
-    it is absent. ``pixel_bytes`` is row-major channel-interleaved uint8.
+    container variants the pure decoders don't cover (palette/16-bit/
+    interlaced PNG, 8/32-bit BMP, ...) and other formats fall through to
+    PIL, raising ``NotImplementedError`` only when PIL is genuinely
+    absent. ``pixel_bytes`` is row-major channel-interleaved uint8.
     """
-    if payload[:2] == b"BM":
-        return _decode_bmp(payload)
-    if payload[:2] == b"P6":
-        return _decode_ppm(payload)
-    if payload[:8] == _PNG_MAGIC:
-        return _decode_png(payload)
+    try:
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        if payload[:2] == b"P6":
+            return _decode_ppm(payload)
+        if payload[:8] == _PNG_MAGIC:
+            return _decode_png(payload)
+    except NotImplementedError:
+        # recognized container, unsupported variant: PIL is the rich path
+        pass
+    return _decode_image_pil(payload)
+
+
+def _decode_image_pil(payload: bytes) -> tuple[int, int, int, bytes]:
     try:
         import io
 
@@ -718,24 +728,27 @@ def _resize_image_bytes(payload: bytes, w: int, h: int) -> bytes:
 
     BMP/PPM/PNG: decode with the pure decoders, resample by index
     (floor(i * src / dst) — the standard nearest-neighbor grid), re-encode
-    the same container. Other formats: PIL, raising ``NotImplementedError``
-    when it is unavailable."""
+    the same container. Unsupported variants of those containers and
+    other formats go through PIL, raising ``NotImplementedError`` only
+    when it is genuinely unavailable."""
     import numpy as np
 
-    kind = None
+    enc = None
     if payload[:2] == b"BM":
-        kind, enc = "bmp", _encode_bmp
+        enc = _encode_bmp
     elif payload[:2] == b"P6":
-        kind, enc = "ppm", _encode_ppm
+        enc = _encode_ppm
     elif payload[:8] == _PNG_MAGIC:
-        kind, enc = "png", _encode_png
-    if kind is not None:
-        sw, sh, ch, px = _decode_image_bytes(payload)
-        arr = np.frombuffer(px, np.uint8).reshape(sh, sw, ch)
-        yi = (np.arange(h) * sh) // h
-        xi = (np.arange(w) * sw) // w
-        res = arr[yi][:, xi]
-        return enc(w, h, ch, res.tobytes())
+        enc = _encode_png
+    if enc is not None:
+        try:
+            sw, sh, ch, px = _decode_image_bytes(payload)
+            arr = np.frombuffer(px, np.uint8).reshape(sh, sw, ch)
+            yi = (np.arange(h) * sh) // h
+            xi = (np.arange(w) * sw) // w
+            return enc(w, h, ch, arr[yi][:, xi].tobytes())
+        except NotImplementedError:
+            pass          # unsupported variant: fall through to PIL
     try:
         import io
 

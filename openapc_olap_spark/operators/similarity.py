@@ -225,6 +225,30 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
                                      centroids))
 
 
+def _ivf_probe_ids(centroids: list[list[float]], query_vec: list[float],
+                   nprobe: int) -> list[int]:
+    """Driver-side probe-list selection: the ``nprobe`` centroids nearest
+    (squared L2, centroid index tie-break) to the query. Shared by the
+    compute path (ivf_top_k) and the written-index path (ivf_index_top_k)
+    so the two can never drift — x36's oracle equivalence depends on it."""
+    dists = []
+    for i, c in enumerate(centroids):
+        d = sum((x - y) * (x - y) for x, y in zip(query_vec, c))
+        dists.append((d, i))
+    return [i for _, i in sorted(dists)[:nprobe]]
+
+
+def _rank_probed(df: DataFrame, query_vec: list[float], k: int,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """Exact cosine rank of an already-probed candidate frame: one
+    projection + TakeOrderedAndProject, id tie-break."""
+    q = _as_double_array(query_vec)
+    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    return (df.select(F.col(id_col), sim.alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
 def write_ivf_index(df: DataFrame, path: str, centroids: list[list[float]],
                     vec_col: str = "embedding") -> None:
     """Materialize the IVF index: the corpus written partitioned by
@@ -245,18 +269,9 @@ def ivf_index_top_k(spark, path: str, centroids: list[list[float]],
     partitions before any IO, exact cosine ranks the probed remainder.
     Identical results to ``ivf_top_k`` over the same centroids — minus
     the full-corpus assignment scan."""
-    dists = []
-    for i, c in enumerate(centroids):
-        d = sum((x - y) * (x - y) for x, y in zip(query_vec, c))
-        dists.append((d, i))
-    probe_ids = [i for _, i in sorted(dists)[:nprobe]]
-    df = spark.read.parquet(path)
-    q = _as_double_array(query_vec)
-    sim = cosine(F.col(vec_col).cast("array<double>"), q)
-    return (df.filter(F.col("list_id").isin(probe_ids))
-            .select(F.col(id_col), sim.alias("sim"))
-            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
-            .limit(k))
+    probe_ids = _ivf_probe_ids(centroids, query_vec, nprobe)
+    probed = spark.read.parquet(path).filter(F.col("list_id").isin(probe_ids))
+    return _rank_probed(probed, query_vec, k, id_col, vec_col)
 
 
 def ivf_top_k(df: DataFrame, centroids: list[list[float]],
@@ -265,18 +280,10 @@ def ivf_top_k(df: DataFrame, centroids: list[list[float]],
     """IVF ANN top-k: rank centroids by distance to the query driver-side
     (k_centroids is tiny), scan only the ``nprobe`` nearest lists, exact
     cosine rank within them. Plan: pruned scan -> TakeOrderedAndProject."""
-    dists = []
-    for i, c in enumerate(centroids):
-        d = sum((x - y) * (x - y) for x, y in zip(query_vec, c))
-        dists.append((d, i))
-    probe_ids = [i for _, i in sorted(dists)[:nprobe]]
-    assigned = ivf_assign(df, centroids, vec_col)
-    q = _as_double_array(query_vec)
-    sim = cosine(F.col(vec_col).cast("array<double>"), q)
-    return (assigned.filter(F.col("list_id").isin(probe_ids))
-            .select(F.col(id_col), sim.alias("sim"))
-            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
-            .limit(k))
+    probe_ids = _ivf_probe_ids(centroids, query_vec, nprobe)
+    probed = (ivf_assign(df, centroids, vec_col)
+              .filter(F.col("list_id").isin(probe_ids)))
+    return _rank_probed(probed, query_vec, k, id_col, vec_col)
 
 
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,

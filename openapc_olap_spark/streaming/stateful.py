@@ -57,7 +57,16 @@ def _session_fn(gap_us: int):
             start_us = last_us = None
             n, vsum = 0, 0.0
         closed = []
-        for pdf in pdfs:
+        # concatenate the group's Arrow chunks BEFORE sorting: a group
+        # larger than arrow.maxRecordsPerBatch arrives as multiple chunks
+        # in shuffle order, and sorting each independently would treat an
+        # older event in a later chunk as forward-in-time, fabricating
+        # session splits. Memory is bounded by one user's events per
+        # microbatch — the quantity the sessionizer must hold anyway.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0])
             pdf = pdf.sort_values("ts")
             ts_us = pdf["ts"].astype("int64") // 1000   # ns -> us
             for t, val in zip(ts_us, pdf["value"]):

@@ -56,6 +56,16 @@ def test_certification_window_invariants():
         "rotated-out tail must be exactly _CERT_TAIL, in order"
     assert len(names) - 50 == len(entrymod._CERT_TAIL), \
         "grow _CERT_TAIL when declaring new queries (keep total-50 rotated)"
+    # the two lists must PARTITION the declared set exactly: an unlisted
+    # query would land in the mid-section after position 50 — never
+    # driver-certified AND invisible to the manifest tail check
+    head, tail = set(entrymod._CERT_FIRST), set(entrymod._CERT_TAIL)
+    assert not head & tail, "a query cannot be in both schedule lists"
+    orphans = set(names) - head - tail
+    assert not orphans, \
+        f"queries missing from the certification schedule: {sorted(orphans)}"
+    assert len(entrymod._CERT_FIRST) == 50, \
+        "_CERT_FIRST must fill the driver window exactly (rotate, don't grow)"
 
 
 def test_all_declared_queries_match_oracles_at_sf0001(spark):

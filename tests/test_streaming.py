@@ -182,3 +182,48 @@ def test_parquet_sink_checkpoint_exactly_once(spark, stream_dir, tmp_path):
     q2.awaitTermination()
     second = spark.read.parquet(out).collect()
     assert sorted(map(tuple, second)) == sorted(map(tuple, first))
+
+
+def test_stateful_sessionize_group_spanning_arrow_chunks(spark, tmp_path):
+    """A group larger than arrow.maxRecordsPerBatch arrives as multiple
+    pandas chunks in shuffle order; the sessionizer must globally
+    time-sort the group (concat before sort) or it fabricates session
+    splits. Forced here with a 7-row batch limit against a 60-event
+    user."""
+    import pandas as pd
+
+    from openapc_olap_spark.streaming import stateful
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                          "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        base = pd.Timestamp("2024-01-01")
+        rows = []
+        # two true sessions per user: 30 events 1 min apart, a 7h gap,
+        # then 30 more; row order scrambled so chunk-local sorting fails
+        for uid in (1, 2):
+            ts = ([base + pd.Timedelta(minutes=i) for i in range(30)]
+                  + [base + pd.Timedelta(hours=8, minutes=i)
+                     for i in range(30)])
+            rows += [(uid * 1000 + i, t.to_pydatetime(), uid, "c", 1.0,
+                      "{}") for i, t in enumerate(ts)]
+        import random
+        random.Random(3).shuffle(rows)
+        src = str(tmp_path / "ev")
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string"
+        ).coalesce(1).write.parquet(src)
+        ev = streaming.read_event_stream(spark, src)
+        sess = stateful.stateful_sessionize(ev, gap="6 hours")
+        q = (sess.writeStream.format("memory").queryName("t_chunks")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = spark.table("t_chunks").collect()
+        # only the FIRST session per user closes (the second stays open)
+        assert len(got) == 2
+        for r in got:
+            assert r["n_events"] == 30 and r["value_sum"] == 30.0
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
