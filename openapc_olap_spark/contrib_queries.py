@@ -1788,6 +1788,58 @@ _X33_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# X37: as-of join (event -> latest dimension version), DuckDB-native oracle
+# ---------------------------------------------------------------------------
+
+def _x37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``temporal.asof_join`` (union + ordered window — ONE shuffle, no
+    range-join row explosion) joining every event to the latest of three
+    per-user profile versions (derived deterministically from each user's
+    first event day), aggregated per matched tier. The oracle runs
+    DuckDB's NATIVE ASOF LEFT JOIN over the identical version table, so
+    the operator's backward-inclusive semantics are certified against an
+    independent engine-native implementation, not a twin of itself."""
+    from openapc_olap_spark.operators.temporal import asof_join
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("__d"))
+    versions = (base
+                .select("user_id", "__d",
+                        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+                        .alias("k"))
+                .select("user_id",
+                        F.expr("timestampadd(DAY, k * 2, __d)").alias("vts"),
+                        F.concat(F.lit("t"), F.col("k")).alias("tier")))
+    joined = asof_join(ev, versions, on="user_id", left_ts="ts",
+                       right_ts="vts", value_cols=["tier"])
+    return (joined.groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 4).alias("value_sum"))
+            .orderBy("tier"))
+
+
+_X37_SQL = """
+    WITH base AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS d
+      FROM events GROUP BY 1),
+    ver AS (
+      SELECT user_id, d + (k * 2) * INTERVAL 1 DAY AS vts,
+             't' || k AS tier
+      FROM base, (SELECT unnest([0, 1, 2]) AS k)),
+    j AS (
+      SELECT e.user_id, e.value, v.tier
+      FROM events e ASOF LEFT JOIN ver v
+        ON e.user_id = v.user_id AND e.ts >= v.vts)
+    SELECT tier, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 4) AS value_sum
+    FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # X36: IVF written-index round trip — partition-pruned ANN serving path
 # ---------------------------------------------------------------------------
 
@@ -1896,6 +1948,7 @@ QUERIES = {
     "x34_wav_decode": _x34_wav_decode,
     "x35_duplicate_groups": _x35_duplicate_groups,
     "x36_ivf_index": _x36_ivf_index,
+    "x37_asof_join": _x37_asof_join,
 }
 
 ORACLES = {
@@ -1935,4 +1988,5 @@ ORACLES = {
     "x34_wav_decode": _X34_SQL,
     "x35_duplicate_groups": _X35_SQL,
     "x36_ivf_index": _X17_SQL,    # identical semantics re-derived from raw
+    "x37_asof_join": _X37_SQL,
 }

@@ -1143,3 +1143,68 @@ def test_connected_components_empty_and_no_pairs(spark):
     got = {r["doc_id"]: r["canon_id"]
            for r in dedup.resolve_duplicates(docs, empty).collect()}
     assert got == {1: 1, 2: 2}
+
+
+# ---------------------------------------------------------------- temporal
+
+def test_asof_join_matches_duckdb_asof(spark):
+    """asof_join (union+window, no range join) vs DuckDB's native ASOF
+    LEFT JOIN on a case covering: inclusive ties, version updates,
+    unmatched-early events, and a key with no versions at all."""
+    from datetime import datetime as dt
+
+    from openapc_olap_spark.operators.temporal import asof_join
+    ev = [(1, dt(2024, 1, 1, 10), 1.0), (1, dt(2024, 1, 1, 11), 9.0),
+          (1, dt(2024, 1, 1, 12), 2.0), (2, dt(2024, 1, 1, 9), 3.0),
+          (3, dt(2024, 1, 1, 8), 7.0)]
+    ver = [(1, dt(2024, 1, 1, 9), "a"), (1, dt(2024, 1, 1, 11), "b"),
+           (2, dt(2024, 1, 2, 0), "c")]
+    left = spark.createDataFrame(ev, "uid long, ts timestamp, v double")
+    right = spark.createDataFrame(ver, "uid long, vts timestamp, tier string")
+    got = sorted((r["uid"], r["ts"], r["tier"], r["__asof_ts"])
+                 for r in asof_join(left, right, on="uid",
+                                    right_ts="vts").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev(uid BIGINT, ts TIMESTAMP, v DOUBLE)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", ev)
+    con.execute("CREATE TABLE ver(uid BIGINT, vts TIMESTAMP, tier VARCHAR)")
+    con.executemany("INSERT INTO ver VALUES (?, ?, ?)", ver)
+    want = sorted(map(tuple, con.execute(
+        """SELECT e.uid, e.ts, v.tier, v.vts
+           FROM ev e ASOF LEFT JOIN ver v
+             ON e.uid = v.uid AND e.ts >= v.vts""").fetchall()))
+    assert got == want
+    # ties: event exactly at version time takes the NEW version
+    assert (1, dt(2024, 1, 1, 11), "b", dt(2024, 1, 1, 11)) in got
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    from datetime import datetime as dt
+
+    from openapc_olap_spark.operators.temporal import asof_join
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 10), 1.0)], "uid long, ts timestamp, v double")
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 1), "old")], "uid long, vts timestamp, tier string")
+    fresh = asof_join(left, right, on="uid", right_ts="vts").collect()[0]
+    assert fresh["tier"] == "old"
+    stale = asof_join(left, right, on="uid", right_ts="vts",
+                      tolerance="3 days").collect()[0]
+    assert stale["tier"] is None and stale["__asof_ts"] is None
+    ok = asof_join(left, right, on="uid", right_ts="vts",
+                   tolerance="30 days").collect()[0]
+    assert ok["tier"] == "old"
+
+
+def test_asof_join_rejects_column_collision(spark):
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from openapc_olap_spark.operators.temporal import asof_join
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1), "x")], "uid long, ts timestamp, tier string")
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 1), "y")], "uid long, vts timestamp, tier string")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="uid", right_ts="vts")
