@@ -283,3 +283,40 @@ def test_ivf_index_probe_is_partition_pruned(spark, tmp_path, sf_dir):
     as_pairs = lambda df: [(r["vec_id"], round(r["sim"], 9))
                            for r in df.collect()]
     assert as_pairs(probed) == as_pairs(direct)
+
+
+def test_asof_join_single_shuffle_no_explosion(spark, sf_dir):
+    """x37 posture: the as-of join is ONE window exchange over the
+    unioned sides — no join node at all, so no range-join row explosion
+    is even possible in the plan."""
+    from datetime import datetime as dt
+
+    from openapc_olap_spark.operators.temporal import asof_join
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1), 1.0)], "uid long, ts timestamp, v double")
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 1), "a")], "uid long, vts timestamp, tier string")
+    df = asof_join(left, right, on="uid", right_ts="vts")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan          # union+window, not a join
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    """x38 posture: the bucketized interval join must plan as a hash/
+    sort-merge EQUI join on (key, bucket) — never BroadcastNestedLoopJoin
+    (what a naive inequality join degenerates to)."""
+    from datetime import datetime as dt
+
+    from openapc_olap_spark.operators.temporal import interval_join
+    pts = spark.createDataFrame(
+        [(1, dt(2024, 1, 1), 1.0)], "uid long, ts timestamp, v double")
+    ivs = spark.createDataFrame(
+        [(1, dt(2024, 1, 1), dt(2024, 1, 2), "a")],
+        "uid long, s timestamp, e timestamp, tag string")
+    df = interval_join(pts, ivs, point_ts="ts", start_ts="s", end_ts="e",
+                       on="uid")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan)
