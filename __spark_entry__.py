@@ -417,7 +417,7 @@ _CERT_FIRST = [
     # never driver-certified: new this round (real-codec decode gates +
     # stateful sessionization)
     "x32_image_decode", "x33_stateful_sessions", "x34_wav_decode",
-    "x35_duplicate_groups", "x36_ivf_index", "x37_asof_join", "x38_interval_join",
+    "x35_duplicate_groups", "x36_ivf_index", "x37_asof_join", "x38_interval_join", "x39_stratified_sample",
     # r05 touched operators/multimodal.py (+_memo.py): header-parse gates
     "x15_media_metadata", "x19_image_dims", "x23_wav_metadata",
     "x24_audio_headers",
@@ -441,7 +441,7 @@ _CERT_FIRST = [
     # least-recently-certified untouched queries (r02+r03 only) fill the
     # remaining first-50 slots
     "q01_facts_page", "q03_cut_range", "q04_cut_set", "q05_cut_negate",
-    "q07_drilldown", "q08_multi_drilldown", "q09_order_topk",
+    "q07_drilldown", "q08_multi_drilldown",
 ]
 _CERT_TAIL = [
     # previously hash-certified; modules untouched in r05 (enforced by
@@ -454,7 +454,7 @@ _CERT_TAIL = [
     "q17_model_http", "x09_tumbling_daily", "x10_sliding_windows",
     "x12_props_json", "q02_cut_point", "q06_aggregate_summary",
     "q14_members", "q13_fact_by_id", "q12_point_lookup",
-    "q10_pagination_cells",
+    "q10_pagination_cells", "q09_order_topk",
 ]
 
 

@@ -1839,6 +1839,41 @@ _X37_SQL = """
 """
 
 
+def _x39_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``packing.stratified_sample``: deterministic per-language corpus
+    mixing (80% en / 30% de / 100% fr / drop the rest) as a pure md5
+    permille filter; the oracle replicates the bucket arithmetic and the
+    per-stratum thresholds exactly, so membership — not just the rate —
+    is under the value hash."""
+    from openapc_olap_spark.operators import packing
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = packing.stratified_sample(
+        docs, "lang", {"en": 0.8, "de": 0.3, "fr": 1.0})
+    return (out.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("doc_id").alias("first_id"),
+                 F.max("doc_id").alias("last_id"))
+            .orderBy("lang"))
+
+
+_X39_SQL = """
+    WITH b AS (
+      SELECT lang, n_chars, doc_id,
+             ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))
+               ::BIGINT % 1000 AS bucket
+      FROM documents),
+    kept AS (
+      SELECT * FROM b
+      WHERE bucket < (CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 300
+                                WHEN 'fr' THEN 1000 ELSE 0 END))
+    SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+           min(doc_id) AS first_id, max(doc_id) AS last_id
+    FROM kept GROUP BY 1 ORDER BY 1
+"""
+
+
 def _x38_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``temporal.interval_join`` (bucketized equi-join + containment
     filter — bounded expansion, no inequality-join explosion) joining
@@ -2001,6 +2036,7 @@ QUERIES = {
     "x36_ivf_index": _x36_ivf_index,
     "x37_asof_join": _x37_asof_join,
     "x38_interval_join": _x38_interval_join,
+    "x39_stratified_sample": _x39_stratified_sample,
 }
 
 ORACLES = {
@@ -2042,4 +2078,5 @@ ORACLES = {
     "x36_ivf_index": _X17_SQL,    # identical semantics re-derived from raw
     "x37_asof_join": _X37_SQL,
     "x38_interval_join": _X38_SQL,
+    "x39_stratified_sample": _X39_SQL,
 }

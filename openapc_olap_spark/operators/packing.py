@@ -95,3 +95,38 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
         F.when(b < val_permille, "val")
          .when(b < val_permille + test_permille, "test")
          .otherwise("train"))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0,
+                      id_col: str = "doc_id",
+                      salt: str = "sample") -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-mixing knob of a
+    training-data pipeline (e.g. keep 80% of en, 30% of de, drop the
+    rest), as a pure filter:
+
+    - membership is decided by the md5 permille bucket of (salt, id) —
+      content-independent, so re-runs, engine ports, AND overlapping
+      sample jobs with the same salt select consistent subsets (a row in
+      the 30% sample is always in the 80% sample: nested samples for
+      scaling-law curves come free);
+    - no shuffle, no randomness, no sampleBy approximation: the sampled
+      fraction converges to the target by the hash's uniformity and is
+      exactly reproducible;
+    - ``fractions`` maps stratum value -> keep fraction in [0, 1];
+      unlisted strata get ``default_fraction``.
+
+    At 100 TB this is a scan with a codegen'd predicate — pushdown-
+    friendly and embarrassingly parallel.
+    """
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} out of [0,1]: {v}")
+    b = _md5_bucket(F.concat(F.lit(salt), F.lit(":"),
+                             F.col(id_col).cast("string")), 1000)
+    thresh = F.lit(int(round(default_fraction * 1000)))
+    for k, v in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == k,
+                        F.lit(int(round(v * 1000)))).otherwise(thresh)
+    return df.filter(b < thresh)

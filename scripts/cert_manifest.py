@@ -107,6 +107,7 @@ _X_DEPS = {
     "x36_ivf_index": [f"{_OPS}/similarity.py"] + _MEMO,
     "x37_asof_join": [f"{_OPS}/temporal.py"],
     "x38_interval_join": [f"{_OPS}/temporal.py"],
+    "x39_stratified_sample": [f"{_OPS}/packing.py", f"{_OPS}/text.py"],
 }
 DEPS.update(_X_DEPS)
 

@@ -1246,3 +1246,32 @@ def test_interval_join_matches_duckdb_range_join(spark):
     # overlap: 11:59 point matches both 'a' and 'b' exactly once each
     assert [t for u, ts_, t in got
             if ts_ == dt(2024, 1, 2, 11, 59)] == ["a", "b"]
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    """stratified_sample: reproducible across runs/partitionings, rates
+    land near targets, and a smaller fraction's sample is a SUBSET of a
+    larger one under the same salt (nested samples)."""
+    from openapc_olap_spark.operators.packing import stratified_sample
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    frac = {"en": 0.8, "de": 0.3}
+    a = {r["doc_id"] for r in
+         stratified_sample(docs, "lang", frac).select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(docs.repartition(7), "lang", frac)
+         .select("doc_id").collect()}
+    assert a == b and a
+    by_lang = {r["lang"]: r["n"] for r in
+               docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+    kept = {r["lang"]: r["n"] for r in
+            stratified_sample(docs, "lang", frac)
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, f in frac.items():
+        if by_lang.get(lang, 0) > 50:
+            assert abs(kept.get(lang, 0) / by_lang[lang] - f) < 0.15
+    assert set(kept) <= set(frac)          # default_fraction=0 drops rest
+    small = {r["doc_id"] for r in
+             stratified_sample(docs, "lang", {"en": 0.3, "de": 0.1})
+             .select("doc_id").collect()}
+    assert small <= a                      # nested under the same salt
