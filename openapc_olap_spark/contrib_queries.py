@@ -1997,6 +1997,135 @@ _X35_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X40: train/eval decontamination (n-gram overlap flagging)
+# ---------------------------------------------------------------------------
+
+def _x40_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``decontam.decontaminate``: flag every train document (doc_id % 13
+    != 0) sharing >= 2 distinct word 3-grams with the eval slice (doc_id %
+    13 == 0). The Spark side joins on broadcast xxhash64 gram keys; the
+    oracle joins on the gram strings — identical membership, so the
+    per-document overlap COUNTS (not just the flags) sit under the hash."""
+    from openapc_olap_spark.operators import decontam
+
+    docs = _docs_split(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 13 != 0)
+    ev = docs.filter(F.col("doc_id") % 13 == 0)
+    return decontam.decontaminate(train, ev, n=3, min_hits=2)
+
+
+_X40_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sets AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM s),
+    ev AS (
+      SELECT DISTINCT unnest(sh) AS g FROM sets WHERE doc_id % 13 = 0),
+    tr AS (
+      SELECT doc_id, unnest(sh) AS g FROM sets WHERE doc_id % 13 <> 0),
+    hit AS (
+      SELECT tr.doc_id, count(ev.g) AS n_overlap
+      FROM tr LEFT JOIN ev ON tr.g = ev.g GROUP BY 1)
+    SELECT t.doc_id, coalesce(h.n_overlap, 0) AS n_overlap,
+           coalesce(h.n_overlap, 0) >= 2 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) t
+    LEFT JOIN hit h ON t.doc_id = h.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# X41: bloom-prefiltered semi-join (explicit runtime filter)
+# ---------------------------------------------------------------------------
+
+def _x41_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bloom.bloom_semi_join``: lineitem rows of suppliers in NATION_7,
+    pruned by a 2^16-bit bloom sketch of the supplier keys before the
+    exact semi-join. The result equals the plain semi-join (the oracle),
+    so a hash match certifies the bloom stage prunes and never drops."""
+    from openapc_olap_spark.operators import bloom
+
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    keys = (t["supplier"].join(
+        t["nation"].filter(F.col("n_name") == "NATION_7"),
+        t["supplier"].s_nationkey == t["nation"].n_nationkey)
+        .select("s_suppkey"))
+    hits = bloom.bloom_semi_join(t["lineitem"], keys, "l_suppkey",
+                                 "s_suppkey", num_bits=1 << 16)
+    return (hits.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_price")))
+
+
+_X41_SQL = """
+    SELECT l_returnflag, count(*) AS n_items,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    WHERE l_suppkey IN (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7')
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# X42: per-group top-k (salted two-stage)
+# ---------------------------------------------------------------------------
+
+def _x42_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ranking.top_k_per_group``: the 3 longest documents per language,
+    ties broken by doc_id, via the salted two-stage prune (salt_parts=4 —
+    the hot-group path), which must select EXACTLY the rows the oracle's
+    single row_number() window selects."""
+    from openapc_olap_spark.operators import ranking
+
+    docs = _docs_split(spark, sf_dir)
+    out = ranking.top_k_per_group(docs, ["lang"], "n_chars", 3,
+                                  id_col="doc_id", salt_parts=4)
+    return out.select("lang", "doc_id", "n_chars", "rk")
+
+
+_X42_SQL = """
+    SELECT lang, doc_id, n_chars, rk FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# X43: deterministic shuffle (reproducible training order)
+# ---------------------------------------------------------------------------
+
+def _x43_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``packing.deterministic_shuffle``: every document's (shard, pos)
+    under seed 'r5' with 8 shards — the full 400-row assignment is under
+    the hash, so shard membership AND the exact in-shard order are pinned
+    cross-engine (md5-hex sort keys agree lexicographically)."""
+    from openapc_olap_spark.operators import packing
+
+    docs = _docs_split(spark, sf_dir)
+    out = packing.deterministic_shuffle(docs, seed="r5", n_shards=8)
+    return out.select("doc_id", "shard", "pos")
+
+
+_X43_SQL = """
+    WITH h AS (
+      SELECT doc_id, md5('r5:' || doc_id::VARCHAR) AS hex FROM documents),
+    s AS (
+      SELECT doc_id, hex,
+             ('0x' || substr(hex, 1, 15))::BIGINT % 8 AS shard FROM h)
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id)
+             AS pos
+    FROM s
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -2037,6 +2166,10 @@ QUERIES = {
     "x37_asof_join": _x37_asof_join,
     "x38_interval_join": _x38_interval_join,
     "x39_stratified_sample": _x39_stratified_sample,
+    "x40_decontaminate": _x40_decontaminate,
+    "x41_bloom_semi_join": _x41_bloom_semi_join,
+    "x42_topk_per_group": _x42_topk_per_group,
+    "x43_deterministic_shuffle": _x43_deterministic_shuffle,
 }
 
 ORACLES = {
@@ -2079,4 +2212,8 @@ ORACLES = {
     "x37_asof_join": _X37_SQL,
     "x38_interval_join": _X38_SQL,
     "x39_stratified_sample": _X39_SQL,
+    "x40_decontaminate": _X40_SQL,
+    "x41_bloom_semi_join": _X41_SQL,
+    "x42_topk_per_group": _X42_SQL,
+    "x43_deterministic_shuffle": _X43_SQL,
 }

@@ -10,11 +10,14 @@ genuinely needed (multimodal decode); never row-at-a-time Python.
 """
 
 from openapc_olap_spark.operators import (  # noqa: F401
+    bloom,
     curation,
+    decontam,
     dedup,
     multimodal,
     packing,
     profile,
+    ranking,
     similarity,
     skew,
     text,

@@ -130,3 +130,34 @@ def stratified_sample(df: DataFrame, strata_col: str,
         thresh = F.when(F.col(strata_col) == k,
                         F.lit(int(round(v * 1000)))).otherwise(thresh)
     return df.filter(b < thresh)
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str = "doc_id",
+                          seed: str = "shuffle",
+                          n_shards: int = 64) -> DataFrame:
+    """Reproducible global training order: every row gets a ``shard`` and a
+    1-based in-shard ``pos``, both pure functions of (seed, id) — the
+    "shuffled dataset" a trainer streams shard-by-shard, identical across
+    runs, engines, and cluster sizes (unlike ``df.orderBy(rand())``, which
+    is neither reproducible nor restartable).
+
+    Order key is the md5 hex digest of ``seed || ':' || id`` (lexicographic
+    hex order agrees across engines); the shard is the high 60 bits of the
+    same digest mod ``n_shards``, so changing the seed re-deals both shard
+    membership AND order. Scale: one hash-partition shuffle on shard + an
+    in-shard sort — embarrassingly parallel across shards, no global sort,
+    no driver state; re-shuffling an epoch is a new seed, not a new plan.
+
+    Determinism precondition: unique ``id_col`` (ties broken by id, so
+    duplicate ids would collapse the tiebreak).
+    """
+    hexd = F.md5(F.concat(F.lit(str(seed)), F.lit(":"),
+                          F.col(id_col).cast("string")))
+    shard = F.pmod(F.conv(F.substring(hexd, 1, 15), 16, 10).cast("long"),
+                   F.lit(n_shards))
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("__okey").asc(), F.col(id_col).asc()))
+    return (df.withColumn("__okey", hexd)
+            .withColumn("shard", shard)
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("__okey"))

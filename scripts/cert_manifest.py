@@ -108,6 +108,10 @@ _X_DEPS = {
     "x37_asof_join": [f"{_OPS}/temporal.py"],
     "x38_interval_join": [f"{_OPS}/temporal.py"],
     "x39_stratified_sample": [f"{_OPS}/packing.py", f"{_OPS}/text.py"],
+    "x40_decontaminate": [f"{_OPS}/decontam.py", f"{_OPS}/text.py"],
+    "x41_bloom_semi_join": [f"{_OPS}/bloom.py"],
+    "x42_topk_per_group": [f"{_OPS}/ranking.py"],
+    "x43_deterministic_shuffle": [f"{_OPS}/packing.py", f"{_OPS}/text.py"],
 }
 DEPS.update(_X_DEPS)
 

@@ -1275,3 +1275,133 @@ def test_stratified_sample_deterministic_and_nested(spark):
              stratified_sample(docs, "lang", {"en": 0.3, "de": 0.1})
              .select("doc_id").collect()}
     assert small <= a                      # nested under the same salt
+
+
+# ---------------------------------------------------------------------------
+# decontam: train/eval n-gram overlap
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_counts_flags_and_drop(spark):
+    from openapc_olap_spark.operators import decontam
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs"),
+         (3, "the quick brown fox sat still"),   # shares 2 grams with eval
+         (4, "hi")],                             # too short for a 3-gram
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps high")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_overlap"], r["contaminated"])
+           for r in decontam.decontaminate(train, ev, n=3,
+                                           min_hits=2).collect()}
+    # eval grams: watch the quick / the quick brown / quick brown fox /
+    #             brown fox jumps / fox jumps high
+    assert out[1] == (3, True)     # the quick brown, quick brown fox, brown fox jumps
+    assert out[2] == (0, False)
+    assert out[3] == (2, True)     # the quick brown, quick brown fox
+    assert out[4] == (0, False)    # gram-less doc still present, zero-filled
+    kept = sorted(r["doc_id"] for r in
+                  decontam.drop_contaminated(train, ev, n=3,
+                                             min_hits=2).collect())
+    assert kept == [2, 4]
+
+
+def test_decontaminate_hashed_matches_string_path(spark):
+    from openapc_olap_spark.operators import decontam
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta word"),
+                 (F.col("id") % 7).cast("string"),
+                 F.lit(" epsilon zeta")).alias("text"))
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    hashed = decontam.decontaminate(tr, ev, n=3, min_hits=1)
+    strings = decontam.decontaminate(tr, ev, n=3, min_hits=1, hashed=False)
+    assert sorted(map(tuple, hashed.collect())) == \
+        sorted(map(tuple, strings.collect()))
+
+
+# ---------------------------------------------------------------------------
+# bloom: runtime prefilter semi-join
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_exact_semi_join(spark):
+    from openapc_olap_spark.operators import bloom
+    fact = spark.range(5000).select((F.col("id") % 997).alias("k"),
+                                    F.col("id").alias("v"))
+    keys = spark.range(40).select((F.col("id") * 13 + 5).alias("k"))
+    sketch = bloom.bloom_build(keys, "k", num_bits=1 << 12)
+    # every true key passes the membership expression (no false negatives)
+    missed = (keys.filter(~bloom.bloom_might_contain(F.col("k"), sketch))
+              .count())
+    assert missed == 0
+    exact = bloom.bloom_semi_join(fact, keys, "k", num_bits=1 << 12)
+    plain = fact.join(keys, "k", "left_semi")
+    assert sorted(map(tuple, exact.collect())) == \
+        sorted(map(tuple, plain.collect()))
+    # superset mode keeps at least the exact rows
+    sup = bloom.bloom_semi_join(fact, keys, "k", num_bits=1 << 12,
+                                exact=False)
+    assert sup.count() >= exact.count()
+
+
+def test_bloom_sketch_is_fixed_size_and_selective(spark):
+    from openapc_olap_spark.operators import bloom
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    sketch = bloom.bloom_build(keys, "k", num_bits=1 << 12, num_hashes=5)
+    assert len(sketch) == (1 << 12) // 64
+    # probe 10k foreign keys: FPR should be far under 50%
+    probes = spark.range(10_000, 20_000).select(F.col("id").alias("k"))
+    fp = probes.filter(bloom.bloom_might_contain(F.col("k"), sketch)).count()
+    assert fp < 2_000
+
+
+# ---------------------------------------------------------------------------
+# ranking: per-group top-k
+# ---------------------------------------------------------------------------
+
+def test_top_k_salted_equals_plain_and_breaks_ties(spark):
+    from openapc_olap_spark.operators import ranking
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") % 11).alias("score"))   # many ties
+    plain = ranking.top_k_per_group(df, ["grp"], "score", 4, "doc_id")
+    salted = ranking.top_k_per_group(df, ["grp"], "score", 4, "doc_id",
+                                     salt_parts=5)
+    rows_p = sorted(map(tuple, plain.collect()))
+    rows_s = sorted(map(tuple, salted.collect()))
+    assert rows_p == rows_s
+    assert len(rows_p) == 7 * 4
+    # rank 1 of group 0: max score 10, smallest doc_id with that score
+    top = [r for r in rows_p if r[1] == 0 and r[3] == 1]
+    assert top == [(21, 0, 10, 1)]
+    best = ranking.best_per_group(df, ["grp"], "score", "doc_id")
+    assert best.count() == 7 and "rk" not in best.columns
+
+
+# ---------------------------------------------------------------------------
+# packing.deterministic_shuffle
+# ---------------------------------------------------------------------------
+
+def test_deterministic_shuffle_stable_and_seed_sensitive(spark):
+    from openapc_olap_spark.operators import packing
+    df = spark.range(300).select(F.col("id").alias("doc_id"),
+                                 F.lit("t").alias("text"))
+    a = packing.deterministic_shuffle(df, seed="s1", n_shards=4)
+    b = packing.deterministic_shuffle(df, seed="s1", n_shards=4)
+    ra = sorted(map(tuple, a.select("doc_id", "shard", "pos").collect()))
+    rb = sorted(map(tuple, b.select("doc_id", "shard", "pos").collect()))
+    assert ra == rb                                  # reproducible
+    # per-shard positions are contiguous 1..n
+    import collections
+    per = collections.defaultdict(list)
+    for doc, shard, pos in ra:
+        per[shard].append(pos)
+    assert sum(len(v) for v in per.values()) == 300
+    for shard, ps in per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    c = packing.deterministic_shuffle(df, seed="s2", n_shards=4)
+    rc = sorted(map(tuple, c.select("doc_id", "shard", "pos").collect()))
+    assert rc != ra                                  # seed re-deals

@@ -320,3 +320,52 @@ def test_interval_join_is_equi_join_not_nested_loop(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
             or "ShuffledHashJoin" in plan)
+
+
+def test_decontaminate_broadcasts_eval_single_shuffle(spark, sf_dir):
+    from openapc_olap_spark.operators import decontam
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ev = decontam.eval_ngram_set(docs.filter(F.col("doc_id") % 13 == 0), n=3)
+    out = decontam.ngram_overlap(docs.filter(F.col("doc_id") % 13 != 0),
+                                 ev, n=3)
+    # the 100 TB contract: eval grams broadcast (the train side never
+    # shuffles its text), and the only shuffle is the per-doc count agg
+    assert plans.has_broadcast_join(out)
+    assert plans.has_partial_aggregate(out)
+
+
+def test_bloom_prefilter_is_pure_scan_expression(spark, sf_dir):
+    from openapc_olap_spark.operators import bloom
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    keys = t["supplier"].filter(F.col("s_nationkey") == 7) \
+                        .select("s_suppkey")
+    pre = bloom.bloom_semi_join(t["lineitem"], keys, "l_suppkey",
+                                "s_suppkey", num_bits=1 << 14, exact=False)
+    # the prefilter stage is a join-free, shuffle-free codegen'd filter on
+    # the fact scan — the whole point of the runtime-filter pattern
+    assert plans.single_scan(pre)
+    assert plans.shuffle_exchange_count(pre) == 0
+    assert not plans.has_sort_merge_join(pre)
+    assert not plans.has_broadcast_join(pre)
+
+
+def test_top_k_salted_bounds_reducer_sort(spark, sf_dir):
+    from openapc_olap_spark.operators import ranking
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    plain = ranking.top_k_per_group(docs, ["lang"], "n_chars", 3, "doc_id")
+    salted = ranking.top_k_per_group(docs, ["lang"], "n_chars", 3,
+                                     "doc_id", salt_parts=4)
+    # plain: one shuffle on the group key; salted: one extra (tiny) shuffle
+    # that spreads a hot group over salt_parts reducers before the final
+    assert plans.shuffle_exchange_count(plain) == 1
+    assert plans.shuffle_exchange_count(salted) == 2
+
+
+def test_deterministic_shuffle_no_global_sort(spark, sf_dir):
+    from openapc_olap_spark.operators import packing
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = packing.deterministic_shuffle(docs, seed="s", n_shards=8)
+    # shard-parallel: one hash partition + in-shard sort, never a global
+    # range-exchange sort
+    assert plans.shuffle_exchange_count(out) == 1
+    assert not plans.has_global_sort(out)
