@@ -2126,6 +2126,53 @@ _X43_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X44: count-min sketch (mergeable frequency estimation)
+# ---------------------------------------------------------------------------
+
+_CMS_PROBES = ["the", "a", "of", "and", "la", "el", "de", "le", "un", "und"]
+_CMS_W, _CMS_D = 512, 4
+
+
+def _x44_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sketches.cms_build/cms_estimate``: count-min sketch over every
+    document token (width 512 deliberately small so collisions are live in
+    the test), probed for 10 fixed stopwords. The oracle rebuilds the
+    identical md5-addressed counter grid, so estimates — including
+    collision overcounts — must match exactly."""
+    from openapc_olap_spark.operators import sketches
+
+    docs = _docs_split(spark, sf_dir)
+    toks = docs.select(F.explode(text.tokens("text")).alias("t"))
+    grid = sketches.cms_build(toks, "t", width=_CMS_W, depth=_CMS_D)
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES],
+                                   "token string")
+    return sketches.cms_estimate(grid, probes, "token",
+                                 width=_CMS_W, depth=_CMS_D)
+
+
+_X44_SQL = f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS t FROM documents),
+    cells AS (
+      SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || t), 1, 15))::BIGINT
+               % {_CMS_W} AS pos
+      FROM toks, (VALUES (0), (1), (2), (3)) AS d(r)),
+    grid AS (
+      SELECT r AS row, pos, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    probes(token) AS (
+      VALUES {", ".join("('" + t + "')" for t in _CMS_PROBES)}),
+    addr AS (
+      SELECT token, r,
+             ('0x' || substr(md5(r::VARCHAR || ':' || token), 1, 15))::BIGINT
+               % {_CMS_W} AS pos
+      FROM probes, (VALUES (0), (1), (2), (3)) AS d(r))
+    SELECT token, min(coalesce(cnt, 0)) AS est
+    FROM addr LEFT JOIN grid ON addr.r = grid.row AND addr.pos = grid.pos
+    GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -2170,6 +2217,7 @@ QUERIES = {
     "x41_bloom_semi_join": _x41_bloom_semi_join,
     "x42_topk_per_group": _x42_topk_per_group,
     "x43_deterministic_shuffle": _x43_deterministic_shuffle,
+    "x44_cms_estimates": _x44_cms_estimates,
 }
 
 ORACLES = {
@@ -2216,4 +2264,5 @@ ORACLES = {
     "x41_bloom_semi_join": _X41_SQL,
     "x42_topk_per_group": _X42_SQL,
     "x43_deterministic_shuffle": _X43_SQL,
+    "x44_cms_estimates": _X44_SQL,
 }

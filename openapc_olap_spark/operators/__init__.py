@@ -19,6 +19,7 @@ from openapc_olap_spark.operators import (  # noqa: F401
     profile,
     ranking,
     similarity,
+    sketches,
     skew,
     text,
     windows,

@@ -112,6 +112,7 @@ _X_DEPS = {
     "x41_bloom_semi_join": [f"{_OPS}/bloom.py"],
     "x42_topk_per_group": [f"{_OPS}/ranking.py"],
     "x43_deterministic_shuffle": [f"{_OPS}/packing.py", f"{_OPS}/text.py"],
+    "x44_cms_estimates": [f"{_OPS}/sketches.py", f"{_OPS}/text.py"],
 }
 DEPS.update(_X_DEPS)
 

@@ -1405,3 +1405,30 @@ def test_deterministic_shuffle_stable_and_seed_sensitive(spark):
     c = packing.deterministic_shuffle(df, seed="s2", n_shards=4)
     rc = sorted(map(tuple, c.select("doc_id", "shard", "pos").collect()))
     assert rc != ra                                  # seed re-deals
+
+
+# ---------------------------------------------------------------------------
+# sketches: count-min
+# ---------------------------------------------------------------------------
+
+def test_cms_one_sided_error_and_merge(spark):
+    from openapc_olap_spark.operators import sketches
+    rows = [(f"k{i % 37}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "t string")
+    grid = sketches.cms_build(df, "t", width=256, depth=4)
+    probes = spark.createDataFrame(
+        [("hot",), ("k0",), ("k36",), ("absent",)], "token string")
+    est = {r["token"]: r["est"]
+           for r in sketches.cms_estimate(grid, probes, "token", width=256,
+                                          depth=4).collect()}
+    exact = {"hot": 500, "k0": 55, "k36": 54, "absent": 0}
+    for k, n in exact.items():
+        assert est[k] >= n                       # never undercounts
+        assert est[k] <= n + 2500 * 4 / 256      # crude width bound
+    # mergeability: sketch(full) == merge(sketch(a), sketch(b))
+    a = spark.createDataFrame(rows[:1200], "t string")
+    b = spark.createDataFrame(rows[1200:], "t string")
+    merged = sketches.cms_merge(sketches.cms_build(a, "t", 256, 4),
+                                sketches.cms_build(b, "t", 256, 4))
+    full = sorted(map(tuple, grid.collect()))
+    assert sorted(map(tuple, merged.collect())) == full

@@ -369,3 +369,14 @@ def test_deterministic_shuffle_no_global_sort(spark, sf_dir):
     # range-exchange sort
     assert plans.shuffle_exchange_count(out) == 1
     assert not plans.has_global_sort(out)
+
+
+def test_cms_build_is_one_combined_aggregation(spark, sf_dir):
+    from openapc_olap_spark.operators import sketches, text
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = docs.select(F.explode(text.tokens("text")).alias("t"))
+    grid = sketches.cms_build(toks, "t", width=512, depth=4)
+    # fixed-size sketch: one map-side-combined shuffle, single scan
+    assert plans.single_scan(grid)
+    assert plans.has_partial_aggregate(grid)
+    assert plans.shuffle_exchange_count(grid) == 1
