@@ -2173,6 +2173,47 @@ _X44_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X45: TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+def _x45_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``tfidf.tfidf_top_terms``: top-3 salient terms per document (every
+    5th document reported; TF/DF computed over the FULL corpus) through
+    the salted top-k path, ranking on the 6dp-rounded score so exact
+    mathematical ties (2*ln2 vs ln4 — live in this corpus's 31-term
+    vocabulary) resolve by the term tie-break identically in both
+    engines. The oracle rebuilds tf, df, N, the ln weighting, and the
+    rounded-score ranking."""
+    from openapc_olap_spark.operators import tfidf
+
+    docs = _docs_split(spark, sf_dir)
+    top = tfidf.tfidf_top_terms(docs, k=3, salt_parts=2, round_to=6)
+    return (top.filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", "term", "tf", "df", "tfidf", "rk"))
+
+
+_X45_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * ln(n.n::DOUBLE / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term), n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, tf, df, tfidf, rk
+    FROM ranked WHERE rk <= 3 AND doc_id % 5 = 0
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -2218,6 +2259,7 @@ QUERIES = {
     "x42_topk_per_group": _x42_topk_per_group,
     "x43_deterministic_shuffle": _x43_deterministic_shuffle,
     "x44_cms_estimates": _x44_cms_estimates,
+    "x45_tfidf_top_terms": _x45_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -2265,4 +2307,5 @@ ORACLES = {
     "x42_topk_per_group": _X42_SQL,
     "x43_deterministic_shuffle": _X43_SQL,
     "x44_cms_estimates": _X44_SQL,
+    "x45_tfidf_top_terms": _X45_SQL,
 }

@@ -22,5 +22,6 @@ from openapc_olap_spark.operators import (  # noqa: F401
     sketches,
     skew,
     text,
+    tfidf,
     windows,
 )

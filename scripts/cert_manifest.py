@@ -113,6 +113,8 @@ _X_DEPS = {
     "x42_topk_per_group": [f"{_OPS}/ranking.py"],
     "x43_deterministic_shuffle": [f"{_OPS}/packing.py", f"{_OPS}/text.py"],
     "x44_cms_estimates": [f"{_OPS}/sketches.py", f"{_OPS}/text.py"],
+    "x45_tfidf_top_terms": [f"{_OPS}/tfidf.py", f"{_OPS}/ranking.py",
+                            f"{_OPS}/text.py"],
 }
 DEPS.update(_X_DEPS)
 

@@ -1432,3 +1432,45 @@ def test_cms_one_sided_error_and_merge(spark):
                                 sketches.cms_build(b, "t", 256, 4))
     full = sorted(map(tuple, grid.collect()))
     assert sorted(map(tuple, merged.collect())) == full
+
+
+# ---------------------------------------------------------------------------
+# tfidf
+# ---------------------------------------------------------------------------
+
+def test_tfidf_scores_and_tiebreak(spark):
+    import math
+    from openapc_olap_spark.operators import tfidf
+    df = spark.createDataFrame(
+        [(1, "apple apple banana common"),
+         (2, "banana cherry common"),
+         (3, "cherry common common")],
+        "doc_id long, text string")
+    out = tfidf.tfidf_top_terms(df, k=2)
+    rows = {(r["doc_id"], r["rk"]): (r["term"], r["tf"], r["df"],
+                                     r["tfidf"]) for r in out.collect()}
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert rows[(1, 1)][0] == "apple"
+    assert abs(rows[(1, 1)][3] - 2 * math.log(3)) < 1e-9
+    assert rows[(1, 2)][0] == "banana"
+    # doc 2: banana and cherry both tf=1 df=2 — exact tie, term asc
+    assert rows[(2, 1)][0] == "banana" and rows[(2, 2)][0] == "cherry"
+    # common: df=3 -> idf ln(1)=0, never outranks an informative term
+    assert all(t != "common" for (doc, rk), (t, *_) in rows.items()
+               if rk == 1)
+    # max_df_ratio prunes it entirely
+    pruned = tfidf.tfidf_top_terms(df, k=3, max_df_ratio=0.9)
+    assert "common" not in {r["term"] for r in pruned.collect()}
+
+
+def test_tfidf_salted_equals_plain(spark):
+    from openapc_olap_spark.operators import tfidf
+    docs = spark.range(80).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 11).cast("string"),
+                 F.lit(" w"), (F.col("id") % 7).cast("string"),
+                 F.lit(" w"), (F.col("id") % 5).cast("string"),
+                 F.lit(" shared")).alias("text"))
+    a = tfidf.tfidf_top_terms(docs, k=2, round_to=6)
+    b = tfidf.tfidf_top_terms(docs, k=2, round_to=6, salt_parts=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
