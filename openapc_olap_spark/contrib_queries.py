@@ -2214,6 +2214,56 @@ _X45_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X46: int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+def _x46_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``quantize.quantize_embeddings``: symmetric per-vector int8
+    quantization of every (even-id) embedding, gated on integer checksums
+    of the full quantized grid (sum, L1, dot, saturation count) plus the
+    9dp scale — the oracle recomputes every element's round(x/scale), so
+    one off-by-one level anywhere breaks the hash."""
+    from openapc_olap_spark.operators import quantize
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = quantize.quantize_embeddings(emb).filter(F.col("scale") > 0)
+    qv = F.col("qvec")
+    return (q.filter(F.col("vec_id") % 2 == 0)
+            .select(
+                "vec_id",
+                F.round("scale", 9).alias("scale"),
+                F.aggregate(qv, F.lit(0).cast("long"),
+                            lambda a, x: a + x).alias("q_sum"),
+                F.aggregate(qv, F.lit(0).cast("long"),
+                            lambda a, x: a + F.abs(x)).alias("q_l1"),
+                F.aggregate(qv, F.lit(0).cast("long"),
+                            lambda a, x: a + (x * x).cast("long"))
+                .alias("q_dot"),
+                F.size(F.filter(qv, lambda x: F.abs(x) == 127))
+                .alias("n_sat")))
+
+
+_X46_SQL = """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x)))::DOUBLE / 127
+               AS scale
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+                            x -> round(x::DOUBLE / scale)::BIGINT) AS qv
+      FROM s WHERE scale > 0)
+    SELECT vec_id, round(scale, 9) AS scale,
+           list_sum(qv)::BIGINT AS q_sum,
+           list_sum(list_transform(qv, x -> abs(x)))::BIGINT AS q_l1,
+           list_sum(list_transform(qv, x -> x * x))::BIGINT AS q_dot,
+           len(list_filter(qv, x -> abs(x) = 127)) AS n_sat
+    FROM q WHERE vec_id % 2 = 0
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -2260,6 +2310,7 @@ QUERIES = {
     "x43_deterministic_shuffle": _x43_deterministic_shuffle,
     "x44_cms_estimates": _x44_cms_estimates,
     "x45_tfidf_top_terms": _x45_tfidf_top_terms,
+    "x46_quantize_embeddings": _x46_quantize_embeddings,
 }
 
 ORACLES = {
@@ -2308,4 +2359,5 @@ ORACLES = {
     "x43_deterministic_shuffle": _X43_SQL,
     "x44_cms_estimates": _X44_SQL,
     "x45_tfidf_top_terms": _X45_SQL,
+    "x46_quantize_embeddings": _X46_SQL,
 }

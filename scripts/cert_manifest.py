@@ -61,7 +61,10 @@ for _q in ["q01_facts_page", "q02_cut_point", "q03_cut_range", "q04_cut_set",
 DEPS["q16_cell_http"] = _QUERY_STACK + [f"{_P}/server.py"]
 DEPS["q17_model_http"] = _QUERY_STACK + [f"{_P}/server.py",
                                          f"{_P}/catalog.py"]
-# e-gates resolve by prefix in deps_for() -> _ETL_STACK
+# e-gates resolve by prefix in deps_for() -> _ETL_STACK, except gates whose
+# gate callable provably executes through a narrower closure (verified
+# against the callable's imports; coverage.py imports no other etl module):
+DEPS["e20_json_cache"] = [f"{_P}/etl/coverage.py"]
 
 _X_DEPS = {
     "x01_dedup_summary": [f"{_OPS}/text.py", f"{_OPS}/dedup.py"] + _MEMO,
@@ -115,6 +118,7 @@ _X_DEPS = {
     "x44_cms_estimates": [f"{_OPS}/sketches.py", f"{_OPS}/text.py"],
     "x45_tfidf_top_terms": [f"{_OPS}/tfidf.py", f"{_OPS}/ranking.py",
                             f"{_OPS}/text.py"],
+    "x46_quantize_embeddings": [f"{_OPS}/quantize.py"],
 }
 DEPS.update(_X_DEPS)
 

@@ -1474,3 +1474,59 @@ def test_tfidf_salted_equals_plain(spark):
     a = tfidf.tfidf_top_terms(docs, k=2, round_to=6)
     b = tfidf.tfidf_top_terms(docs, k=2, round_to=6, salt_parts=3)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# quantize: int8 embeddings
+# ---------------------------------------------------------------------------
+
+def test_quantize_roundtrip_fidelity_and_edges(spark):
+    import math
+    import random
+    from openapc_olap_spark.operators import quantize
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(50)]
+    rows.append((50, [0.0] * 64))                       # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize.quantize_embeddings(df, keep_vec=True)
+    got = {r["vec_id"]: r for r in q.collect()}
+    assert got[50]["scale"] == 0.0 and set(got[50]["qvec"]) == {0}
+    for i in range(50):
+        r = got[i]
+        assert max(abs(v) for v in r["qvec"]) == 127    # max element saturates
+        deq = [v * r["scale"] for v in r["qvec"]]
+        orig = r["embedding"]
+        dot = sum(a * b for a, b in zip(deq, orig))
+        cos = dot / (math.sqrt(sum(a * a for a in deq)) *
+                     math.sqrt(sum(b * b for b in orig)))
+        assert cos > 0.999                               # int8 fidelity
+        # every element within half a quantization step
+        assert all(abs(d - o) <= r["scale"] * 0.5 + 1e-12
+                   for d, o in zip(deq, orig))
+
+
+def test_quantized_dot_approximates_float_dot(spark):
+    import random
+    from openapc_olap_spark.operators import quantize
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)],
+             [rng.gauss(0, 1) for _ in range(64)]) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "i long, a array<double>, b array<double>")
+    qa = quantize.quantize_embeddings(
+        df.withColumnRenamed("a", "embedding"), keep_vec=True) \
+        .select("i", "b", F.col("scale").alias("sa"),
+                F.col("qvec").alias("qa"), F.col("embedding").alias("a"))
+    qb = quantize.quantize_embeddings(
+        qa.withColumnRenamed("b", "embedding"), keep_vec=True) \
+        .select("i", "a", "sa", "qa", F.col("scale").alias("sb"),
+                F.col("qvec").alias("qb"), F.col("embedding").alias("b"))
+    out = qb.select(
+        "i",
+        quantize.quantized_dot(F.col("qa"), F.col("sa"),
+                               F.col("qb"), F.col("sb")).alias("qdot"),
+        F.aggregate(F.zip_with("a", "b", lambda x, y: x * y),
+                    F.lit(0.0), lambda s, x: s + x).alias("fdot"))
+    for r in out.collect():
+        # 64-dim int8 dot: error bound ~ dim * (step_a*|b| + step_b*|a|)/2
+        assert abs(r["qdot"] - r["fdot"]) < 0.35, r
