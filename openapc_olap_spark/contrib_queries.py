@@ -2264,6 +2264,57 @@ _X46_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X47: document chunking (context-window segmentation)
+# ---------------------------------------------------------------------------
+
+def _x47_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``chunking.chunk_documents`` at chunk=32/overlap=8: per (even-id)
+    document, the chunk count, total chunk tokens, and an order-sensitive
+    md5 digest over the per-chunk text hashes — every chunk's exact text
+    and position sits under the value hash."""
+    from openapc_olap_spark.operators import chunking
+
+    docs = _docs_split(spark, sf_dir)
+    ch = chunking.chunk_documents(docs, chunk_tokens=32, overlap=8)
+    per = ch.select("doc_id", "chunk_id", "n_tokens",
+                    F.md5("chunk_text").alias("h"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("chunk_id", "h"))),
+        lambda x: x["h"])
+    return (per.filter(F.col("doc_id") % 2 == 0)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.md5(F.array_join(ordered, "|")).alias("digest")))
+
+
+_X47_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             1 + (greatest(len(toks) - 32, 0) + 23) // 24 AS k
+      FROM s WHERE len(toks) > 0),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, k - 1)) AS chunk_id
+      FROM b),
+    c AS (
+      SELECT doc_id, chunk_id,
+             toks[chunk_id * 24 + 1 : chunk_id * 24 + 32] AS piece
+      FROM e),
+    h AS (
+      SELECT doc_id, chunk_id, len(piece) AS n_tokens,
+             md5(array_to_string(piece, ' ')) AS h
+      FROM c)
+    SELECT doc_id, count(*) AS n_chunks,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           md5(string_agg(h, '|' ORDER BY chunk_id)) AS digest
+    FROM h WHERE doc_id % 2 = 0 GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -2311,6 +2362,7 @@ QUERIES = {
     "x44_cms_estimates": _x44_cms_estimates,
     "x45_tfidf_top_terms": _x45_tfidf_top_terms,
     "x46_quantize_embeddings": _x46_quantize_embeddings,
+    "x47_chunk_documents": _x47_chunk_documents,
 }
 
 ORACLES = {
@@ -2360,4 +2412,5 @@ ORACLES = {
     "x44_cms_estimates": _X44_SQL,
     "x45_tfidf_top_terms": _X45_SQL,
     "x46_quantize_embeddings": _X46_SQL,
+    "x47_chunk_documents": _X47_SQL,
 }

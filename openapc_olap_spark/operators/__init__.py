@@ -11,6 +11,7 @@ genuinely needed (multimodal decode); never row-at-a-time Python.
 
 from openapc_olap_spark.operators import (  # noqa: F401
     bloom,
+    chunking,
     curation,
     decontam,
     dedup,

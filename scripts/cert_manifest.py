@@ -65,6 +65,7 @@ DEPS["q17_model_http"] = _QUERY_STACK + [f"{_P}/server.py",
 # gate callable provably executes through a narrower closure (verified
 # against the callable's imports; coverage.py imports no other etl module):
 DEPS["e20_json_cache"] = [f"{_P}/etl/coverage.py"]
+DEPS["e17_cache_upsert"] = [f"{_P}/etl/coverage.py"]
 
 _X_DEPS = {
     "x01_dedup_summary": [f"{_OPS}/text.py", f"{_OPS}/dedup.py"] + _MEMO,
@@ -119,6 +120,7 @@ _X_DEPS = {
     "x45_tfidf_top_terms": [f"{_OPS}/tfidf.py", f"{_OPS}/ranking.py",
                             f"{_OPS}/text.py"],
     "x46_quantize_embeddings": [f"{_OPS}/quantize.py"],
+    "x47_chunk_documents": [f"{_OPS}/chunking.py", f"{_OPS}/text.py"],
 }
 DEPS.update(_X_DEPS)
 

@@ -1530,3 +1530,49 @@ def test_quantized_dot_approximates_float_dot(spark):
     for r in out.collect():
         # 64-dim int8 dot: error bound ~ dim * (step_a*|b| + step_b*|a|)/2
         assert abs(r["qdot"] - r["fdot"]) < 0.35, r
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from openapc_olap_spark.operators import chunking
+    words = lambda n: " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(1, words(10)),    # n < chunk -> 1 chunk of 10
+         (2, words(32)),    # n == chunk -> exactly 1 chunk
+         (3, words(33)),    # one over -> 2 chunks, second is short
+         (4, words(80)),    # 1 + ceil(48/24) = 3 chunks
+         (5, "")],          # token-less -> no chunks
+        "doc_id long, text string")
+    out = chunking.chunk_documents(df, chunk_tokens=32, overlap=8)
+    rows = sorted((r["doc_id"], r["chunk_id"], r["n_tokens"],
+                   r["chunk_text"]) for r in out.collect())
+    by_doc = {}
+    for d, c, n, t in rows:
+        by_doc.setdefault(d, []).append((c, n, t.split()))
+    assert 5 not in by_doc
+    assert [n for _, n, _ in by_doc[1]] == [10]
+    assert [n for _, n, _ in by_doc[2]] == [32]
+    assert [n for _, n, _ in by_doc[3]] == [32, 9]
+    assert [n for _, n, _ in by_doc[4]] == [32, 32, 32]
+    for d, n_total in [(1, 10), (2, 32), (3, 33), (4, 80)]:
+        seen = set()
+        chunks = by_doc[d]
+        for i, (c, n, toks) in enumerate(chunks):
+            assert c == i
+            assert toks == [f"w{j}" for j in range(c * 24, c * 24 + n)]
+            seen.update(toks)
+            if i > 0:  # consecutive chunks overlap by exactly 8 tokens
+                prev = set(chunks[i - 1][2])
+                assert len(prev & set(toks)) == min(8, n)
+        assert seen == {f"w{j}" for j in range(n_total)}  # full coverage
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+    from openapc_olap_spark.operators import chunking
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunking.chunk_documents(df, chunk_tokens=8, overlap=8)

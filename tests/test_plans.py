@@ -380,3 +380,12 @@ def test_cms_build_is_one_combined_aggregation(spark, sf_dir):
     assert plans.single_scan(grid)
     assert plans.has_partial_aggregate(grid)
     assert plans.shuffle_exchange_count(grid) == 1
+
+
+def test_chunking_single_scan_no_shuffle(spark, sf_dir):
+    from openapc_olap_spark.operators import chunking
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = chunking.chunk_documents(docs, chunk_tokens=32, overlap=8)
+    # tokenize + explode + slice: all in one scan stage, nothing moves
+    assert plans.single_scan(out)
+    assert plans.shuffle_exchange_count(out) == 0
