@@ -2315,6 +2315,97 @@ _X47_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X48: corpus mixture rebalancing (downsample to target proportions)
+# ---------------------------------------------------------------------------
+
+_MIX_TARGETS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+
+
+def _x48_rebalance_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``packing.rebalance_mixture``: downsample to a 50/20/15/10/5
+    language mixture. The oracle recomputes the per-stratum counts, the
+    feasibility cap T = min(n_s/t_s), the keep fractions, the permille
+    thresholds, AND the md5 membership filter — so both the rate math and
+    the exact kept set are under the hash."""
+    from openapc_olap_spark.operators import packing
+
+    docs = _docs_split(spark, sf_dir)
+    out = packing.rebalance_mixture(docs, "lang", _MIX_TARGETS)
+    return (out.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("doc_id").alias("first_id"),
+                 F.max("doc_id").alias("last_id")))
+
+
+_X48_SQL = f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    t(lang, w) AS (
+      VALUES {", ".join(f"('{k}', {v!r})" for k, v in
+                        sorted(_MIX_TARGETS.items()))}),
+    cap AS (
+      SELECT min(counts.n / t.w) AS cap
+      FROM counts JOIN t USING (lang)),
+    fr AS (
+      SELECT t.lang,
+             round(least(t.w * cap.cap / counts.n, 1.0) * 1000)::BIGINT
+               AS permille
+      FROM t JOIN counts USING (lang), cap),
+    kept AS (
+      SELECT d.lang, d.n_chars, d.doc_id
+      FROM documents d JOIN fr ON d.lang = fr.lang
+      WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 15))
+              ::BIGINT % 1000 < fr.permille)
+    SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+           min(doc_id) AS first_id, max(doc_id) AS last_id
+    FROM kept GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# X49: incremental dedup against a historical fingerprint index
+# ---------------------------------------------------------------------------
+
+def _x49_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup.incremental_dedup`` with the bloom fast path: documents
+    with doc_id % 3 == 0 are the historical corpus (its fingerprint
+    index), the rest are the incoming crawl; keep crawl docs whose
+    normalized fingerprint is not in the index. The oracle is the plain
+    NOT-EXISTS anti-join — a bloom false negative (impossible) or a
+    mis-unioned row would break the hash."""
+    docs = _docs_split(spark, sf_dir)
+    seen = (docs.filter(F.col("doc_id") % 3 == 0)
+            .select(fingerprint_col().alias("fp")))
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    out = dedup.incremental_dedup(new, seen, bloom_bits=1 << 14)
+    return (out.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_new"),
+                 F.min("doc_id").alias("first_id"),
+                 F.max("doc_id").alias("last_id")))
+
+
+def fingerprint_col():
+    from openapc_olap_spark.operators.text import fingerprint
+    return fingerprint("text")
+
+
+_X49_SQL = r"""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents)
+    SELECT lang, count(*) AS n_new, min(doc_id) AS first_id,
+           max(doc_id) AS last_id
+    FROM fp n
+    WHERE n.doc_id % 3 <> 0
+      AND NOT EXISTS (SELECT 1 FROM fp s
+                      WHERE s.doc_id % 3 = 0 AND s.fp = n.fp)
+    GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -2363,6 +2454,8 @@ QUERIES = {
     "x45_tfidf_top_terms": _x45_tfidf_top_terms,
     "x46_quantize_embeddings": _x46_quantize_embeddings,
     "x47_chunk_documents": _x47_chunk_documents,
+    "x48_rebalance_mixture": _x48_rebalance_mixture,
+    "x49_incremental_dedup": _x49_incremental_dedup,
 }
 
 ORACLES = {
@@ -2413,4 +2506,6 @@ ORACLES = {
     "x45_tfidf_top_terms": _X45_SQL,
     "x46_quantize_embeddings": _X46_SQL,
     "x47_chunk_documents": _X47_SQL,
+    "x48_rebalance_mixture": _X48_SQL,
+    "x49_incremental_dedup": _X49_SQL,
 }

@@ -648,3 +648,36 @@ def resolve_duplicates(df: DataFrame, pairs: DataFrame,
             .withColumn("canon_id",
                         F.coalesce(F.col("__cc_comp"), F.col(id_col)))
             .drop("__cc_id", "__cc_comp"))
+
+
+def incremental_dedup(new_df: DataFrame, seen_fps: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      fp_col: str = "fp",
+                      bloom_bits: int | None = None) -> DataFrame:
+    """Incremental-ingest dedup: keep rows of ``new_df`` whose normalized
+    content fingerprint (text.fingerprint) is NOT in the historical
+    fingerprint index ``seen_fps`` (a frame with column ``fp_col``) —
+    the "dedup this crawl against all previous crawls" step.
+
+    Scale shape: the exact check is a left-anti join against the index.
+    With ``bloom_bits`` set, a bloom sketch of the index splits the new
+    corpus FIRST: bloom-negative rows are *provably* absent from the
+    index (no false negatives) and bypass the join entirely, so the
+    anti-join's shuffle carries only the bloom-positive sliver —
+    duplicates plus the FPR. For a crawl that is mostly novel content,
+    that is the difference between shuffling everything and shuffling
+    almost nothing. Results are identical with or without the bloom.
+    """
+    from openapc_olap_spark.operators import bloom as _bloom
+
+    fp = fingerprint(text_col)
+    marked = new_df.withColumn("__fp", fp)
+    seen = seen_fps.select(F.col(fp_col).alias("__fp"))
+    if bloom_bits is None:
+        out = marked.join(seen, "__fp", "left_anti")
+        return out.drop("__fp")
+    sketch = _bloom.bloom_build(seen, "__fp", num_bits=bloom_bits)
+    might = _bloom.bloom_might_contain(F.col("__fp"), sketch)
+    definitely_new = marked.filter(~might)
+    candidates = marked.filter(might).join(seen, "__fp", "left_anti")
+    return definitely_new.unionByName(candidates).drop("__fp")

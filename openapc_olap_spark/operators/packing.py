@@ -161,3 +161,41 @@ def deterministic_shuffle(df: DataFrame, id_col: str = "doc_id",
             .withColumn("shard", shard)
             .withColumn("pos", F.row_number().over(w).cast("long"))
             .drop("__okey"))
+
+
+def mixture_fractions(df: DataFrame, strata_col: str,
+                      targets: dict[str, float],
+                      id_col: str = "doc_id") -> dict[str, float]:
+    """Per-stratum keep fractions that hit a target mixture by
+    downsampling only (no upsampling): with counts n_s and target weights
+    t_s (normalized), the largest feasible corpus is T = min_s(n_s / t_s)
+    and f_s = t_s * T / n_s. Strata absent from ``targets`` get 0.
+
+    The aggregation is stratum-sized (one tiny collect — like reading a
+    trained codebook); the actual data never moves here."""
+    total = sum(targets.values())
+    if total <= 0:
+        raise ValueError("targets must have positive total weight")
+    t = {k: v / total for k, v in targets.items()}
+    counts = {r[strata_col]: r["n"]
+              for r in df.groupBy(strata_col)
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    missing = [k for k in t if counts.get(k, 0) == 0]
+    if missing:
+        raise ValueError(f"target strata with no rows: {missing}")
+    cap = min(counts[k] / t[k] for k in t if t[k] > 0)
+    return {k: min(t[k] * cap / counts[k], 1.0) for k in t}
+
+
+def rebalance_mixture(df: DataFrame, strata_col: str,
+                      targets: dict[str, float], id_col: str = "doc_id",
+                      salt: str = "mix") -> DataFrame:
+    """Deterministically downsample to a target stratum mixture (e.g.
+    50% en / 20% de / ...): compute the per-stratum keep fractions, then
+    apply the md5-permille stratified filter. The output mixture matches
+    ``targets`` up to permille rounding and hash uniformity, with the
+    largest total size downsampling allows; membership is a pure function
+    of (salt, id) — reproducible, nestable, engine-portable."""
+    fr = mixture_fractions(df, strata_col, targets, id_col)
+    return stratified_sample(df, strata_col, fr, default_fraction=0.0,
+                             id_col=id_col, salt=salt)

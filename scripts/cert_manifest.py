@@ -66,6 +66,8 @@ DEPS["q17_model_http"] = _QUERY_STACK + [f"{_P}/server.py",
 # against the callable's imports; coverage.py imports no other etl module):
 DEPS["e20_json_cache"] = [f"{_P}/etl/coverage.py"]
 DEPS["e17_cache_upsert"] = [f"{_P}/etl/coverage.py"]
+DEPS["e14_annual_pubdates"] = [f"{_P}/etl/coverage.py"]
+DEPS["e15_hybrid_catalog"] = [f"{_P}/etl/coverage.py"]
 
 _X_DEPS = {
     "x01_dedup_summary": [f"{_OPS}/text.py", f"{_OPS}/dedup.py"] + _MEMO,
@@ -121,6 +123,9 @@ _X_DEPS = {
                             f"{_OPS}/text.py"],
     "x46_quantize_embeddings": [f"{_OPS}/quantize.py"],
     "x47_chunk_documents": [f"{_OPS}/chunking.py", f"{_OPS}/text.py"],
+    "x48_rebalance_mixture": [f"{_OPS}/packing.py", f"{_OPS}/text.py"],
+    "x49_incremental_dedup": [f"{_OPS}/dedup.py", f"{_OPS}/bloom.py",
+                              f"{_OPS}/text.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

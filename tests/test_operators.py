@@ -1576,3 +1576,57 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunking.chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# packing.rebalance_mixture
+# ---------------------------------------------------------------------------
+
+def test_mixture_fractions_math_and_rebalance(spark):
+    from openapc_olap_spark.operators import packing
+    rows = ([(i, "en") for i in range(600)] +
+            [(i + 1000, "de") for i in range(100)] +
+            [(i + 2000, "fr") for i in range(300)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # targets 50/25/25 -> cap limited by de: T = 100/.25 = 400
+    fr = packing.mixture_fractions(df, "lang",
+                                   {"en": 0.5, "de": 0.25, "fr": 0.25})
+    assert abs(fr["en"] - 200 / 600) < 1e-12
+    assert fr["de"] == 1.0
+    assert abs(fr["fr"] - 100 / 300) < 1e-12
+    out = packing.rebalance_mixture(df, "lang",
+                                    {"en": 0.5, "de": 0.25, "fr": 0.25})
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["de"] == 100                      # fraction 1.0 keeps all
+    # hash-uniform sampling: within ~15% of the target counts
+    assert abs(got["en"] - 200) < 30 and abs(got["fr"] - 100) < 20
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        packing.mixture_fractions(df, "lang", {"en": 1.0, "xx": 1.0})
+
+
+# ---------------------------------------------------------------------------
+# dedup.incremental_dedup
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_bloom_equals_plain(spark):
+    from openapc_olap_spark.operators import dedup as _dedup
+    from openapc_olap_spark.operators.text import fingerprint
+    seen_docs = spark.createDataFrame(
+        [(i, f"known document number {i}") for i in range(40)],
+        "doc_id long, text string")
+    new_docs = spark.createDataFrame(
+        # 10 duplicates of the index (ids 100+), 20 novel
+        [(100 + i, f"known  DOCUMENT number {i}") for i in range(10)] +
+        [(200 + i, f"fresh content {i}") for i in range(20)],
+        "doc_id long, text string")
+    seen = seen_docs.select(fingerprint("text").alias("fp"))
+    plain = _dedup.incremental_dedup(new_docs, seen)
+    fast = _dedup.incremental_dedup(new_docs, seen, bloom_bits=1 << 12)
+    ids_plain = sorted(r["doc_id"] for r in plain.collect())
+    ids_fast = sorted(r["doc_id"] for r in fast.collect())
+    # normalization: case/whitespace variants of indexed docs are dropped
+    assert ids_plain == [200 + i for i in range(20)]
+    assert ids_fast == ids_plain
+    assert fast.columns == new_docs.columns      # helper column dropped
