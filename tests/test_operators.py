@@ -1630,3 +1630,31 @@ def test_incremental_dedup_bloom_equals_plain(spark):
     assert ids_plain == [200 + i for i in range(20)]
     assert ids_fast == ids_plain
     assert fast.columns == new_docs.columns      # helper column dropped
+
+
+def test_chunking_formula_property():
+    """Chunk-count arithmetic property-tested in pure Python on the same
+    formula chunk_documents evaluates in-plan (k = 1 + ceil(max(n-c,0)/s),
+    chunk i = tokens[i*s : i*s + c]; test_chunk_documents_coverage_and_
+    overlap pins the Spark operator to this mirror): full coverage, no
+    empty chunk, exact overlap, and minimality (k-1 chunks never cover)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=500, deadline=None)
+    @given(n=st.integers(1, 500), c=st.integers(1, 64),
+           data=st.data())
+    def check(n, c, data):
+        o = data.draw(st.integers(0, c - 1))
+        s = c - o
+        k = 1 + -(-max(n - c, 0) // s)
+        chunks = [(i * s, min(i * s + c, n)) for i in range(k)]
+        assert chunks[0][0] == 0 and chunks[-1][1] == n      # coverage
+        assert all(a < b for a, b in chunks)                 # never empty
+        for (a1, b1), (a2, b2) in zip(chunks, chunks[1:]):
+            assert a2 == a1 + s                              # stride
+            assert max(0, b1 - a2) == min(o, b2 - a2)        # overlap
+        if k > 1:                                            # minimality
+            assert chunks[-2][1] < n
+
+    check()

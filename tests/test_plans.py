@@ -389,3 +389,33 @@ def test_chunking_single_scan_no_shuffle(spark, sf_dir):
     # tokenize + explode + slice: all in one scan stage, nothing moves
     assert plans.single_scan(out)
     assert plans.shuffle_exchange_count(out) == 0
+
+
+def test_rebalance_filter_is_scan_predicate(spark, sf_dir):
+    from openapc_olap_spark.operators import packing
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = packing.rebalance_mixture(
+        docs, "lang", {"en": 0.5, "de": 0.3, "fr": 0.2})
+    # after the (stratum-sized) rate computation, application is a pure
+    # codegen'd filter on the scan — no shuffle, no join
+    assert plans.single_scan(out)
+    assert plans.shuffle_exchange_count(out) == 0
+    assert not plans.has_broadcast_join(out)
+
+
+def test_incremental_dedup_bloom_negative_branch_is_join_free(spark, sf_dir):
+    from openapc_olap_spark.operators import bloom, dedup
+    from openapc_olap_spark.operators.text import fingerprint
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    seen = (docs.filter(F.col("doc_id") % 3 == 0)
+            .select(fingerprint("text").alias("__fp")))
+    sketch = bloom.bloom_build(seen, "__fp", num_bits=1 << 14)
+    new = docs.filter(F.col("doc_id") % 3 != 0).withColumn(
+        "__fp", fingerprint("text"))
+    negative = new.filter(
+        ~bloom.bloom_might_contain(F.col("__fp"), sketch))
+    # the provably-novel branch never joins or shuffles — the whole point
+    assert plans.single_scan(negative)
+    assert plans.shuffle_exchange_count(negative) == 0
+    assert not plans.has_broadcast_join(negative)
+    assert not plans.has_sort_merge_join(negative)
