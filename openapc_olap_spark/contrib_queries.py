@@ -2151,13 +2151,15 @@ def _x44_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  width=_CMS_W, depth=_CMS_D)
 
 
+_CMS_ROWS = ", ".join(f"({r})" for r in range(_CMS_D))
+
 _X44_SQL = f"""
     WITH toks AS (
       SELECT unnest({_TOKS_SQL}) AS t FROM documents),
     cells AS (
       SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || t), 1, 15))::BIGINT
                % {_CMS_W} AS pos
-      FROM toks, (VALUES (0), (1), (2), (3)) AS d(r)),
+      FROM toks, (VALUES {_CMS_ROWS}) AS d(r)),
     grid AS (
       SELECT r AS row, pos, count(*) AS cnt FROM cells GROUP BY 1, 2),
     probes(token) AS (
@@ -2166,7 +2168,7 @@ _X44_SQL = f"""
       SELECT token, r,
              ('0x' || substr(md5(r::VARCHAR || ':' || token), 1, 15))::BIGINT
                % {_CMS_W} AS pos
-      FROM probes, (VALUES (0), (1), (2), (3)) AS d(r))
+      FROM probes, (VALUES {_CMS_ROWS}) AS d(r))
     SELECT token, min(coalesce(cnt, 0)) AS est
     FROM addr LEFT JOIN grid ON addr.r = grid.row AND addr.pos = grid.pos
     GROUP BY 1
@@ -2350,7 +2352,7 @@ _X48_SQL = f"""
       FROM counts JOIN t USING (lang)),
     fr AS (
       SELECT t.lang,
-             round(least(t.w * cap.cap / counts.n, 1.0) * 1000)::BIGINT
+             floor(least(t.w * cap.cap / counts.n, 1.0) * 1000)::BIGINT
                AS permille
       FROM t JOIN counts USING (lang), cap),
     kept AS (
@@ -2377,18 +2379,13 @@ def _x49_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mis-unioned row would break the hash."""
     docs = _docs_split(spark, sf_dir)
     seen = (docs.filter(F.col("doc_id") % 3 == 0)
-            .select(fingerprint_col().alias("fp")))
+            .select(text.fingerprint("text").alias("fp")))
     new = docs.filter(F.col("doc_id") % 3 != 0)
     out = dedup.incremental_dedup(new, seen, bloom_bits=1 << 14)
     return (out.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_new"),
                  F.min("doc_id").alias("first_id"),
                  F.max("doc_id").alias("last_id")))
-
-
-def fingerprint_col():
-    from openapc_olap_spark.operators.text import fingerprint
-    return fingerprint("text")
 
 
 _X49_SQL = r"""

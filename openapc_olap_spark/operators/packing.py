@@ -164,12 +164,16 @@ def deterministic_shuffle(df: DataFrame, id_col: str = "doc_id",
 
 
 def mixture_fractions(df: DataFrame, strata_col: str,
-                      targets: dict[str, float],
-                      id_col: str = "doc_id") -> dict[str, float]:
+                      targets: dict[str, float]) -> dict[str, float]:
     """Per-stratum keep fractions that hit a target mixture by
     downsampling only (no upsampling): with counts n_s and target weights
     t_s (normalized), the largest feasible corpus is T = min_s(n_s / t_s)
     and f_s = t_s * T / n_s. Strata absent from ``targets`` get 0.
+
+    Fractions are FLOORED to permille precision — the resolution
+    ``stratified_sample`` applies anyway — so the computed rates are
+    engine-portable by construction (no round-half ambiguity between
+    Python's banker's rounding and SQL round()).
 
     The aggregation is stratum-sized (one tiny collect — like reading a
     trained codebook); the actual data never moves here."""
@@ -184,7 +188,9 @@ def mixture_fractions(df: DataFrame, strata_col: str,
     if missing:
         raise ValueError(f"target strata with no rows: {missing}")
     cap = min(counts[k] / t[k] for k in t if t[k] > 0)
-    return {k: min(t[k] * cap / counts[k], 1.0) for k in t}
+    import math
+    return {k: math.floor(min(t[k] * cap / counts[k], 1.0) * 1000) / 1000
+            for k in t}
 
 
 def rebalance_mixture(df: DataFrame, strata_col: str,
@@ -196,6 +202,6 @@ def rebalance_mixture(df: DataFrame, strata_col: str,
     ``targets`` up to permille rounding and hash uniformity, with the
     largest total size downsampling allows; membership is a pure function
     of (salt, id) — reproducible, nestable, engine-portable."""
-    fr = mixture_fractions(df, strata_col, targets, id_col)
+    fr = mixture_fractions(df, strata_col, targets)
     return stratified_sample(df, strata_col, fr, default_fraction=0.0,
                              id_col=id_col, salt=salt)

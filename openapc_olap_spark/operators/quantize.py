@@ -40,12 +40,12 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
     [-levels, levels]) columns; drops the float vector unless
     ``keep_vec``. q_i = round(x_i / scale), half away from zero."""
     vec = F.col(vec_col)
-    scale = quantization_scale(vec, levels)
-    q = F.when(scale > 0, F.transform(
+    q = F.when(F.col("scale") > 0, F.transform(
         vec, lambda x: F.round(x.cast("double") / F.col("scale"))
         .cast("int"))).otherwise(
             F.transform(vec, lambda x: F.lit(0)))
-    out = df.withColumn("scale", scale).withColumn("qvec", q)
+    out = (df.withColumn("scale", quantization_scale(vec, levels))
+           .withColumn("qvec", q))
     return out if keep_vec else out.drop(vec_col)
 
 

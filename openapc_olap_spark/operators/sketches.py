@@ -26,15 +26,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from openapc_olap_spark.operators.packing import _md5_bucket
+
 
 def _cms_pos(key: Column, row: int, width: int) -> Column:
-    """Counter position of ``key`` in sketch row ``row``: md5 bucket of
-    'row:key' (DuckDB twin: ('0x'||substr(md5(r||':'||x),1,15))::BIGINT
-    % width)."""
-    hexd = F.md5(F.concat(F.lit(str(row)), F.lit(":"),
-                          key.cast("string")))
-    return F.pmod(F.conv(F.substring(hexd, 1, 15), 16, 10).cast("long"),
-                  F.lit(width))
+    """Counter position of ``key`` in sketch row ``row``: the shared
+    engine-portable md5 bucket (packing._md5_bucket) of 'row:key'
+    (DuckDB twin: ('0x'||substr(md5(r||':'||x),1,15))::BIGINT % width)."""
+    return _md5_bucket(F.concat(F.lit(str(row)), F.lit(":"),
+                                key.cast("string")), width)
 
 
 def cms_build(df: DataFrame, key_col: str | Column, width: int = 2048,

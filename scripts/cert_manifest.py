@@ -118,7 +118,8 @@ _X_DEPS = {
     "x41_bloom_semi_join": [f"{_OPS}/bloom.py"],
     "x42_topk_per_group": [f"{_OPS}/ranking.py"],
     "x43_deterministic_shuffle": [f"{_OPS}/packing.py", f"{_OPS}/text.py"],
-    "x44_cms_estimates": [f"{_OPS}/sketches.py", f"{_OPS}/text.py"],
+    "x44_cms_estimates": [f"{_OPS}/sketches.py", f"{_OPS}/packing.py",
+                          f"{_OPS}/text.py"],
     "x45_tfidf_top_terms": [f"{_OPS}/tfidf.py", f"{_OPS}/ranking.py",
                             f"{_OPS}/text.py"],
     "x46_quantize_embeddings": [f"{_OPS}/quantize.py"],
@@ -152,12 +153,19 @@ def _sha_text(s: str) -> str:
 
 def _const_sha(mod) -> str:
     """Hash of the harness module's shared UPPERCASE constants (the values
-    gate callables read besides their own source); QUERIES/ORACLES
-    registries excluded — they change whenever a gate is added, which is
-    not a semantic change to existing gates."""
+    gate callables read besides their own source). Excluded, because they
+    change whenever a gate is ADDED — which is not a semantic change to
+    existing gates — and would otherwise force wholesale re-baselining on
+    exactly the commits the tail-drift guard should bite: the
+    QUERIES/ORACLES registries, the _CERT_* rotation schedules, and the
+    per-gate _X*_SQL oracle literals (each gate's own oracle is already
+    hashed per-query)."""
+    import re
     consts = {}
     for k, v in sorted(vars(mod).items()):
         if (k.isupper() and k not in ("QUERIES", "ORACLES")
+                and not k.startswith("_CERT")
+                and not re.fullmatch(r"_[EQX]\d+\w*_?SQL", k)
                 and isinstance(v, (int, float, str, bool, list, tuple))):
             consts[k] = repr(v)
     return _sha_text(json.dumps(consts, sort_keys=True))

@@ -1588,12 +1588,13 @@ def test_mixture_fractions_math_and_rebalance(spark):
             [(i + 1000, "de") for i in range(100)] +
             [(i + 2000, "fr") for i in range(300)])
     df = spark.createDataFrame(rows, "doc_id long, lang string")
-    # targets 50/25/25 -> cap limited by de: T = 100/.25 = 400
+    # targets 50/25/25 -> cap limited by de: T = 100/.25 = 400; fractions
+    # floored to permille (engine-portable resolution)
     fr = packing.mixture_fractions(df, "lang",
                                    {"en": 0.5, "de": 0.25, "fr": 0.25})
-    assert abs(fr["en"] - 200 / 600) < 1e-12
+    assert fr["en"] == 0.333
     assert fr["de"] == 1.0
-    assert abs(fr["fr"] - 100 / 300) < 1e-12
+    assert fr["fr"] == 0.333
     out = packing.rebalance_mixture(df, "lang",
                                     {"en": 0.5, "de": 0.25, "fr": 0.25})
     got = {r["lang"]: r["n"] for r in
