@@ -421,7 +421,7 @@ _CERT_FIRST = [
     "x40_decontaminate", "x41_bloom_semi_join", "x42_topk_per_group",
     "x43_deterministic_shuffle", "x44_cms_estimates", "x45_tfidf_top_terms",
     "x46_quantize_embeddings", "x47_chunk_documents",
-    "x48_rebalance_mixture", "x49_incremental_dedup",
+    "x48_rebalance_mixture", "x49_incremental_dedup", "x50_streaming_cms",
     # r05 touched operators/multimodal.py (+_memo.py): header-parse gates
     "x15_media_metadata", "x19_image_dims", "x23_wav_metadata",
     "x24_audio_headers",
@@ -437,7 +437,7 @@ _CERT_FIRST = [
     # r05 touched etl/openapc.py (institutional write sort order)
     "e01_enrich_ror", "e02_publication_key", "e03_deal_halving",
     "e04_union_combined", "e05_coverage_zerofill", "e06_prune_semi",
-    "e07_priority_rank", "e08_melt_explode", "e09_journal_id",
+    "e07_priority_rank", "e08_melt_explode",
     "e10_colon_scrub", "e11_doi_lookup", "e12_institution_report",
     "e13_ac_institutions", "e16_springer_coverage", "e18_partition_prune",
     "e19_manifest_roundtrip",
@@ -445,11 +445,11 @@ _CERT_FIRST = [
 _CERT_TAIL = [
     # previously hash-certified; modules untouched in r05 (enforced by
     # test_entry_contract.py against tests/cert_manifest.json)
-    # e14/e15/e17/e20 run ONLY through etl/coverage.py (untouched since
-    # their r04 certification; deps narrowed to their verified import
-    # closures in scripts/cert_manifest.py) — rotated out to make room
-    # for x46-x49
-    "e14_annual_pubdates", "e15_hybrid_catalog",
+    # e09/e14/e15/e17/e20 run ONLY through etl/coverage.py (untouched
+    # since their r04 certification; deps narrowed to their verified
+    # import closures in scripts/cert_manifest.py) — rotated out to make
+    # room for x46-x50
+    "e09_journal_id", "e14_annual_pubdates", "e15_hybrid_catalog",
     "e17_cache_upsert", "e20_json_cache",
     "q01_facts_page", "q03_cut_range", "q04_cut_set", "q05_cut_negate",
     "q07_drilldown", "q08_multi_drilldown", "x07_text_metrics", "x08_langid_distribution", "x11_session_stats",

@@ -2403,6 +2403,58 @@ _X49_SQL = r"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X50: streaming windowed count-min sketch (merge = exact corpus sketch)
+# ---------------------------------------------------------------------------
+
+_X50_PROBES = ["click", "error", "purchase", "signup", "view", "absent"]
+
+
+def _x50_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming.sketches.windowed_cms``: per-day CMS grids built by a
+    REAL streaming run (readStream file source, watermark, stateful
+    windowed aggregation, availableNow, memory sink), then merged by
+    counter addition and probed. The oracle builds the corpus sketch
+    directly — a hash match proves the streaming per-window grids merge
+    EXACTLY to the batch sketch (the mergeability contract), not just
+    that estimates look plausible."""
+    from openapc_olap_spark import streaming
+    from openapc_olap_spark.operators import sketches
+    from openapc_olap_spark.streaming import sketches as ssk
+
+    d = _stream_dir(sf_dir, "x50_stream", copies=1)
+    ev = streaming.read_event_stream(spark, d)
+    grids = ssk.windowed_cms(ev, key_col="event_type", duration="1 day",
+                             width=256, depth=4)
+    streaming.run_to_memory(ssk.finalize_cms_windows(grids), "x50_stream")
+    merged = (spark.table("x50_stream")
+              .groupBy("row", "pos").agg(F.sum("cnt").alias("cnt")))
+    probes = spark.createDataFrame([(t,) for t in _X50_PROBES],
+                                   "token string")
+    return sketches.cms_estimate(merged, probes, "token", width=256,
+                                 depth=4)
+
+
+_X50_SQL = f"""
+    WITH cells AS (
+      SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || event_type), 1, 15))
+               ::BIGINT % 256 AS pos
+      FROM events, (VALUES (0), (1), (2), (3)) AS d(r)),
+    grid AS (
+      SELECT r AS row, pos, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    probes(token) AS (
+      VALUES {", ".join("('" + t + "')" for t in _X50_PROBES)}),
+    addr AS (
+      SELECT token, r,
+             ('0x' || substr(md5(r::VARCHAR || ':' || token), 1, 15))::BIGINT
+               % 256 AS pos
+      FROM probes, (VALUES (0), (1), (2), (3)) AS d(r))
+    SELECT token, min(coalesce(cnt, 0)) AS est
+    FROM addr LEFT JOIN grid ON addr.r = grid.row AND addr.pos = grid.pos
+    GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -2453,6 +2505,7 @@ QUERIES = {
     "x47_chunk_documents": _x47_chunk_documents,
     "x48_rebalance_mixture": _x48_rebalance_mixture,
     "x49_incremental_dedup": _x49_incremental_dedup,
+    "x50_streaming_cms": _x50_streaming_cms,
 }
 
 ORACLES = {
@@ -2505,4 +2558,5 @@ ORACLES = {
     "x47_chunk_documents": _X47_SQL,
     "x48_rebalance_mixture": _X48_SQL,
     "x49_incremental_dedup": _X49_SQL,
+    "x50_streaming_cms": _X50_SQL,
 }

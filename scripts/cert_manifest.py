@@ -68,6 +68,7 @@ DEPS["e20_json_cache"] = [f"{_P}/etl/coverage.py"]
 DEPS["e17_cache_upsert"] = [f"{_P}/etl/coverage.py"]
 DEPS["e14_annual_pubdates"] = [f"{_P}/etl/coverage.py"]
 DEPS["e15_hybrid_catalog"] = [f"{_P}/etl/coverage.py"]
+DEPS["e09_journal_id"] = [f"{_P}/etl/coverage.py"]
 
 _X_DEPS = {
     "x01_dedup_summary": [f"{_OPS}/text.py", f"{_OPS}/dedup.py"] + _MEMO,
@@ -127,6 +128,10 @@ _X_DEPS = {
     "x48_rebalance_mixture": [f"{_OPS}/packing.py", f"{_OPS}/text.py"],
     "x49_incremental_dedup": [f"{_OPS}/dedup.py", f"{_OPS}/bloom.py",
                               f"{_OPS}/text.py"] + _MEMO,
+    "x50_streaming_cms": [f"{_P}/streaming/__init__.py",
+                          f"{_P}/streaming/sketches.py",
+                          f"{_OPS}/sketches.py", f"{_OPS}/packing.py",
+                          f"{_OPS}/text.py"],
 }
 DEPS.update(_X_DEPS)
 

@@ -227,3 +227,26 @@ def test_stateful_sessionize_group_spanning_arrow_chunks(spark, tmp_path):
             assert r["n_events"] == 30 and r["value_sum"] == 30.0
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_streaming_cms_windows_merge_to_batch_sketch(spark, stream_dir):
+    """Per-window streaming CMS grids summed over all windows must equal
+    the sketch built directly over the whole events table — the
+    mergeability contract, bit-exact."""
+    from openapc_olap_spark.operators import sketches
+    from openapc_olap_spark.streaming import sketches as ssk
+
+    ev = streaming.read_event_stream(spark, stream_dir)
+    grids = ssk.windowed_cms(ev, key_col="event_type", duration="1 day",
+                             width=128, depth=3)
+    streaming.run_to_memory(ssk.finalize_cms_windows(grids), "t_cms")
+    merged = (spark.table("t_cms")
+              .groupBy("row", "pos").agg(F.sum("cnt").alias("cnt")))
+
+    events = load_tables(spark, SF, ["events"])["events"]
+    direct = sketches.cms_build(events.select(F.col("event_type").alias("t")),
+                                "t", width=128, depth=3)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    # and the per-window grids are genuinely windowed (more than one day)
+    assert spark.table("t_cms").select("window_start").distinct().count() > 1
