@@ -422,6 +422,7 @@ _CERT_FIRST = [
     "x43_deterministic_shuffle", "x44_cms_estimates", "x45_tfidf_top_terms",
     "x46_quantize_embeddings", "x47_chunk_documents",
     "x48_rebalance_mixture", "x49_incremental_dedup", "x50_streaming_cms",
+    "x51_orc_roundtrip",
     # r05 touched operators/multimodal.py (+_memo.py): header-parse gates
     "x15_media_metadata", "x19_image_dims", "x23_wav_metadata",
     "x24_audio_headers",
@@ -436,7 +437,7 @@ _CERT_FIRST = [
     "x29_sequence_packing", "x30_hash_split", "x28_curation_funnel",
     # r05 touched etl/openapc.py (institutional write sort order)
     "e01_enrich_ror", "e02_publication_key", "e03_deal_halving",
-    "e04_union_combined", "e05_coverage_zerofill", "e06_prune_semi",
+    "e04_union_combined", "e06_prune_semi",
     "e07_priority_rank", "e08_melt_explode",
     "e10_colon_scrub", "e11_doi_lookup", "e12_institution_report",
     "e13_ac_institutions", "e16_springer_coverage", "e18_partition_prune",
@@ -445,12 +446,13 @@ _CERT_FIRST = [
 _CERT_TAIL = [
     # previously hash-certified; modules untouched in r05 (enforced by
     # test_entry_contract.py against tests/cert_manifest.json)
-    # e09/e14/e15/e17/e20 run ONLY through etl/coverage.py (untouched
+    # e09/e14/e15/e17/e20 run ONLY through etl/coverage.py, and e05 only
+    # through session.load_tables + inline DataFrame ops (all untouched
     # since their r04 certification; deps narrowed to their verified
     # import closures in scripts/cert_manifest.py) — rotated out to make
-    # room for x46-x50
-    "e09_journal_id", "e14_annual_pubdates", "e15_hybrid_catalog",
-    "e17_cache_upsert", "e20_json_cache",
+    # room for x46-x51
+    "e05_coverage_zerofill", "e09_journal_id", "e14_annual_pubdates",
+    "e15_hybrid_catalog", "e17_cache_upsert", "e20_json_cache",
     "q01_facts_page", "q03_cut_range", "q04_cut_set", "q05_cut_negate",
     "q07_drilldown", "q08_multi_drilldown", "x07_text_metrics", "x08_langid_distribution", "x11_session_stats",
     "x13_salted_drilldown", "x16_quality_deciles", "x20_pii_redaction",

@@ -2455,6 +2455,46 @@ _X50_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X51: generic-format sink/source (ORC round-trip)
+# ---------------------------------------------------------------------------
+
+def _x51_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sources.io.write_dataset/read_dataset``: land lineitem in ORC
+    (hash-bounded file count, sorted within files, hive-partitioned by
+    returnflag), read it back through the generic reader, and aggregate.
+    The oracle computes the identical aggregate from the original parquet
+    — any loss or coercion in the ORC round-trip breaks the hash."""
+    import tempfile
+
+    from openapc_olap_spark.sources.io import read_dataset, write_dataset
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    d = (f"{tempfile.gettempdir()}/openapc_gate_tmp/"
+         f"x51_orc_{os.path.basename(sf_dir.rstrip('/'))}")
+    write_dataset(t["lineitem"], d, fmt="orc",
+                  partition_by=["l_returnflag"],
+                  sort_by=["l_orderkey", "l_linenumber"], num_files=4)
+    back = read_dataset(spark, d, fmt="orc")
+    return (back.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 4)
+                 .alias("sum_disc_price"),
+                 F.countDistinct("l_orderkey").alias("n_orders")))
+
+
+_X51_SQL = """
+    SELECT l_returnflag, count(*) AS n_items,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)
+             AS sum_disc_price,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -2506,6 +2546,7 @@ QUERIES = {
     "x48_rebalance_mixture": _x48_rebalance_mixture,
     "x49_incremental_dedup": _x49_incremental_dedup,
     "x50_streaming_cms": _x50_streaming_cms,
+    "x51_orc_roundtrip": _x51_orc_roundtrip,
 }
 
 ORACLES = {
@@ -2559,4 +2600,5 @@ ORACLES = {
     "x48_rebalance_mixture": _X48_SQL,
     "x49_incremental_dedup": _X49_SQL,
     "x50_streaming_cms": _X50_SQL,
+    "x51_orc_roundtrip": _X51_SQL,
 }

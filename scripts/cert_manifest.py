@@ -69,6 +69,7 @@ DEPS["e17_cache_upsert"] = [f"{_P}/etl/coverage.py"]
 DEPS["e14_annual_pubdates"] = [f"{_P}/etl/coverage.py"]
 DEPS["e15_hybrid_catalog"] = [f"{_P}/etl/coverage.py"]
 DEPS["e09_journal_id"] = [f"{_P}/etl/coverage.py"]
+DEPS["e05_coverage_zerofill"] = []   # load_tables + inline ops only
 
 _X_DEPS = {
     "x01_dedup_summary": [f"{_OPS}/text.py", f"{_OPS}/dedup.py"] + _MEMO,
@@ -132,6 +133,7 @@ _X_DEPS = {
                           f"{_P}/streaming/sketches.py",
                           f"{_OPS}/sketches.py", f"{_OPS}/packing.py",
                           f"{_OPS}/text.py"],
+    "x51_orc_roundtrip": [f"{_P}/sources/io.py"],
 }
 DEPS.update(_X_DEPS)
 

@@ -1659,3 +1659,31 @@ def test_chunking_formula_property():
             assert chunks[-2][1] < n
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# sources.io: generic dataset IO
+# ---------------------------------------------------------------------------
+
+def test_write_read_dataset_all_formats(spark, tmp_path):
+    from openapc_olap_spark.sources.io import read_dataset, write_dataset
+    df = spark.createDataFrame(
+        [(i, f"name{i}", float(i) * 1.5, i % 3) for i in range(100)],
+        "id long, name string, val double, grp int")
+    want = sorted(map(tuple, df.collect()))
+    for fmt in ["parquet", "orc", "json", "csv"]:
+        p = str(tmp_path / fmt)
+        write_dataset(df, p, fmt=fmt, partition_by=["grp"],
+                      sort_by=["id"], num_files=2)
+        schema = df.schema if fmt in ("csv", "json") else None
+        back = read_dataset(spark, p, fmt=fmt, schema=schema)
+        got = sorted(tuple(r[c] for c in df.columns)
+                     for r in back.select(*df.columns).collect())
+        assert got == want, fmt
+    import os as _os
+    files = [f for f in _os.listdir(str(tmp_path / "orc" / "grp=0"))
+             if f.endswith(".orc")]
+    assert 0 < len(files) <= 2        # num_files bounds the sink fan-out
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        write_dataset(df, str(tmp_path / "x"), fmt="avro")
