@@ -48,7 +48,8 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 3,
                     max_df_ratio: float | None = None,
                     salt_parts: int = 1,
-                    round_to: int | None = None) -> DataFrame:
+                    round_to: int | None = None,
+                    materialize: bool = True) -> DataFrame:
     """Top-k terms per document by tf * ln(N/df), ties broken by term
     ascending -> (id_col, term, tf, df, tfidf, rk). N counts ALL input
     documents (including token-less ones, which simply yield no rows).
@@ -59,6 +60,12 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
     pipelines should rank on a rounded score and let the term tie-break
     decide — the correctness gate runs with round_to=6."""
     tf = term_frequencies(df, id_col, text_col)
+    if materialize:
+        # tf feeds BOTH the score join and the df aggregation; without
+        # persisting it, each consumer re-runs the corpus explode+agg —
+        # the dominant cost at scale (same rationale as dedup._materialized)
+        from openapc_olap_spark.operators.dedup import _materialized
+        tf = _materialized(tf)
     dfreq = doc_frequencies(tf)
     n = df.agg(F.count(F.lit(1)).alias("__n"))
     scored = (tf.join(dfreq, "term")

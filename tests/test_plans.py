@@ -419,3 +419,26 @@ def test_incremental_dedup_bloom_negative_branch_is_join_free(spark, sf_dir):
     assert plans.shuffle_exchange_count(negative) == 0
     assert not plans.has_broadcast_join(negative)
     assert not plans.has_sort_merge_join(negative)
+
+
+def test_quantize_is_pure_scan_expression(spark, sf_dir):
+    from openapc_olap_spark.operators import quantize
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    out = quantize.quantize_embeddings(emb)
+    assert plans.single_scan(out)
+    assert plans.shuffle_exchange_count(out) == 0
+
+
+def test_tfidf_shuffle_budget(spark, sf_dir):
+    from openapc_olap_spark.operators import tfidf
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = tfidf.tfidf_top_terms(docs, k=3)
+    # tf feeds the score join AND the df aggregation from ONE materialized
+    # frame: both consumers must read the cache (2 InMemoryTableScans),
+    # so the corpus explode+agg runs once at runtime. The only other
+    # corpus touch is the N count() — a rowcount scan reading no columns.
+    assert plans.plan_of(out).count("InMemoryTableScan") == 2
+    assert any("FileScan parquet []" in l for l in plans.scan_lines(out))
+    assert plans.has_partial_aggregate(out)
+    assert plans.has_broadcast_join(out)          # the one-row N frame
+    assert not plans.has_sort_merge_join(out)
