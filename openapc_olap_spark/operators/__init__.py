@@ -17,6 +17,7 @@ from openapc_olap_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
     packing,
+    pipeline,
     profile,
     quantize,
     ranking,

@@ -1687,3 +1687,77 @@ def test_write_read_dataset_all_formats(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         write_dataset(df, str(tmp_path / "x"), fmt="avro")
+
+
+# ---------------------------------------------------------------------------
+# pipeline: end-to-end pretraining chain, DuckDB twin of the whole thing
+# ---------------------------------------------------------------------------
+
+def test_pretraining_pipeline_matches_duckdb_twin(spark):
+    """The composed quality→dedup→decontaminate→chunk→split chain against
+    a single DuckDB SQL twin of all five stages — the same methodology as
+    the driver gates, run in-suite (gate material for the next window)."""
+    import duckdb
+
+    from openapc_olap_spark.operators import pipeline
+    from openapc_olap_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_tables(spark, sf, ["documents"])["documents"]
+    train = docs.filter(F.col("doc_id") % 13 != 0)
+    ev = docs.filter(F.col("doc_id") % 13 == 0)
+    out = pipeline.pretraining_pipeline(
+        train, ev, min_tokens=20, ngram=3, min_hits=2,
+        chunk_tokens=32, overlap=8)
+    got = sorted(map(tuple,
+                     pipeline.pipeline_report(out)
+                     .select("split", "n_chunks", "n_docs", "total_tokens")
+                     .collect()))
+
+    toks = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+    sh = ("list_distinct(list_transform("
+          "generate_series(1, greatest(len(toks) - 2, 0)),"
+          "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))")
+    want = duckdb.sql(f"""
+      WITH base AS (
+        SELECT doc_id, text, {toks} AS toks
+        FROM '{sf}/documents.parquet'),
+      q AS (SELECT * FROM base WHERE doc_id % 13 <> 0 AND len(toks) >= 20),
+      fp AS (
+        SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 AS f FROM q),
+      dd AS (
+        SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY f) AS keep
+                       FROM fp) WHERE doc_id = keep),
+      evg AS (
+        SELECT DISTINCT unnest({sh}) AS g FROM
+          (SELECT {toks} AS toks FROM '{sf}/documents.parquet'
+           WHERE doc_id % 13 = 0)),
+      contam AS (
+        SELECT t.doc_id FROM
+          (SELECT doc_id, unnest({sh}) AS g FROM
+             (SELECT doc_id, toks FROM dd)) t
+        JOIN evg USING (g) GROUP BY 1 HAVING count(*) >= 2),
+      cl AS (
+        SELECT doc_id, toks FROM dd
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      ch AS (
+        SELECT doc_id, unnest(generate_series(0,
+                 (greatest(len(toks) - 32, 0) + 23) // 24)) AS chunk_id,
+               toks FROM cl),
+      pieces AS (
+        SELECT doc_id, chunk_id,
+               len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS n_tokens
+        FROM ch),
+      sp AS (
+        SELECT *, CASE WHEN b < 50 THEN 'val' WHEN b < 100 THEN 'test'
+                       ELSE 'train' END AS split FROM
+          (SELECT *, ('0x' || substr(md5('split:' || doc_id::VARCHAR || '#'
+                      || chunk_id::VARCHAR), 1, 15))::BIGINT % 1000 AS b
+           FROM pieces))
+      SELECT split, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+             sum(n_tokens)::BIGINT AS total_tokens
+      FROM sp GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    assert got == sorted(map(tuple, want))
+    assert sum(r[1] for r in got) > 50            # the chain kept real data
