@@ -348,3 +348,24 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
              .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
                      sim.alias("cos_sim")))
     return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def recommended_nbits(n_vectors: int, target_occupancy: int = 1024,
+                      floor: int = 4, cap: int = 28) -> int:
+    """The SCALING.md occupancy rule as code: nbits >= log2(n) -
+    log2(target bucket occupancy), clamped to [floor, cap]. Use this to
+    size SRP-LSH for a corpus instead of carrying a fixture-tuned
+    constant to production — occupancy collapse (too few buckets for the
+    corpus) makes the bucket self-join quadratic, which is the measured
+    x06 sf0.1->sf1 cost cliff; oversizing just thins buckets.
+
+    >>> recommended_nbits(500, 8)        # test-corpus scale
+    6
+    >>> recommended_nbits(10**9, 1024)   # 1e9 vectors at ~1k/bucket
+    20
+    """
+    import math
+    if n_vectors <= 0:
+        return floor
+    bits = math.ceil(math.log2(max(n_vectors / target_occupancy, 1.0)))
+    return max(floor, min(cap, bits))

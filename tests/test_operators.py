@@ -1761,3 +1761,15 @@ def test_pretraining_pipeline_matches_duckdb_twin(spark):
     """).fetchall()
     assert got == sorted(map(tuple, want))
     assert sum(r[1] for r in got) > 50            # the chain kept real data
+
+
+def test_recommended_nbits_occupancy_rule(spark):
+    from openapc_olap_spark.operators.similarity import recommended_nbits
+    assert recommended_nbits(500, 8) == 6
+    assert recommended_nbits(10**9, 1024) == 20
+    assert recommended_nbits(0) == 4                    # degenerate floor
+    assert recommended_nbits(10**12, 1) == 28           # cap
+    # monotone in corpus size
+    ns = [10**k for k in range(2, 10)]
+    bits = [recommended_nbits(n) for n in ns]
+    assert bits == sorted(bits)
