@@ -443,6 +443,15 @@ _CERT_FIRST = [
     "e13_ac_institutions", "e16_springer_coverage", "e18_partition_prune",
     "e19_manifest_roundtrip",
 ]
+# New gates declared AFTER this round's 50-query window filled: never
+# driver-certified yet (locally twin-verified at sf0.001 + sf0.01 via
+# scripts/oracle_check.py and in-suite), explicitly queued for promotion
+# into _CERT_FIRST when the round-6 window opens. Ordered right after the
+# window so they are the first rotation candidates.
+_CERT_PENDING = [
+    "x52_pretraining_pipeline",
+    "x53_semantic_dedup",
+]
 _CERT_TAIL = [
     # previously hash-certified; modules untouched in r05 (enforced by
     # test_entry_contract.py against tests/cert_manifest.json)
@@ -471,9 +480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(etl_queries.QUERIES)
     out.update(contrib_queries.QUERIES)
     head = [k for k in _CERT_FIRST if k in out]
+    pending = [k for k in _CERT_PENDING if k in out]
     tail = [k for k in _CERT_TAIL if k in out]
-    mid = [k for k in out if k not in set(head) | set(tail)]
-    return {k: out[k] for k in head + mid + tail}
+    mid = [k for k in out
+           if k not in set(head) | set(pending) | set(tail)]
+    return {k: out[k] for k in head + pending + mid + tail}
 
 
 def oracle_sql() -> dict[str, str]:

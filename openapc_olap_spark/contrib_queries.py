@@ -2495,6 +2495,131 @@ _X51_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X52: composed pretraining pipeline (quality -> dedup -> decontaminate ->
+# chunk -> split) — the five-stage chain under ONE oracle
+# ---------------------------------------------------------------------------
+
+def _x52_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipeline.pretraining_pipeline``: the full curation chain (quality
+    filter → exact dedup → train/eval decontamination → overlapping
+    chunking → deterministic hash split) at chunk=32/overlap=8, with the
+    eval set carved from the same corpus (doc_id % 13). The oracle
+    re-derives all five stages in one SQL query — a drift in ANY stage
+    (survivor set, chunk boundaries, split assignment) breaks the hash."""
+    from openapc_olap_spark.operators import pipeline
+
+    docs = _docs_split(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 13 != 0)
+    ev = docs.filter(F.col("doc_id") % 13 == 0)
+    out = pipeline.pretraining_pipeline(
+        train, ev, min_tokens=20, ngram=3, min_hits=2,
+        chunk_tokens=32, overlap=8)
+    return (pipeline.pipeline_report(out)
+            .select("split", "n_chunks", "n_docs", "total_tokens"))
+
+
+_X52_SH_SQL = ("list_distinct(list_transform("
+               "generate_series(1, greatest(len(toks) - 2, 0)),"
+               "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))")
+
+_X52_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    q AS (SELECT * FROM base WHERE doc_id % 13 <> 0 AND len(toks) >= 20),
+    fp AS (
+      SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS f FROM q),
+    dd AS (
+      SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY f) AS keep
+                     FROM fp) WHERE doc_id = keep),
+    evg AS (
+      SELECT DISTINCT unnest({_X52_SH_SQL}) AS g FROM
+        (SELECT toks FROM base WHERE doc_id % 13 = 0)),
+    contam AS (
+      SELECT t.doc_id FROM
+        (SELECT doc_id, unnest({_X52_SH_SQL}) AS g FROM
+           (SELECT doc_id, toks FROM dd)) t
+      JOIN evg USING (g) GROUP BY 1 HAVING count(*) >= 2),
+    cl AS (
+      SELECT doc_id, toks FROM dd
+      WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    ch AS (
+      SELECT doc_id, unnest(generate_series(0,
+               (greatest(len(toks) - 32, 0) + 23) // 24)) AS chunk_id,
+             toks FROM cl),
+    pieces AS (
+      SELECT doc_id, chunk_id,
+             len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS n_tokens
+      FROM ch),
+    sp AS (
+      SELECT *, CASE WHEN b < 50 THEN 'val' WHEN b < 100 THEN 'test'
+                     ELSE 'train' END AS split FROM
+        (SELECT *, ('0x' || substr(md5('split:' || doc_id::VARCHAR || '#'
+                    || chunk_id::VARCHAR), 1, 15))::BIGINT % 1000 AS b
+         FROM pieces))
+    SELECT split, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens
+    FROM sp GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# X53: semantic dedup (SemDeDup-style IVF-cluster near-dup resolution)
+# ---------------------------------------------------------------------------
+
+def _x53_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``semdedup.semantic_dedup``: coarse-quantizer assignment (first-8
+    deterministic centroids, the x17 trick so the oracle replicates the
+    argmin instead of assuming KMeans), within-cluster exact-cosine pairs
+    at {NEARDUP_COS}, min-id-wins survivor resolution. Returns per-label
+    survivor count, id sum, and an md5 digest of the sorted survivor ids
+    — the full drop-set semantics sit under the value hash."""
+    from openapc_olap_spark.operators import semdedup
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = [[float(x) for x in r["embedding"]]
+             for r in emb.orderBy("vec_id").limit(8).collect()]
+    kept = semdedup.semantic_dedup(emb, cents, threshold=NEARDUP_COS)
+    ids = F.array_sort(F.collect_list(F.col("vec_id").cast("string")))
+    return (kept.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_survivors"),
+                 F.sum("vec_id").alias("id_sum"),
+                 F.md5(F.array_join(ids, ",")).alias("digest")))
+
+
+_X53_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM e ORDER BY vec_id LIMIT 8),
+    d AS (
+      SELECT e.vec_id, e.label, e.v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               {_SQDIST.format(c='c.c', v='e.v')}, c.cid) AS rn
+      FROM e CROSS JOIN cents c),
+    a AS (
+      SELECT vec_id, label, v, cid,
+             CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                  THEN 1.0 / sqrt(list_dot_product(v, v))
+                  ELSE 0.0 END AS inv_norm
+      FROM d WHERE rn = 1),
+    drops AS (
+      SELECT DISTINCT r.vec_id FROM a l JOIN a r
+        ON l.cid = r.cid AND l.vec_id < r.vec_id
+      WHERE list_dot_product(l.v, r.v) * l.inv_norm * r.inv_norm
+            >= {NEARDUP_COS}),
+    kept AS (
+      SELECT vec_id, label FROM e
+      WHERE vec_id NOT IN (SELECT vec_id FROM drops))
+    SELECT label, count(*) AS n_survivors, sum(vec_id)::BIGINT AS id_sum,
+           md5(string_agg(vec_id::VARCHAR, ','
+                          ORDER BY vec_id::VARCHAR)) AS digest
+    FROM kept GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -2547,6 +2672,8 @@ QUERIES = {
     "x49_incremental_dedup": _x49_incremental_dedup,
     "x50_streaming_cms": _x50_streaming_cms,
     "x51_orc_roundtrip": _x51_orc_roundtrip,
+    "x52_pretraining_pipeline": _x52_pretraining_pipeline,
+    "x53_semantic_dedup": _x53_semantic_dedup,
 }
 
 ORACLES = {
@@ -2601,4 +2728,6 @@ ORACLES = {
     "x49_incremental_dedup": _X49_SQL,
     "x50_streaming_cms": _X50_SQL,
     "x51_orc_roundtrip": _X51_SQL,
+    "x52_pretraining_pipeline": _X52_SQL,
+    "x53_semantic_dedup": _X53_SQL,
 }

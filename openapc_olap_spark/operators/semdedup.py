@@ -1,0 +1,88 @@
+"""Semantic deduplication over embedding clusters (SemDeDup-style;
+SURVEY.md §2.9 X3/X2d family — reference has no equivalent, this is part
+of the driver-mandated LLM-data-pipeline surface).
+
+Where SRP-LSH near-dup (similarity.embedding_near_duplicates) buckets by
+random-hyperplane sign bits, semantic dedup buckets by a coarse
+quantizer: assign every vector to its nearest centroid (an IVF ``list_id``,
+similarity.ivf_assign), then enumerate candidate pairs only WITHIN a
+cluster and keep the exact-cosine verified ones. Duplicates resolve
+min-id-wins: any vector that appears as the greater id of a verified
+pair is dropped, the smallest id of each near-duplicate neighborhood
+survives. This is the standard greedy SemDeDup resolution (Abbas et al.
+2023 keep one representative per high-cosine cluster neighborhood) and —
+unlike a transitive-closure grouping — needs no iteration, so the whole
+operator is two shuffles.
+
+100 TB posture:
+- the pair join is an equi-join on ``list_id`` — never all-pairs. With k
+  clusters of roughly n/k members the candidate volume is n^2/k, so k
+  must grow with the corpus exactly like LSH nbits (SCALING.md occupancy
+  rule; k ~ n/1000 keeps clusters ~1000 wide).
+- ``cluster_cap`` drops clusters larger than the cap from pair
+  enumeration BEFORE the join (left_semi against the small-cluster key
+  set) — a mega-cluster is a dense near-identical blob better routed to
+  exact dedup on a quantized fingerprint than enumerated quadratically.
+- the reciprocal norm is computed once per row under the exchange, so
+  the per-pair work is one dot product.
+- centroids are a driver-side literal (k * dim floats) — at production k
+  (thousands), broadcast-sized; assignment is a constant-size Catalyst
+  expression, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openapc_olap_spark.operators.similarity import dot, ivf_assign, norm
+
+
+def semantic_candidate_pairs(df: DataFrame, centroids: list[list[float]],
+                             threshold: float = 0.9,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             cluster_cap: int | None = None,
+                             materialize: bool = True) -> DataFrame:
+    """Verified same-cluster pairs: (id_a, id_b, cos_sim), id_a < id_b,
+    cos_sim >= threshold. ``materialize`` persists the assigned frame so
+    centroid argmin + norms are computed once, not once per join side."""
+    a = (ivf_assign(df, centroids, vec_col)
+         .select(F.col(id_col).alias("id"),
+                 F.col(vec_col).cast("array<double>").alias("v"), "list_id")
+         .withColumn("inv_norm", F.when(norm(F.col("v")) > 0,
+                                        F.lit(1.0) / norm(F.col("v")))
+                     .otherwise(F.lit(0.0))))
+    if materialize:
+        from openapc_olap_spark.operators.dedup import _materialized
+        a = _materialized(a)
+    if cluster_cap is not None:
+        small = (a.groupBy("list_id")
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .filter(F.col("__n") <= cluster_cap)
+                 .select("list_id"))
+        a = a.join(small, ["list_id"], "left_semi")
+    l, r = a.alias("l"), a.alias("r")
+    sim = (dot(F.col("l.v"), F.col("r.v"))
+           * F.col("l.inv_norm") * F.col("r.inv_norm"))
+    return (l.join(r, (F.col("l.list_id") == F.col("r.list_id"))
+                   & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+def semantic_dedup(df: DataFrame, centroids: list[list[float]],
+                   threshold: float = 0.9, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   cluster_cap: int | None = None,
+                   materialize: bool = True) -> DataFrame:
+    """Greedy min-id-wins survivor set: the input minus every row whose id
+    appears as the GREATER id of a verified pair. Deterministic (drop set
+    is a pure function of the pair list, independent of join order) and
+    single-pass — no iterative closure; for transitive duplicate GROUPS
+    use dedup.duplicate_groups over semantic_candidate_pairs instead."""
+    pairs = semantic_candidate_pairs(df, centroids, threshold, id_col,
+                                     vec_col, cluster_cap, materialize)
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, [id_col], "left_anti")

@@ -134,6 +134,11 @@ _X_DEPS = {
                           f"{_OPS}/sketches.py", f"{_OPS}/packing.py",
                           f"{_OPS}/text.py"],
     "x51_orc_roundtrip": [f"{_P}/sources/io.py"],
+    "x52_pretraining_pipeline": [f"{_OPS}/pipeline.py", f"{_OPS}/chunking.py",
+                                 f"{_OPS}/decontam.py", f"{_OPS}/packing.py",
+                                 f"{_OPS}/text.py"],
+    "x53_semantic_dedup": [f"{_OPS}/semdedup.py", f"{_OPS}/similarity.py",
+                           f"{_OPS}/dedup.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

@@ -52,16 +52,22 @@ def test_certification_window_invariants():
     window = set(names[:50])
     assert set(entrymod._CERT_FIRST) <= window, \
         "a never-certified gate fell outside the driver's 50-query window"
-    assert names[50:] == [n for n in names if n in set(entrymod._CERT_TAIL)], \
-        "rotated-out tail must be exactly _CERT_TAIL, in order"
-    assert len(names) - 50 == len(entrymod._CERT_TAIL), \
-        "grow _CERT_TAIL when declaring new queries (keep total-50 rotated)"
-    # the two lists must PARTITION the declared set exactly: an unlisted
+    pending = [n for n in names if n in set(entrymod._CERT_PENDING)]
+    tail_names = [n for n in names if n in set(entrymod._CERT_TAIL)]
+    assert names[50:] == pending + tail_names, \
+        "post-window order must be _CERT_PENDING (new, queued for round-6 " \
+        "promotion) then _CERT_TAIL (previously certified, manifest-guarded)"
+    assert len(names) - 50 == len(entrymod._CERT_PENDING) \
+        + len(entrymod._CERT_TAIL), \
+        "grow _CERT_PENDING/_CERT_TAIL when declaring new queries"
+    # the three lists must PARTITION the declared set exactly: an unlisted
     # query would land in the mid-section after position 50 — never
     # driver-certified AND invisible to the manifest tail check
     head, tail = set(entrymod._CERT_FIRST), set(entrymod._CERT_TAIL)
-    assert not head & tail, "a query cannot be in both schedule lists"
-    orphans = set(names) - head - tail
+    pend = set(entrymod._CERT_PENDING)
+    assert not (head & tail or head & pend or pend & tail), \
+        "a query cannot be in two schedule lists"
+    orphans = set(names) - head - tail - pend
     assert not orphans, \
         f"queries missing from the certification schedule: {sorted(orphans)}"
     assert len(entrymod._CERT_FIRST) == 50, \

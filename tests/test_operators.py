@@ -1773,3 +1773,74 @@ def test_recommended_nbits_occupancy_rule(spark):
     ns = [10**k for k in range(2, 10)]
     bits = [recommended_nbits(n) for n in ns]
     assert bits == sorted(bits)
+
+
+# ---------------------------------------------------------------------------
+# semdedup: SemDeDup-style IVF-cluster semantic dedup
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_matches_numpy(emb):
+    """Survivor set against a numpy replication of the whole algorithm:
+    first-8 centroid argmin assignment, intra-cluster cosine pairs,
+    min-id-wins drop."""
+    from openapc_olap_spark.operators import semdedup
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cents = mat[:8]
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)                       # first index wins ties
+    norms = np.linalg.norm(mat, axis=1)
+    drops = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if assign[i] != assign[j]:
+                continue
+            cos = mat[i] @ mat[j] / (norms[i] * norms[j])
+            if cos >= 0.35:
+                drops.add(max(ids[i], ids[j]))
+    expected = set(ids) - drops
+
+    spark_cents = [list(map(float, c)) for c in cents]
+    kept = semdedup.semantic_dedup(emb, spark_cents, threshold=0.35)
+    got = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert got == expected
+    assert 0 < len(got) < len(ids)                   # it actually dropped
+
+
+def test_semantic_dedup_min_id_survives(spark):
+    from openapc_olap_spark.operators import semdedup
+
+    vecs = [(1, [1.0, 0.0, 0.5]), (2, [2.0, 0.0, 1.0]),   # colinear pair
+            (3, [-1.0, 2.0, 0.0])]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    cents = [[1.0, 0.0, 0.5], [-1.0, 2.0, 0.0]]
+    pairs = semdedup.semantic_candidate_pairs(df, cents, threshold=0.99)
+    got = pairs.collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert got[0]["cos_sim"] == pytest.approx(1.0)
+    kept = semdedup.semantic_dedup(df, cents, threshold=0.99)
+    assert {r["vec_id"] for r in kept.collect()} == {1, 3}
+
+
+def test_semantic_dedup_cluster_cap(emb):
+    """cluster_cap drops only pairs inside capped (hot) clusters; with a
+    cap no cluster exceeds, results are identical to uncapped."""
+    from openapc_olap_spark.operators import semdedup
+    from openapc_olap_spark.operators.similarity import ivf_assign
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    cents = [list(map(float, r["embedding"])) for r in rows[:8]]
+    sizes = (ivf_assign(emb, cents).groupBy("list_id").count().collect())
+    biggest = max(r["count"] for r in sizes)
+    kw = dict(threshold=0.35)
+    keyset = lambda df: {r["vec_id"] for r in df.select("vec_id").collect()}
+    uncapped = keyset(semdedup.semantic_dedup(emb, cents, **kw))
+    nocap_effect = keyset(semdedup.semantic_dedup(
+        emb, cents, cluster_cap=biggest, **kw))
+    assert nocap_effect == uncapped
+    capped = keyset(semdedup.semantic_dedup(
+        emb, cents, cluster_cap=max(r["count"] for r in sizes) - 1, **kw))
+    assert capped >= uncapped                    # capping only saves rows
+    assert capped > uncapped                     # and the hot cluster was live
