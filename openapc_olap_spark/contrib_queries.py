@@ -2620,6 +2620,47 @@ _X53_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X54: unigram LM quality scoring (mean token log-probability)
+# ---------------------------------------------------------------------------
+
+def _x54_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lm.doc_mean_logprob``: add-1-smoothed unigram model trained on
+    the corpus itself, every (even-id) document scored by mean token
+    ln-probability. The per-doc sum folds over a token-sorted list on
+    BOTH sides, so the double-addition order is identical and the
+    6dp-rounded score is hash-stable — the oracle replicates model
+    counts, smoothing denominator, OOV mass, and the fold."""
+    from openapc_olap_spark.operators import lm
+
+    docs = _docs_split(spark, sf_dir)
+    scored = lm.doc_mean_logprob(docs, round_to=6)
+    return (scored.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "n_tokens", "mean_logprob"))
+
+
+_X54_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    model AS (
+      SELECT token, count(*) AS c FROM
+        (SELECT unnest(toks) AS token FROM s) GROUP BY 1),
+    st AS (SELECT sum(c) AS n, count(*) AS v FROM model),
+    per AS (
+      SELECT doc_id, token, count(*) AS n FROM
+        (SELECT doc_id, unnest(toks) AS token FROM s) GROUP BY 1, 2),
+    contrib AS (
+      SELECT p.doc_id, p.token, p.n,
+             p.n * ln((coalesce(m.c, 0) + 1.0) / (st.n + 1.0 * (st.v + 1)))
+               AS contrib
+      FROM per p LEFT JOIN model m USING (token) CROSS JOIN st)
+    SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+           round(list_reduce(list(contrib ORDER BY token), (a, b) -> a + b)
+                 / sum(n), 6) AS mean_logprob
+    FROM contrib WHERE doc_id % 2 = 0 GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -2674,6 +2715,7 @@ QUERIES = {
     "x51_orc_roundtrip": _x51_orc_roundtrip,
     "x52_pretraining_pipeline": _x52_pretraining_pipeline,
     "x53_semantic_dedup": _x53_semantic_dedup,
+    "x54_unigram_logprob": _x54_unigram_logprob,
 }
 
 ORACLES = {
@@ -2730,4 +2772,5 @@ ORACLES = {
     "x51_orc_roundtrip": _X51_SQL,
     "x52_pretraining_pipeline": _X52_SQL,
     "x53_semantic_dedup": _X53_SQL,
+    "x54_unigram_logprob": _X54_SQL,
 }

@@ -1,0 +1,91 @@
+"""Unigram language-model scoring (SURVEY.md §2.9 X4 family — a
+KenLM-style perplexity quality filter's cheap, exactly-reproducible
+cousin; reference has no equivalent, driver-mandated LLM-pipeline
+surface).
+
+Train an add-k-smoothed unigram model on a corpus (one token-count
+aggregation), then score every document by its mean token log-probability
+— low scores flag gibberish / OOV-dense / off-distribution text, the
+classic model-based quality signal used alongside the heuristic scores in
+operators.text (quality_score).
+
+100 TB posture:
+- training is ONE map-side-combined token count; the model is
+  vocab-sized, not corpus-sized, and ``min_count`` prunes the hapax tail
+  (web-scale vocab at min_count>=5 is tens of millions of rows — still a
+  broadcastable few hundred MB of (token, count)).
+- scoring pre-aggregates to per-(doc, DISTINCT token) counts before the
+  model join, so join input is bounded by per-doc vocab, not token
+  instances; the model side broadcasts.
+- the two model scalars (total tokens N, vocab size V) come from a
+  one-row aggregate — the only driver action, two longs.
+- the per-doc sum folds over a token-SORTED list, so the floating-point
+  addition order is deterministic across partitionings, runs, and
+  engines (groupBy sum order is not) — this is what makes the score
+  hash-certifiable rather than merely approximately stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openapc_olap_spark.operators import text
+
+
+def unigram_counts(df: DataFrame, text_col: str = "text",
+                   min_count: int = 1) -> DataFrame:
+    """(token, count) over the corpus — the unigram model's sufficient
+    statistic. ``min_count`` prunes rare tokens OUT OF THE VOCABULARY:
+    pruned (and unseen) tokens score as OOV at smoothing mass k/denom."""
+    counts = (df.select(F.explode(text.tokens(text_col)).alias("token"))
+              .groupBy("token")
+              .agg(F.count(F.lit(1)).alias("count")))
+    if min_count > 1:
+        counts = counts.filter(F.col("count") >= min_count)
+    return counts
+
+
+def doc_mean_logprob(df: DataFrame, model: DataFrame | None = None,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     smoothing_k: float = 1.0,
+                     round_to: int | None = None) -> DataFrame:
+    """Per-document mean token ln-probability under the add-k unigram
+    model: (id_col, n_tokens, mean_logprob). Token-less documents emit no
+    row (they have no tokens to score; filter upstream with token_count).
+
+    p(t) = (count(t) + k) / (N + k * (V + 1)) — V+1 reserves one
+    smoothing slot for the OOV class, so unseen tokens get ln(k / denom).
+    ``model`` defaults to a model trained on ``df`` itself; pass a
+    pre-trained ``unigram_counts`` frame to score against a reference
+    corpus (the fastText/KenLM filtering setup).
+    """
+    if model is None:
+        model = unigram_counts(df, text_col)
+    stats = model.agg(F.sum("count").alias("n"),
+                      F.count(F.lit(1)).alias("v")).first()
+    n_total = int(stats["n"] or 0)
+    vocab = int(stats["v"] or 0)
+    denom = float(n_total) + smoothing_k * (vocab + 1)
+
+    per = (df.select(F.col(id_col), F.explode(text.tokens(text_col))
+                     .alias("token"))
+           .groupBy(id_col, "token")
+           .agg(F.count(F.lit(1)).alias("n")))
+    logp = F.log((F.coalesce(F.col("count"), F.lit(0)) + F.lit(smoothing_k))
+                 / F.lit(denom))
+    joined = (per.join(F.broadcast(model), ["token"], "left")
+              .select(F.col(id_col), F.col("token"), F.col("n"),
+                      (F.col("n") * logp).alias("contrib")))
+    # Deterministic-order sum: fold the token-sorted contribution list so
+    # the double additions associate identically everywhere.
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("token", "contrib"))),
+        lambda s: s["contrib"])
+    total = F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
+    score = total / F.sum("n")
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (joined.groupBy(id_col)
+            .agg(F.sum("n").alias("n_tokens"),
+                 score.alias("mean_logprob")))

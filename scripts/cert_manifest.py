@@ -139,6 +139,7 @@ _X_DEPS = {
                                  f"{_OPS}/text.py"],
     "x53_semantic_dedup": [f"{_OPS}/semdedup.py", f"{_OPS}/similarity.py",
                            f"{_OPS}/dedup.py"] + _MEMO,
+    "x54_unigram_logprob": [f"{_OPS}/lm.py", f"{_OPS}/text.py"],
 }
 DEPS.update(_X_DEPS)
 

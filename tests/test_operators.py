@@ -1844,3 +1844,68 @@ def test_semantic_dedup_cluster_cap(emb):
         emb, cents, cluster_cap=max(r["count"] for r in sizes) - 1, **kw))
     assert capped >= uncapped                    # capping only saves rows
     assert capped > uncapped                     # and the hot cluster was live
+
+
+# ---------------------------------------------------------------------------
+# lm: unigram language-model scoring
+# ---------------------------------------------------------------------------
+
+def test_unigram_logprob_hand_computed(spark):
+    """Two-doc corpus small enough to verify every probability by hand:
+    corpus tokens = [a a b], N=3, V=2, denom = 3 + 1*(2+1) = 6;
+    p(a)=(2+1)/6=0.5, p(b)=(1+1)/6=1/3."""
+    import math
+
+    from openapc_olap_spark.operators import lm
+
+    df = spark.createDataFrame([(1, "a a"), (2, "b")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in lm.doc_mean_logprob(df).collect()}
+    assert got[1]["n_tokens"] == 2
+    assert got[1]["mean_logprob"] == pytest.approx(math.log(0.5))
+    assert got[2]["n_tokens"] == 1
+    assert got[2]["mean_logprob"] == pytest.approx(math.log(1 / 3))
+
+
+def test_unigram_logprob_oov_and_reference_model(spark):
+    """Scoring against a pre-trained reference model: unseen tokens get
+    the smoothing mass k/denom; an all-OOV doc scores exactly ln(1/denom)
+    and LOWER than an in-vocabulary doc (the quality-filter signal)."""
+    import math
+
+    from openapc_olap_spark.operators import lm
+
+    ref = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+    model = lm.unigram_counts(ref)
+    score_df = spark.createDataFrame(
+        [(10, "a b"), (11, "zz qq")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           lm.doc_mean_logprob(score_df, model=model).collect()}
+    denom = 3 + 1 * (2 + 1)
+    assert got[11]["mean_logprob"] == pytest.approx(math.log(1 / denom))
+    expected_10 = (math.log(3 / denom) + math.log(2 / denom)) / 2
+    assert got[10]["mean_logprob"] == pytest.approx(expected_10)
+    assert got[11]["mean_logprob"] < got[10]["mean_logprob"]
+
+
+def test_unigram_min_count_prunes_to_oov(spark):
+    """min_count removes rare tokens from the vocabulary: they then score
+    at OOV mass, and V shrinks accordingly."""
+    import math
+
+    from openapc_olap_spark.operators import lm
+
+    df = spark.createDataFrame([(1, "a a a rare")], ["doc_id", "text"])
+    model = lm.unigram_counts(df, min_count=2)     # keeps only 'a' (c=3)
+    assert [tuple(r) for r in model.collect()] == [("a", 3)]
+    got = lm.doc_mean_logprob(df, model=model).collect()[0]
+    denom = 3 + 1 * (1 + 1)                         # N=3 (model mass), V=1
+    expected = (3 * math.log(4 / denom) + math.log(1 / denom)) / 4
+    assert got["mean_logprob"] == pytest.approx(expected)
+
+
+def test_unigram_logprob_empty_docs_emit_no_row(spark):
+    from openapc_olap_spark.operators import lm
+
+    df = spark.createDataFrame([(1, "x y"), (2, "   ")], ["doc_id", "text"])
+    got = lm.doc_mean_logprob(df).collect()
+    assert {r["doc_id"] for r in got} == {1}
