@@ -452,6 +452,7 @@ _CERT_PENDING = [
     "x52_pretraining_pipeline",
     "x53_semantic_dedup",
     "x54_unigram_logprob",
+    "x55_bpe_train",
 ]
 _CERT_TAIL = [
     # previously hash-certified; modules untouched in r05 (enforced by

@@ -2661,6 +2661,82 @@ _X54_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X55: BPE vocabulary induction (3 training iterations under the hash)
+# ---------------------------------------------------------------------------
+
+def _x55_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bpe`` training loop, 3 merges over the documents vocabulary: per
+    step, the learned (pair, weighted count) and an md5 digest of the
+    ENTIRE re-segmented vocabulary after applying it — pair counting,
+    argmax tie-break, and the greedy merge fold all sit under the value
+    hash. The oracle replays the identical 3 iterations in SQL
+    (list_reduce runs the same fold)."""
+    from openapc_olap_spark.operators import bpe
+    from openapc_olap_spark.operators.dedup import _materialized
+
+    docs = _docs_split(spark, sf_dir)
+    vocab = _materialized(
+        bpe.with_initial_symbols(bpe.word_counts(docs)))
+    steps = []
+    for step in (1, 2, 3):
+        top = (bpe.pair_counts(vocab)
+               .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+               .first())
+        left, right = top["pair"].split(" ", 1)
+        vocab = _materialized(bpe.apply_merge(vocab, left, right))
+        steps.append(vocab.agg(bpe.segment_digest(vocab).alias("digest"))
+                     .select(F.lit(step).alias("step"),
+                             F.lit(top["pair"]).alias("pair"),
+                             F.lit(int(top["cnt"])).cast("long")
+                             .alias("cnt"), "digest"))
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _x55_iter_sql(prev: str, mname: str, vname: str, dname: str) -> str:
+    """One BPE iteration over vocabulary CTE ``prev``: argmax pair (count
+    desc, pair asc), greedy merge fold, full-vocabulary digest."""
+    return f"""
+    {mname} AS (
+      SELECT pair, cnt, split_part(pair, ' ', 1) AS l,
+             split_part(pair, ' ', 2) AS r
+      FROM (
+        SELECT pair, sum(wc)::BIGINT AS cnt FROM (
+          SELECT unnest(list_transform(range(1, len(s)),
+                        i -> s[i] || ' ' || s[i+1])) AS pair, wc
+          FROM {prev}) GROUP BY 1)
+      ORDER BY cnt DESC, pair ASC LIMIT 1),
+    {vname} AS (
+      SELECT word, wc,
+             string_split(list_reduce(s, (acc, x) -> CASE
+               WHEN (acc = m.l OR ends_with(acc, ' ' || m.l)) AND x = m.r
+                 THEN acc || m.r
+               ELSE acc || ' ' || x END), ' ') AS s
+      FROM {prev}, {mname} m),
+    {dname} AS (
+      SELECT md5(string_agg(e, '|' ORDER BY e)) AS digest FROM (
+        SELECT word || ':' || array_to_string(s, ' ') AS e FROM {vname}))"""
+
+
+_X55_SQL = f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    v0 AS (
+      SELECT word, count(*) AS wc, string_split(word, '') AS s FROM
+        (SELECT unnest(toks) AS word FROM t) GROUP BY 1),
+    {_x55_iter_sql('v0', 'm1', 'v1', 'd1')},
+    {_x55_iter_sql('v1', 'm2', 'v2', 'd2')},
+    {_x55_iter_sql('v2', 'm3', 'v3', 'd3')}
+    SELECT 1 AS step, m.pair, m.cnt, d.digest FROM m1 m, d1 d
+    UNION ALL
+    SELECT 2 AS step, m.pair, m.cnt, d.digest FROM m2 m, d2 d
+    UNION ALL
+    SELECT 3 AS step, m.pair, m.cnt, d.digest FROM m3 m, d3 d
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -2716,6 +2792,7 @@ QUERIES = {
     "x52_pretraining_pipeline": _x52_pretraining_pipeline,
     "x53_semantic_dedup": _x53_semantic_dedup,
     "x54_unigram_logprob": _x54_unigram_logprob,
+    "x55_bpe_train": _x55_bpe_train,
 }
 
 ORACLES = {
@@ -2773,4 +2850,5 @@ ORACLES = {
     "x52_pretraining_pipeline": _X52_SQL,
     "x53_semantic_dedup": _X53_SQL,
     "x54_unigram_logprob": _X54_SQL,
+    "x55_bpe_train": _X55_SQL,
 }

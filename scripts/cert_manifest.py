@@ -140,6 +140,8 @@ _X_DEPS = {
     "x53_semantic_dedup": [f"{_OPS}/semdedup.py", f"{_OPS}/similarity.py",
                            f"{_OPS}/dedup.py"] + _MEMO,
     "x54_unigram_logprob": [f"{_OPS}/lm.py", f"{_OPS}/text.py"],
+    "x55_bpe_train": [f"{_OPS}/bpe.py", f"{_OPS}/text.py",
+                      f"{_OPS}/dedup.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

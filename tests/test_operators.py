@@ -1909,3 +1909,62 @@ def test_unigram_logprob_empty_docs_emit_no_row(spark):
     df = spark.createDataFrame([(1, "x y"), (2, "   ")], ["doc_id", "text"])
     got = lm.doc_mean_logprob(df).collect()
     assert {r["doc_id"] for r in got} == {1}
+
+
+# ---------------------------------------------------------------------------
+# bpe: byte-pair-encoding vocabulary induction
+# ---------------------------------------------------------------------------
+
+def test_bpe_train_classic_example(spark):
+    """The Sennrich low/lower corpus: first merges must be l+o, lo+w
+    (frequency-weighted), then e+r."""
+    from openapc_olap_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low newer newest"),
+         (2, "wider new newer low")], ["doc_id", "text"])
+    merges, vocab = bpe.bpe_train(df, 3)
+    assert merges == [("l", "o", 6), ("lo", "w", 6), ("e", "r", 4)]
+    seg = {r["word"]: list(r["symbols"]) for r in vocab.collect()}
+    assert seg["low"] == ["low"]
+    assert seg["lower"] == ["low", "er"]
+    assert seg["newer"] == ["n", "e", "w", "er"]
+
+
+def test_bpe_merge_greedy_no_reuse(spark):
+    """Greedy left-to-right with no intra-pass reuse: merging (a,a) over
+    'aaa' yields [aa, a], never [aa, aa]-style reconsumption; and a
+    token created by a merge does not immediately chain."""
+    from openapc_olap_spark.operators import bpe
+
+    df = spark.createDataFrame([("aaa", 1), ("abab", 1), ("aab", 1)],
+                               ["word", "wc"])
+    v = bpe.with_initial_symbols(df)
+    out = {r["word"]: list(r["symbols"])
+           for r in bpe.apply_merge(v, "a", "a").collect()}
+    assert out["aaa"] == ["aa", "a"]
+    assert out["abab"] == ["a", "b", "a", "b"]
+    assert out["aab"] == ["aa", "b"]
+    out2 = {r["word"]: list(r["symbols"])
+            for r in bpe.apply_merge(v, "a", "b").collect()}
+    assert out2["abab"] == ["ab", "ab"]
+    assert out2["aab"] == ["a", "ab"]
+
+
+def test_bpe_pair_counts_weighted(spark):
+    from openapc_olap_spark.operators import bpe
+
+    df = spark.createDataFrame([("ab", 3), ("abc", 2), ("x", 5)],
+                               ["word", "wc"])
+    got = {r["pair"]: r["cnt"] for r in
+           bpe.pair_counts(bpe.with_initial_symbols(df)).collect()}
+    assert got == {"a b": 5, "b c": 2}      # 1-char words emit no pairs
+
+
+def test_bpe_train_stops_when_no_pairs(spark):
+    from openapc_olap_spark.operators import bpe
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    merges, vocab = bpe.bpe_train(df, 5)
+    assert merges == []                      # all words single-symbol
+    assert vocab.count() == 3
