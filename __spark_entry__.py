@@ -453,6 +453,7 @@ _CERT_PENDING = [
     "x53_semantic_dedup",
     "x54_unigram_logprob",
     "x55_bpe_train",
+    "x56_domain_stats",
 ]
 _CERT_TAIL = [
     # previously hash-certified; modules untouched in r05 (enforced by

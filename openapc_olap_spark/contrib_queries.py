@@ -2737,6 +2737,87 @@ _X55_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X56: web-domain curation rollup (URL parse -> registrable domain -> stats)
+# ---------------------------------------------------------------------------
+
+def _x56_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``web.domain_stats`` over URLs synthesized deterministically from
+    documents columns (the etl_queries pattern — the corpus has no URL
+    column): userinfo@, www/cdn subdomains, :port suffixes, and two-level
+    public suffixes (co.uk, com.au) all exercised. The oracle rebuilds
+    the same URLs and replicates host extraction, the eTLD+1 heuristic,
+    and the per-domain aggregate."""
+    from openapc_olap_spark.operators import web
+
+    docs = _docs_split(spark, sf_dir)
+    i = F.col("doc_id")
+    tld = F.element_at(F.array(*[F.lit(t) for t in
+                                 ("com", "org", "co.uk", "de", "com.au")]),
+                       (i % 5 + 1).cast("int"))
+    url = F.concat(
+        F.lit("https://"),
+        F.when(i % 11 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit("www.")).when(i % 3 == 1, F.lit("cdn."))
+        .otherwise(F.lit("")),
+        F.col("source"), F.lit("."), tld,
+        F.when(i % 4 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/d/"), i.cast("string"))
+    stats = web.domain_stats(docs.withColumn("url", url))
+    return stats.select("domain", "n_docs", "n_hosts", "total_tokens",
+                        F.round("mean_quality", 6).alias("mean_quality"))
+
+
+_X56_TLDS_SQL = "[" + ", ".join(
+    f"'{t}'" for t in ("com", "org", "co.uk", "de", "com.au")) + "]"
+
+
+def _x56_two_level_sql() -> str:
+    from openapc_olap_spark.operators.web import TWO_LEVEL_TLDS
+    return "(" + ", ".join(f"'{t}'" for t in TWO_LEVEL_TLDS) + ")"
+
+
+_X56_SQL = f"""
+    WITH u AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks,
+             'https://'
+             || CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                     WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END
+             || source || '.' || {_X56_TLDS_SQL}[(doc_id % 5)::INT + 1]
+             || CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END
+             || '/d/' || doc_id::VARCHAR AS url
+      FROM documents),
+    h AS (
+      SELECT *, lower(regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/?#]*@)?([^:/?#]+)', 1)) AS host
+      FROM u),
+    d AS (
+      SELECT *, CASE
+        WHEN len(string_split(host, '.')) <= 2 THEN host
+        WHEN array_to_string(string_split(host, '.')[-2:], '.')
+             IN {_x56_two_level_sql()}
+          THEN array_to_string(string_split(host, '.')[-3:], '.')
+        ELSE array_to_string(string_split(host, '.')[-2:], '.')
+        END AS domain
+      FROM h),
+    q AS (
+      SELECT domain, host, len(toks) AS n_toks,
+             0.4 * least(length(text)::DOUBLE / 1000.0, 1.0)
+             + 0.4 * least({_sql_stopword_ratio('en')} / 0.3, 1.0)
+             + 0.2 * (1.0 - least((CASE WHEN length(text) > 0 THEN
+                 length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '',
+                                       'g'))::DOUBLE / length(text)
+               ELSE 0.0 END) / 0.2, 1.0)) AS q
+      FROM d)
+    SELECT domain, count(*) AS n_docs,
+           count(DISTINCT host)::BIGINT AS n_hosts,
+           sum(n_toks)::BIGINT AS total_tokens,
+           round(avg(q), 6) AS mean_quality
+    FROM q GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -2793,6 +2874,7 @@ QUERIES = {
     "x53_semantic_dedup": _x53_semantic_dedup,
     "x54_unigram_logprob": _x54_unigram_logprob,
     "x55_bpe_train": _x55_bpe_train,
+    "x56_domain_stats": _x56_domain_stats,
 }
 
 ORACLES = {
@@ -2851,4 +2933,5 @@ ORACLES = {
     "x53_semantic_dedup": _X53_SQL,
     "x54_unigram_logprob": _X54_SQL,
     "x55_bpe_train": _X55_SQL,
+    "x56_domain_stats": _X56_SQL,
 }

@@ -142,6 +142,7 @@ _X_DEPS = {
     "x54_unigram_logprob": [f"{_OPS}/lm.py", f"{_OPS}/text.py"],
     "x55_bpe_train": [f"{_OPS}/bpe.py", f"{_OPS}/text.py",
                       f"{_OPS}/dedup.py"] + _MEMO,
+    "x56_domain_stats": [f"{_OPS}/web.py", f"{_OPS}/text.py"],
 }
 DEPS.update(_X_DEPS)
 

@@ -1968,3 +1968,55 @@ def test_bpe_train_stops_when_no_pairs(spark):
     merges, vocab = bpe.bpe_train(df, 5)
     assert merges == []                      # all words single-symbol
     assert vocab.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# web: URL parsing / registrable domains / blocklist filtering
+# ---------------------------------------------------------------------------
+
+def test_url_host_and_registrable_domain(spark):
+    from openapc_olap_spark.operators import web
+
+    cases = [
+        ("https://www.example.com/a?b=c", "www.example.com", "example.com"),
+        ("http://user:pw@Sub.Host.co.uk:8080/p", "sub.host.co.uk",
+         "host.co.uk"),
+        ("ftp://example.org", "example.org", "example.org"),
+        ("https://a.b.c.d.com.au/x#f", "a.b.c.d.com.au", "d.com.au"),
+        ("https://localhost:9000/", "localhost", "localhost"),
+        ("not a url", "", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], ["url"])
+    got = {r["url"]: (r["host"], r["domain"])
+           for r in web.with_domain(df).collect()}
+    for url, host, domain in cases:
+        assert got[url] == (host, domain), url
+
+
+def test_domain_stats_rollup(spark):
+    from openapc_olap_spark.operators import web
+
+    df = spark.createDataFrame(
+        [("https://www.x.com/1", "a b c"),
+         ("https://cdn.x.com/2", "d e"),
+         ("https://y.org/3", "f")], ["url", "text"])
+    got = {r["domain"]: r for r in web.domain_stats(df).collect()}
+    assert got["x.com"]["n_docs"] == 2
+    assert got["x.com"]["n_hosts"] == 2
+    assert got["x.com"]["total_tokens"] == 5
+    assert got["y.org"]["n_docs"] == 1
+    assert got["y.org"]["n_hosts"] == 1
+
+
+def test_filter_blocklisted_broadcast_anti(spark):
+    from openapc_olap_spark.operators import web
+
+    docs = spark.createDataFrame(
+        [(1, "https://spam.co.uk/x"), (2, "https://keep.com/y"),
+         (3, "https://www.spam.co.uk/z")], ["doc_id", "url"])
+    bl = spark.createDataFrame([("spam.co.uk",)], ["domain"])
+    kept = web.filter_blocklisted(docs, bl)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    assert set(kept.columns) == {"doc_id", "url"}   # helper cols dropped
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -442,3 +442,68 @@ def test_tfidf_shuffle_budget(spark, sf_dir):
     assert plans.has_partial_aggregate(out)
     assert plans.has_broadcast_join(out)          # the one-row N frame
     assert not plans.has_sort_merge_join(out)
+
+
+def test_semantic_dedup_is_equi_join_on_cluster(spark, sf_dir):
+    """x53's pair join must be a hash equi-join on list_id (never a
+    nested-loop/cartesian), the anti-join must broadcast the drop set,
+    and centroid assignment must not add a shuffle of its own."""
+    from openapc_olap_spark.operators import semdedup
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = [[float(x) for x in r["embedding"]]
+             for r in emb.orderBy("vec_id").limit(4).collect()]
+    pairs = semdedup.semantic_candidate_pairs(emb, cents, threshold=0.35,
+                                              materialize=False)
+    p = plans.plan_of(pairs)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    kept = semdedup.semantic_dedup(emb, cents, threshold=0.35,
+                                   materialize=False)
+    kp = plans.plan_of(kept)
+    assert "CartesianProduct" not in kp
+    assert plans.has_broadcast_join(kept)          # drop-set anti-join
+
+
+def test_unigram_scoring_broadcasts_model(spark, sf_dir):
+    """x54: the (token -> count) model side of the scoring join must
+    broadcast — the per-doc side never shuffles for the join — and both
+    aggregations are map-side combined."""
+    from openapc_olap_spark.operators import lm
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = lm.doc_mean_logprob(docs)
+    assert plans.has_broadcast_join(out)
+    assert not plans.has_sort_merge_join(out)
+    assert plans.has_partial_aggregate(out)
+
+
+def test_bpe_pair_counts_partial_agg_single_scan(spark, sf_dir):
+    """x55: one merge iteration's pair count is a single vocab scan with
+    map-side combine; apply_merge adds no shuffle beyond the vocab agg."""
+    from openapc_olap_spark.operators import bpe
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    vocab = bpe.with_initial_symbols(bpe.word_counts(docs))
+    pc = bpe.pair_counts(vocab)
+    assert plans.has_partial_aggregate(pc)
+    assert plans.single_scan(pc)
+    # re-segmentation is expression-only: same shuffle count as the
+    # vocabulary build itself
+    merged = bpe.apply_merge(vocab, "a", "b")
+    assert plans.shuffle_exchange_count(merged) == \
+        plans.shuffle_exchange_count(vocab)
+
+
+def test_domain_stats_single_scan_partial_agg(spark, sf_dir):
+    """x56: URL parse + quality scoring + domain rollup is ONE scan with
+    map-side combine — no join, no second pass."""
+    from openapc_olap_spark.operators import web
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    df = docs.withColumn(
+        "url", F.concat(F.lit("https://www."), F.col("source"),
+                        F.lit(".com/d/"), F.col("doc_id").cast("string")))
+    out = web.domain_stats(df)
+    assert plans.single_scan(out)
+    assert plans.has_partial_aggregate(out)
+    assert plans.exchange_count(out) <= 2   # partial->final + nothing else
