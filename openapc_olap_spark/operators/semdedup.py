@@ -43,10 +43,19 @@ def semantic_candidate_pairs(df: DataFrame, centroids: list[list[float]],
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              cluster_cap: int | None = None,
-                             materialize: bool = True) -> DataFrame:
+                             materialize: bool = True,
+                             block_parts: int | None = None) -> DataFrame:
     """Verified same-cluster pairs: (id_a, id_b, cos_sim), id_a < id_b,
     cos_sim >= threshold. ``materialize`` persists the assigned frame so
-    centroid argmin + norms are computed once, not once per join side."""
+    centroid argmin + norms are computed once, not once per join side.
+
+    ``block_parts`` (B) enables the triangle-blocked self-join: each
+    cluster's members are hash-assigned to B blocks and every unordered
+    block pair (i <= j) becomes its own join cell, so reducer parallelism
+    is k * B(B+1)/2 instead of k, at ~(B+1)/2x input replication. The
+    PAIR SET is identical for any B (tested) — use it when cluster count
+    is below core count (small-k regimes; at production k, leave None).
+    """
     a = (ivf_assign(df, centroids, vec_col)
          .select(F.col(id_col).alias("id"),
                  F.col(vec_col).cast("array<double>").alias("v"), "list_id")
@@ -55,16 +64,43 @@ def semantic_candidate_pairs(df: DataFrame, centroids: list[list[float]],
                      .otherwise(F.lit(0.0))))
     if materialize:
         from openapc_olap_spark.operators.dedup import _materialized
-        a = _materialized(a)
+        # spread the stream side across the cores BEFORE caching: when the
+        # pair join broadcasts (small corpus / one side capped), its
+        # parallelism is the stream side's partition count — a 2-file scan
+        # would otherwise run the quadratic verify on 2 tasks (measured
+        # 363 s -> 40 s at sf1 from this alone)
+        par = df.sparkSession.sparkContext.defaultParallelism
+        a = _materialized(a.repartition(par))
     if cluster_cap is not None:
         small = (a.groupBy("list_id")
                  .agg(F.count(F.lit(1)).alias("__n"))
                  .filter(F.col("__n") <= cluster_cap)
                  .select("list_id"))
         a = a.join(small, ["list_id"], "left_semi")
-    l, r = a.alias("l"), a.alias("r")
     sim = (dot(F.col("l.v"), F.col("r.v"))
            * F.col("l.inv_norm") * F.col("r.inv_norm"))
+    if block_parts is not None and block_parts > 1:
+        bcol = F.pmod(F.hash(F.col("id")), F.lit(block_parts))
+        ab = a.withColumn("b", bcol.cast("int"))
+        l = (ab.withColumn("cj", F.explode(
+                F.sequence(F.col("b"), F.lit(block_parts - 1))))
+             .alias("l"))
+        r = (ab.withColumn("ci", F.explode(
+                F.sequence(F.lit(0), F.col("b"))))
+             .alias("r"))
+        cell = ((F.col("l.list_id") == F.col("r.list_id"))
+                & (F.col("l.b") == F.col("r.ci"))
+                & (F.col("l.cj") == F.col("r.b")))
+        # diagonal cells see each unordered pair twice (both rows sit on
+        # both sides) -> id order dedups; off-diagonal cells see it once
+        keep = F.when(F.col("l.b") == F.col("l.cj"),
+                      F.col("l.id") < F.col("r.id")).otherwise(F.lit(True))
+        return (l.join(r, cell & keep)
+                .select(F.least("l.id", "r.id").alias("id_a"),
+                        F.greatest("l.id", "r.id").alias("id_b"),
+                        sim.alias("cos_sim"))
+                .filter(F.col("cos_sim") >= threshold))
+    l, r = a.alias("l"), a.alias("r")
     return (l.join(r, (F.col("l.list_id") == F.col("r.list_id"))
                    & (F.col("l.id") < F.col("r.id")))
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
@@ -76,13 +112,15 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
                    threshold: float = 0.9, id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    cluster_cap: int | None = None,
-                   materialize: bool = True) -> DataFrame:
+                   materialize: bool = True,
+                   block_parts: int | None = None) -> DataFrame:
     """Greedy min-id-wins survivor set: the input minus every row whose id
     appears as the GREATER id of a verified pair. Deterministic (drop set
     is a pure function of the pair list, independent of join order) and
     single-pass — no iterative closure; for transitive duplicate GROUPS
     use dedup.duplicate_groups over semantic_candidate_pairs instead."""
     pairs = semantic_candidate_pairs(df, centroids, threshold, id_col,
-                                     vec_col, cluster_cap, materialize)
+                                     vec_col, cluster_cap, materialize,
+                                     block_parts)
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, [id_col], "left_anti")

@@ -2020,3 +2020,21 @@ def test_filter_blocklisted_broadcast_anti(spark):
     assert set(kept.columns) == {"doc_id", "url"}   # helper cols dropped
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_semantic_pairs_blocked_equals_plain(emb):
+    """The triangle-blocked self-join must produce the IDENTICAL pair set
+    for any block count (it only re-cells the same candidate space)."""
+    from openapc_olap_spark.operators import semdedup
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    cents = [list(map(float, r["embedding"])) for r in rows[:8]]
+    key = lambda df: {(r["id_a"], r["id_b"]): round(r["cos_sim"], 9)
+                      for r in df.collect()}
+    plain = key(semdedup.semantic_candidate_pairs(emb, cents,
+                                                  threshold=0.35))
+    assert plain                                     # fixture has pairs
+    for B in (2, 4, 7):
+        blocked = key(semdedup.semantic_candidate_pairs(
+            emb, cents, threshold=0.35, block_parts=B))
+        assert blocked == plain, f"block_parts={B}"
