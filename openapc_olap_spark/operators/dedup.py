@@ -203,7 +203,11 @@ def _lsh_candidates_from_sets(sets_df: DataFrame, num_perm: int, bands: int,
                 ).alias("bhash")))).alias("bk")
     ).select("id", "bk.band", "bk.bhash")
     if materialize:
-        banded = _materialized(banded)
+        # spread before caching: if the bucket self-join broadcasts one
+        # side, its parallelism is the stream side's partition count (see
+        # similarity.embedding_near_duplicates — measured 20x there)
+        par = banded.sparkSession.sparkContext.defaultParallelism
+        banded = _materialized(banded.repartition(par))
     if bucket_cap is not None:
         small = (banded.groupBy("band", "bhash")
                  .agg(F.count(F.lit(1)).alias("__n"))
@@ -517,7 +521,10 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                    else simhash_from_hashes("__th"))
         sig = base.select("id", sig_col.alias("sig"))
     if materialize:
-        sig = _materialized(sig)
+        # spread before caching (broadcast-regime stream-side parallelism;
+        # see minhash banding above)
+        par = sig.sparkSession.sparkContext.defaultParallelism
+        sig = _materialized(sig.repartition(par))
     chunks = sig.select(
         "id", "sig",
         F.explode(F.array(*[
