@@ -454,6 +454,7 @@ _CERT_PENDING = [
     "x54_unigram_logprob",
     "x55_bpe_train",
     "x56_domain_stats",
+    "x57_temperature_resample",
 ]
 _CERT_TAIL = [
     # previously hash-certified; modules untouched in r05 (enforced by

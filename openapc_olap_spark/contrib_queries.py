@@ -2818,6 +2818,55 @@ _X56_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X57: temperature-based mixture resampling (mT5-style p^(1/T) flattening)
+# ---------------------------------------------------------------------------
+
+def _x57_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mixture.temperature_resample`` at T=2 over the language strata:
+    targets ∝ sqrt(p_s), rarest stratum kept whole, everything else
+    downsampled toward it via the md5-permille filter. T=2 makes the
+    exponent exactly 0.5, so both engines compute the identical sqrt;
+    the oracle re-derives counts, the sorted-order normalization fold,
+    the feasibility cap, the permille floors, AND the kept set."""
+    from openapc_olap_spark.operators import mixture
+
+    docs = _docs_split(spark, sf_dir)
+    out = mixture.temperature_resample(docs, "lang", temperature=2.0)
+    return (out.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("doc_id").alias("first_id"),
+                 F.max("doc_id").alias("last_id")))
+
+
+_X57_SQL = """
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    tot AS (SELECT sum(n) AS nn FROM counts),
+    w AS (
+      SELECT lang, n, pow(n::DOUBLE / tot.nn, 0.5) AS pw
+      FROM counts, tot),
+    z AS (
+      SELECT list_reduce(list(pw ORDER BY lang), (a, b) -> a + b) AS z
+      FROM w),
+    t AS (SELECT lang, n, pw / z.z AS tw FROM w, z),
+    cap AS (SELECT min(n / tw) AS cap FROM t),
+    fr AS (
+      SELECT lang,
+             floor(least(tw * cap.cap / n, 1.0) * 1000)::BIGINT AS permille
+      FROM t, cap),
+    kept AS (
+      SELECT d.lang, d.n_chars, d.doc_id
+      FROM documents d JOIN fr ON d.lang = fr.lang
+      WHERE ('0x' || substr(md5('temp:' || d.doc_id::VARCHAR), 1, 15))
+              ::BIGINT % 1000 < fr.permille)
+    SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+           min(doc_id) AS first_id, max(doc_id) AS last_id
+    FROM kept GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -2875,6 +2924,7 @@ QUERIES = {
     "x54_unigram_logprob": _x54_unigram_logprob,
     "x55_bpe_train": _x55_bpe_train,
     "x56_domain_stats": _x56_domain_stats,
+    "x57_temperature_resample": _x57_temperature_resample,
 }
 
 ORACLES = {
@@ -2934,4 +2984,5 @@ ORACLES = {
     "x54_unigram_logprob": _X54_SQL,
     "x55_bpe_train": _X55_SQL,
     "x56_domain_stats": _X56_SQL,
+    "x57_temperature_resample": _X57_SQL,
 }

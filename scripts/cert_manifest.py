@@ -143,6 +143,8 @@ _X_DEPS = {
     "x55_bpe_train": [f"{_OPS}/bpe.py", f"{_OPS}/text.py",
                       f"{_OPS}/dedup.py"] + _MEMO,
     "x56_domain_stats": [f"{_OPS}/web.py", f"{_OPS}/text.py"],
+    "x57_temperature_resample": [f"{_OPS}/mixture.py", f"{_OPS}/packing.py",
+                                 f"{_OPS}/text.py"],
 }
 DEPS.update(_X_DEPS)
 

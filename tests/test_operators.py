@@ -2038,3 +2038,51 @@ def test_semantic_pairs_blocked_equals_plain(emb):
         blocked = key(semdedup.semantic_candidate_pairs(
             emb, cents, threshold=0.35, block_parts=B))
         assert blocked == plain, f"block_parts={B}"
+
+
+# ---------------------------------------------------------------------------
+# mixture: temperature-based resampling
+# ---------------------------------------------------------------------------
+
+def test_temperature_targets_math(spark):
+    """T=1 reproduces the observed distribution; T=2 flattens toward
+    uniform (rare strata gain weight, common strata lose); weights
+    always normalize to 1."""
+    from openapc_olap_spark.operators import mixture
+
+    rows = [("en",)] * 80 + [("de",)] * 15 + [("fr",)] * 5
+    df = spark.createDataFrame(rows, ["lang"])
+    t1 = mixture.temperature_targets(df, "lang", 1.0)
+    assert t1["en"] == pytest.approx(0.80)
+    assert t1["fr"] == pytest.approx(0.05)
+    t2 = mixture.temperature_targets(df, "lang", 2.0)
+    assert sum(t2.values()) == pytest.approx(1.0)
+    assert t2["en"] < t1["en"] and t2["fr"] > t1["fr"]
+    tbig = mixture.temperature_targets(df, "lang", 1000.0)
+    assert tbig["en"] == pytest.approx(1 / 3, rel=1e-2)   # ~uniform
+
+
+def test_temperature_resample_keeps_rarest_whole(spark):
+    """The rarest stratum is never downsampled (largest t_s/n_s sets the
+    feasibility cap); common strata shrink toward the flattened mix."""
+    from openapc_olap_spark.operators import mixture
+
+    rows = [(i, "en") for i in range(400)] + \
+           [(i + 1000, "fr") for i in range(25)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = mixture.temperature_resample(df, "lang", temperature=2.0)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["fr"] == 25                       # kept whole
+    # en target/fr target = sqrt(400/25) = 4 -> en kept ~100 of 400
+    assert 80 <= got["en"] <= 120
+
+
+def test_temperature_validation(spark):
+    from openapc_olap_spark.operators import mixture
+
+    df = spark.createDataFrame([("en",)], ["lang"])
+    with pytest.raises(ValueError):
+        mixture.temperature_targets(df, "lang", 0.0)
+    assert mixture.temperature_targets(df.filter("lang <> 'en'"),
+                                       "lang", 2.0) == {}
