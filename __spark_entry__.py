@@ -455,6 +455,7 @@ _CERT_PENDING = [
     "x55_bpe_train",
     "x56_domain_stats",
     "x57_temperature_resample",
+    "x58_bigram_logprob",
 ]
 _CERT_TAIL = [
     # previously hash-certified; modules untouched in r05 (enforced by

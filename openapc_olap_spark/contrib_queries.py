@@ -2867,6 +2867,54 @@ _X57_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X58: bigram LM scoring (conditional mean log-probability)
+# ---------------------------------------------------------------------------
+
+def _x58_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lm.doc_mean_bigram_logprob``: add-1-smoothed bigram model
+    (self-trained), every odd-id document scored by mean conditional
+    token ln-probability. Same determinism discipline as x54 — the
+    per-doc sum folds in bigram-sorted order on both engines."""
+    from openapc_olap_spark.operators import lm
+
+    docs = _docs_split(spark, sf_dir)
+    scored = lm.doc_mean_bigram_logprob(docs, round_to=6)
+    return (scored.filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "n_bigrams", "mean_logprob"))
+
+
+_X58_BG_SQL = ("list_transform(range(1, len(toks)),"
+               " i -> toks[i] || ' ' || toks[i+1])")
+
+_X58_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    uni AS (
+      SELECT token, count(*) AS c FROM
+        (SELECT unnest(toks) AS token FROM s) GROUP BY 1),
+    v AS (SELECT count(*) AS v FROM uni),
+    bgm AS (
+      SELECT bg, count(*) AS c FROM
+        (SELECT unnest({_X58_BG_SQL}) AS bg FROM s) GROUP BY 1),
+    per AS (
+      SELECT doc_id, bg, count(*) AS n FROM
+        (SELECT doc_id, unnest({_X58_BG_SQL}) AS bg FROM s) GROUP BY 1, 2),
+    contrib AS (
+      SELECT p.doc_id, p.bg, p.n,
+             p.n * ln((coalesce(b.c, 0) + 1.0)
+                      / (coalesce(u.c, 0) + 1.0 * (v.v + 1))) AS contrib
+      FROM per p
+      LEFT JOIN bgm b USING (bg)
+      LEFT JOIN uni u ON u.token = split_part(p.bg, ' ', 1)
+      CROSS JOIN v)
+    SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+           round(list_reduce(list(contrib ORDER BY bg), (a, b) -> a + b)
+                 / sum(n), 6) AS mean_logprob
+    FROM contrib WHERE doc_id % 2 = 1 GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -2925,6 +2973,7 @@ QUERIES = {
     "x55_bpe_train": _x55_bpe_train,
     "x56_domain_stats": _x56_domain_stats,
     "x57_temperature_resample": _x57_temperature_resample,
+    "x58_bigram_logprob": _x58_bigram_logprob,
 }
 
 ORACLES = {
@@ -2985,4 +3034,5 @@ ORACLES = {
     "x55_bpe_train": _X55_SQL,
     "x56_domain_stats": _X56_SQL,
     "x57_temperature_resample": _X57_SQL,
+    "x58_bigram_logprob": _X58_SQL,
 }

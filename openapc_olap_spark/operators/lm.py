@@ -89,3 +89,85 @@ def doc_mean_logprob(df: DataFrame, model: DataFrame | None = None,
     return (joined.groupBy(id_col)
             .agg(F.sum("n").alias("n_tokens"),
                  score.alias("mean_logprob")))
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text",
+                  min_count: int = 1) -> DataFrame:
+    """(prev, token, count) over adjacent in-document token pairs — the
+    bigram model's sufficient statistic (no BOS/EOS markers: interior
+    bigrams only, so single-token documents contribute nothing). One
+    map-side-combined aggregation; output is bigram-vocabulary-sized and
+    ``min_count`` prunes the long tail (the usual broadcastability
+    lever — observed bigrams grow with the corpus far slower than
+    tokens)."""
+    toks = text.tokens(text_col)
+    n = F.size(toks)
+    pairs = F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("token")))
+    ).otherwise(F.array().cast("array<struct<prev:string,token:string>>"))
+    counts = (df.select(F.explode(pairs).alias("bg"))
+              .groupBy("bg.prev", "bg.token")
+              .agg(F.count(F.lit(1)).alias("count")))
+    if min_count > 1:
+        counts = counts.filter(F.col("count") >= min_count)
+    return counts
+
+
+def doc_mean_bigram_logprob(df: DataFrame,
+                            bigram_model: DataFrame | None = None,
+                            unigram_model: DataFrame | None = None,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            smoothing_k: float = 1.0,
+                            round_to: int | None = None) -> DataFrame:
+    """Per-document mean conditional ln-probability under an add-k bigram
+    model: (id_col, n_bigrams, mean_logprob). Documents with fewer than
+    two tokens emit no row.
+
+    p(t | prev) = (c(prev, t) + k) / (c(prev) + k * (V + 1)) with V the
+    UNIGRAM vocabulary size — each context's distribution smooths over
+    the full vocabulary plus one OOV slot, so unseen contexts score
+    ln(k / (k * (V + 1))) = -ln(V + 1) per token. Both models default to
+    self-training on ``df``; pass pre-trained frames to score against a
+    reference corpus. Same determinism discipline as doc_mean_logprob:
+    per-(doc, distinct bigram) pre-aggregation, broadcast model joins,
+    and a bigram-sorted fold for the final sum."""
+    if bigram_model is None:
+        bigram_model = bigram_counts(df, text_col)
+    if unigram_model is None:
+        unigram_model = unigram_counts(df, text_col)
+    vocab = int(unigram_model.agg(
+        F.count(F.lit(1)).alias("v")).first()["v"] or 0)
+
+    toks = text.tokens(text_col)
+    n = F.size(toks)
+    pairs = F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("token")))
+    ).otherwise(F.array().cast("array<struct<prev:string,token:string>>"))
+    per = (df.select(F.col(id_col), F.explode(pairs).alias("bg"))
+           .groupBy(id_col, "bg.prev", "bg.token")
+           .agg(F.count(F.lit(1)).alias("n")))
+    bgm = bigram_model.select("prev", "token",
+                              F.col("count").alias("__cbg"))
+    ugm = unigram_model.select(F.col("token").alias("prev"),
+                               F.col("count").alias("__cprev"))
+    logp = F.log(
+        (F.coalesce(F.col("__cbg"), F.lit(0)) + F.lit(smoothing_k))
+        / (F.coalesce(F.col("__cprev"), F.lit(0))
+           + F.lit(smoothing_k * (vocab + 1))))
+    joined = (per.join(F.broadcast(bgm), ["prev", "token"], "left")
+              .join(F.broadcast(ugm), ["prev"], "left")
+              .select(F.col(id_col),
+                      F.concat("prev", F.lit(" "), "token").alias("__bg"),
+                      F.col("n"), (F.col("n") * logp).alias("contrib")))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("__bg", "contrib"))),
+        lambda s: s["contrib"])
+    total = F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
+    score = total / F.sum("n")
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (joined.groupBy(id_col)
+            .agg(F.sum("n").alias("n_bigrams"),
+                 score.alias("mean_logprob")))

@@ -145,6 +145,7 @@ _X_DEPS = {
     "x56_domain_stats": [f"{_OPS}/web.py", f"{_OPS}/text.py"],
     "x57_temperature_resample": [f"{_OPS}/mixture.py", f"{_OPS}/packing.py",
                                  f"{_OPS}/text.py"],
+    "x58_bigram_logprob": [f"{_OPS}/lm.py", f"{_OPS}/text.py"],
 }
 DEPS.update(_X_DEPS)
 

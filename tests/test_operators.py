@@ -2086,3 +2086,37 @@ def test_temperature_validation(spark):
         mixture.temperature_targets(df, "lang", 0.0)
     assert mixture.temperature_targets(df.filter("lang <> 'en'"),
                                        "lang", 2.0) == {}
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Corpus 'a b a b' / 'b a' / 'x': c(a,b)=2, c(b,a)=2, c(a)=c(b)=3,
+    V=3, denom=c(prev)+4 -> every bigram scores ln(3/7)."""
+    import math
+
+    from openapc_olap_spark.operators import lm
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "x")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in lm.doc_mean_bigram_logprob(df).collect()}
+    assert set(got) == {1, 2}                # doc 3 has no bigrams
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["mean_logprob"] == pytest.approx(math.log(3 / 7))
+    assert got[2]["mean_logprob"] == pytest.approx(math.log(3 / 7))
+
+
+def test_bigram_unseen_context_scores_oov(spark):
+    """Unseen (prev, token) AND unseen prev: p = k / (k*(V+1)) ->
+    -ln(V+1); a fluent in-model doc scores strictly higher."""
+    import math
+
+    from openapc_olap_spark.operators import lm
+
+    ref = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    bg = lm.bigram_counts(ref)
+    ug = lm.unigram_counts(ref)
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "zz qq")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["mean_logprob"] for r in
+           lm.doc_mean_bigram_logprob(score, bg, ug).collect()}
+    assert got[11] == pytest.approx(-math.log(3))   # V=2 -> ln(1/3)
+    assert got[10] > got[11]
