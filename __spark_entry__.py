@@ -456,6 +456,7 @@ _CERT_PENDING = [
     "x56_domain_stats",
     "x57_temperature_resample",
     "x58_bigram_logprob",
+    "x59_cluster_outliers",
 ]
 _CERT_TAIL = [
     # previously hash-certified; modules untouched in r05 (enforced by

@@ -2915,6 +2915,53 @@ _X58_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X59: embedding cluster-outlier filter (centroid-cosine z-cut)
+# ---------------------------------------------------------------------------
+
+def _x59_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``semdedup.cluster_outliers`` at z=1.5 over the first-8
+    deterministic centroids: per cluster, member count, flagged-outlier
+    count, and the rounded mean centroid cosine — assignment, the cosine,
+    the per-cluster stats, and every row's z-cut flag all sit under the
+    hash."""
+    from openapc_olap_spark.operators import semdedup
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = [[float(x) for x in r["embedding"]]
+             for r in emb.orderBy("vec_id").limit(8).collect()]
+    out = semdedup.cluster_outliers(emb, cents, z=1.5)
+    return (out.groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+                 F.round(F.avg("centroid_cos"), 6).alias("mean_cos")))
+
+
+_X59_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM e ORDER BY vec_id LIMIT 8),
+    d AS (
+      SELECT e.vec_id, e.v, c.cid, c.c,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               {_SQDIST.format(c='c.c', v='e.v')}, c.cid) AS rn
+      FROM e CROSS JOIN cents c),
+    a AS (
+      SELECT vec_id, cid, {_sql_cos('v', 'c')} AS cc
+      FROM d WHERE rn = 1),
+    st AS (
+      SELECT cid, avg(cc) AS m, stddev_samp(cc) AS s
+      FROM a GROUP BY 1)
+    SELECT a.cid AS list_id, count(*) AS n_members,
+           sum(CASE WHEN st.s IS NOT NULL AND a.cc < st.m - 1.5 * st.s
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           round(avg(a.cc), 6) AS mean_cos
+    FROM a JOIN st USING (cid) GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -2974,6 +3021,7 @@ QUERIES = {
     "x56_domain_stats": _x56_domain_stats,
     "x57_temperature_resample": _x57_temperature_resample,
     "x58_bigram_logprob": _x58_bigram_logprob,
+    "x59_cluster_outliers": _x59_cluster_outliers,
 }
 
 ORACLES = {
@@ -3035,4 +3083,5 @@ ORACLES = {
     "x56_domain_stats": _X56_SQL,
     "x57_temperature_resample": _X57_SQL,
     "x58_bigram_logprob": _X58_SQL,
+    "x59_cluster_outliers": _X59_SQL,
 }

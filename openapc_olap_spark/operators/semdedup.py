@@ -124,3 +124,46 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
                                      block_parts)
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, [id_col], "left_anti")
+
+
+def with_centroid_cosine(df: DataFrame, centroids: list[list[float]],
+                         vec_col: str = "embedding") -> DataFrame:
+    """Attach ``list_id`` and ``centroid_cos`` (cosine of each vector to
+    its assigned centroid) — the per-row quality signal of an embedding
+    space (low cosine = far from every centroid = off-distribution).
+    Pure expressions: assignment argmin + one element_at into the literal
+    centroid array; no shuffle."""
+    from openapc_olap_spark.operators.similarity import (_as_double_array,
+                                                         cosine)
+
+    assigned = ivf_assign(df, centroids, vec_col)
+    cents = F.array(*[_as_double_array(c) for c in centroids])
+    own = F.element_at(cents, F.col("list_id") + 1)
+    return assigned.withColumn(
+        "centroid_cos",
+        cosine(F.col(vec_col).cast("array<double>"), own))
+
+
+def cluster_outliers(df: DataFrame, centroids: list[list[float]],
+                     z: float = 2.0, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Flag embedding outliers per cluster: rows whose centroid cosine
+    falls more than ``z`` sample-stddevs below their cluster's mean get
+    ``is_outlier`` = true (single-member clusters never flag — stddev is
+    undefined). The filter-side twin of semantic dedup: dedup drops the
+    too-similar, this drops the too-far (corrupt vectors, wrong-modality
+    rows, encoder failures).
+
+    100 TB posture: one scan for the per-row cosine, one
+    cluster-cardinality aggregate, one broadcast join of k stat rows back
+    onto the scan. Nothing corpus-sized shuffles."""
+    scored = with_centroid_cosine(df, centroids, vec_col)
+    stats = (scored.groupBy("list_id")
+             .agg(F.avg("centroid_cos").alias("__mean"),
+                  F.stddev("centroid_cos").alias("__std")))
+    cut = F.col("__mean") - F.lit(z) * F.col("__std")
+    return (scored.join(F.broadcast(stats), ["list_id"])
+            .withColumn("is_outlier",
+                        F.when(F.col("__std").isNull(), F.lit(False))
+                        .otherwise(F.col("centroid_cos") < cut))
+            .drop("__mean", "__std"))

@@ -146,6 +146,8 @@ _X_DEPS = {
     "x57_temperature_resample": [f"{_OPS}/mixture.py", f"{_OPS}/packing.py",
                                  f"{_OPS}/text.py"],
     "x58_bigram_logprob": [f"{_OPS}/lm.py", f"{_OPS}/text.py"],
+    "x59_cluster_outliers": [f"{_OPS}/semdedup.py", f"{_OPS}/similarity.py",
+                             f"{_OPS}/dedup.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

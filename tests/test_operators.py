@@ -2120,3 +2120,37 @@ def test_bigram_unseen_context_scores_oov(spark):
            lm.doc_mean_bigram_logprob(score, bg, ug).collect()}
     assert got[11] == pytest.approx(-math.log(3))   # V=2 -> ln(1/3)
     assert got[10] > got[11]
+
+
+def test_cluster_outliers_flags_planted_outlier(spark):
+    """A cluster of near-identical vectors plus one far vector: the far
+    vector is flagged; a single-member cluster never flags (stddev
+    undefined)."""
+    from openapc_olap_spark.operators import semdedup
+
+    base = [1.0, 0.0, 0.0]
+    rows = [(i, [1.0, 0.01 * i, 0.0]) for i in range(8)]     # tight cluster
+    rows.append((99, [0.2, 0.98, 0.0]))                      # planted outlier
+    rows.append((500, [0.0, 0.0, 1.0]))                      # lone cluster
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [base, [0.0, 0.0, 1.0]]
+    out = {r["vec_id"]: r for r in
+           semdedup.cluster_outliers(df, cents, z=1.5).collect()}
+    assert out[99]["is_outlier"] is True
+    assert out[500]["is_outlier"] is False      # single-member cluster
+    assert not any(out[i]["is_outlier"] for i in range(8))
+    assert out[99]["list_id"] == 0 and out[500]["list_id"] == 1
+
+
+def test_with_centroid_cosine_values(spark):
+    from openapc_olap_spark.operators import semdedup
+
+    df = spark.createDataFrame([(1, [2.0, 0.0]), (2, [0.0, 3.0])],
+                               ["vec_id", "embedding"])
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = {r["vec_id"]: r for r in
+           semdedup.with_centroid_cosine(df, cents).collect()}
+    assert got[1]["list_id"] == 0
+    assert got[1]["centroid_cos"] == pytest.approx(1.0)
+    assert got[2]["list_id"] == 1
+    assert got[2]["centroid_cos"] == pytest.approx(1.0)
