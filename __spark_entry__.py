@@ -457,6 +457,7 @@ _CERT_PENDING = [
     "x57_temperature_resample",
     "x58_bigram_logprob",
     "x59_cluster_outliers",
+    "x60_stream_stream_join",
 ]
 _CERT_TAIL = [
     # previously hash-certified; modules untouched in r05 (enforced by

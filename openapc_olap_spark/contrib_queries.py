@@ -2962,6 +2962,57 @@ _X59_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X60: watermarked stream-stream interval join (click -> purchase attribution)
+# ---------------------------------------------------------------------------
+
+def _x60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming.joins.interval_join_streams``: purchases joined to the
+    same user's click within the following hour, driven through the REAL
+    stream-stream path — two watermarked readStream sources, time-range
+    join state, availableNow, append-mode memory sink — then rolled up
+    per click-day. The oracle is the equivalent batch inequality join
+    (x38's shape): a single availableNow run can't drop late rows, so
+    the streaming join must equal it bit-for-bit."""
+    from openapc_olap_spark import streaming
+    from openapc_olap_spark.streaming import joins as sj
+
+    d = _stream_dir(sf_dir, "x60_stream", copies=1)
+    clicks = (streaming.read_event_stream(spark, d)
+              .filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    buys = (streaming.read_event_stream(spark, d)
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts", "event_id", "value"))
+    joined = sj.interval_join_streams(clicks, buys, keys=["user_id"],
+                                      within="1 hour",
+                                      watermark="2 hours")
+    streaming.run_to_memory(joined, "x60_stream", output_mode="append")
+    out = spark.table("x60_stream")
+    return (out.groupBy(F.to_date("ts").alias("click_day"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("value_r"), 4).alias("purchase_value"))
+            .select(F.col("click_day").cast("string").alias("click_day"),
+                    "n_pairs", "n_users", "purchase_value"))
+
+
+_X60_SQL = """
+    WITH c AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase')
+    SELECT strftime(c.ts, '%Y-%m-%d') AS click_day,
+           count(*) AS n_pairs,
+           count(DISTINCT c.user_id)::BIGINT AS n_users,
+           round(sum(p.value), 4) AS purchase_value
+    FROM c JOIN p ON c.user_id = p.user_id
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -3022,6 +3073,7 @@ QUERIES = {
     "x57_temperature_resample": _x57_temperature_resample,
     "x58_bigram_logprob": _x58_bigram_logprob,
     "x59_cluster_outliers": _x59_cluster_outliers,
+    "x60_stream_stream_join": _x60_stream_stream_join,
 }
 
 ORACLES = {
@@ -3084,4 +3136,5 @@ ORACLES = {
     "x57_temperature_resample": _X57_SQL,
     "x58_bigram_logprob": _X58_SQL,
     "x59_cluster_outliers": _X59_SQL,
+    "x60_stream_stream_join": _X60_SQL,
 }

@@ -148,6 +148,8 @@ _X_DEPS = {
     "x58_bigram_logprob": [f"{_OPS}/lm.py", f"{_OPS}/text.py"],
     "x59_cluster_outliers": [f"{_OPS}/semdedup.py", f"{_OPS}/similarity.py",
                              f"{_OPS}/dedup.py"] + _MEMO,
+    "x60_stream_stream_join": [f"{_P}/streaming/__init__.py",
+                               f"{_P}/streaming/joins.py"],
 }
 DEPS.update(_X_DEPS)
 

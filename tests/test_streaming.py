@@ -250,3 +250,36 @@ def test_streaming_cms_windows_merge_to_batch_sketch(spark, stream_dir):
         sorted(map(tuple, direct.collect()))
     # and the per-window grids are genuinely windowed (more than one day)
     assert spark.table("t_cms").select("window_start").distinct().count() > 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
+    """The watermarked stream-stream join equals the batch interval join
+    over the same (fully available) input — row-for-row, including
+    payloads from both sides."""
+    from openapc_olap_spark.streaming import joins as sj
+
+    def sides(df):
+        clicks = (df.filter(F.col("event_type") == "click")
+                  .select("user_id", "ts", "event_id"))
+        buys = (df.filter(F.col("event_type") == "purchase")
+                .select("user_id", "ts", "event_id", "value"))
+        return clicks, buys
+
+    sc, sp = sides(streaming.read_event_stream(spark, stream_dir))
+    joined = sj.interval_join_streams(sc, sp, keys=["user_id"],
+                                      within="1 hour", watermark="2 hours")
+    assert joined.isStreaming
+    streaming.run_to_memory(joined, "t_ssjoin", output_mode="append")
+    got = {(r["user_id"], r["event_id"], r["event_id_r"])
+           for r in spark.table("t_ssjoin").collect()}
+
+    ev = load_tables(spark, SF, ["events"])["events"]
+    bc, bp = sides(ev)
+    batch = sj.interval_join_streams(bc, bp, keys=["user_id"],
+                                     within="1 hour", watermark="2 hours")
+    want = {(r["user_id"], r["event_id"], r["event_id_r"])
+            for r in batch.collect()}
+    assert got == want and len(got) > 0
+    # schema carries both payloads, right side suffixed
+    assert {"user_id", "ts", "event_id", "ts_r", "event_id_r", "value_r"} \
+        == set(spark.table("t_ssjoin").columns)
