@@ -2519,9 +2519,7 @@ def _x52_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("split", "n_chunks", "n_docs", "total_tokens"))
 
 
-_X52_SH_SQL = ("list_distinct(list_transform("
-               "generate_series(1, greatest(len(toks) - 2, 0)),"
-               "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))")
+_X52_SH_SQL = _SHINGLES_SQL   # the same distinct word-trigram expression
 
 _X52_SQL = f"""
     WITH base AS (
@@ -2685,7 +2683,7 @@ def _x55_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                .first())
         left, right = top["pair"].split(" ", 1)
         vocab = _materialized(bpe.apply_merge(vocab, left, right))
-        steps.append(vocab.agg(bpe.segment_digest(vocab).alias("digest"))
+        steps.append(vocab.agg(bpe.segment_digest().alias("digest"))
                      .select(F.lit(step).alias("step"),
                              F.lit(top["pair"]).alias("pair"),
                              F.lit(int(top["cnt"])).cast("long")
@@ -2949,7 +2947,10 @@ _X59_SQL = f"""
                {_SQDIST.format(c='c.c', v='e.v')}, c.cid) AS rn
       FROM e CROSS JOIN cents c),
     a AS (
-      SELECT vec_id, cid, {_sql_cos('v', 'c')} AS cc
+      SELECT vec_id, cid,
+             CASE WHEN sqrt(list_dot_product(v, v))
+                       * sqrt(list_dot_product(c, c)) > 0
+                  THEN {_sql_cos('v', 'c')} ELSE 0.0 END AS cc
       FROM d WHERE rn = 1),
     st AS (
       SELECT cid, avg(cc) AS m, stddev_samp(cc) AS s

@@ -113,10 +113,11 @@ def bpe_train(df: DataFrame, num_merges: int,
     return merges, vocab
 
 
-def segment_digest(vocab: DataFrame, word_col: str = "word",
-                   symbols_col: str = "symbols") -> Column :
-    """Aggregate md5 over the full (word -> segmentation) map, word-sorted
-    — collapses the whole vocabulary state to one certifiable value."""
+def segment_digest(word_col: str = "word",
+                   symbols_col: str = "symbols") -> Column:
+    """Aggregate md5 over the full (word -> segmentation) map, entry-sorted
+    — collapses the whole vocabulary state to one certifiable value. A
+    Column expression: apply it with ``vocab.agg(segment_digest())``."""
     entry = F.concat(F.col(word_col), F.lit(":"),
                      F.array_join(F.col(symbols_col), " "))
     return F.md5(F.array_join(F.array_sort(F.collect_list(entry)), "|"))

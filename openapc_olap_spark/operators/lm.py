@@ -61,7 +61,11 @@ def doc_mean_logprob(df: DataFrame, model: DataFrame | None = None,
     corpus (the fastText/KenLM filtering setup).
     """
     if model is None:
-        model = unigram_counts(df, text_col)
+        from openapc_olap_spark.operators.dedup import _materialized
+        # the model frame is consumed twice (the N/V scalar agg below AND
+        # the broadcast scoring join) — cache it or the corpus-sized token
+        # count runs twice
+        model = _materialized(unigram_counts(df, text_col))
     stats = model.agg(F.sum("count").alias("n"),
                       F.count(F.lit(1)).alias("v")).first()
     n_total = int(stats["n"] or 0)
@@ -135,7 +139,10 @@ def doc_mean_bigram_logprob(df: DataFrame,
     if bigram_model is None:
         bigram_model = bigram_counts(df, text_col)
     if unigram_model is None:
-        unigram_model = unigram_counts(df, text_col)
+        from openapc_olap_spark.operators.dedup import _materialized
+        # consumed twice (vocab-size agg + the context join) — cache, or
+        # the corpus token count runs twice
+        unigram_model = _materialized(unigram_counts(df, text_col))
     vocab = int(unigram_model.agg(
         F.count(F.lit(1)).alias("v")).first()["v"] or 0)
 

@@ -30,11 +30,19 @@ from openapc_olap_spark.operators import packing
 
 
 def temperature_targets(df: DataFrame, strata_col: str,
-                        temperature: float) -> dict[str, float]:
+                        temperature: float,
+                        normalize: bool = True) -> dict[str, float]:
     """Target mixture weights t_s ∝ (n_s / N)^(1/temperature) over the
     observed strata. temperature=1 reproduces the corpus distribution;
     temperature→∞ approaches uniform; 0<T<1 sharpens the head. One
-    stratum-sized aggregate (tiny collect, like reading a codebook)."""
+    stratum-sized aggregate (tiny collect, like reading a codebook).
+
+    ``normalize=False`` returns the RAW p^(1/T) weights: pass those to
+    mixture_fractions/rebalance_mixture, which normalize once themselves
+    (with a sorted-key fold) — normalizing here too would divide by two
+    different float sums, and the double rounding can flip a permille
+    floor at a rate boundary (found by replaying the arithmetic against
+    the x57 SQL oracle over random stratum sets)."""
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0: {temperature}")
     counts = {r[strata_col]: r["n"]
@@ -44,10 +52,10 @@ def temperature_targets(df: DataFrame, strata_col: str,
     if n == 0:
         return {}
     w = {k: (c / n) ** (1.0 / temperature) for k, c in counts.items()}
-    # normalize with a SORTED-key summation: double addition is
-    # order-sensitive, and collect() order is not deterministic — the
-    # sorted fold makes the targets identical across runs AND replicable
-    # by an ORDER BY fold in SQL
+    if not normalize:
+        return w
+    # sorted-key fold: deterministic across runs, replicable by an
+    # ORDER BY fold in SQL (double addition is order-sensitive)
     z = 0.0
     for k in sorted(w):
         z += w[k]
@@ -63,6 +71,7 @@ def temperature_resample(df: DataFrame, strata_col: str,
     reading of temperature sampling (epoch-level resampling schemes
     upsample instead; at 100 TB you downsample the head, not copy the
     tail)."""
-    targets = temperature_targets(df, strata_col, temperature)
+    targets = temperature_targets(df, strata_col, temperature,
+                                  normalize=False)
     return packing.rebalance_mixture(df, strata_col, targets,
                                      id_col=id_col, salt=salt)

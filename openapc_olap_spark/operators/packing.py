@@ -177,7 +177,13 @@ def mixture_fractions(df: DataFrame, strata_col: str,
 
     The aggregation is stratum-sized (one tiny collect — like reading a
     trained codebook); the actual data never moves here."""
-    total = sum(targets.values())
+    # normalize with a SORTED-key fold: double addition is order-sensitive
+    # and dict/collect order is not deterministic, so an unsorted sum can
+    # flip a permille floor at a rate boundary between runs (and against
+    # the SQL oracle, which folds in ORDER BY)
+    total = 0.0
+    for k in sorted(targets):
+        total += targets[k]
     if total <= 0:
         raise ValueError("targets must have positive total weight")
     t = {k: v / total for k, v in targets.items()}
