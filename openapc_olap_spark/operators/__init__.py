@@ -11,20 +11,25 @@ genuinely needed (multimodal decode); never row-at-a-time Python.
 
 from openapc_olap_spark.operators import (  # noqa: F401
     bloom,
+    bpe,
     chunking,
     curation,
     decontam,
     dedup,
+    lm,
+    mixture,
     multimodal,
     packing,
     pipeline,
     profile,
     quantize,
     ranking,
+    semdedup,
     similarity,
     sketches,
     skew,
     text,
     tfidf,
+    web,
     windows,
 )

@@ -23,18 +23,31 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
                           keys: list[str], within: str,
                           watermark: str,
                           left_ts: str = "ts", right_ts: str = "ts",
-                          suffix: str = "_r") -> DataFrame:
-    """Inner-join two streams on ``keys`` where the right event lands in
+                          suffix: str = "_r",
+                          how: str = "inner") -> DataFrame:
+    """Join two streams on ``keys`` where the right event lands in
     [left_ts, left_ts + within]. Both streams get ``watermark``; state
     held per side is bounded by watermark + within (the engine evicts a
     buffered left row once no right row within the interval can still
     arrive, and vice versa).
+
+    ``how='left_outer'`` additionally emits unmatched left rows (right
+    payload NULL) once the watermark proves no match can arrive — the
+    attribution-with-nulls shape ("clicks that never converted"). Outer
+    NULLs are inherently watermark-delayed: a left row's NULL is emitted
+    only after the watermark passes its interval, so rows inside the
+    FINAL watermark+within horizon of a bounded run are still buffered
+    when the query stops and their NULLs are never flushed (matched
+    pairs are complete; only tail-horizon non-matches are withheld —
+    the documented engine semantics, asserted in tests).
 
     Right-side non-key columns are renamed with ``suffix`` so the joined
     row keeps both event payloads without ambiguity. Works identically on
     batch frames (no watermark applied) — the batch result is the oracle
     for the streaming path (x60).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type: {how!r}")
     streaming = left.isStreaming or right.isStreaming
     if streaming:
         left = left.withWatermark(left_ts, watermark)
@@ -53,7 +66,7 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
             & (F.col(f"r.{rts}") >= F.col(f"l.{left_ts}"))
             & (F.col(f"r.{rts}") <= F.col(f"l.{left_ts}")
                + F.expr(f"INTERVAL {within}")))
-    joined = l.join(r, cond)
+    joined = l.join(r, cond, how)
     # drop the duplicated key columns from the right side
     return joined.select(
         *[F.col(f"l.{c}") for c in left.columns],

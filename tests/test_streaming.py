@@ -283,3 +283,59 @@ def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
     # schema carries both payloads, right side suffixed
     assert {"user_id", "ts", "event_id", "ts_r", "event_id_r", "value_r"} \
         == set(spark.table("t_ssjoin").columns)
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, stream_dir):
+    """left_outer emits unmatched clicks with NULL right payload. Matched
+    pairs equal the batch left join exactly; NULL emissions equal it for
+    every click OUTSIDE the final watermark+interval horizon (rows inside
+    it are still buffered when a bounded run stops — the documented
+    streaming outer-join semantics)."""
+    from openapc_olap_spark.streaming import joins as sj
+
+    def sides(df):
+        clicks = (df.filter(F.col("event_type") == "click")
+                  .select("user_id", "ts", "event_id"))
+        buys = (df.filter(F.col("event_type") == "purchase")
+                .select("user_id", "ts", "event_id", "value"))
+        return clicks, buys
+
+    sc, sp = sides(streaming.read_event_stream(spark, stream_dir))
+    joined = sj.interval_join_streams(sc, sp, keys=["user_id"],
+                                      within="1 hour", watermark="2 hours",
+                                      how="left_outer")
+    streaming.run_to_memory(joined, "t_ssjoin_lo", output_mode="append")
+    got = {(r["user_id"], r["event_id"], r["event_id_r"])
+           for r in spark.table("t_ssjoin_lo").collect()}
+
+    ev = load_tables(spark, SF, ["events"])["events"]
+    bc, bp = sides(ev)
+    batch = sj.interval_join_streams(bc, bp, keys=["user_id"],
+                                     within="1 hour", watermark="2 hours",
+                                     how="left_outer")
+    want = {(r["user_id"], r["event_id"], r["event_id_r"])
+            for r in batch.collect()}
+    assert got <= want                   # streaming never invents rows
+    # matched pairs are complete
+    assert {t for t in got if t[2] is not None} == \
+        {t for t in want if t[2] is not None}
+    # withheld rows are all NULL-side and sit in the stream's final
+    # eviction horizon (watermark + interval, plus a microbatch of state-
+    # cleanup lag — use 2x as the conservative bound on the engine's
+    # internals)
+    import datetime
+
+    ev = load_tables(spark, SF, ["events"])["events"]
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(hours=6)   # 2 * (2h wm + 1h)
+    late_ids = {r["event_id"] for r in
+                ev.filter(F.col("ts") > horizon).collect()}
+    withheld = want - got
+    assert withheld                                   # the case is real
+    assert all(t[2] is None and t[1] in late_ids for t in withheld)
+    unmatched = {t for t in got if t[2] is None}
+    assert unmatched and len(got) > len(unmatched)   # both kinds present
+
+    with pytest.raises(ValueError):
+        sj.interval_join_streams(sc, sp, keys=["user_id"], within="1 hour",
+                                 watermark="2 hours", how="full_outer")
