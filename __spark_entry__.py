@@ -458,6 +458,7 @@ _CERT_PENDING = [
     "x58_bigram_logprob",
     "x59_cluster_outliers",
     "x60_stream_stream_join",
+    "x61_bpe_encode",
 ]
 _CERT_TAIL = [
     # previously hash-certified; modules untouched in r05 (enforced by

@@ -3014,6 +3014,60 @@ _X60_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X61: BPE encoding (inference with the trained vocabulary)
+# ---------------------------------------------------------------------------
+
+def _x61_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bpe.bpe_encode`` with the x55-trained 3-merge vocabulary: every
+    even-id document segmented via the broadcast word->symbols join, with
+    an md5 digest of the exact space-joined token sequence — order,
+    segmentation, and the char fallback all under the hash. The oracle
+    replays the 3 training iterations (the x55 CTE chain) and the
+    position-ordered reassembly."""
+    from openapc_olap_spark.operators import bpe
+    from openapc_olap_spark.operators.dedup import _materialized
+
+    docs = _docs_split(spark, sf_dir)
+    vocab = _materialized(
+        bpe.with_initial_symbols(bpe.word_counts(docs)))
+    for _ in range(3):
+        top = (bpe.pair_counts(vocab)
+               .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+               .first())
+        left, right = top["pair"].split(" ", 1)
+        vocab = _materialized(bpe.apply_merge(vocab, left, right))
+    enc = bpe.bpe_encode(docs, vocab)
+    return (enc.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "n_bpe_tokens",
+                    F.md5(F.array_join("bpe_tokens", " ")).alias("digest")))
+
+
+_X61_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    v0 AS (
+      SELECT word, count(*) AS wc, string_split(word, '') AS s FROM
+        (SELECT unnest(toks) AS word FROM t) GROUP BY 1),
+    {_x55_iter_sql('v0', 'm1', 'v1', 'd1')},
+    {_x55_iter_sql('v1', 'm2', 'v2', 'd2')},
+    {_x55_iter_sql('v2', 'm3', 'v3', 'd3')},
+    pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks
+      FROM t WHERE doc_id % 2 = 0),
+    words AS (SELECT doc_id, p, toks[p] AS word FROM pos),
+    enc AS (
+      SELECT w.doc_id, w.p,
+             coalesce(v.s, string_split(w.word, '')) AS seg
+      FROM words w LEFT JOIN v3 v ON v.word = w.word),
+    assembled AS (
+      SELECT doc_id, flatten(list(seg ORDER BY p)) AS bt
+      FROM enc GROUP BY 1)
+    SELECT doc_id, len(bt) AS n_bpe_tokens,
+           md5(array_to_string(bt, ' ')) AS digest
+    FROM assembled
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -3075,6 +3129,7 @@ QUERIES = {
     "x58_bigram_logprob": _x58_bigram_logprob,
     "x59_cluster_outliers": _x59_cluster_outliers,
     "x60_stream_stream_join": _x60_stream_stream_join,
+    "x61_bpe_encode": _x61_bpe_encode,
 }
 
 ORACLES = {
@@ -3138,4 +3193,5 @@ ORACLES = {
     "x58_bigram_logprob": _X58_SQL,
     "x59_cluster_outliers": _X59_SQL,
     "x60_stream_stream_join": _X60_SQL,
+    "x61_bpe_encode": _X61_SQL,
 }

@@ -121,3 +121,36 @@ def segment_digest(word_col: str = "word",
     entry = F.concat(F.col(word_col), F.lit(":"),
                      F.array_join(F.col(symbols_col), " "))
     return F.md5(F.array_join(F.array_sort(F.collect_list(entry)), "|"))
+
+
+def bpe_encode(df: DataFrame, vocab: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Segment documents with a TRAINED vocabulary (the inference half of
+    BPE): (id_col, bpe_tokens array<string>, n_bpe_tokens).
+
+    Spark-first design: instead of replaying the merge list per token
+    occurrence (a per-row loop over potentially 30k+ merges), each
+    document's words join the trained ``vocab`` frame's final ``symbols``
+    on the word itself — one broadcast join at (doc, position) grain.
+    Words absent from the vocabulary fall back to character symbols
+    (their true BPE segmentation under a merge list that never saw them
+    can only merge pairs learned from OTHER words; the char fallback is
+    the conservative floor and keeps the operator join-shaped — route
+    OOV-heavy corpora through bpe_train on their own text instead).
+
+    Order is preserved by carrying the token position through the join
+    and re-assembling with a position-sorted fold — no window, no second
+    shuffle beyond the per-doc collect."""
+    toks = text.tokens(text_col)
+    per = (df.select(F.col(id_col),
+                     F.posexplode(toks).alias("__pos", "word")))
+    seg = vocab.select("word", F.col("symbols").alias("__seg"))
+    joined = (per.join(F.broadcast(seg), ["word"], "left")
+              .withColumn("__seg", F.coalesce(F.col("__seg"),
+                                              F.split("word", ""))))
+    ordered = F.flatten(F.transform(
+        F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+        lambda s: s["__seg"]))
+    return (joined.groupBy(id_col)
+            .agg(ordered.alias("bpe_tokens"))
+            .withColumn("n_bpe_tokens", F.size("bpe_tokens")))

@@ -150,6 +150,8 @@ _X_DEPS = {
                              f"{_OPS}/dedup.py"] + _MEMO,
     "x60_stream_stream_join": [f"{_P}/streaming/__init__.py",
                                f"{_P}/streaming/joins.py"],
+    "x61_bpe_encode": [f"{_OPS}/bpe.py", f"{_OPS}/text.py",
+                       f"{_OPS}/dedup.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

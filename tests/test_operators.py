@@ -2154,3 +2154,33 @@ def test_with_centroid_cosine_values(spark):
     assert got[1]["centroid_cos"] == pytest.approx(1.0)
     assert got[2]["list_id"] == 1
     assert got[2]["centroid_cos"] == pytest.approx(1.0)
+
+
+def test_bpe_encode_uses_trained_segmentation_and_char_fallback(spark):
+    from openapc_olap_spark.operators import bpe
+
+    train = spark.createDataFrame(
+        [(1, "low lower lowest low low newer newest"),
+         (2, "wider new newer low")], ["doc_id", "text"])
+    _, vocab = bpe.bpe_train(train, 3)
+    enc = bpe.bpe_encode(
+        spark.createDataFrame([(7, "low lower unknown"), (8, "  ")],
+                              ["doc_id", "text"]), vocab)
+    got = {r["doc_id"]: r for r in enc.collect()}
+    assert list(got[7]["bpe_tokens"]) == \
+        ["low", "low", "er", "u", "n", "k", "n", "o", "w", "n"]
+    assert got[7]["n_bpe_tokens"] == 10
+    assert 8 not in got                      # token-less doc emits no row
+
+
+def test_bpe_encode_preserves_order_across_duplicates(spark):
+    """Repeated words keep their positions (the position-sorted fold,
+    not a set join)."""
+    from openapc_olap_spark.operators import bpe
+
+    vocab = bpe.with_initial_symbols(
+        spark.createDataFrame([("ab", 1)], ["word", "wc"]))
+    vocab = bpe.apply_merge(vocab, "a", "b")
+    enc = bpe.bpe_encode(
+        spark.createDataFrame([(1, "ab x ab")], ["doc_id", "text"]), vocab)
+    assert list(enc.first()["bpe_tokens"]) == ["ab", "x", "ab"]
