@@ -459,6 +459,7 @@ _CERT_PENDING = [
     "x59_cluster_outliers",
     "x60_stream_stream_join",
     "x61_bpe_encode",
+    "x62_quality_rules",
 ]
 _CERT_TAIL = [
     # previously hash-certified; modules untouched in r05 (enforced by

@@ -3068,6 +3068,57 @@ _X61_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X62: Gopher-style named quality rules (per-rule violation accounting)
+# ---------------------------------------------------------------------------
+
+def _x62_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rules.rule_report`` grouped by language: per-rule violation
+    counts + survivors under fixture-sized thresholds (min 30 tokens so
+    the length rule actually splits the corpus). The oracle recomputes
+    every rule predicate per document."""
+    from openapc_olap_spark.operators import rules
+
+    docs = _docs_split(spark, sf_dir)
+    return rules.rule_report(docs, group_col="lang", min_tokens=30)
+
+
+_X62_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    m AS (
+      SELECT lang, len(toks) AS n,
+             greatest(len(toks), 1) AS sn,
+             list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+               / greatest(len(toks), 1) AS mean_len,
+             len(list_filter(toks, t -> regexp_matches(t, '^[#\\.]{{1,}}$')
+                 OR contains(t, '#') OR contains(t, '…')))::DOUBLE
+               / greatest(len(toks), 1) AS sym_ratio,
+             len(list_filter(toks, t -> regexp_matches(t, '[A-Za-zÀ-ÿ]')))
+               ::DOUBLE / greatest(len(toks), 1) AS alpha_ratio,
+             len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)
+               AS distinct_ratio
+      FROM s),
+    r AS (
+      SELECT lang,
+             (n >= 30 AND n <= 100000) AS r_len,
+             (mean_len >= 3.0 AND mean_len <= 10.0) AS r_mwl,
+             (sym_ratio <= 0.1) AS r_sym,
+             (alpha_ratio >= 0.8) AS r_alpha,
+             (distinct_ratio >= 0.3) AS r_dist
+      FROM m)
+    SELECT lang, count(*) AS n_docs,
+           sum((NOT r_len)::BIGINT)::BIGINT AS fail_doc_length,
+           sum((NOT r_mwl)::BIGINT)::BIGINT AS fail_mean_word_length,
+           sum((NOT r_sym)::BIGINT)::BIGINT AS fail_symbol_ratio,
+           sum((NOT r_alpha)::BIGINT)::BIGINT AS fail_alpha_words,
+           sum((NOT r_dist)::BIGINT)::BIGINT AS fail_distinct_tokens,
+           sum((r_len AND r_mwl AND r_sym AND r_alpha AND r_dist)::BIGINT)
+             ::BIGINT AS n_pass
+    FROM r GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -3130,6 +3181,7 @@ QUERIES = {
     "x59_cluster_outliers": _x59_cluster_outliers,
     "x60_stream_stream_join": _x60_stream_stream_join,
     "x61_bpe_encode": _x61_bpe_encode,
+    "x62_quality_rules": _x62_quality_rules,
 }
 
 ORACLES = {
@@ -3194,4 +3246,5 @@ ORACLES = {
     "x59_cluster_outliers": _X59_SQL,
     "x60_stream_stream_join": _X60_SQL,
     "x61_bpe_encode": _X61_SQL,
+    "x62_quality_rules": _X62_SQL,
 }

@@ -24,6 +24,7 @@ from openapc_olap_spark.operators import (  # noqa: F401
     profile,
     quantize,
     ranking,
+    rules,
     semdedup,
     similarity,
     sketches,

@@ -152,6 +152,7 @@ _X_DEPS = {
                                f"{_P}/streaming/joins.py"],
     "x61_bpe_encode": [f"{_OPS}/bpe.py", f"{_OPS}/text.py",
                        f"{_OPS}/dedup.py"] + _MEMO,
+    "x62_quality_rules": [f"{_OPS}/rules.py", f"{_OPS}/text.py"],
 }
 DEPS.update(_X_DEPS)
 

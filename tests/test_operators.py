@@ -2184,3 +2184,49 @@ def test_bpe_encode_preserves_order_across_duplicates(spark):
     enc = bpe.bpe_encode(
         spark.createDataFrame([(1, "ab x ab")], ["doc_id", "text"]), vocab)
     assert list(enc.first()["bpe_tokens"]) == ["ab", "x", "ab"]
+
+
+# ---------------------------------------------------------------------------
+# rules: Gopher-style named quality rules
+# ---------------------------------------------------------------------------
+
+def test_quality_rules_each_rule_fires(spark):
+    from openapc_olap_spark.operators import rules
+
+    good = " ".join(f"word{i}" for i in range(30)) + " " + \
+        " ".join(f"word{i}" for i in range(30))
+    docs = spark.createDataFrame([
+        (1, good),                                   # passes everything
+        (2, "too short"),                            # doc_length
+        (3, " ".join(["a"] * 60)),                   # mean_word_length low
+                                                     # (+ distinct_tokens)
+        (4, " ".join(["###", "#tag"] * 30)),         # symbol_ratio
+        (5, " ".join(["123", "456"] * 30)),          # alpha_words
+        (6, " ".join(["word", "word"] * 30)),        # distinct_tokens
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           rules.with_rules(docs, min_tokens=20).collect()}
+    assert out[1]["passes_all"]
+    assert not out[2]["rule_doc_length"]
+    assert not out[3]["rule_mean_word_length"]
+    assert not out[4]["rule_symbol_ratio"]
+    assert not out[5]["rule_alpha_words"]
+    assert not out[6]["rule_distinct_tokens"]
+    for i in (2, 3, 4, 5, 6):
+        assert not out[i]["passes_all"]
+
+
+def test_rule_report_counts(spark):
+    from openapc_olap_spark.operators import rules
+
+    good = " ".join(f"word{i}" for i in range(30)) + " " + \
+        " ".join(f"word{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, good, "en"), (2, "tiny", "en"), (3, good, "de")],
+        ["doc_id", "text", "lang"])
+    got = {r["lang"]: r for r in
+           rules.rule_report(docs, group_col="lang",
+                             min_tokens=20).collect()}
+    assert got["en"]["n_docs"] == 2 and got["en"]["n_pass"] == 1
+    assert got["en"]["fail_doc_length"] == 1
+    assert got["de"]["n_pass"] == 1
