@@ -460,6 +460,7 @@ _CERT_PENDING = [
     "x60_stream_stream_join",
     "x61_bpe_encode",
     "x62_quality_rules",
+    "x63_event_funnel",
 ]
 _CERT_TAIL = [
     # previously hash-certified; modules untouched in r05 (enforced by

@@ -3119,6 +3119,58 @@ _X62_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X63: ordered event funnel (click -> signup -> purchase progression)
+# ---------------------------------------------------------------------------
+
+def _x63_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``funnel.funnel_progress`` through click→signup→purchase: per
+    funnel depth, the user count, a user-id checksum, and the latest
+    advancement timestamp — every user's depth AND advancement time sit
+    under the hash. The oracle is the K-round strict min-after-min chain
+    (provably the same greedy-first-match semantics as the fold)."""
+    from openapc_olap_spark.operators import funnel
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    prog = funnel.funnel_progress(ev, ["click", "signup", "purchase"])
+    return (prog.groupBy("step_reached")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("user_id").alias("id_sum"),
+                 F.max(F.date_format("step_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+                 .alias("last_adv")))
+
+
+_X63_SQL = """
+    WITH base AS (
+      SELECT user_id, event_type, ts FROM events
+      WHERE event_type IN ('click', 'signup', 'purchase')),
+    u AS (SELECT DISTINCT user_id FROM base),
+    t1 AS (
+      SELECT user_id, min(ts) AS t FROM base
+      WHERE event_type = 'click' GROUP BY 1),
+    t2 AS (
+      SELECT b.user_id, min(b.ts) AS t FROM base b
+      JOIN t1 ON b.user_id = t1.user_id AND b.ts > t1.t
+      WHERE b.event_type = 'signup' GROUP BY 1),
+    t3 AS (
+      SELECT b.user_id, min(b.ts) AS t FROM base b
+      JOIN t2 ON b.user_id = t2.user_id AND b.ts > t2.t
+      WHERE b.event_type = 'purchase' GROUP BY 1),
+    prog AS (
+      SELECT u.user_id,
+             CASE WHEN t3.t IS NOT NULL THEN 3
+                  WHEN t2.t IS NOT NULL THEN 2
+                  WHEN t1.t IS NOT NULL THEN 1 ELSE 0 END AS step_reached,
+             coalesce(t3.t, t2.t, t1.t) AS step_ts
+      FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+             LEFT JOIN t3 USING (user_id))
+    SELECT step_reached, count(*) AS n_users,
+           sum(user_id)::BIGINT AS id_sum,
+           max(strftime(step_ts, '%Y-%m-%d %H:%M:%S.%f')) AS last_adv
+    FROM prog GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -3182,6 +3234,7 @@ QUERIES = {
     "x60_stream_stream_join": _x60_stream_stream_join,
     "x61_bpe_encode": _x61_bpe_encode,
     "x62_quality_rules": _x62_quality_rules,
+    "x63_event_funnel": _x63_event_funnel,
 }
 
 ORACLES = {
@@ -3247,4 +3300,5 @@ ORACLES = {
     "x60_stream_stream_join": _X60_SQL,
     "x61_bpe_encode": _X61_SQL,
     "x62_quality_rules": _X62_SQL,
+    "x63_event_funnel": _X63_SQL,
 }

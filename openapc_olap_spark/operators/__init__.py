@@ -16,6 +16,7 @@ from openapc_olap_spark.operators import (  # noqa: F401
     curation,
     decontam,
     dedup,
+    funnel,
     lm,
     mixture,
     multimodal,

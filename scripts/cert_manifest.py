@@ -153,6 +153,7 @@ _X_DEPS = {
     "x61_bpe_encode": [f"{_OPS}/bpe.py", f"{_OPS}/text.py",
                        f"{_OPS}/dedup.py"] + _MEMO,
     "x62_quality_rules": [f"{_OPS}/rules.py", f"{_OPS}/text.py"],
+    "x63_event_funnel": [f"{_OPS}/funnel.py"],
 }
 DEPS.update(_X_DEPS)
 

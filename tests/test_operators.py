@@ -2230,3 +2230,42 @@ def test_rule_report_counts(spark):
     assert got["en"]["n_docs"] == 2 and got["en"]["n_pass"] == 1
     assert got["en"]["fail_doc_length"] == 1
     assert got["de"]["n_pass"] == 1
+
+
+# ---------------------------------------------------------------------------
+# funnel: ordered event progression
+# ---------------------------------------------------------------------------
+
+def test_funnel_progress_ordering_semantics(spark):
+    """Advancement requires strictly-later events in step order: a
+    purchase BEFORE the signup does not count, a later one does; ties at
+    identical timestamps never advance."""
+    import datetime
+
+    from openapc_olap_spark.operators import funnel
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: full ordered funnel
+        (1, "click", t(1)), (1, "signup", t(2)), (1, "purchase", t(3)),
+        # user 2: purchase precedes signup -> depth 2
+        (2, "click", t(1)), (2, "purchase", t(2)), (2, "signup", t(3)),
+        # user 3: signup only, no click -> depth 0
+        (3, "signup", t(1)),
+        # user 4: click & signup at the SAME instant -> strict > blocks
+        (4, "click", t(5)), (4, "signup", t(5)),
+        # user 5: unrelated events only -> filtered out entirely
+        (5, "view", t(1)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {r["user_id"]: r["step_reached"] for r in
+           funnel.funnel_progress(
+               df, ["click", "signup", "purchase"]).collect()}
+    assert got == {1: 3, 2: 2, 3: 0, 4: 1}
+    rep = {r["step_reached"]: r["n_users"] for r in
+           funnel.funnel_report(
+               df, ["click", "signup", "purchase"]).collect()}
+    assert rep == {3: 1, 2: 1, 1: 1, 0: 1}
+
+    with pytest.raises(ValueError):
+        funnel.funnel_progress(df, [])
