@@ -3131,7 +3131,9 @@ def _x63_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (provably the same greedy-first-match semantics as the fold)."""
     from openapc_olap_spark.operators import funnel
 
-    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    ev = (load_tables(spark, sf_dir, ["events"])["events"]
+          .filter(F.col("ts") < F.lit("2024-01-02 12:00:00")
+                  .cast("timestamp")))
     prog = funnel.funnel_progress(ev, ["click", "signup", "purchase"])
     return (prog.groupBy("step_reached")
             .agg(F.count(F.lit(1)).alias("n_users"),
@@ -3143,7 +3145,8 @@ def _x63_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X63_SQL = """
     WITH base AS (
       SELECT user_id, event_type, ts FROM events
-      WHERE event_type IN ('click', 'signup', 'purchase')),
+      WHERE event_type IN ('click', 'signup', 'purchase')
+        AND ts < TIMESTAMP '2024-01-02 12:00:00'),
     u AS (SELECT DISTINCT user_id FROM base),
     t1 AS (
       SELECT user_id, min(ts) AS t FROM base
