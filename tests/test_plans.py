@@ -482,6 +482,10 @@ def test_bpe_pair_counts_partial_agg_single_scan(spark, sf_dir):
     map-side combine; apply_merge adds no shuffle beyond the vocab agg."""
     from openapc_olap_spark.operators import bpe
 
+    # earlier tests may have persisted a matching plan fragment, which
+    # would serve this scan from cache and zero the FileScan count the
+    # single-scan audit looks for
+    spark.catalog.clearCache()
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     vocab = bpe.with_initial_symbols(bpe.word_counts(docs))
     pc = bpe.pair_counts(vocab)
