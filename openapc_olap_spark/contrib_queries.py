@@ -3026,17 +3026,9 @@ def _x61_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the 3 training iterations (the x55 CTE chain) and the
     position-ordered reassembly."""
     from openapc_olap_spark.operators import bpe
-    from openapc_olap_spark.operators.dedup import _materialized
 
     docs = _docs_split(spark, sf_dir)
-    vocab = _materialized(
-        bpe.with_initial_symbols(bpe.word_counts(docs)))
-    for _ in range(3):
-        top = (bpe.pair_counts(vocab)
-               .orderBy(F.col("cnt").desc(), F.col("pair").asc())
-               .first())
-        left, right = top["pair"].split(" ", 1)
-        vocab = _materialized(bpe.apply_merge(vocab, left, right))
+    _, vocab = bpe.bpe_train(docs, 3)
     enc = bpe.bpe_encode(docs, vocab)
     return (enc.filter(F.col("doc_id") % 2 == 0)
             .select("doc_id", "n_bpe_tokens",
@@ -3086,19 +3078,20 @@ def _x62_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X62_SQL = f"""
     WITH s AS (
       SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    sz AS (SELECT lang, toks, len(toks) AS n,
+                  greatest(len(toks), 1) AS sn FROM s),
     m AS (
-      SELECT lang, len(toks) AS n,
-             greatest(len(toks), 1) AS sn,
-             list_sum(list_transform(toks, t -> length(t)))::DOUBLE
-               / greatest(len(toks), 1) AS mean_len,
+      SELECT lang, n,
+             CASE WHEN n > 0 THEN
+               list_sum(list_transform(toks, t -> length(t)))::DOUBLE / sn
+             ELSE 0.0 END AS mean_len,
              len(list_filter(toks, t -> regexp_matches(t, '^[#\\.]{{1,}}$')
                  OR contains(t, '#') OR contains(t, '…')))::DOUBLE
-               / greatest(len(toks), 1) AS sym_ratio,
+               / sn AS sym_ratio,
              len(list_filter(toks, t -> regexp_matches(t, '[A-Za-zÀ-ÿ]')))
-               ::DOUBLE / greatest(len(toks), 1) AS alpha_ratio,
-             len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)
-               AS distinct_ratio
-      FROM s),
+               ::DOUBLE / sn AS alpha_ratio,
+             len(list_distinct(toks))::DOUBLE / sn AS distinct_ratio
+      FROM sz),
     r AS (
       SELECT lang,
              (n >= 30 AND n <= 100000) AS r_len,

@@ -101,15 +101,23 @@ def bpe_train(df: DataFrame, num_merges: int,
 
     vocab = _materialized(with_initial_symbols(word_counts(df, text_col)))
     merges: list[tuple[str, str, int]] = []
+    prev: DataFrame | None = None
     for _ in range(num_merges):
+        # this action materializes the CURRENT vocab's cache, after which
+        # the one before it is dead weight — rolling unpersist keeps at
+        # most two iterations cached instead of num_merges+1 (the caller
+        # still holds the final frame plus its immediate parent, whose
+        # cache backs the final frame's first materialization)
         top = (pair_counts(vocab)
                .orderBy(F.col("cnt").desc(), F.col("pair").asc())
                .first())
+        if prev is not None:
+            prev.unpersist()
         if top is None:
             break
         left, right = top["pair"].split(" ", 1)
         merges.append((left, right, int(top["cnt"])))
-        vocab = _materialized(apply_merge(vocab, left, right))
+        prev, vocab = vocab, _materialized(apply_merge(vocab, left, right))
     return merges, vocab
 
 

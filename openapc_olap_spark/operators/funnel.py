@@ -22,8 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_EPOCH = "1900-01-01 00:00:00"
-
 
 def funnel_progress(df: DataFrame, steps: list[str],
                     user_col: str = "user_id",
@@ -41,14 +39,17 @@ def funnel_progress(df: DataFrame, steps: list[str],
           .select(F.col(user_col),
                   F.struct(F.col(ts_col).alias("ts"),
                            F.col(type_col).alias("et")).alias("e")))
+    # NULL start, not an epoch sentinel: a sentinel floor would silently
+    # exclude placeholder/pre-epoch timestamps from ever starting the
+    # funnel, diverging from the min-after-min formulation
     zero = F.struct(F.lit(0).alias("step"),
-                    F.lit(_EPOCH).cast("timestamp").alias("last"))
+                    F.lit(None).cast("timestamp").alias("last"))
     fold = F.aggregate(
         F.array_sort(F.collect_list("e")), zero,
         lambda acc, e: F.when(
             (acc["step"] < F.lit(len(steps)))
             & (e["et"] == F.element_at(steps_arr, acc["step"] + 1))
-            & (e["ts"] > acc["last"]),
+            & (acc["last"].isNull() | (e["ts"] > acc["last"])),
             F.struct((acc["step"] + 1).alias("step"),
                      e["ts"].alias("last"))
         ).otherwise(acc))

@@ -87,7 +87,11 @@ def rule_report(df: DataFrame, text_col: str = "text",
     """Violation accounting: per group (or overall), document count,
     per-rule violation counts, and survivors. One aggregation."""
     flagged = with_rules(df, text_col, **thresholds)
-    rule_names = [c for c in flagged.columns if c.startswith("rule_")]
+    # derive the rule list from the bundle's own keys, not by scraping
+    # rule_*-prefixed columns off the caller's frame (which may carry
+    # unrelated columns with that prefix)
+    rule_names = [f"rule_{n}"
+                  for n in rule_columns(text_col, **thresholds)]
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     for rn in rule_names:
         aggs.append(F.sum((~F.col(rn)).cast("long"))
