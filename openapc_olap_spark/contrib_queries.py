@@ -2979,11 +2979,12 @@ def _x60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openapc_olap_spark.streaming import joins as sj
 
     d = _stream_dir(sf_dir, "x60_stream", copies=1)
+    week1 = F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
     clicks = (streaming.read_event_stream(spark, d)
-              .filter(F.col("event_type") == "click")
+              .filter((F.col("event_type") == "click") & week1)
               .select("user_id", "ts", "event_id"))
     buys = (streaming.read_event_stream(spark, d)
-            .filter(F.col("event_type") == "purchase")
+            .filter((F.col("event_type") == "purchase") & week1)
             .select("user_id", "ts", "event_id", "value"))
     joined = sj.interval_join_streams(clicks, buys, keys=["user_id"],
                                       within="1 hour",
@@ -3000,10 +3001,12 @@ def _x60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X60_SQL = """
     WITH c AS (
-      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-08 00:00:00'),
     p AS (
       SELECT user_id, ts, event_id, value FROM events
-      WHERE event_type = 'purchase')
+      WHERE event_type = 'purchase'
+        AND ts < TIMESTAMP '2024-01-08 00:00:00')
     SELECT strftime(c.ts, '%Y-%m-%d') AS click_day,
            count(*) AS n_pairs,
            count(DISTINCT c.user_id)::BIGINT AS n_users,
