@@ -461,6 +461,7 @@ _CERT_PENDING = [
     "x61_bpe_encode",
     "x62_quality_rules",
     "x63_event_funnel",
+    "x64_cohort_retention",
 ]
 _CERT_TAIL = [
     # previously hash-certified; modules untouched in r05 (enforced by

@@ -3170,6 +3170,43 @@ _X63_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X64: cohort retention (first-seen grouping x period-offset activity)
+# ---------------------------------------------------------------------------
+
+def _x64_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cohort.cohort_retention`` at weekly grain plus retention rates
+    (6dp): the (user, period) dedup, first-seen assignment, offset
+    arithmetic, and the per-cohort rate all sit under the hash. Periods
+    are epoch-day arithmetic, so both engines bucket identically."""
+    from openapc_olap_spark.operators import cohort
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    ret = cohort.cohort_retention(ev, period_days=7)
+    return (cohort.retention_rates(ret)
+            .select("cohort_period", "period_offset", "n_users",
+                    F.round("retention", 6).alias("retention")))
+
+
+_X64_SQL = """
+    WITH act AS (
+      SELECT DISTINCT user_id AS u,
+             (epoch(ts)::BIGINT // (86400 * 7)) AS pd
+      FROM events),
+    fs AS (SELECT u, min(pd) AS cohort_pd FROM act GROUP BY 1),
+    ret AS (
+      SELECT fs.cohort_pd AS cohort_period,
+             act.pd - fs.cohort_pd AS period_offset,
+             count(DISTINCT act.u)::BIGINT AS n_users
+      FROM act JOIN fs USING (u) GROUP BY 1, 2),
+    base AS (
+      SELECT cohort_period, n_users AS sz FROM ret WHERE period_offset = 0)
+    SELECT r.cohort_period, r.period_offset, r.n_users,
+           round(r.n_users::DOUBLE / b.sz, 6) AS retention
+    FROM ret r JOIN base b USING (cohort_period)
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -3234,6 +3271,7 @@ QUERIES = {
     "x61_bpe_encode": _x61_bpe_encode,
     "x62_quality_rules": _x62_quality_rules,
     "x63_event_funnel": _x63_event_funnel,
+    "x64_cohort_retention": _x64_cohort_retention,
 }
 
 ORACLES = {
@@ -3300,4 +3338,5 @@ ORACLES = {
     "x61_bpe_encode": _X61_SQL,
     "x62_quality_rules": _X62_SQL,
     "x63_event_funnel": _X63_SQL,
+    "x64_cohort_retention": _X64_SQL,
 }

@@ -13,6 +13,7 @@ from openapc_olap_spark.operators import (  # noqa: F401
     bloom,
     bpe,
     chunking,
+    cohort,
     curation,
     decontam,
     dedup,

@@ -154,6 +154,7 @@ _X_DEPS = {
                        f"{_OPS}/dedup.py"] + _MEMO,
     "x62_quality_rules": [f"{_OPS}/rules.py", f"{_OPS}/text.py"],
     "x63_event_funnel": [f"{_OPS}/funnel.py"],
+    "x64_cohort_retention": [f"{_OPS}/cohort.py"],
 }
 DEPS.update(_X_DEPS)
 

@@ -2269,3 +2269,33 @@ def test_funnel_progress_ordering_semantics(spark):
 
     with pytest.raises(ValueError):
         funnel.funnel_progress(df, [])
+
+
+# ---------------------------------------------------------------------------
+# cohort: retention analysis
+# ---------------------------------------------------------------------------
+
+def test_cohort_retention_hand_computed(spark):
+    """Two cohorts over daily periods: user A active days 0,1,3; user B
+    active day 0 only; user C first seen day 1, active days 1,2."""
+    import datetime
+
+    from openapc_olap_spark.operators import cohort
+
+    d = lambda day, u: (u, datetime.datetime(2024, 1, 1 + day, 12))
+    rows = [d(0, "A"), d(1, "A"), d(3, "A"), d(0, "B"), d(1, "C"), d(2, "C"),
+            d(1, "A")]                                   # same-period dup
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    ret = {(r["cohort_period"], r["period_offset"]): r["n_users"]
+           for r in cohort.cohort_retention(df, period_days=1).collect()}
+    c0 = min(k[0] for k in ret)                          # day-0 cohort id
+    assert ret[(c0, 0)] == 2                             # A, B
+    assert ret[(c0, 1)] == 1                             # A only
+    assert ret[(c0, 3)] == 1                             # A
+    assert (c0, 2) not in ret                            # nobody day 2
+    assert ret[(c0 + 1, 0)] == 1 and ret[(c0 + 1, 1)] == 1   # C's cohort
+    rates = {(r["cohort_period"], r["period_offset"]): r["retention"]
+             for r in cohort.retention_rates(
+                 cohort.cohort_retention(df, period_days=1)).collect()}
+    assert rates[(c0, 0)] == 1.0
+    assert rates[(c0, 1)] == 0.5
