@@ -2991,10 +2991,20 @@ def _x60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       watermark="2 hours")
     streaming.run_to_memory(joined, "x60_stream", output_mode="append")
     out = spark.table("x60_stream")
+    # Deterministic-order sum (same discipline as x54/x58): fold the
+    # pair-key-sorted value list so the double additions associate
+    # identically across partitionings and engines — an unordered
+    # F.sum of doubles can flip the round(., 4) hash at a boundary.
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("event_id").alias("a"), F.col("event_id_r").alias("b"),
+            F.col("value_r").alias("v")))),
+        lambda s: s["v"])
+    total = F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
     return (out.groupBy(F.to_date("ts").alias("click_day"))
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.countDistinct("user_id").alias("n_users"),
-                 F.round(F.sum("value_r"), 4).alias("purchase_value"))
+                 F.round(total, 4).alias("purchase_value"))
             .select(F.col("click_day").cast("string").alias("click_day"),
                     "n_pairs", "n_users", "purchase_value"))
 
@@ -3010,7 +3020,8 @@ _X60_SQL = """
     SELECT strftime(c.ts, '%Y-%m-%d') AS click_day,
            count(*) AS n_pairs,
            count(DISTINCT c.user_id)::BIGINT AS n_users,
-           round(sum(p.value), 4) AS purchase_value
+           round(list_reduce(list(p.value ORDER BY c.event_id, p.event_id),
+                             (a, b) -> a + b), 4) AS purchase_value
     FROM c JOIN p ON c.user_id = p.user_id
       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
     GROUP BY 1
@@ -3207,6 +3218,264 @@ _X64_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X65: canonical-URL dedup (scheme/www/port/fragment/tracking/param-sort)
+# ---------------------------------------------------------------------------
+
+def _x65_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``urlnorm.url_duplicates`` over deterministically-synthesized URL
+    variants: each document gets one of four spellings of the same page
+    (scheme case, www., :80 port, fragment, tracking params, unsorted
+    query, trailing slash) keyed by (source, doc_id % 25). The oracle
+    states the ANALYTIC canonical form directly, so a canonicalization
+    rule that fails to fire breaks the hash."""
+    from openapc_olap_spark.operators import urlnorm
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    g = (F.col("doc_id") % 25).cast("string")
+    variant = F.col("doc_id") % 4
+    url = (F.when(variant == 0, F.concat(
+               F.lit("https://www."), F.col("source"),
+               F.lit(".example.com/Docs/"), g,
+               F.lit("/?utm_source=feed&b=2&a=1")))
+           .when(variant == 1, F.concat(
+               F.lit("http://"), F.col("source"),
+               F.lit(".example.com:80/Docs/"), g,
+               F.lit("?a=1&b=2#frag")))
+           .when(variant == 2, F.concat(
+               F.lit("HTTPS://"), F.col("source"),
+               F.lit(".Example.COM/Docs/"), g,
+               F.lit("/?a=1&b=2&gclid=xyz")))
+           .otherwise(F.concat(
+               F.lit("https://"), F.col("source"),
+               F.lit(".example.com/Docs/"), g,
+               F.lit("?b=2&a=1"))))
+    return (urlnorm.url_duplicates(docs.withColumn("url", url))
+            .orderBy("canonical_url"))
+
+
+_X65_SQL = """
+    WITH c AS (
+      SELECT concat(source, '.example.com/Docs/',
+                    (doc_id % 25)::VARCHAR, '?a=1&b=2') AS canonical_url,
+             doc_id
+      FROM documents)
+    SELECT canonical_url, min(doc_id) AS kept_id,
+           count(*) AS n_dups
+    FROM c GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# X66: corpus-level boilerplate-line removal (RefinedWeb/C4 rule)
+# ---------------------------------------------------------------------------
+
+def _x66_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``linededup.remove_boilerplate_lines`` with word-grain lines
+    (sep=' '): lines recurring in more than half the corpus's documents
+    are boilerplate and stripped from every document. The md5 digest of
+    each rebuilt text puts line order, removal, and reassembly under
+    the hash."""
+    from openapc_olap_spark.operators import linededup
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    k = docs.count() // 2
+    out = linededup.remove_boilerplate_lines(
+        docs.select("doc_id", "text"), max_docs=k, sep=" ")
+    return (out.filter(F.col("doc_id") % 17 == 0)
+            .select("doc_id", "n_removed",
+                    F.md5("text").alias("digest")))
+
+
+_X66_SQL = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    hot AS (
+      SELECT line FROM (
+        SELECT doc_id, unnest(list_distinct(toks)) AS line FROM t)
+      WHERE line <> ''
+      GROUP BY line
+      HAVING count(*) > (SELECT count(*) // 2 FROM documents)),
+    pos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p,
+                   toks
+            FROM t),
+    l AS (SELECT doc_id, p, toks[p] AS line FROM pos),
+    m AS (SELECT l.doc_id, l.p, l.line,
+                 (hot.line IS NOT NULL) AS hot
+          FROM l LEFT JOIN hot USING (line))
+    SELECT doc_id,
+           sum(CASE WHEN hot THEN 1 ELSE 0 END)::INT AS n_removed,
+           md5(coalesce(string_agg(CASE WHEN NOT hot THEN line END,
+                                   ' ' ORDER BY p), '')) AS digest
+    FROM m WHERE doc_id % 17 = 0 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# X67: per-document character-distribution Shannon entropy
+# ---------------------------------------------------------------------------
+
+def _x67_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stats.char_entropy``: gibberish/spam signal — entropy of the
+    char distribution in nats, char-sorted deterministic fold."""
+    from openapc_olap_spark.operators import stats
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (stats.char_entropy(docs, round_to=6)
+            .filter(F.col("doc_id") % 7 == 0))
+
+
+_X67_SQL = """
+    WITH per AS (
+      SELECT doc_id, c, count(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents)
+      WHERE c <> '' GROUP BY 1, 2)
+    SELECT doc_id, sum(cnt)::BIGINT AS n_chars,
+           round(ln(sum(cnt))
+                 - list_reduce(list(cnt * ln(cnt) ORDER BY c),
+                               (a, b) -> a + b) / sum(cnt),
+                 6) AS entropy
+    FROM per WHERE doc_id % 7 = 0 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# X68: quality-aware canonical copy selection within exact-dup groups
+# ---------------------------------------------------------------------------
+
+def _x68_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup.canonical_documents``: within each normalized-fingerprint
+    group keep the highest-scoring copy (score = n_chars, ties -> min
+    id); only multi-copy groups returned. Grouping runs on the leading
+    60 chars (prefix-duplicate pages) so the gate exercises multi-copy
+    groups at every SF — full-text exact dups are absent at sf0.001."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.select("doc_id", "lang", "n_chars",
+                       F.substring("text", 1, 60).alias("text"))
+    out = dedup.canonical_documents(docs, score_col="n_chars")
+    return (out.filter(F.col("n_copies") > 1)
+            .select("doc_id", "lang", "n_chars",
+                    F.col("n_copies").cast("long").alias("n_copies")))
+
+
+_X68_SQL = r"""
+    WITH fp AS (
+      SELECT doc_id, lang, n_chars,
+             md5(trim(regexp_replace(lower(substr(text, 1, 60)),
+                                     '\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    g AS (SELECT fp AS gfp, count(*) AS n_copies FROM fp GROUP BY 1),
+    r AS (
+      SELECT f.doc_id, f.lang, f.n_chars, g.n_copies,
+             row_number() OVER (PARTITION BY f.fp
+                                ORDER BY f.n_chars DESC, f.doc_id ASC) AS rn
+      FROM fp f JOIN g ON f.fp = g.gfp)
+    SELECT doc_id, lang, n_chars, n_copies::BIGINT AS n_copies
+    FROM r WHERE rn = 1 AND n_copies > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# X69: exact-percentile outlier trimming
+# ---------------------------------------------------------------------------
+
+def _x69_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stats.filter_by_percentile``: keep documents inside the exact
+    [p10, p90] band of n_chars (Spark ``percentile`` == DuckDB
+    quantile_cont, both R-7 linear interpolation), rolled up per
+    language."""
+    from openapc_olap_spark.operators import stats
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    kept = stats.filter_by_percentile(docs, "n_chars", 0.1, 0.9)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+_X69_SQL = """
+    WITH b AS (
+      SELECT quantile_cont(n_chars::DOUBLE, 0.1) AS lo,
+             quantile_cont(n_chars::DOUBLE, 0.9) AS hi
+      FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents, b
+    WHERE n_chars::DOUBLE >= lo AND n_chars::DOUBLE <= hi
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# X70: per-user rolling event features (lag-built trailing mean)
+# ---------------------------------------------------------------------------
+
+def _x70_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rolling.rolling_features`` k=3: running index, delta to the
+    previous event, trailing-3 mean — lag-built so the addition order
+    is the explicit ((v + l1) + l2) both engines evaluate identically."""
+    from openapc_olap_spark.operators import rolling
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = rolling.rolling_features(ev, k=3, round_to=4)
+    return (out.filter(F.col("event_id") % 97 == 0)
+            .select("event_id", "user_id", "event_idx",
+                    "value_delta", "rolling_mean_k"))
+
+
+_X70_SQL = """
+    WITH r AS (
+      SELECT event_id, user_id,
+             row_number() OVER w AS event_idx,
+             round(value - lag(value, 1) OVER w, 4) AS value_delta,
+             round(CASE
+               WHEN lag(value, 2) OVER w IS NOT NULL
+                 THEN ((value + lag(value, 1) OVER w)
+                       + lag(value, 2) OVER w) / 3
+               WHEN lag(value, 1) OVER w IS NOT NULL
+                 THEN (value + lag(value, 1) OVER w) / 2
+               ELSE value END, 4) AS rolling_mean_k
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+    SELECT event_id, user_id, event_idx, value_delta, rolling_mean_k
+    FROM r WHERE event_id % 97 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# X71: size-targeted output sharding (distributed exact prefix sum)
+# ---------------------------------------------------------------------------
+
+def _x71_size_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sharding.assign_shards`` + ``shard_summary``: documents packed
+    into ~5000-char shards by exact global prefix sum in doc_id order —
+    computed distributed (range partition + interior window + driver
+    prefix of partition totals), asserted against the oracle's global
+    window formulation."""
+    from openapc_olap_spark.operators import sharding
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    assigned = sharding.assign_shards(docs, target=5000)
+    out = sharding.shard_summary(assigned).orderBy("shard")
+    assigned.unpersist()
+    return out
+
+
+_X71_SQL = """
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             coalesce(sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_before
+      FROM documents)
+    SELECT (cum_before // 5000)::BIGINT AS shard,
+           count(*) AS n_docs, sum(n_chars)::BIGINT AS total_weight
+    FROM c GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -3272,6 +3541,13 @@ QUERIES = {
     "x62_quality_rules": _x62_quality_rules,
     "x63_event_funnel": _x63_event_funnel,
     "x64_cohort_retention": _x64_cohort_retention,
+    "x65_url_dedup": _x65_url_dedup,
+    "x66_line_dedup": _x66_line_dedup,
+    "x67_char_entropy": _x67_char_entropy,
+    "x68_canonical_docs": _x68_canonical_docs,
+    "x69_percentile_filter": _x69_percentile_filter,
+    "x70_rolling_features": _x70_rolling_features,
+    "x71_size_sharding": _x71_size_sharding,
 }
 
 ORACLES = {
@@ -3339,4 +3615,11 @@ ORACLES = {
     "x62_quality_rules": _X62_SQL,
     "x63_event_funnel": _X63_SQL,
     "x64_cohort_retention": _X64_SQL,
+    "x65_url_dedup": _X65_SQL,
+    "x66_line_dedup": _X66_SQL,
+    "x67_char_entropy": _X67_SQL,
+    "x68_canonical_docs": _X68_SQL,
+    "x69_percentile_filter": _X69_SQL,
+    "x70_rolling_features": _X70_SQL,
+    "x71_size_sharding": _X71_SQL,
 }

@@ -7,10 +7,15 @@ grain: one corpus pass builds (word, count), and every subsequent merge
 iteration runs over the vocabulary table weighted by word frequency —
 the classic Sennrich et al. 2016 formulation. At 100 TB the corpus pass
 is the only corpus-sized shuffle (map-side combined token count); each
-merge iteration is a vocab-sized pair count (tens of millions of rows at
+merge ROUND is a vocab-sized pair count (tens of millions of rows at
 web scale, one small shuffle) plus an expression-only re-segmentation.
-The driver holds just the learned merge list (one tiny collect per
-iteration — merges are inherently sequential, that is the algorithm).
+The driver holds just the learned merge list (one tiny ``take`` per
+round). Merges are logically sequential, but ``merge_batch`` lets one
+round learn many at once via an EXACT batched selection rule
+(``_select_merge_batch``) — at production merge counts the sequential
+loop's cost is pure job-scheduling overhead (30k rounds x ~0.3 s
+floor), and batching divides the round count without changing the
+learned merge list.
 
 The merge application is a single left-to-right fold with a string
 accumulator (symbols never contain spaces, so the accumulator IS the
@@ -85,39 +90,97 @@ def apply_merge(vocab: DataFrame, left: str, right: str,
     return vocab.withColumn(symbols_col, merged)
 
 
+def _select_merge_batch(rows, max_batch: int) -> list[tuple[str, str, int]]:
+    """Pick a batch of merges from the (cnt desc, pair asc)-sorted pair
+    list that is PROVABLY identical to applying that many sequential
+    argmax merges — not the usual lossy approximation:
+
+    1. Take the maximal conflict-free PREFIX of the sorted list (stop at
+       the first pair sharing a symbol with an earlier selection, or at
+       ``max_batch``). Disjoint-symbol merges commute and leave each
+       other's pair counts untouched, so their counts and tie-break
+       order are invariant under applying the ones ranked above them.
+    2. Any pair CREATED by applying a batch merge (x, left||right) has
+       count <= the old count of (x, left) — a pair that shares a symbol
+       with the batch and therefore ranks at/after the cut row. Keeping
+       only prefix pairs whose count is STRICTLY greater than the cut
+       row's count guarantees no created pair can outrank (or tie into,
+       via the pair-asc tie-break) a remaining batch member mid-replay.
+       ``cut`` is the first row NOT selected (conflict or cap); when the
+       fetched list is exhausted with no cut, every adjacent pair in the
+       vocabulary is in the prefix, no pair shares a symbol with it, so
+       no new pair can be created at all and the whole prefix is safe.
+    3. Fallback: if the strict-count gate empties the batch (e.g. the
+       top two pairs conflict and tie), take the single argmax — the
+       plain sequential step, always exact.
+    """
+    used: set[str] = set()
+    prefix: list[tuple[str, str, int]] = []
+    cut_cnt: int | None = None
+    for r in rows:
+        left, right = r["pair"].split(" ", 1)
+        if len(prefix) >= max_batch or left in used or right in used:
+            cut_cnt = int(r["cnt"])
+            break
+        prefix.append((left, right, int(r["cnt"])))
+        used.add(left)
+        used.add(right)
+    if cut_cnt is not None:
+        safe = [m for m in prefix if m[2] > cut_cnt]
+    else:
+        safe = prefix
+    return safe if safe else prefix[:1]
+
+
 def bpe_train(df: DataFrame, num_merges: int,
-              text_col: str = "text") -> tuple[list[tuple[str, str, int]],
-                                               DataFrame]:
+              text_col: str = "text",
+              merge_batch: int = 1) -> tuple[list[tuple[str, str, int]],
+                                             DataFrame]:
     """Learn ``num_merges`` BPE merges from a corpus. Returns
     (merges, vocab): merges = [(left, right, pair_count), ...] in learned
     order, vocab = the word table with final ``symbols``.
 
     Argmax tie-break is (count desc, pair asc) — deterministic across
-    runs and engines. Each iteration is one vocab-sized pair-count job
-    plus a driver fetch of ONE row; the vocabulary frame is persisted so
-    iterations re-segment the cached table instead of replaying the
-    corpus scan."""
+    runs and engines. Each round is one vocab-sized pair-count job plus
+    a driver fetch of at most ``merge_batch + 1`` rows; the vocabulary
+    frame is persisted so rounds re-segment the cached table instead of
+    replaying the corpus scan.
+
+    ``merge_batch`` bounds how many merges one round may learn. The
+    sequential loop's real cost at production merge counts is SCHEDULING
+    (30k merges = 30k Spark jobs at a ~0.3 s floor each, independent of
+    data size); batching learns up to N merges per pair-count job via
+    ``_select_merge_batch``, whose selection rule is exact — the merge
+    LIST is bit-identical to ``merge_batch=1`` (property-tested), only
+    the job count drops (~N x fewer rounds on natural-text count
+    distributions). 1 keeps the plain Sennrich loop for oracle replay.
+    """
     from openapc_olap_spark.operators.dedup import _materialized
 
     vocab = _materialized(with_initial_symbols(word_counts(df, text_col)))
     merges: list[tuple[str, str, int]] = []
     prev: DataFrame | None = None
-    for _ in range(num_merges):
+    while len(merges) < num_merges:
+        want = min(merge_batch, num_merges - len(merges))
         # this action materializes the CURRENT vocab's cache, after which
         # the one before it is dead weight — rolling unpersist keeps at
-        # most two iterations cached instead of num_merges+1 (the caller
-        # still holds the final frame plus its immediate parent, whose
-        # cache backs the final frame's first materialization)
-        top = (pair_counts(vocab)
-               .orderBy(F.col("cnt").desc(), F.col("pair").asc())
-               .first())
+        # most two rounds cached instead of rounds+1 (the caller still
+        # holds the final frame plus its immediate parent, whose cache
+        # backs the final frame's first materialization)
+        rows = (pair_counts(vocab)
+                .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                .take(want + 1))
         if prev is not None:
             prev.unpersist()
-        if top is None:
+        if not rows:
             break
-        left, right = top["pair"].split(" ", 1)
-        merges.append((left, right, int(top["cnt"])))
-        prev, vocab = vocab, _materialized(apply_merge(vocab, left, right))
+        batch = _select_merge_batch(rows, want)
+        merges.extend(batch)
+        seg = F.col("symbols")
+        for left, right, _ in batch:
+            seg = F.split(_merge_fold(seg, left, right), " ")
+        prev, vocab = vocab, _materialized(
+            vocab.withColumn("symbols", seg))
     return merges, vocab
 
 
@@ -132,14 +195,21 @@ def segment_digest(word_col: str = "word",
 
 
 def bpe_encode(df: DataFrame, vocab: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               broadcast_vocab: bool | None = None) -> DataFrame:
     """Segment documents with a TRAINED vocabulary (the inference half of
     BPE): (id_col, bpe_tokens array<string>, n_bpe_tokens).
 
     Spark-first design: instead of replaying the merge list per token
     occurrence (a per-row loop over potentially 30k+ merges), each
     document's words join the trained ``vocab`` frame's final ``symbols``
-    on the word itself — one broadcast join at (doc, position) grain.
+    on the word itself — one join at (doc, position) grain. The join
+    carries NO forced broadcast hint by default: a web-scale word
+    vocabulary (tens of millions of rows x symbol arrays) is multi-GB
+    and a forced hint would OOM the driver/executors, so the strategy is
+    left to Catalyst/AQE (which still broadcasts a vocabulary that
+    actually fits); ``broadcast_vocab=True`` forces the hint for
+    known-small vocabularies, ``False`` forces a shuffle hash join.
     Words absent from the vocabulary fall back to character symbols
     (their true BPE segmentation under a merge list that never saw them
     can only merge pairs learned from OTHER words; the char fallback is
@@ -152,8 +222,10 @@ def bpe_encode(df: DataFrame, vocab: DataFrame, id_col: str = "doc_id",
     toks = text.tokens(text_col)
     per = (df.select(F.col(id_col),
                      F.posexplode(toks).alias("__pos", "word")))
-    seg = vocab.select("word", F.col("symbols").alias("__seg"))
-    joined = (per.join(F.broadcast(seg), ["word"], "left")
+    from openapc_olap_spark.operators.lm import _hinted
+    seg = _hinted(vocab.select("word", F.col("symbols").alias("__seg")),
+                  broadcast_vocab)
+    joined = (per.join(seg, ["word"], "left")
               .withColumn("__seg", F.coalesce(F.col("__seg"),
                                               F.split("word", ""))))
     ordered = F.flatten(F.transform(

@@ -3,12 +3,20 @@ event-analytics companion to the funnel: group users by first-seen
 period, count how many are still active k periods later; reference has
 no equivalent, driver-mandated surface).
 
-Shape: two aggregations and one broadcastable join —
+Shape: two aggregations and one user-keyed join —
 1. first-seen: min event time per user (user-cardinality output);
 2. activity: distinct (user, period) pairs;
-3. retention: join activity to first-seen (user-keyed, the small side is
-   user-cardinality and broadcasts under any sane threshold), derive the
+3. retention: join activity to first-seen on the user key, derive the
    period offset, count distinct users per (cohort, offset).
+
+The first-seen side is USER-cardinality — billions of rows at web
+scale — so it must NOT carry a broadcast hint (a forced hint overrides
+``autoBroadcastJoinThreshold`` and would collect the whole user table
+to the driver). The join is left to Catalyst/AQE: it broadcasts when
+the user table is genuinely small and degrades to a shuffle join
+otherwise; both sides are already keyed on ``u``, and the activity
+frame arrives pre-shuffled on ``u`` from its distinct, so the shuffle
+path reuses that partitioning for one side.
 
 Periods are epoch-relative day buckets (``period_days``) — a pure
 arithmetic floor both engines compute identically, with no calendar
@@ -36,15 +44,17 @@ def cohort_retention(df: DataFrame, user_col: str = "user_id",
 
     100 TB posture: activity dedup is one (user, period) distinct —
     map-side combined, output bounded by users x active periods; the
-    first-seen frame is user-cardinality and broadcast-joined; the final
-    count_distinct shuffles at (cohort, offset) grain.
+    first-seen frame is user-cardinality, so its join carries NO
+    broadcast hint (see module docstring) — AQE picks broadcast only
+    when the user table actually fits; the final count_distinct
+    shuffles at (cohort, offset) grain.
     """
     p = _period(F.col(ts_col), period_days)
     activity = (df.select(F.col(user_col).alias("u"), p.alias("pd"))
                 .distinct())
     first_seen = (activity.groupBy("u")
                   .agg(F.min("pd").alias("cohort_pd")))
-    return (activity.join(F.broadcast(first_seen), ["u"])
+    return (activity.join(first_seen, ["u"])
             .groupBy(F.col("cohort_pd").alias("cohort_period"),
                      (F.col("pd") - F.col("cohort_pd"))
                      .alias("period_offset"))

@@ -50,6 +50,24 @@ def _materialized(df: DataFrame) -> DataFrame:
     return out
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to ``defaultParallelism`` ONLY when the frame has
+    fewer partitions. Signature/bucket frames are cached and then
+    self-joined; when the join broadcasts one side, its parallelism is
+    the stream side's partition count, so a 2-file scan would run the
+    quadratic verify on 2 tasks (measured 363 s -> 40 s at sf1 in
+    semdedup from spreading alone). But when the scan already yields
+    >= defaultParallelism splits — the normal case at sf0.1+ and on any
+    real cluster — an unconditional repartition is a pure extra shuffle
+    (it cost the r05 driver bench ~2.5x on x06/x18 at sf0.1). The
+    ``.rdd.getNumPartitions()`` probe triggers physical planning only,
+    no job."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 # --------------------------------------------------------------------------
 # X1: exact dedup
 # --------------------------------------------------------------------------
@@ -79,6 +97,28 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
     return (df.withColumn("__fp", fingerprint(text_col))
             .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__fp", "__rn"))
+
+
+def canonical_documents(df: DataFrame, score_col: str,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Quality-aware exact dedup ("keep the best copy"): within each
+    normalized-fingerprint group keep the row with the HIGHEST
+    ``score_col`` (ties -> min id), annotated with ``n_copies``. The
+    copies of a page differ in scraping quality even when the
+    normalized text matches — min-id keeps the first crawl,
+    this keeps the best one.
+
+    One shuffle: rank and group-size share the fingerprint window
+    partitioning, so Catalyst plans a single exchange + sort."""
+    from pyspark.sql import Window
+    part = Window.partitionBy("__fp")
+    w = part.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return (df.withColumn("__fp", fingerprint(text_col))
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn("n_copies", F.count(F.lit(1)).over(part))
             .filter(F.col("__rn") == 1)
             .drop("__fp", "__rn"))
 
@@ -203,11 +243,11 @@ def _lsh_candidates_from_sets(sets_df: DataFrame, num_perm: int, bands: int,
                 ).alias("bhash")))).alias("bk")
     ).select("id", "bk.band", "bk.bhash")
     if materialize:
-        # spread before caching: if the bucket self-join broadcasts one
-        # side, its parallelism is the stream side's partition count (see
-        # similarity.embedding_near_duplicates — measured 20x there)
-        par = banded.sparkSession.sparkContext.defaultParallelism
-        banded = _materialized(banded.repartition(par))
+        # spread (conditionally) before caching: if the bucket self-join
+        # broadcasts one side, its parallelism is the stream side's
+        # partition count (see similarity.embedding_near_duplicates —
+        # measured 20x there)
+        banded = _materialized(_spread(banded))
     if bucket_cap is not None:
         small = (banded.groupBy("band", "bhash")
                  .agg(F.count(F.lit(1)).alias("__n"))
@@ -521,10 +561,9 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                    else simhash_from_hashes("__th"))
         sig = base.select("id", sig_col.alias("sig"))
     if materialize:
-        # spread before caching (broadcast-regime stream-side parallelism;
-        # see minhash banding above)
-        par = sig.sparkSession.sparkContext.defaultParallelism
-        sig = _materialized(sig.repartition(par))
+        # spread (conditionally) before caching (broadcast-regime
+        # stream-side parallelism; see minhash banding above)
+        sig = _materialized(_spread(sig))
     chunks = sig.select(
         "id", "sig",
         F.explode(F.array(*[

@@ -26,19 +26,44 @@ from pyspark.sql import functions as F
 def funnel_progress(df: DataFrame, steps: list[str],
                     user_col: str = "user_id",
                     type_col: str = "event_type",
-                    ts_col: str = "ts") -> DataFrame:
+                    ts_col: str = "ts",
+                    max_events_per_type: int | None = None) -> DataFrame:
     """(user_col, step_reached, step_ts): deepest funnel step each user
     reached (0 = none) and the timestamp of that advancement (NULL at
     step 0). Users with no events of any funnel type emit step 0 only if
     present in the filtered input — pre-join a user dimension for
-    zero-fill semantics."""
+    zero-fill semantics.
+
+    NULL-timestamp events are dropped before the fold: a NULL ts can
+    neither start nor advance the funnel (the min-after-min formulation
+    never selects NULL; without the filter a NULL-ts event would match
+    the step-0 sentinel and corrupt the progression).
+
+    ``max_events_per_type`` is the skew guard for adversarial users (a
+    bot with 10M click events would otherwise materialize a 10M-element
+    array in one aggregation buffer): keep only the EARLIEST N events
+    per (user, step-type) via a window rank — the window's sort-based
+    processing spills to disk instead of buffering, and the collected
+    array is then bounded by N x len(steps). Exact whenever every
+    (user, type) count is <= N (the greedy fold only ever selects
+    earliest-after-threshold events); for users beyond the cap it is a
+    documented approximation that considers only their earliest N
+    events of each type."""
     if not steps:
         raise ValueError("steps must be non-empty")
     steps_arr = F.array(*[F.lit(s) for s in steps])
-    ev = (df.filter(F.col(type_col).isin(steps))
+    ev = (df.filter(F.col(type_col).isin(steps)
+                    & F.col(ts_col).isNotNull())
           .select(F.col(user_col),
                   F.struct(F.col(ts_col).alias("ts"),
                            F.col(type_col).alias("et")).alias("e")))
+    if max_events_per_type is not None:
+        from pyspark.sql import Window
+        w = (Window.partitionBy(user_col, F.col("e.et"))
+             .orderBy(F.col("e.ts").asc()))
+        ev = (ev.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= max_events_per_type)
+              .drop("__rn"))
     # NULL start, not an epoch sentinel: a sentinel floor would silently
     # exclude placeholder/pre-epoch timestamps from ever starting the
     # funnel, diverging from the min-after-min formulation
@@ -64,10 +89,12 @@ def funnel_progress(df: DataFrame, steps: list[str],
 def funnel_report(df: DataFrame, steps: list[str],
                   user_col: str = "user_id",
                   type_col: str = "event_type",
-                  ts_col: str = "ts") -> DataFrame:
+                  ts_col: str = "ts",
+                  max_events_per_type: int | None = None) -> DataFrame:
     """Per-depth rollup: (step_reached, n_users) plus the conversion
     denominator is step 1's count — one extra tiny aggregation over the
     user-grain progression frame."""
-    prog = funnel_progress(df, steps, user_col, type_col, ts_col)
+    prog = funnel_progress(df, steps, user_col, type_col, ts_col,
+                           max_events_per_type)
     return (prog.groupBy("step_reached")
             .agg(F.count(F.lit(1)).alias("n_users")))

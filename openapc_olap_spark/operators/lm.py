@@ -12,11 +12,12 @@ operators.text (quality_score).
 100 TB posture:
 - training is ONE map-side-combined token count; the model is
   vocab-sized, not corpus-sized, and ``min_count`` prunes the hapax tail
-  (web-scale vocab at min_count>=5 is tens of millions of rows — still a
-  broadcastable few hundred MB of (token, count)).
+  (web-scale vocab at min_count>=5 is tens of millions of rows).
 - scoring pre-aggregates to per-(doc, DISTINCT token) counts before the
   model join, so join input is bounded by per-doc vocab, not token
-  instances; the model side broadcasts.
+  instances; the model join carries NO forced hint by default — AQE
+  broadcasts a model that fits and shuffle-joins one that doesn't
+  (``broadcast_model`` overrides in either direction).
 - the two model scalars (total tokens N, vocab size V) come from a
   one-row aggregate — the only driver action, two longs.
 - the per-doc sum folds over a token-SORTED list, so the floating-point
@@ -46,10 +47,25 @@ def unigram_counts(df: DataFrame, text_col: str = "text",
     return counts
 
 
+def _hinted(model: DataFrame, broadcast: bool | None) -> DataFrame:
+    """Join-strategy hint for a model frame: True forces broadcast (only
+    when the caller KNOWS the model is small), False forces a shuffle
+    hash join, None (default) leaves the choice to Catalyst/AQE — which
+    broadcasts vocab-sized models that actually fit and degrades to a
+    shuffle join for web-scale vocabularies (tens of millions of rows)
+    instead of OOMing the driver under a forced hint."""
+    if broadcast is True:
+        return F.broadcast(model)
+    if broadcast is False:
+        return model.hint("shuffle_hash")
+    return model
+
+
 def doc_mean_logprob(df: DataFrame, model: DataFrame | None = None,
                      id_col: str = "doc_id", text_col: str = "text",
                      smoothing_k: float = 1.0,
-                     round_to: int | None = None) -> DataFrame:
+                     round_to: int | None = None,
+                     broadcast_model: bool | None = None) -> DataFrame:
     """Per-document mean token ln-probability under the add-k unigram
     model: (id_col, n_tokens, mean_logprob). Token-less documents emit no
     row (they have no tokens to score; filter upstream with token_count).
@@ -78,7 +94,7 @@ def doc_mean_logprob(df: DataFrame, model: DataFrame | None = None,
            .agg(F.count(F.lit(1)).alias("n")))
     logp = F.log((F.coalesce(F.col("count"), F.lit(0)) + F.lit(smoothing_k))
                  / F.lit(denom))
-    joined = (per.join(F.broadcast(model), ["token"], "left")
+    joined = (per.join(_hinted(model, broadcast_model), ["token"], "left")
               .select(F.col(id_col), F.col("token"), F.col("n"),
                       (F.col("n") * logp).alias("contrib")))
     # Deterministic-order sum: fold the token-sorted contribution list so
@@ -123,7 +139,8 @@ def doc_mean_bigram_logprob(df: DataFrame,
                             unigram_model: DataFrame | None = None,
                             id_col: str = "doc_id", text_col: str = "text",
                             smoothing_k: float = 1.0,
-                            round_to: int | None = None) -> DataFrame:
+                            round_to: int | None = None,
+                            broadcast_model: bool | None = None) -> DataFrame:
     """Per-document mean conditional ln-probability under an add-k bigram
     model: (id_col, n_bigrams, mean_logprob). Documents with fewer than
     two tokens emit no row.
@@ -163,8 +180,9 @@ def doc_mean_bigram_logprob(df: DataFrame,
         (F.coalesce(F.col("__cbg"), F.lit(0)) + F.lit(smoothing_k))
         / (F.coalesce(F.col("__cprev"), F.lit(0))
            + F.lit(smoothing_k * (vocab + 1))))
-    joined = (per.join(F.broadcast(bgm), ["prev", "token"], "left")
-              .join(F.broadcast(ugm), ["prev"], "left")
+    joined = (per.join(_hinted(bgm, broadcast_model), ["prev", "token"],
+                       "left")
+              .join(_hinted(ugm, broadcast_model), ["prev"], "left")
               .select(F.col(id_col),
                       F.concat("prev", F.lit(" "), "token").alias("__bg"),
                       F.col("n"), (F.col("n") * logp).alias("contrib")))

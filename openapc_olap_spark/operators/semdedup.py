@@ -63,14 +63,14 @@ def semantic_candidate_pairs(df: DataFrame, centroids: list[list[float]],
                                         F.lit(1.0) / norm(F.col("v")))
                      .otherwise(F.lit(0.0))))
     if materialize:
-        from openapc_olap_spark.operators.dedup import _materialized
+        from openapc_olap_spark.operators.dedup import _materialized, _spread
         # spread the stream side across the cores BEFORE caching: when the
         # pair join broadcasts (small corpus / one side capped), its
         # parallelism is the stream side's partition count — a 2-file scan
         # would otherwise run the quadratic verify on 2 tasks (measured
-        # 363 s -> 40 s at sf1 from this alone)
-        par = df.sparkSession.sparkContext.defaultParallelism
-        a = _materialized(a.repartition(par))
+        # 363 s -> 40 s at sf1 from this alone); conditional so an
+        # already-spread scan pays no extra shuffle
+        a = _materialized(_spread(a))
     if cluster_cap is not None:
         small = (a.groupBy("list_id")
                  .agg(F.count(F.lit(1)).alias("__n"))

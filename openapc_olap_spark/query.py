@@ -168,7 +168,8 @@ class QueryEngine:
         out = self._apply_order(out, spec.order, list(spec.drilldown))
         return self._paginate(out, spec.page, spec.pagesize)
 
-    def aggregate_envelope(self, spec: QuerySpec) -> dict:
+    def aggregate_envelope(self, spec: QuerySpec,
+                           approx_total: bool = False) -> dict:
         """``/cube/<c>/aggregate`` response: ``{summary, cells,
         total_cell_count}`` (Q11).
 
@@ -176,6 +177,13 @@ class QueryEngine:
         100 TB fact scan happens once; ``grouping_id`` separates the grand-
         total row (summary) from the per-group rows (cells). Falls back to a
         plain two-aggregate plan when there is no drilldown.
+
+        ``total_cell_count`` is an exact count of the (cached) cells frame
+        by default — one extra pass over cached group rows. For 100 TB
+        drilldowns with ~10^8 groups even that pass costs real time, so
+        ``approx_total=True`` rides an ``approx_count_distinct`` of the
+        drilldown tuple on the SAME grouping-sets aggregation (read off
+        the grand-total row, HLL++ default ~2% rsd) — zero extra jobs.
         """
         cube = self.registry.get(spec.cube)
         if not spec.drilldown:
@@ -186,6 +194,9 @@ class QueryEngine:
         df = self._apply_cuts(self._cell(cube), spec)
         aggs = [a.to_column() for a in cube.aggregates]
         dims = [F.col(d) for d in spec.drilldown]
+        if approx_total:
+            aggs = aggs + [F.approx_count_distinct(F.struct(*dims))
+                           .alias("__acc__")]
         both = (
             df.groupingSets([dims, []], *dims)
             .agg(*aggs, F.grouping_id().alias("__gid__"))
@@ -195,13 +206,20 @@ class QueryEngine:
             summary_row = both.filter(F.col("__gid__") != 0).drop("__gid__") \
                 .drop(*spec.drilldown).collect()
             cells_df = both.filter(F.col("__gid__") == 0).drop("__gid__")
-            total = cells_df.count()
+            if approx_total:
+                cells_df = cells_df.drop("__acc__")
+                total = (int(summary_row[0]["__acc__"])
+                         if summary_row else 0)
+            else:
+                total = cells_df.count()
             cells_df = self._apply_order(cells_df, spec.order, list(spec.drilldown))
             cells = [r.asDict() for r in
                      self._paginate(cells_df, spec.page, spec.pagesize).collect()]
         finally:
             both.unpersist()
         summary = summary_row[0].asDict() if summary_row else {}
+        if approx_total:
+            summary.pop("__acc__", None)
         return {"summary": summary, "cells": cells, "total_cell_count": total}
 
     def with_total_percentage(self, spec: QuerySpec, aggregate: str,

@@ -71,3 +71,45 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
     return joined.select(
         *[F.col(f"l.{c}") for c in left.columns],
         *[F.col(f"r.{c}") for c in r.columns if c not in keys])
+
+
+def drain_sentinel(spark, path: str,
+                   events: list[tuple[str, str]],
+                   user_id: int = -1,
+                   fmt: str = "parquet") -> None:
+    """Flush a bounded left-outer run's withheld NULLs: append a
+    watermark-advancing sentinel batch to the file source at ``path``.
+
+    A left-outer stream-stream join emits an unmatched left row's NULL
+    only once the watermark passes its interval; in a bounded
+    (availableNow) run the rows inside the final watermark+within
+    horizon are still buffered when input ends, so their NULLs never
+    appear. Writing sentinel events with event time beyond
+    ``max_event_ts + within + watermark`` and re-running the query
+    advances the watermark past every real row and flushes them
+    (incrementally under a checkpoint; from scratch otherwise).
+
+    ``events`` is ``[(event_type, ts_string), ...]`` — one sentinel per
+    event type each side's filter keeps, because the watermark node sits
+    AFTER those filters: a sentinel of a filtered-out type never reaches
+    it. Choose timestamps so no sentinel lands inside a join window:
+    put right-stream types EARLIER than left-stream types by more than
+    ``within`` (the join requires right_ts >= left_ts, so a right
+    sentinel preceding the left one can only match real left rows, which
+    the beyond-horizon placement already rules out). Sentinels carry a
+    reserved ``user_id`` (default -1) and negative event_ids — filter
+    ``user_id != -1`` downstream; the left-type sentinel's own NULL row
+    sits at the new horizon and stays withheld.
+    """
+    from openapc_olap_spark import streaming as _s
+
+    rows = [(-(1000 + i), ts, user_id, et, 0.0, None)
+            for i, (et, ts) in enumerate(events)]
+    df = (spark.createDataFrame(
+        [(eid, ts, uid, et, val, props)
+         for eid, ts, uid, et, val, props in rows],
+        schema="event_id long, ts string, user_id long, "
+               "event_type string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        .select(*[f.name for f in _s.EVENTS_RAW_SCHEMA.fields]))
+    df.coalesce(1).write.mode("append").format(fmt).save(path)

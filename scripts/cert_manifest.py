@@ -41,10 +41,16 @@ _P = "openapc_olap_spark"
 _COMMON = [f"{_P}/session.py"]
 _QUERY_STACK = [f"{_P}/query.py", f"{_P}/cuts.py", f"{_P}/model.py",
                 f"{_P}/tpch.py"]
+# e-gate closure, verified against the gate callables' actual imports
+# (etl_queries.py imports etl/openapc + session at module level and
+# etl/coverage + model inside gate bodies; etl/openapc.py imports only
+# etl/schemas; etl/coverage.py imports nothing package-local). yamls.py /
+# server.py / query.py are NOT in any e-gate's execution path — the two
+# exceptions carry explicit DEPS entries below: e18 drives QueryEngine
+# (query stack) and e19 drives catalog.load_manifest (catalog.py, which
+# imports model.py).
 _ETL_STACK = [f"{_P}/etl/openapc.py", f"{_P}/etl/coverage.py",
-              f"{_P}/etl/schemas.py", f"{_P}/etl/yamls.py",
-              f"{_P}/catalog.py", f"{_P}/model.py", f"{_P}/query.py",
-              f"{_P}/server.py"]
+              f"{_P}/etl/schemas.py", f"{_P}/model.py"]
 _OPS = f"{_P}/operators"
 _MEMO = [f"{_OPS}/_memo.py"]
 
@@ -64,6 +70,8 @@ DEPS["q17_model_http"] = _QUERY_STACK + [f"{_P}/server.py",
 # e-gates resolve by prefix in deps_for() -> _ETL_STACK, except gates whose
 # gate callable provably executes through a narrower closure (verified
 # against the callable's imports; coverage.py imports no other etl module):
+DEPS["e18_partition_prune"] = _ETL_STACK + _QUERY_STACK
+DEPS["e19_manifest_roundtrip"] = _ETL_STACK + [f"{_P}/catalog.py"]
 DEPS["e20_json_cache"] = [f"{_P}/etl/coverage.py"]
 DEPS["e17_cache_upsert"] = [f"{_P}/etl/coverage.py"]
 DEPS["e14_annual_pubdates"] = [f"{_P}/etl/coverage.py"]
@@ -155,6 +163,13 @@ _X_DEPS = {
     "x62_quality_rules": [f"{_OPS}/rules.py", f"{_OPS}/text.py"],
     "x63_event_funnel": [f"{_OPS}/funnel.py"],
     "x64_cohort_retention": [f"{_OPS}/cohort.py"],
+    "x65_url_dedup": [f"{_OPS}/urlnorm.py"],
+    "x66_line_dedup": [f"{_OPS}/linededup.py"],
+    "x67_char_entropy": [f"{_OPS}/stats.py"],
+    "x68_canonical_docs": [f"{_OPS}/dedup.py", f"{_OPS}/text.py"] + _MEMO,
+    "x69_percentile_filter": [f"{_OPS}/stats.py"],
+    "x70_rolling_features": [f"{_OPS}/rolling.py"],
+    "x71_size_sharding": [f"{_OPS}/sharding.py"],
 }
 DEPS.update(_X_DEPS)
 

@@ -341,7 +341,7 @@ def test_embedding_near_duplicates_bucket_cap(emb):
     capped = pairkey(similarity.embedding_near_duplicates(
         emb, bucket_cap=12, **kw).collect())
     assert capped < uncapped          # strictly prunes on this corpus
-    bucketed = similarity.lsh_bucketize(emb, nbits=6, seed=42) \
+    bucketed = similarity.lsh_bucketize(emb, nbits=6, seed=42, dim=64) \
         .select("vec_id", "bucket").collect()
     bucket_of = {r["vec_id"]: r["bucket"] for r in bucketed}
     sizes = {}
@@ -1970,6 +1970,59 @@ def test_bpe_train_stops_when_no_pairs(spark):
     assert vocab.count() == 3
 
 
+def test_bpe_train_batched_equals_sequential(spark):
+    """merge_batch is an EXACT optimization (VERDICT r05 item 3): the
+    learned merge LIST — order, pairs, counts — and the final
+    segmentation digest are bit-identical to the sequential loop, on the
+    Sennrich corpus and on a messier corpus engineered to hit the
+    conflict/tie machinery; only the Spark job count drops."""
+    from openapc_olap_spark.operators import bpe
+
+    corpora = [
+        [(1, "low lower lowest low low newer newest"),
+         (2, "wider new newer low")],
+        # conflict-heavy: overlapping pairs, ties, single chars
+        [(1, "aab aab abba baab bb aa ab ba"),
+         (2, "abc bca cab abcabc aabbcc"),
+         (3, "xyzzy zzyzx xyz zyx zz yy xx")],
+    ]
+    for rows in corpora:
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        seq_m, seq_v = bpe.bpe_train(df, 8, merge_batch=1)
+        dig_seq = seq_v.agg(bpe.segment_digest()).first()[0]
+        for batch in (3, 8):
+            bat_m, bat_v = bpe.bpe_train(df, 8, merge_batch=batch)
+            assert bat_m == seq_m
+            assert bat_v.agg(bpe.segment_digest()).first()[0] == dig_seq
+
+
+def test_bpe_select_merge_batch_rules():
+    """Unit coverage of the exactness gates: conflict cut, strict-count
+    filter, tie fallback, exhausted list."""
+    from openapc_olap_spark.operators.bpe import _select_merge_batch
+
+    # conflict at rank 3 cuts; both survivors beat the cut count
+    rows = [{"pair": "a b", "cnt": 10}, {"pair": "c d", "cnt": 8},
+            {"pair": "b c", "cnt": 7}]
+    assert _select_merge_batch(rows, 8) == [("a", "b", 10), ("c", "d", 8)]
+    # tie with a conflicting pair -> only the argmax survives
+    rows = [{"pair": "a b", "cnt": 10}, {"pair": "b c", "cnt": 10}]
+    assert _select_merge_batch(rows, 8) == [("a", "b", 10)]
+    # disjoint pair TYING the cut count is dropped (created-pair ties
+    # could outrank it mid-replay via the pair-asc tie-break)
+    rows = [{"pair": "a b", "cnt": 10}, {"pair": "c d", "cnt": 7},
+            {"pair": "b e", "cnt": 7}]
+    assert _select_merge_batch(rows, 8) == [("a", "b", 10)]
+    # exhausted list, no conflict -> everything is safe
+    rows = [{"pair": "a b", "cnt": 10}, {"pair": "c d", "cnt": 10}]
+    assert _select_merge_batch(rows, 8) == [("a", "b", 10),
+                                            ("c", "d", 10)]
+    # cap acts as a cut: the capped-out row's count gates the batch
+    rows = [{"pair": "a b", "cnt": 10}, {"pair": "c d", "cnt": 8},
+            {"pair": "e f", "cnt": 8}]
+    assert _select_merge_batch(rows, 2) == [("a", "b", 10)]
+
+
 # ---------------------------------------------------------------------------
 # web: URL parsing / registrable domains / blocklist filtering
 # ---------------------------------------------------------------------------
@@ -2271,6 +2324,58 @@ def test_funnel_progress_ordering_semantics(spark):
         funnel.funnel_progress(df, [])
 
 
+def test_funnel_null_ts_never_starts_or_advances(spark):
+    """ADVICE r05: a NULL-timestamp event must neither start the funnel
+    (the step-0 sentinel is also NULL) nor advance it — matching the SQL
+    min-after-min chain, where comparisons with NULL never select."""
+    import datetime
+
+    from openapc_olap_spark.operators import funnel
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: NULL click, real signup later — without the filter the
+        # NULL click would "start" the funnel and the signup advance it
+        (1, "click", None), (1, "signup", t(2)),
+        # user 2: real click, NULL signup, real purchase — NULL must not
+        # bridge the gap to depth 3
+        (2, "click", t(1)), (2, "signup", None), (2, "purchase", t(3)),
+        # user 3: only NULL events -> no row at all (all filtered)
+        (3, "click", None),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {r["user_id"]: r["step_reached"] for r in
+           funnel.funnel_progress(
+               df, ["click", "signup", "purchase"]).collect()}
+    assert got == {1: 0, 2: 1}
+
+
+def test_funnel_event_cap_bounds_bot_user(spark):
+    """VERDICT r05 item 5 skew guard: with max_events_per_type set, a
+    bot user's array is bounded (earliest-N per type) and every
+    under-cap user's result is unchanged vs the exact path."""
+    import datetime
+
+    from openapc_olap_spark.operators import funnel
+
+    t = lambda m, s=0: datetime.datetime(2024, 1, 1, 0, m, s)
+    rows = [(1, "click", t(0)), (1, "signup", t(1)), (1, "purchase", t(2)),
+            (2, "click", t(5))]
+    # bot user 99: 5k clicks then a signup after all of them
+    rows += [(99, "click", t(10, s % 60)) for s in range(5000)]
+    rows += [(99, "signup", t(30))]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    steps = ["click", "signup", "purchase"]
+    exact = {r["user_id"]: (r["step_reached"], r["step_ts"]) for r in
+             funnel.funnel_progress(df, steps).collect()}
+    capped = {r["user_id"]: (r["step_reached"], r["step_ts"]) for r in
+              funnel.funnel_progress(
+                  df, steps, max_events_per_type=10).collect()}
+    assert capped[1] == exact[1] and capped[2] == exact[2]
+    # the bot's earliest clicks precede its signup -> still exact here
+    assert capped[99] == exact[99] == (2, t(30))
+
+
 # ---------------------------------------------------------------------------
 # cohort: retention analysis
 # ---------------------------------------------------------------------------
@@ -2299,3 +2404,201 @@ def test_cohort_retention_hand_computed(spark):
                  cohort.cohort_retention(df, period_days=1)).collect()}
     assert rates[(c0, 0)] == 1.0
     assert rates[(c0, 1)] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# r06 hardening: conditional spread, required dim, hint plumbing
+# ---------------------------------------------------------------------------
+
+def test_spread_skips_already_wide_frames(spark):
+    """VERDICT r05 item 4: _spread repartitions only frames NARROWER than
+    defaultParallelism — an already-spread frame passes through untouched
+    (same object, no extra shuffle), so sf0.1+ scans stop paying the
+    fixed repartition the r05 bench flagged on x06/x18."""
+    from openapc_olap_spark.operators.dedup import _spread
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    assert narrow.rdd.getNumPartitions() < par
+    assert _spread(narrow).rdd.getNumPartitions() == par
+    wide = spark.range(100).repartition(par + 2)
+    assert _spread(wide) is wide
+
+
+def test_lsh_bucketize_requires_dim(spark):
+    """r04/r05 verdict carry-over: no internal driver-side first-row
+    probe — dim is mandatory everywhere."""
+    from openapc_olap_spark.operators import similarity
+
+    df = spark.createDataFrame([(1, [0.1, 0.2])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="dim"):
+        similarity.lsh_bucketize(df, nbits=4)
+    assert "bucket" in similarity.lsh_bucketize(df, nbits=4, dim=2).columns
+
+
+def test_model_hint_modes(spark):
+    """lm/bpe join hints: True forces broadcast, False forces a shuffle
+    hash join, None adds no hint (AQE/statistics decide) — the scores
+    are identical in every mode."""
+    from openapc_olap_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran the end")],
+        ["doc_id", "text"])
+    base = sorted(lm.doc_mean_logprob(docs, round_to=6).collect())
+    for mode in (True, False):
+        got = sorted(lm.doc_mean_logprob(
+            docs, round_to=6, broadcast_model=mode).collect())
+        assert got == base
+
+
+# ---------------------------------------------------------------------------
+# r06 new operators: urlnorm / linededup / stats / rolling / sharding /
+# canonical docs
+# ---------------------------------------------------------------------------
+
+def test_canonical_url_rules(spark):
+    from openapc_olap_spark.operators import urlnorm
+
+    cases = {
+        "HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&b=2&a=1#frag":
+            "example.com/A/b?a=1&b=2",
+        "http://example.com:80/": "example.com",
+        "https://sub.example.com/path/": "sub.example.com/path",
+        "example.com/path?gclid=1": "example.com/path",
+        "http://www.example.com": "example.com",
+        # path case preserved, host folded; non-default port kept
+        "https://Ex.COM:8080/CaseS": "ex.com:8080/CaseS",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {r["url"]: r["c"] for r in
+           df.select("url", urlnorm.canonical_url("url").alias("c"))
+           .collect()}
+    assert got == cases
+
+
+def test_url_dedup_keeps_min_id(spark):
+    from openapc_olap_spark.operators import urlnorm
+
+    df = spark.createDataFrame(
+        [(3, "https://www.a.com/x/"), (1, "http://a.com/x"),
+         (2, "https://a.com/x?utm_source=f"), (9, "https://b.com/y")],
+        ["doc_id", "url"])
+    dups = urlnorm.url_duplicates(df).collect()
+    assert len(dups) == 1
+    assert dups[0]["canonical_url"] == "a.com/x"
+    assert dups[0]["kept_id"] == 1 and dups[0]["n_dups"] == 3
+    kept = sorted(r["doc_id"]
+                  for r in urlnorm.dedup_by_url(df).collect())
+    assert kept == [1, 9]
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    from openapc_olap_spark.operators import linededup
+
+    df = spark.createDataFrame(
+        [(1, "cookie\nreal content one\ncookie"),      # within-doc repeat
+         (2, "cookie\nreal content two"),
+         (3, "cookie\nunique line"),
+         (4, "no boilerplate here")],
+        ["doc_id", "text"])
+    freq = {r["line"]: r["n_docs"] for r in
+            linededup.line_frequencies(df).collect()}
+    assert freq["cookie"] == 3                 # distinct docs, not 4
+    out = {r["doc_id"]: (r["text"], r["n_removed"]) for r in
+           linededup.remove_boilerplate_lines(df, max_docs=2).collect()}
+    assert out[1] == ("real content one", 2)   # both occurrences removed
+    assert out[2] == ("real content two", 1)
+    assert out[3] == ("unique line", 1)
+    assert out[4] == ("no boilerplate here", 0)
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from openapc_olap_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(1, "aab"), (2, "abcd"), (3, "aaaa"), (4, "")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_chars"], r["entropy"]) for r in
+           stats.char_entropy(df, round_to=6).collect()}
+    assert got[1] == (3, round(math.log(3) - (2 * math.log(2)) / 3, 6))
+    assert got[2] == (4, round(math.log(4), 6))
+    assert got[3] == (4, 0.0)
+    assert 4 not in got                        # empty doc emits no row
+
+
+def test_percentile_filter_exact_bounds(spark):
+    from openapc_olap_spark.operators import stats
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 11)],
+                               ["id", "m"])
+    lo, hi = stats.percentile_bounds(df, "m", 0.25, 0.75)
+    # R-7 interpolation on 1..10: p25 = 3.25, p75 = 7.75
+    assert (lo, hi) == (3.25, 7.75)
+    kept = sorted(r["id"] for r in
+                  stats.filter_by_percentile(df, "m", 0.25, 0.75).collect())
+    assert kept == [4, 5, 6, 7]
+
+
+def test_rolling_features_hand_computed(spark):
+    import datetime
+
+    from openapc_olap_spark.operators import rolling
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    rows = [(1, 10, t(1), 2.0), (2, 10, t(2), 4.0), (3, 10, t(3), 9.0),
+            (4, 10, t(4), 1.0), (5, 20, t(1), 7.0)]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "value"])
+    got = {r["event_id"]: (r["event_idx"], r["value_delta"],
+                           r["rolling_mean_k"]) for r in
+           rolling.rolling_features(df, k=3, round_to=4).collect()}
+    assert got[1] == (1, None, 2.0)
+    assert got[2] == (2, 2.0, 3.0)
+    assert got[3] == (3, 5.0, 5.0)
+    assert got[4] == (4, -8.0, round((9 + 4 + 1) / 3, 4))
+    assert got[5] == (1, None, 7.0)
+    with pytest.raises(ValueError):
+        rolling.rolling_features(df, k=0)
+
+
+def test_assign_shards_exact_and_partition_invariant(spark):
+    from openapc_olap_spark.operators import sharding
+
+    rows = [(i, 10 * (i % 3 + 1)) for i in range(100)]   # weights 10/20/30
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    out = sharding.assign_shards(df, target=100, num_partitions=7)
+    got = {r["doc_id"]: (r["cum_before"], r["shard"])
+           for r in out.collect()}
+    out.unpersist()
+    cum = 0
+    for i, w in rows:
+        assert got[i] == (cum, cum // 100)
+        cum += w
+    # partitioning must not change the assignment
+    out2 = sharding.assign_shards(df.repartition(13), target=100,
+                                  num_partitions=3)
+    got2 = {r["doc_id"]: (r["cum_before"], r["shard"])
+            for r in out2.collect()}
+    out2.unpersist()
+    assert got2 == got
+    summ = {r["shard"]: (r["n_docs"], r["total_weight"]) for r in
+            sharding.shard_summary(out).collect()}
+    assert sum(v[1] for v in summ.values()) == cum
+    with pytest.raises(ValueError):
+        sharding.assign_shards(df, target=0)
+
+
+def test_canonical_documents_picks_best_copy(spark):
+    from openapc_olap_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "Same  Page", 5), (2, "same page", 9), (3, "same page", 9),
+         (4, "other", 1)],
+        ["doc_id", "text", "score"])
+    got = {r["doc_id"]: r["n_copies"] for r in
+           dedup.canonical_documents(df, score_col="score").collect()}
+    # ids 1-3 normalize identically; best score 9, tie -> min id 2
+    assert got == {2: 3, 4: 1}

@@ -511,3 +511,25 @@ def test_domain_stats_single_scan_partial_agg(spark, sf_dir):
     assert plans.single_scan(out)
     assert plans.has_partial_aggregate(out)
     assert plans.exchange_count(out) <= 2   # partial->final + nothing else
+
+
+def test_bpe_encode_vocab_hint_modes(spark, sf_dir):
+    """x61 / VERDICT r05 item 2: the word->symbols join is no longer
+    force-broadcast. Default (no hint) still broadcasts a small trained
+    vocabulary — the materialized frame's statistics drive the choice —
+    while broadcast_vocab=False degrades to a shuffle hash join, the
+    web-scale-vocabulary shape that cannot OOM the driver."""
+    from openapc_olap_spark.operators import bpe
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"] \
+        .limit(50)
+    _, vocab = bpe.bpe_train(docs, 2)
+    auto = bpe.bpe_encode(docs, vocab)
+    assert plans.has_broadcast_join(auto)
+    sharded = bpe.bpe_encode(docs, vocab, broadcast_vocab=False)
+    assert "ShuffledHashJoin" in plans.plan_of(sharded)
+    assert not plans.has_broadcast_join(sharded)
+    # the two modes agree bit-for-bit
+    key = lambda df: sorted((r["doc_id"], tuple(r["bpe_tokens"]))
+                            for r in df.collect())
+    assert key(auto) == key(sharded)

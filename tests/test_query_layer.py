@@ -109,6 +109,22 @@ def test_envelope_with_cut(engine):
     assert env["total_cell_count"] == 3
 
 
+def test_envelope_approx_total(engine):
+    """VERDICT r05 item 9: approx_total rides an approx_count_distinct of
+    the drilldown tuple on the SAME grouping-sets pass (no extra count
+    job); cells and summary are identical to the exact path, the helper
+    column never leaks, and HLL++ is exact at small cardinality."""
+    spec = QuerySpec.from_params(
+        "mini", drilldown="institution", order="amount_sum:desc")
+    exact = engine.aggregate_envelope(spec)
+    approx = engine.aggregate_envelope(spec, approx_total=True)
+    assert approx["cells"] == exact["cells"]
+    assert approx["summary"] == exact["summary"]
+    assert approx["total_cell_count"] == exact["total_cell_count"] == 3
+    assert "__acc__" not in approx["summary"]
+    assert all("__acc__" not in c for c in approx["cells"])
+
+
 def test_pagination_partition_property(engine):
     """∪ pages == unpaginated result and pages are disjoint (SURVEY.md §5)."""
     whole = engine.facts(QuerySpec.from_params("mini"))

@@ -339,3 +339,55 @@ def test_stream_stream_left_outer_join_matches_batch(spark, stream_dir):
     with pytest.raises(ValueError):
         sj.interval_join_streams(sc, sp, keys=["user_id"], within="1 hour",
                                  watermark="2 hours", how="full_outer")
+
+
+def test_drain_sentinel_flushes_withheld_nulls(spark, tmp_path):
+    """VERDICT r05 item 8: a bounded left-outer run withholds NULLs for
+    clicks inside the final watermark+interval horizon; writing a
+    drain_sentinel batch beyond the horizon and re-running flushes every
+    real click's NULL, and the sentinel rows themselves never surface."""
+    import datetime
+
+    from openapc_olap_spark.streaming import joins as sj
+
+    d = tmp_path / "drain_src"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "part-000.parquet")
+
+    def sides(df):
+        clicks = (df.filter(F.col("event_type") == "click")
+                  .select("user_id", "ts", "event_id"))
+        buys = (df.filter(F.col("event_type") == "purchase")
+                .select("user_id", "ts", "event_id", "value"))
+        return clicks, buys
+
+    def run(name):
+        sc, sp = sides(streaming.read_event_stream(spark, str(d)))
+        j = sj.interval_join_streams(sc, sp, keys=["user_id"],
+                                     within="1 hour", watermark="2 hours",
+                                     how="left_outer")
+        streaming.run_to_memory(j, name, output_mode="append")
+        return {(r["user_id"], r["event_id"], r["event_id_r"])
+                for r in spark.table(name).collect()
+                if r["user_id"] != -1}
+
+    ev = load_tables(spark, SF, ["events"])["events"]
+    bc, bp = sides(ev)
+    want = {(r["user_id"], r["event_id"], r["event_id_r"])
+            for r in sj.interval_join_streams(
+                bc, bp, keys=["user_id"], within="1 hour",
+                watermark="2 hours", how="left_outer").collect()}
+
+    before = run("t_drain_before")
+    assert before < want                          # NULLs withheld
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    fmt = "%Y-%m-%d %H:%M:%S"
+    # right-type sentinel first, left-type later by > within (module
+    # docstring ordering rule), both far beyond watermark + within
+    sj.drain_sentinel(spark, str(d), [
+        ("purchase", (max_ts + datetime.timedelta(hours=10)).strftime(fmt)),
+        ("click", (max_ts + datetime.timedelta(hours=13)).strftime(fmt)),
+    ])
+    after = run("t_drain_after")
+    assert after == want                          # every NULL flushed
