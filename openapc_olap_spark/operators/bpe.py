@@ -90,41 +90,80 @@ def apply_merge(vocab: DataFrame, left: str, right: str,
     return vocab.withColumn(symbols_col, merged)
 
 
+def _merge_fold_multi(symbols: Column,
+                      pairs: list[tuple[str, str]]) -> Column:
+    """One left-to-right pass applying a BATCH of merges: like
+    ``_merge_fold`` but with one WHEN branch per pair — expression size
+    is linear in the batch, where nesting per-merge folds is quadratic
+    in work and blows codegen memory past ~10 merges (measured OOM).
+
+    Single-pass == per-merge sequential passes ONLY under the
+    ``_select_merge_batch`` guards: token-disjoint pairs with
+    collision-free concatenations can neither chain (a created token
+    never equals any pair's left) nor steal each other's occurrences,
+    so each glue decision depends on exactly one pair, independent of
+    the others' application order."""
+    def step(acc: Column, x: Column) -> Column:
+        out = F.concat(acc, F.lit(" "), x)
+        for left, right in pairs:
+            a, b = F.lit(left), F.lit(right)
+            hit = ((acc == a) | acc.endswith(F.concat(F.lit(" "), a))) \
+                & (x == b)
+            out = F.when(hit, F.concat(acc, b)).otherwise(out)
+        return F.when(acc == F.lit(""), x).otherwise(out)
+
+    return F.aggregate(symbols, F.lit(""), step)
+
+
 def _select_merge_batch(rows, max_batch: int) -> list[tuple[str, str, int]]:
     """Pick a batch of merges from the (cnt desc, pair asc)-sorted pair
     list that is PROVABLY identical to applying that many sequential
     argmax merges — not the usual lossy approximation:
 
-    1. Take the maximal conflict-free PREFIX of the sorted list (stop at
-       the first pair sharing a symbol with an earlier selection, or at
-       ``max_batch``). Disjoint-symbol merges commute and leave each
-       other's pair counts untouched, so their counts and tie-break
-       order are invariant under applying the ones ranked above them.
-    2. Any pair CREATED by applying a batch merge (x, left||right) has
-       count <= the old count of (x, left) — a pair that shares a symbol
-       with the batch and therefore ranks at/after the cut row. Keeping
-       only prefix pairs whose count is STRICTLY greater than the cut
-       row's count guarantees no created pair can outrank (or tie into,
-       via the pair-asc tie-break) a remaining batch member mid-replay.
-       ``cut`` is the first row NOT selected (conflict or cap); when the
-       fetched list is exhausted with no cut, every adjacent pair in the
-       vocabulary is in the prefix, no pair shares a symbol with it, so
-       no new pair can be created at all and the whole prefix is safe.
-    3. Fallback: if the strict-count gate empties the batch (e.g. the
-       top two pairs conflict and tie), take the single argmax — the
-       plain sequential step, always exact.
+    1. Maximal conflict-free PREFIX: stop at the first pair sharing a
+       TOKEN with an earlier selection (or at ``max_batch``). Token-
+       disjoint merges commute, and each one's own pair count is
+       invariant under applying the others.
+    2. Concat-collision guards: a selected pair's concatenation
+       left||right must be pairwise distinct from the other selections'
+       concatenations AND from every selected token. Without this, a
+       created token can collide with an existing token string (e.g.
+       (ab,c) creating "abc" while an earlier round's (a,bc) token
+       "abc" exists) and inflate that token's pair counts mid-replay.
+    3. Strict count gate ``> cut``: ``cut`` is the first row NOT
+       selected (conflict or cap). Provided no selected concatenation
+       equals an EXISTING vocabulary token (step 2 covers collisions
+       within the batch; ``bpe_train`` verifies the rest against the
+       vocabulary itself before applying), every pair a batch merge
+       CREATES is bounded by cut — it absorbs an old pair that shares a
+       token with the batch, which ranks at/after the cut row — so
+       members strictly above cut can never be outranked, or tied into
+       via the pair-asc tie-break, mid-replay. When the fetched list is
+       exhausted with no cut, every adjacent pair is in the
+       token-disjoint prefix, nothing shares a token with it, nothing
+       can be created — the whole prefix is safe with no gate.
+    4. Fallback: if the gates empty the batch, take the single argmax —
+       the plain sequential step, always exact.
+
+    Every rejection costs only an extra round, never correctness.
     """
     used: set[str] = set()
+    cats: set[str] = set()
     prefix: list[tuple[str, str, int]] = []
     cut_cnt: int | None = None
     for r in rows:
         left, right = r["pair"].split(" ", 1)
-        if len(prefix) >= max_batch or left in used or right in used:
+        cat = left + right
+        if (len(prefix) >= max_batch
+                or left in used or right in used          # token conflict
+                or cat in used or cat in cats             # concat collision
+                or left in cats or right in cats):
             cut_cnt = int(r["cnt"])
             break
         prefix.append((left, right, int(r["cnt"])))
         used.add(left)
         used.add(right)
+        cats.add(cat)
     if cut_cnt is not None:
         safe = [m for m in prefix if m[2] > cut_cnt]
     else:
@@ -155,32 +194,52 @@ def bpe_train(df: DataFrame, num_merges: int,
     the job count drops (~N x fewer rounds on natural-text count
     distributions). 1 keeps the plain Sennrich loop for oracle replay.
     """
-    from openapc_olap_spark.operators.dedup import _materialized
-
-    vocab = _materialized(with_initial_symbols(word_counts(df, text_col)))
+    # localCheckpoint, not persist: each round's re-segmentation layers
+    # one fold expression onto the plan, and persist KEEPS lineage — at
+    # hundreds of merges the accumulated plan OOMs the driver during
+    # analysis/codegen (measured at ~150 sequential rounds). Local
+    # checkpointing materializes the round AND truncates the plan to a
+    # scan of the stored blocks, so plan size is constant in round
+    # count; old rounds' blocks are GC-cleaned once unreferenced. The
+    # executor-loss caveat of localCheckpoint is acceptable for a
+    # driver-coordinated trainer (restart the training job; the data
+    # path stays recomputable from source).
+    vocab = with_initial_symbols(word_counts(df, text_col)) \
+        .localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
-    prev: DataFrame | None = None
     while len(merges) < num_merges:
         want = min(merge_batch, num_merges - len(merges))
-        # this action materializes the CURRENT vocab's cache, after which
-        # the one before it is dead weight — rolling unpersist keeps at
-        # most two rounds cached instead of rounds+1 (the caller still
-        # holds the final frame plus its immediate parent, whose cache
-        # backs the final frame's first materialization)
         rows = (pair_counts(vocab)
                 .orderBy(F.col("cnt").desc(), F.col("pair").asc())
                 .take(want + 1))
-        if prev is not None:
-            prev.unpersist()
         if not rows:
             break
         batch = _select_merge_batch(rows, want)
+        if len(batch) > 1:
+            # the exactness proof needs every created token string to be
+            # NEW: a concat colliding with an existing token would
+            # inflate that token's pair counts mid-replay. One narrow
+            # vocab-scan job (no shuffle) checks the whole vocabulary;
+            # on a hit, truncate the batch before the first colliding
+            # member (prefix contiguity must hold). Amortized over
+            # len(batch) merges, this keeps rounds at ~num_merges/N
+            # with 3 jobs per round instead of 2 per merge.
+            cats = F.array(*[F.lit(l + r) for l, r, _ in batch])
+            hit = (vocab
+                   .select(F.explode(F.array_intersect(
+                       F.array_distinct("symbols"), cats)).alias("t"))
+                   .limit(len(batch)).collect())
+            if hit:
+                bad = {r["t"] for r in hit}
+                for i, (l, r, _) in enumerate(batch):
+                    if l + r in bad:
+                        batch = batch[:i] if i else batch[:1]
+                        break
         merges.extend(batch)
-        seg = F.col("symbols")
-        for left, right, _ in batch:
-            seg = F.split(_merge_fold(seg, left, right), " ")
-        prev, vocab = vocab, _materialized(
-            vocab.withColumn("symbols", seg))
+        seg = F.split(_merge_fold_multi(
+            F.col("symbols"), [(l, r) for l, r, _ in batch]), " ")
+        vocab = vocab.withColumn("symbols", seg) \
+            .localCheckpoint(eager=True)
     return merges, vocab
 
 

@@ -70,7 +70,20 @@ def filter_by_percentile(df: DataFrame, metric_col: str,
     """Trim distribution outliers: keep rows whose metric lies inside
     the [lower, upper] exact-percentile band (inclusive). The bounds
     are two driver scalars, so the filter is a pure scan predicate on
-    the second pass — pushdown-eligible, no join."""
+    the second pass — no join, no shuffle.
+
+    For INTEGRAL metric columns the float bounds tighten to
+    [ceil(lo), floor(hi)] — selecting exactly the same integer rows —
+    so the predicate compares the column in its own type and reaches
+    the parquet reader as a PushedFilter (row-group/page pruning at
+    100 TB); a double-cast comparison would stop at a post-scan
+    filter."""
+    import math
     lo, hi = percentile_bounds(df, metric_col, lower, upper)
+    dtype = dict(df.dtypes)[metric_col]
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        m = F.col(metric_col)
+        return df.filter((m >= F.lit(int(math.ceil(lo))))
+                         & (m <= F.lit(int(math.floor(hi)))))
     m = F.col(metric_col).cast("double")
     return df.filter((m >= F.lit(lo)) & (m <= F.lit(hi)))

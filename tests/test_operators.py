@@ -1997,30 +1997,40 @@ def test_bpe_train_batched_equals_sequential(spark):
 
 
 def test_bpe_select_merge_batch_rules():
-    """Unit coverage of the exactness gates: conflict cut, strict-count
-    filter, tie fallback, exhausted list."""
+    """Unit coverage of the exactness gates: conflict cut, strict count
+    gate, concat-collision guards, tie fallback, exhausted list."""
     from openapc_olap_spark.operators.bpe import _select_merge_batch
 
-    # conflict at rank 3 cuts; both survivors beat the cut count
-    rows = [{"pair": "a b", "cnt": 10}, {"pair": "c d", "cnt": 8},
+    # conflict at rank 3 cuts; survivors beat the cut count strictly
+    rows = [{"pair": "a b", "cnt": 30}, {"pair": "c d", "cnt": 20},
             {"pair": "b c", "cnt": 7}]
-    assert _select_merge_batch(rows, 8) == [("a", "b", 10), ("c", "d", 8)]
+    assert _select_merge_batch(rows, 8) == [("a", "b", 30), ("c", "d", 20)]
+    # a member TYING the cut count is rejected (created pairs bounded by
+    # cut could tie into it via the pair-asc tie-break)
+    rows = [{"pair": "a b", "cnt": 10}, {"pair": "c d", "cnt": 7},
+            {"pair": "b c", "cnt": 7}]
+    assert _select_merge_batch(rows, 8) == [("a", "b", 10)]
     # tie with a conflicting pair -> only the argmax survives
     rows = [{"pair": "a b", "cnt": 10}, {"pair": "b c", "cnt": 10}]
     assert _select_merge_batch(rows, 8) == [("a", "b", 10)]
-    # disjoint pair TYING the cut count is dropped (created-pair ties
-    # could outrank it mid-replay via the pair-asc tie-break)
-    rows = [{"pair": "a b", "cnt": 10}, {"pair": "c d", "cnt": 7},
-            {"pair": "b e", "cnt": 7}]
-    assert _select_merge_batch(rows, 8) == [("a", "b", 10)]
-    # exhausted list, no conflict -> everything is safe
+    # concat collision: (ab, c) would create "abc" == (a, bc)'s concat;
+    # the prefix stops there even though tokens are disjoint
+    rows = [{"pair": "a bc", "cnt": 30}, {"pair": "x y", "cnt": 20},
+            {"pair": "ab c", "cnt": 9}]
+    assert _select_merge_batch(rows, 8) == [("a", "bc", 30),
+                                            ("x", "y", 20)]
+    # concat equal to a selected token: "cd" created while token "cd"
+    # participates in a selected pair -> stop
+    rows = [{"pair": "cd e", "cnt": 30}, {"pair": "c d", "cnt": 9}]
+    assert _select_merge_batch(rows, 8) == [("cd", "e", 30)]
+    # exhausted list, no conflict -> everything is safe (no gate)
     rows = [{"pair": "a b", "cnt": 10}, {"pair": "c d", "cnt": 10}]
     assert _select_merge_batch(rows, 8) == [("a", "b", 10),
                                             ("c", "d", 10)]
     # cap acts as a cut: the capped-out row's count gates the batch
-    rows = [{"pair": "a b", "cnt": 10}, {"pair": "c d", "cnt": 8},
+    rows = [{"pair": "a b", "cnt": 30}, {"pair": "c d", "cnt": 8},
             {"pair": "e f", "cnt": 8}]
-    assert _select_merge_batch(rows, 2) == [("a", "b", 10)]
+    assert _select_merge_batch(rows, 2) == [("a", "b", 30)]
 
 
 # ---------------------------------------------------------------------------

@@ -533,3 +533,96 @@ def test_bpe_encode_vocab_hint_modes(spark, sf_dir):
     key = lambda df: sorted((r["doc_id"], tuple(r["bpe_tokens"]))
                             for r in df.collect())
     assert key(auto) == key(sharded)
+
+
+def test_canonical_url_dedup_single_agg_no_udf(spark, sf_dir):
+    """x65: canonicalization is a pure expression chain feeding ONE
+    map-side-combined aggregation — no UDF, no second scan."""
+    from openapc_olap_spark.operators import urlnorm
+
+    spark.catalog.clearCache()
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"] \
+        .withColumn("url", F.concat(F.lit("https://www."), F.col("source"),
+                                    F.lit(".example.com/p?a=1")))
+    out = urlnorm.url_duplicates(docs)
+    p = plans.plan_of(out)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert plans.has_partial_aggregate(out)
+    assert plans.single_scan(out)
+    assert plans.shuffle_exchange_count(out) == 1
+
+
+def test_line_dedup_shuffle_budget(spark, sf_dir):
+    """x66: two corpus-sized exchanges only — the line-frequency
+    aggregate and the per-doc reassembly groupBy; the hot-line join must
+    NOT add a sort-merge shuffle (broadcast or AQE-converted)."""
+    from openapc_olap_spark.operators import linededup
+
+    spark.catalog.clearCache()
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"] \
+        .select("doc_id", "text")
+    out = linededup.remove_boilerplate_lines(docs, max_docs=50, sep=" ")
+    assert plans.has_partial_aggregate(out)
+    # budget: line-frequency agg (2: partial+final counted once as one
+    # hashpartitioning) + doc regroup + final doc-attribute join; allow
+    # the join pair but no more
+    assert plans.shuffle_exchange_count(out) <= 4
+
+
+def test_char_entropy_partial_agg(spark, sf_dir):
+    """x67: the (doc, char) count pre-aggregates map-side, so the
+    exchange carries per-doc char counts, not exploded characters."""
+    from openapc_olap_spark.operators import stats
+
+    spark.catalog.clearCache()
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = stats.char_entropy(docs)
+    assert plans.has_partial_aggregate(out)
+    assert plans.single_scan(out)
+
+
+def test_percentile_filter_is_scan_predicate(spark, sf_dir):
+    """x69: after the two-scalar quantile job, the trim is a pushed-down
+    scan predicate — no join, no exchange; on the integral n_chars the
+    ceil/floor-tightened bounds reach the parquet reader."""
+    from openapc_olap_spark.operators import stats
+
+    spark.catalog.clearCache()
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = stats.filter_by_percentile(docs, "n_chars", 0.1, 0.9)
+    p = plans.plan_of(out)
+    assert "Join" not in p
+    assert plans.shuffle_exchange_count(out) == 0
+    assert plans.filters_pushed(out, "GreaterThanOrEqual(n_chars",
+                                "LessThanOrEqual(n_chars")
+
+
+def test_rolling_features_one_window_exchange(spark, sf_dir):
+    """x70: all three features share one window spec — exactly one hash
+    exchange on the entity key, one Window operator."""
+    from openapc_olap_spark.operators import rolling
+
+    spark.catalog.clearCache()
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = rolling.rolling_features(ev, k=3)
+    p = plans.plan_of(out)
+    assert plans.shuffle_exchange_count(out) == 1
+    # Catalyst may split the lag frames into several Window operators,
+    # but they share the partitioning and ONE in-partition sort — the
+    # costs that matter
+    assert p.count("+- Sort") == 1
+    assert "SortMergeJoin" not in p
+
+
+def test_assign_shards_offsets_broadcast(spark, sf_dir):
+    """x71: the partition-offset table joins via broadcast (it is
+    partition-count-sized); the interior window partitions by __pid, so
+    no single-task global sort appears."""
+    from openapc_olap_spark.operators import sharding
+
+    spark.catalog.clearCache()
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = sharding.assign_shards(docs, target=5000)
+    p = plans.plan_of(out)
+    assert "BroadcastHashJoin" in p
+    out.unpersist()
