@@ -127,7 +127,11 @@ class SlicerApp:
 
     def _aggregate(self, name: str, q: dict) -> tuple[bytes, str]:
         spec = self._spec(name, q)
-        env = self.engine.aggregate_envelope(spec)
+        # ?approx_total=1 -> total_cell_count via approx_count_distinct
+        # on the same grouping-sets pass (the 100 TB drilldown knob;
+        # Q11 envelope semantics otherwise unchanged)
+        approx = str(q.get("approx_total", "")).lower() in ("1", "true")
+        env = self.engine.aggregate_envelope(spec, approx_total=approx)
         env["cell"] = [c.to_string() for c in spec.cuts]
         env["drilldown"] = list(spec.drilldown)
         return self._json(env)

@@ -2612,3 +2612,108 @@ def test_canonical_documents_picks_best_copy(spark):
            dedup.canonical_documents(df, score_col="score").collect()}
     # ids 1-3 normalize identically; best score 9, tie -> min id 2
     assert got == {2: 3, 4: 1}
+
+
+def test_canonical_url_differential_random(spark):
+    """Differential test: Spark canonical_url vs an independent pure-
+    Python canonicalizer over 200 seeded random URLs covering every rule
+    combination — one Spark job for the whole batch."""
+    import random
+    import re
+
+    from openapc_olap_spark.operators import urlnorm
+
+    def py_canonical(u):
+        u = re.sub(r"^[Hh][Tt][Tt][Pp][Ss]?://", "", u)
+        u = re.sub(r"#.*$", "", u)
+        base, _, query = u.partition("?")
+        host, slash, path = base.partition("/")
+        host = host.lower()
+        host = re.sub(r"^www\.", "", host)
+        host = re.sub(r":(80|443)$", "", host)
+        path = (slash + path).rstrip("/")
+        kept = sorted(p for p in query.split("&")
+                      if p and not re.match(
+                          r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref|ref_src)=",
+                          p))
+        qs = "?" + "&".join(kept) if kept else ""
+        return host + path + qs
+
+    rng = random.Random(99)
+    urls = []
+    for _ in range(200):
+        scheme = rng.choice(["http://", "https://", "HTTPS://", "HtTp://", ""])
+        www = rng.choice(["www.", ""])
+        host = rng.choice(["Example.COM", "a.b.example.org", "x.io"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/P/q", "/P/q/", "/one//two/"])
+        params = rng.sample(["a=1", "b=2", "utm_source=x", "gclid=9",
+                             "z=3", "ref=h"], k=rng.randint(0, 4))
+        rng.shuffle(params)
+        query = "?" + "&".join(params) if params else ""
+        frag = rng.choice(["", "#f", "#a/b?c=1"])
+        urls.append(scheme + www + host + port + path + query + frag)
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               ["i", "url"])
+    got = {r["i"]: r["c"] for r in
+           df.select("i", urlnorm.canonical_url("url").alias("c")).collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == py_canonical(u), (u, got[i], py_canonical(u))
+    # idempotence: canonical(canonical(u)) == canonical(u)
+    df2 = spark.createDataFrame([(v,) for v in set(got.values())], ["url"])
+    twice = {r["url"]: r["c"] for r in
+             df2.select("url",
+                        urlnorm.canonical_url("url").alias("c")).collect()}
+    assert all(twice[v] == v for v in twice)
+
+
+def test_bpe_batched_equals_sequential_collision_heavy(spark):
+    """Adversarial exactness check: tiny {a,b} alphabet corpora maximize
+    concat collisions ((a,b) vs (ab,*) vs (*,ab) chains), the case the
+    vocabulary collision scan exists for. Three seeded corpora, full
+    merge runs, merge list + digest must be identical."""
+    import random
+
+    from openapc_olap_spark.operators import bpe
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        words = ["".join(rng.choice("ab") for _ in range(rng.randint(1, 8)))
+                 for _ in range(60)]
+        docs = spark.createDataFrame(
+            [(i, " ".join(rng.choices(words, k=12))) for i in range(30)],
+            ["doc_id", "text"])
+        seq_m, seq_v = bpe.bpe_train(docs, 12, merge_batch=1)
+        dig = seq_v.agg(bpe.segment_digest()).first()[0]
+        bat_m, bat_v = bpe.bpe_train(docs, 12, merge_batch=8)
+        assert bat_m == seq_m, f"seed {seed}"
+        assert bat_v.agg(bpe.segment_digest()).first()[0] == dig
+
+
+def test_line_dedup_differential_random(spark):
+    """Differential test: remove_boilerplate_lines vs a pure-Python
+    reference over a seeded random corpus (one Spark job)."""
+    import random
+    from collections import Counter
+
+    from openapc_olap_spark.operators import linededup
+
+    rng = random.Random(11)
+    lines_pool = [f"l{i}" for i in range(12)]
+    docs = [(i, "\n".join(rng.choices(lines_pool, k=rng.randint(1, 9))))
+            for i in range(40)]
+    max_docs = 6
+    freq = Counter()
+    for _, text in docs:
+        freq.update(set(l for l in text.split("\n") if l))
+    hot = {l for l, c in freq.items() if c > max_docs}
+    want = {}
+    for i, text in docs:
+        parts = text.split("\n")
+        kept = [l for l in parts if l not in hot]
+        want[i] = ("\n".join(kept), sum(1 for l in parts if l in hot))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["text"], r["n_removed"]) for r in
+           linededup.remove_boilerplate_lines(df, max_docs=max_docs)
+           .collect()}
+    assert got == want

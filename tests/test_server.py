@@ -75,6 +75,14 @@ def test_aggregate_envelope(app):
     assert [c["period"] for c in env["cells"]] == ["2019", "2020", "2021"]
     assert env["cells"][1]["amount_sum"] == 500.0
     assert env["drilldown"] == ["period"]
+    # ?approx_total=1 rides the same grouping-sets pass; identical
+    # envelope at this cardinality (HLL++ exact when tiny) and the
+    # helper column never leaks into the response
+    _, _, body2 = call(app, "/cube/srv/aggregate",
+                       "drilldown=period&order=period&approx_total=1")
+    env2 = json.loads(body2)
+    assert env2 == env
+    assert "__acc__" not in json.dumps(env2)
 
 
 def test_members_fact_cell_and_errors(app):
