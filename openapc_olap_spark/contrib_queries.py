@@ -3458,9 +3458,7 @@ def _x71_size_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     assigned = sharding.assign_shards(docs, target=5000)
-    out = sharding.shard_summary(assigned).orderBy("shard")
-    assigned.unpersist()
-    return out
+    return sharding.shard_summary(assigned).orderBy("shard")
 
 
 _X71_SQL = """

@@ -115,10 +115,14 @@ def _merge_fold_multi(symbols: Column,
     return F.aggregate(symbols, F.lit(""), step)
 
 
-def _select_merge_batch(rows, max_batch: int) -> list[tuple[str, str, int]]:
+def _select_merge_batch(rows, max_batch: int,
+                        gated: bool = True) -> list[tuple[str, str, int]]:
     """Pick a batch of merges from the (cnt desc, pair asc)-sorted pair
-    list that is PROVABLY identical to applying that many sequential
-    argmax merges — not the usual lossy approximation:
+    list. With ``gated=True`` (the exact mode) the batch is PROVABLY
+    identical to applying that many sequential argmax merges — not the
+    usual lossy approximation; ``gated=False`` keeps only the structural
+    guards the single-pass fold needs (steps 1-2) and returns the whole
+    prefix — the greedy production mode.
 
     1. Maximal conflict-free PREFIX: stop at the first pair sharing a
        TOKEN with an earlier selection (or at ``max_batch``). Token-
@@ -154,16 +158,34 @@ def _select_merge_batch(rows, max_batch: int) -> list[tuple[str, str, int]]:
     for r in rows:
         left, right = r["pair"].split(" ", 1)
         cat = left + right
-        if (len(prefix) >= max_batch
-                or left in used or right in used          # token conflict
-                or cat in used or cat in cats             # concat collision
-                or left in cats or right in cats):
+        conflict = (left in used or right in used         # token conflict
+                    or cat in used or cat in cats         # concat collision
+                    or left in cats or right in cats)
+        if not gated:
+            # greedy mode: SKIP conflicting pairs and keep scanning —
+            # prefix contiguity only matters for the exactness proof,
+            # and the head of a natural pair list is conflict-dense
+            # (frequent tokens share letters), so stopping there caps
+            # batches at ~3 (measured). The structural fold guards
+            # still apply to every SELECTED pair.
+            if conflict:
+                continue
+            prefix.append((left, right, int(r["cnt"])))
+            used.add(left)
+            used.add(right)
+            cats.add(cat)
+            if len(prefix) >= max_batch:
+                break
+            continue
+        if len(prefix) >= max_batch or conflict:
             cut_cnt = int(r["cnt"])
             break
         prefix.append((left, right, int(r["cnt"])))
         used.add(left)
         used.add(right)
         cats.add(cat)
+    if not gated:
+        return prefix
     if cut_cnt is not None:
         safe = [m for m in prefix if m[2] > cut_cnt]
     else:
@@ -173,8 +195,9 @@ def _select_merge_batch(rows, max_batch: int) -> list[tuple[str, str, int]]:
 
 def bpe_train(df: DataFrame, num_merges: int,
               text_col: str = "text",
-              merge_batch: int = 1) -> tuple[list[tuple[str, str, int]],
-                                             DataFrame]:
+              merge_batch: int = 1,
+              selection: str = "exact") -> tuple[list[tuple[str, str, int]],
+                                                 DataFrame]:
     """Learn ``num_merges`` BPE merges from a corpus. Returns
     (merges, vocab): merges = [(left, right, pair_count), ...] in learned
     order, vocab = the word table with final ``symbols``.
@@ -188,12 +211,29 @@ def bpe_train(df: DataFrame, num_merges: int,
     ``merge_batch`` bounds how many merges one round may learn. The
     sequential loop's real cost at production merge counts is SCHEDULING
     (30k merges = 30k Spark jobs at a ~0.3 s floor each, independent of
-    data size); batching learns up to N merges per pair-count job via
-    ``_select_merge_batch``, whose selection rule is exact — the merge
-    LIST is bit-identical to ``merge_batch=1`` (property-tested), only
-    the job count drops (~N x fewer rounds on natural-text count
-    distributions). 1 keeps the plain Sennrich loop for oracle replay.
+    data size); batching learns up to N merges per pair-count job.
+
+    ``selection`` picks the batching contract:
+
+    - ``"exact"`` (default): ``_select_merge_batch``'s gated rule — the
+      merge LIST is bit-identical to ``merge_batch=1``
+      (property-tested), only the job count drops (~1.7x fewer rounds
+      measured at 1000 Zipfian merges; tie-dense count regions degrade
+      to sequential because exactness demands it). This is the oracle-
+      certifiable mode.
+    - ``"greedy"``: the standard distributed-BPE trade — take the whole
+      conflict-free prefix with no count gate and no vocabulary
+      collision scan, giving ~merge_batch x fewer rounds. The result is
+      a VALID BPE vocabulary (every learned merge had a positive count
+      when selected; the collision guards that the single-pass fold
+      itself needs stay on) but is NOT argmax-faithful: a batched merge
+      may be learned before a pair that interim recounting would have
+      ranked higher. Deterministic for a fixed corpus+params, just a
+      different (and in practice equivalent-quality) merge order — the
+      mode production tokenizer training wants at 30k merges.
     """
+    if selection not in ("exact", "greedy"):
+        raise ValueError(f"unknown selection mode: {selection!r}")
     # localCheckpoint, not persist: each round's re-segmentation layers
     # one fold expression onto the plan, and persist KEEPS lineage — at
     # hundreds of merges the accumulated plan OOMs the driver during
@@ -209,13 +249,17 @@ def bpe_train(df: DataFrame, num_merges: int,
     merges: list[tuple[str, str, int]] = []
     while len(merges) < num_merges:
         want = min(merge_batch, num_merges - len(merges))
+        # exact mode needs exactly the boundary row beyond the batch;
+        # greedy mode scans PAST conflicts, so give it a wider window
+        # (the fetch is driver-side rows of (pair, cnt) — tiny)
+        fetch = want + 1 if selection == "exact" else max(4 * want, 64)
         rows = (pair_counts(vocab)
                 .orderBy(F.col("cnt").desc(), F.col("pair").asc())
-                .take(want + 1))
+                .take(fetch))
         if not rows:
             break
-        batch = _select_merge_batch(rows, want)
-        if len(batch) > 1:
+        batch = _select_merge_batch(rows, want, gated=selection == "exact")
+        if len(batch) > 1 and selection == "exact":
             # the exactness proof needs every created token string to be
             # NEW: a concat colliding with an existing token would
             # inflate that token's pair counts mid-replay. One narrow

@@ -64,19 +64,25 @@ def assign_shards(df: DataFrame, target: int,
         for r in totals:
             offsets.append((r["__pid"], offset))
             offset += int(r["__tot"] or 0)
-        off = spark.createDataFrame(offsets, ["__pid", "__off"])
+        # explicit schema: an EMPTY offsets list (empty input frame) has
+        # nothing to infer from
+        off = spark.createDataFrame(offsets, "__pid int, __off long")
         out = (interior.join(F.broadcast(off), ["__pid"])
                .withColumn("cum_before", F.col("__off") + F.col("__cum_in"))
                .withColumn("shard", F.floor(F.col("cum_before")
                                             / F.lit(target)).cast("long"))
                .select(id_col, "cum_before", "shard"))
-        # materialize before unpersisting the interior frame it reads
-        result = df.join(out, [id_col])
-        result = result.persist()
-        result.count()
+        # materialize ONLY the 3-column id->shard map before dropping the
+        # interior cache it reads — not the full joined output (at 100 TB
+        # the payload join should stay lazy so downstream projections
+        # prune it; the map is id-grain metadata). The cached map lives
+        # as long as the returned frame references it; Spark's
+        # ContextCleaner reclaims it afterwards.
+        out = out.persist()
+        out.count()
     finally:
         interior.unpersist()
-    return result
+    return df.join(out, [id_col])
 
 
 def shard_summary(assigned: DataFrame,

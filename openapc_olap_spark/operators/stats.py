@@ -61,6 +61,9 @@ def percentile_bounds(df: DataFrame, metric_col: str,
         .alias("lo"),
         F.percentile(F.col(metric_col).cast("double"), F.lit(upper))
         .alias("hi")).first()
+    if row is None or row["lo"] is None or row["hi"] is None:
+        raise ValueError(
+            f"percentile_bounds: no non-null {metric_col!r} values")
     return float(row["lo"]), float(row["hi"])
 
 
@@ -79,7 +82,11 @@ def filter_by_percentile(df: DataFrame, metric_col: str,
     100 TB); a double-cast comparison would stop at a post-scan
     filter."""
     import math
-    lo, hi = percentile_bounds(df, metric_col, lower, upper)
+    try:
+        lo, hi = percentile_bounds(df, metric_col, lower, upper)
+    except ValueError:
+        # no non-null metric values: the trimmed frame is empty
+        return df.filter(F.lit(False))
     dtype = dict(df.dtypes)[metric_col]
     if dtype in ("tinyint", "smallint", "int", "bigint"):
         m = F.col(metric_col)

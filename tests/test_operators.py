@@ -2690,6 +2690,42 @@ def test_bpe_batched_equals_sequential_collision_heavy(spark):
         assert bat_v.agg(bpe.segment_digest()).first()[0] == dig
 
 
+def test_bpe_greedy_mode_valid_and_fewer_rounds(spark):
+    """selection='greedy' (the production mode): every learned merge had
+    a positive count at selection, encoding with the greedy vocab works,
+    and the round count drops to ~merges/batch where exact mode must
+    stay sequential (flat counts)."""
+    from openapc_olap_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low newer newest"),
+         (2, "wider new newer low")], ["doc_id", "text"])
+    orig = bpe.pair_counts
+    calls = {"greedy": 0, "exact": 0}
+
+    def make(tag):
+        def counted(*a, **k):
+            calls[tag] += 1
+            return orig(*a, **k)
+        return counted
+
+    try:
+        bpe.pair_counts = make("greedy")
+        gm, gv = bpe.bpe_train(docs, 8, merge_batch=8, selection="greedy")
+        bpe.pair_counts = make("exact")
+        em, ev = bpe.bpe_train(docs, 8, merge_batch=8)
+    finally:
+        bpe.pair_counts = orig
+    assert len(gm) == len(em) == 8
+    assert all(c > 0 for _, _, c in gm)
+    assert calls["greedy"] < calls["exact"]
+    # same merge SET is not guaranteed, but the greedy vocab must encode
+    enc = bpe.bpe_encode(docs, gv)
+    assert enc.count() == 2
+    with pytest.raises(ValueError):
+        bpe.bpe_train(docs, 2, selection="nope")
+
+
 def test_line_dedup_differential_random(spark):
     """Differential test: remove_boilerplate_lines vs a pure-Python
     reference over a seeded random corpus (one Spark job)."""
@@ -2717,3 +2753,26 @@ def test_line_dedup_differential_random(spark):
            linededup.remove_boilerplate_lines(df, max_docs=max_docs)
            .collect()}
     assert got == want
+
+
+def test_r06_operators_empty_input(spark):
+    """Empty corpora flow through every round-6 operator without
+    crashing: empty outputs (or an explicit ValueError for the
+    two-scalar percentile probe), never an inference/NoneType error."""
+    from openapc_olap_spark.operators import (dedup, linededup, rolling,
+                                              sharding, stats, urlnorm)
+
+    docs = spark.createDataFrame([], "doc_id long, text string, n_chars long")
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, value double")
+    assert urlnorm.url_duplicates(
+        docs.withColumnRenamed("text", "url")).count() == 0
+    assert linededup.remove_boilerplate_lines(
+        docs.select("doc_id", "text"), 1).count() == 0
+    assert stats.char_entropy(docs).count() == 0
+    with pytest.raises(ValueError, match="no non-null"):
+        stats.percentile_bounds(docs, "n_chars")
+    assert stats.filter_by_percentile(docs, "n_chars").count() == 0
+    assert rolling.rolling_features(ev, k=3).count() == 0
+    assert sharding.assign_shards(docs, target=10).count() == 0
+    assert dedup.canonical_documents(docs, "n_chars").count() == 0
