@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 def line_frequencies(df: DataFrame, text_col: str = "text",
                      sep: str = "\n") -> DataFrame:
     """(line, n_docs): how many DISTINCT documents contain each line.
+    ``sep`` is a Java REGEX (Spark split semantics) — escape it if the
+    separator has meta-characters; the default newline is literal-safe.
     Distinct-per-doc before the count, so a page repeating its own
     footer 50 times counts once — the boilerplate signal is cross-doc
     recurrence, not within-doc repetition."""
