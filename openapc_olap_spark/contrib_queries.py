@@ -2989,7 +2989,19 @@ def _x60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = sj.interval_join_streams(clicks, buys, keys=["user_id"],
                                       within="1 hour",
                                       watermark="2 hours")
-    streaming.run_to_memory(joined, "x60_stream", output_mode="append")
+    # State-store count == shuffle partitions at query START, and a
+    # stream-stream join runs FOUR stores per partition per microbatch
+    # (keyToNumValues / keyWithIndexToValue, each side) — 32 partitions
+    # means 128 store commits per batch for a join whose state is a few
+    # thousand rows. Size state partitions to the state, not the session
+    # default (at production rates you'd size UP the same way); the
+    # downstream rollup hash is partition-invariant (sorted fold below).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        streaming.run_to_memory(joined, "x60_stream", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.table("x60_stream")
     # Deterministic-order sum (same discipline as x54/x58): fold the
     # pair-key-sorted value list so the double additions associate
