@@ -391,3 +391,15 @@ def test_drain_sentinel_flushes_withheld_nulls(spark, tmp_path):
     ])
     after = run("t_drain_after")
     assert after == want                          # every NULL flushed
+
+
+def test_x60_gate_restores_shuffle_partitions(spark):
+    """The x60 gate sizes state-store partitions for the streaming query
+    (SCALING.md streaming section) but must hand the session back with
+    the caller's shuffle-partition setting intact."""
+    import __spark_entry__ as entrymod
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = entrymod.queries()["x60_stream_stream_join"](spark, SF)
+    assert out.count() >= 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
