@@ -1,0 +1,105 @@
+"""Cross-doc repeated-span removal (operators/spandedup.py) vs an
+independent pure-Python reference of the window-hash algorithm."""
+
+import hashlib
+
+import pytest
+
+from openapc_olap_spark.operators import spandedup
+
+W = 4
+
+SHARED = "the terms of service apply to all users of this site"
+DOCS = [
+    (1, f"alpha beta gamma {SHARED} delta epsilon"),
+    (2, f"{SHARED} zeta eta theta iota kappa"),
+    (3, "completely unique text with no repeats at all here"),
+    (4, "short doc"),                       # < W tokens
+    (5, "loop loop loop loop loop loop loop loop"),  # within-doc only
+    (6, ""),
+]
+
+
+def _toks(t):
+    return [x for x in t.split() if x]
+
+
+def _wh(toks):
+    return [hashlib.md5(" ".join(toks[i:i + W]).encode()).hexdigest()
+            for i in range(len(toks) - W + 1)]
+
+
+def _py_remove(docs, max_docs=1):
+    freq = {}
+    for _, t in docs:
+        for h in set(_wh(_toks(t))):
+            freq[h] = freq.get(h, 0) + 1
+    hot = {h for h, n in freq.items() if n > max_docs}
+    out = {}
+    for i, t in docs:
+        toks = _toks(t)
+        starts = [s for s, h in enumerate(_wh(toks)) if h in hot]
+        keep = [tok for p, tok in enumerate(toks)
+                if not any(s <= p < s + W for s in starts)]
+        out[i] = (" ".join(keep), len(toks) - len(keep))
+    return out
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_matches_python_reference(spark, doc_df):
+    got = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+           for r in spandedup.remove_repeated_spans(
+               doc_df, w=W, max_docs=1).collect()}
+    assert got == _py_remove(DOCS)
+
+
+def test_shared_span_removed_unique_text_kept(spark, doc_df):
+    got = {r["doc_id"]: r["text"]
+           for r in spandedup.remove_repeated_spans(
+               doc_df, w=W, max_docs=1).collect()}
+    for tok in SHARED.split():
+        assert tok not in got[1].split()
+        assert tok not in got[2].split()
+    assert got[1].startswith("alpha beta gamma")
+    assert got[1].endswith("delta epsilon")
+    assert got[3] == DOCS[2][1]             # untouched
+    assert got[4] == "short doc"            # < W tokens untouched
+
+
+def test_within_doc_repetition_not_removed(spark, doc_df):
+    got = {r["doc_id"]: r["n_tokens_removed"]
+           for r in spandedup.remove_repeated_spans(
+               doc_df, w=W, max_docs=1).collect()}
+    assert got[5] == 0                      # cross-doc signal only
+    assert got[6] == 0                      # empty doc
+
+
+def test_max_docs_threshold(spark, doc_df):
+    got = {r["doc_id"]: r["n_tokens_removed"]
+           for r in spandedup.remove_repeated_spans(
+               doc_df, w=W, max_docs=2).collect()}
+    assert all(v == 0 for v in got.values())   # shared by only 2 docs
+
+
+def test_span_frequencies_distinct_per_doc(spark, doc_df):
+    freqs = {r["span_hash"]: r["n_docs"]
+             for r in spandedup.span_frequencies(doc_df, w=W).collect()}
+    # doc 5's within-doc repeated window counts once
+    h = hashlib.md5("loop loop loop loop".encode()).hexdigest()
+    assert freqs[h] == 1
+    assert max(freqs.values()) == 2         # the shared span
+
+
+def test_extra_columns_survive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e", "en"), (2, "a b c d f", "de")],
+        ["doc_id", "text", "lang"])
+    out = spandedup.remove_repeated_spans(df, w=4, max_docs=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["lang"] == "en" and rows[2]["lang"] == "de"
+    # shared 4-token prefix "a b c d" masked in both
+    assert rows[1]["text"] == "e" and rows[2]["text"] == "f"
