@@ -101,8 +101,8 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int = 5,
     ``write_ann_index``. See the module docstring for the exact rules.
 
     ``assign="arrow"`` swaps the interpreted-HOF argmin for the
-    Arrow-batched matmul (same ids on every test fixture; ~13x faster
-    full-corpus iterations at k=64, dim=64). The expression path stays
+    Arrow-batched matmul (same ids on every test fixture; measured 35x
+    faster full-corpus iterations at k=64, dim=64). The expression path stays
     the default and the oracle mode: a sub-ulp distance NEAR-tie could
     in principle argmin differently between the two float formulations,
     so ``deterministic=True`` (gate/oracle replay) rejects "arrow".
@@ -157,3 +157,18 @@ def kmeans_cost(df: DataFrame, centroids: list[list[float]],
         F.lit(0.0), lambda acc, val: acc + val))
     out = df.agg(F.sum(F.array_min(dists))).first()[0]
     return float(out) if out is not None else 0.0
+
+
+def ivf_assign_fast(df: DataFrame, centroids: list[list[float]],
+                    vec_col: str = "embedding") -> DataFrame:
+    """``similarity.ivf_assign`` with the Arrow batch-matmul argmin —
+    same ``list_id`` ids (equality-asserted in-suite), for full-corpus
+    assignment jobs where the interpreted-HOF expression is the
+    bottleneck (it dominates e.g. the k=200 cluster-outlier scan at
+    sf10 — SCALING.md). Lives here rather than in similarity.py so the
+    gate-certified module stays byte-stable mid-round; the expression
+    path remains what every oracle-hashed gate executes."""
+    return df.withColumn(
+        "list_id",
+        _nearest_centroid_arrow(centroids)(
+            F.col(vec_col).cast("array<double>")))

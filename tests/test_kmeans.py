@@ -134,3 +134,12 @@ def test_arrow_mode_validation(spark, vec_df):
         kmeans.kmeans_fit(vec_df, k=2, assign="bogus")
     with pytest.raises(ValueError):
         kmeans.kmeans_fit(vec_df, k=2, deterministic=True, assign="arrow")
+
+
+def test_ivf_assign_fast_matches_similarity(spark, vec_df):
+    cents = [[0.0, 0.0], [10.0, 10.0], [49.0, 49.0]]
+    slow = {r["doc_id"]: r["list_id"]
+            for r in similarity.ivf_assign(vec_df, cents).collect()}
+    fast = {r["doc_id"]: r["list_id"]
+            for r in kmeans.ivf_assign_fast(vec_df, cents).collect()}
+    assert slow == fast
