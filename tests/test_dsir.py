@@ -145,3 +145,59 @@ def test_empty_raw_corpus(spark, frames):
     out = dsir.dsir_select(empty, target, keep_fraction=0.5,
                            n_buckets=N_BUCKETS)
     assert out.count() == 0
+
+
+def test_randomized_corpora_match_python_reference(spark):
+    """Seeded random raw/target corpora — weights equality vs the
+    published-recipe reference, one Spark job per corpus."""
+    import math
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        vocab = [f"t{j}" for j in range(40)]
+        raw = [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 12))))
+               for i in range(1, 16)]
+        target = [(100 + i,
+                   " ".join(rng.choices(vocab[:15], k=rng.randint(3, 10))))
+                  for i in range(3)]
+
+        def model(rows):
+            counts = {}
+            for _, t in rows:
+                for g in _py_ngrams(t):
+                    b = _py_bucket(g)
+                    counts[b] = counts.get(b, 0) + 1
+            total = sum(counts.values())
+            denom = total + SMOOTH * N_BUCKETS
+            return ({b: math.log((c + SMOOTH) / denom)
+                     for b, c in counts.items()},
+                    math.log(SMOOTH / denom))
+
+        lt, ft = model(target)
+        lr, fr = model(raw)
+        want = {}
+        for i, t in raw:
+            per = {}
+            for g in _py_ngrams(t):
+                b = _py_bucket(g)
+                per[b] = per.get(b, 0) + 1
+            w = 0.0
+            for b in sorted(per):
+                w += per[b] * (lt.get(b, ft) - lr.get(b, fr))
+            want[i] = (sum(per.values()), w)
+
+        raw_df = spark.createDataFrame(raw, ["doc_id", "text"])
+        tgt_df = spark.createDataFrame(target, ["doc_id", "text"])
+        t_model, t_floor = dsir.fit_bucket_model(
+            dsir.corpus_bucket_counts(tgt_df, N_BUCKETS), N_BUCKETS, SMOOTH)
+        r_model, r_floor = dsir.fit_bucket_model(
+            dsir.corpus_bucket_counts(raw_df, N_BUCKETS), N_BUCKETS, SMOOTH)
+        got = {r["doc_id"]: (r["n_ngrams"], r["weight"])
+               for r in dsir.importance_weights(
+                   raw_df, t_model, t_floor, r_model, r_floor,
+                   N_BUCKETS).collect()}
+        assert set(got) == set(want), f"seed {seed}"
+        for i in want:
+            assert got[i][0] == want[i][0], f"seed {seed} doc {i}"
+            assert got[i][1] == pytest.approx(want[i][1], rel=1e-12)

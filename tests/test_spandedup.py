@@ -103,3 +103,28 @@ def test_extra_columns_survive(spark):
     assert rows[1]["lang"] == "en" and rows[2]["lang"] == "de"
     # shared 4-token prefix "a b c d" masked in both
     assert rows[1]["text"] == "e" and rows[2]["text"] == "f"
+
+
+def test_randomized_corpora_match_python_reference(spark):
+    """Seeded random corpora with engineered cross-doc span sharing —
+    one Spark job per corpus, full-result equality vs the reference."""
+    import random
+
+    for seed in (11, 29, 47):
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(30)]
+        shared = [" ".join(rng.choices(vocab, k=rng.randint(W, 2 * W)))
+                  for _ in range(3)]
+        docs = []
+        for i in range(1, 13):
+            toks = rng.choices(vocab, k=rng.randint(0, 15))
+            if rng.random() < 0.6:
+                ins = rng.choice(shared).split()
+                at = rng.randint(0, len(toks))
+                toks = toks[:at] + ins + toks[at:]
+            docs.append((i, " ".join(toks)))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+               for r in spandedup.remove_repeated_spans(
+                   df, w=W, max_docs=1).collect()}
+        assert got == _py_remove(docs), f"seed {seed}"
