@@ -12,12 +12,16 @@ genuinely needed (multimodal decode); never row-at-a-time Python.
 from openapc_olap_spark.operators import (  # noqa: F401
     bloom,
     bpe,
+    ccnet,
     chunking,
     cohort,
     curation,
     decontam,
     dedup,
+    dsir,
     funnel,
+    kmeans,
+    linededup,
     lm,
     mixture,
     multimodal,
@@ -26,13 +30,20 @@ from openapc_olap_spark.operators import (  # noqa: F401
     profile,
     quantize,
     ranking,
+    rolling,
     rules,
+    sampling,
     semdedup,
+    sharding,
     similarity,
     sketches,
     skew,
+    spandedup,
+    stats,
+    temporal,
     text,
     tfidf,
+    urlnorm,
     web,
     windows,
 )
