@@ -23,6 +23,7 @@ from openapc_olap_spark.operators import (  # noqa: F401
     kmeans,
     linededup,
     lm,
+    logreg,
     mixture,
     multimodal,
     packing,
