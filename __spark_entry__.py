@@ -414,65 +414,76 @@ ORACLES: dict[str, str] = {
 # iteration) and the local twin-runner (scripts/oracle_check.py) always
 # cover the full set.
 _CERT_FIRST = [
-    # never driver-certified: the r05 window filled at 50 before these 13
-    # (the r05 _CERT_PENDING queue) — the round's top item per VERDICT.md
-    "x52_pretraining_pipeline", "x53_semantic_dedup", "x54_unigram_logprob",
-    "x55_bpe_train", "x56_domain_stats", "x57_temperature_resample",
-    "x58_bigram_logprob", "x59_cluster_outliers", "x60_stream_stream_join",
-    "x61_bpe_encode", "x62_quality_rules", "x63_event_funnel",
-    "x64_cohort_retention",
-    # new gates this round (never certified)
-    "x65_url_dedup", "x66_line_dedup", "x67_char_entropy",
-    "x68_canonical_docs", "x69_percentile_filter", "x70_rolling_features",
+    # never driver-certified: the six round-6 library-only operators
+    # (kmeans, dsir, spandedup, sampling, ccnet, logreg) + the composed
+    # curation chain — VERDICT r06 items 1 and 3
+    "x72_kmeans_fit", "x73_dsir_weights", "x74_span_dedup",
+    "x75_sample_per_group", "x76_ccnet_buckets", "x77_logreg_quality",
+    "x78_curation_chain",
+    # r07 touched kmeans.py/similarity.py/semdedup.py (Arrow argmin wired
+    # into the certified cluster paths; null masking in the pandas_udf)
+    "x05_ann_topk", "x06_lsh_neardup_embeddings", "x17_ivf_ann",
+    "x18_lsh_neardup_capped", "x36_ivf_index", "x53_semantic_dedup",
+    "x59_cluster_outliers",
+    # r07 touched sharding.py (localCheckpoint lifecycle + write_shards)
     "x71_size_sharding",
-    # r06 touched operators/dedup.py (conditional _spread before cache)
-    "x01_dedup_summary", "x02_ngram_jaccard", "x03_minhash_neardup",
-    "x04_simhash_neardup", "x06_lsh_neardup_embeddings",
-    "x14_ngram_jaccard_capped", "x18_lsh_neardup_capped",
-    "x35_duplicate_groups", "x49_incremental_dedup",
-    # r06 touched operators/similarity.py (dim mandatory internally,
-    # conditional _spread)
-    "x05_ann_topk", "x17_ivf_ann", "x36_ivf_index",
-    # r06 touched query.py (opt-in approx envelope cell count): the whole
-    # query stack re-certifies, plus e18 which drives QueryEngine
+    # r07 touched urlnorm.py (tracking-param list parameterized)
+    "x65_url_dedup",
+    # r07 touched server.py (aggregate-endpoint CSV, approx_total replay)
+    "q16_cell_http", "q17_model_http",
+    # r07 touched sources/io.py (sharded-write round trip)
+    "x51_orc_roundtrip",
+]
+_CERT_PENDING: list[str] = []
+# Oldest-certified gates, rotated into the window's free slots for a free
+# freshness re-certification (r03/r04 certs; code unchanged — they'd be
+# valid in the tail, re-running them just renews the stamp).
+_CERT_REFRESH = [
+    "x09_tumbling_daily", "x10_sliding_windows", "x12_props_json",
+    "e05_coverage_zerofill", "e09_journal_id", "e14_annual_pubdates",
+    "e15_hybrid_catalog", "e17_cache_upsert", "e20_json_cache",
+    "x07_text_metrics", "x08_langid_distribution", "x11_session_stats",
+    "x13_salted_drilldown", "x16_quality_deciles", "x20_pii_redaction",
+    "x21_repetition_deciles", "x22_vocab_top", "x25_streaming_tumbling",
+    "x26_streaming_dedup", "x27_winnow_fingerprints", "x31_profile",
+    "e01_enrich_ror", "e02_publication_key", "e03_deal_halving",
+    "e04_union_combined", "e06_prune_semi", "e19_manifest_roundtrip",
+    "x15_media_metadata", "x19_image_dims", "x23_wav_metadata",
+    "x24_audio_headers",
+]
+_CERT_TAIL = [
+    # previously hash-certified; implementing modules untouched in r07
+    # (enforced by test_entry_contract.py against tests/cert_manifest.json;
+    # e-gate deps narrowed to their verified import closures in
+    # scripts/cert_manifest.py — etl/openapc.py, etl/coverage.py, model.py
+    # and, for e19, catalog.py; none executes through query.py except e18)
+    "e07_priority_rank", "e08_melt_explode",
+    "e10_colon_scrub", "e11_doi_lookup", "e12_institution_report",
+    "e13_ac_institutions", "e16_springer_coverage",
+    "e18_partition_prune",
     "q01_facts_page", "q02_cut_point", "q03_cut_range", "q04_cut_set",
     "q05_cut_negate", "q06_aggregate_summary", "q07_drilldown",
     "q08_multi_drilldown", "q09_order_topk", "q10_pagination_cells",
     "q11_envelope_rollup", "q12_point_lookup", "q13_fact_by_id",
-    "q14_members", "q15_total_percentage", "q16_cell_http",
-    "q17_model_http", "e18_partition_prune",
-]
-# (r06: empty — the r05 pending queue is promoted into the window above.)
-_CERT_PENDING: list[str] = []
-_CERT_TAIL = [
-    # previously hash-certified; implementing modules untouched in r06
-    # (enforced by test_entry_contract.py against tests/cert_manifest.json;
-    # e-gate deps narrowed to their verified import closures in
-    # scripts/cert_manifest.py — etl/openapc.py, etl/coverage.py, model.py
-    # and, for e19, catalog.py; none executes through query.py except e18,
-    # which is rotated into the window above)
-    "e01_enrich_ror", "e02_publication_key", "e03_deal_halving",
-    "e04_union_combined", "e05_coverage_zerofill", "e06_prune_semi",
-    "e07_priority_rank", "e08_melt_explode", "e09_journal_id",
-    "e10_colon_scrub", "e11_doi_lookup", "e12_institution_report",
-    "e13_ac_institutions", "e14_annual_pubdates", "e15_hybrid_catalog",
-    "e16_springer_coverage", "e17_cache_upsert", "e19_manifest_roundtrip",
-    "e20_json_cache",
-    "x07_text_metrics", "x08_langid_distribution", "x09_tumbling_daily",
-    "x10_sliding_windows", "x11_session_stats", "x12_props_json",
-    "x13_salted_drilldown", "x15_media_metadata", "x16_quality_deciles",
-    "x19_image_dims", "x20_pii_redaction", "x21_repetition_deciles",
-    "x22_vocab_top", "x23_wav_metadata", "x24_audio_headers",
-    "x25_streaming_tumbling", "x26_streaming_dedup",
-    "x27_winnow_fingerprints", "x28_curation_funnel",
-    "x29_sequence_packing", "x30_hash_split", "x31_profile",
+    "q14_members", "q15_total_percentage",
+    "x01_dedup_summary", "x02_ngram_jaccard", "x03_minhash_neardup",
+    "x04_simhash_neardup", "x14_ngram_jaccard_capped",
+    "x28_curation_funnel",
+    "x29_sequence_packing", "x30_hash_split",
     "x32_image_decode", "x33_stateful_sessions", "x34_wav_decode",
+    "x35_duplicate_groups",
     "x37_asof_join", "x38_interval_join", "x39_stratified_sample",
     "x40_decontaminate", "x41_bloom_semi_join", "x42_topk_per_group",
     "x43_deterministic_shuffle", "x44_cms_estimates",
     "x45_tfidf_top_terms", "x46_quantize_embeddings",
-    "x47_chunk_documents", "x48_rebalance_mixture", "x50_streaming_cms",
-    "x51_orc_roundtrip",
+    "x47_chunk_documents", "x48_rebalance_mixture",
+    "x49_incremental_dedup", "x50_streaming_cms",
+    "x52_pretraining_pipeline", "x54_unigram_logprob",
+    "x55_bpe_train", "x56_domain_stats", "x57_temperature_resample",
+    "x58_bigram_logprob", "x60_stream_stream_join",
+    "x61_bpe_encode", "x62_quality_rules", "x63_event_funnel",
+    "x64_cohort_retention", "x66_line_dedup", "x67_char_entropy",
+    "x68_canonical_docs", "x69_percentile_filter", "x70_rolling_features",
 ]
 
 
@@ -482,10 +493,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(contrib_queries.QUERIES)
     head = [k for k in _CERT_FIRST if k in out]
     pending = [k for k in _CERT_PENDING if k in out]
+    refresh = [k for k in _CERT_REFRESH if k in out]
     tail = [k for k in _CERT_TAIL if k in out]
     mid = [k for k in out
-           if k not in set(head) | set(pending) | set(tail)]
-    return {k: out[k] for k in head + pending + mid + tail}
+           if k not in set(head) | set(pending) | set(refresh) | set(tail)]
+    # the driver certifies the first 50: new/touched gates (head+mid) must
+    # all fit; refresh entries only SOAK UP the window's free slots — any
+    # excess spills after the window, where the manifest guard still covers
+    # them (test_entry_contract hashes _CERT_REFRESH alongside _CERT_TAIL)
+    assert len(head) + len(pending) + len(mid) <= 50, \
+        "certification window overflow: rotate gates out of _CERT_FIRST"
+    order = head + pending + mid + refresh + tail
+    return {k: out[k] for k in order}
 
 
 def oracle_sql() -> dict[str, str]:

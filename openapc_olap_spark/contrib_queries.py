@@ -3486,6 +3486,474 @@ _X71_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X72: deterministic k-means fit (2 Lloyd's iterations under the hash)
+# ---------------------------------------------------------------------------
+
+def _x72_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``kmeans.kmeans_fit(deterministic=True)`` k=4, n_iter=2: the final
+    centroid matrix, one row per (cluster, dimension). The oracle replays
+    BOTH Lloyd's iterations in SQL — seed rule (k smallest ids), argmin
+    assignment (sequential-fold squared L2, cid tie-break), id-sorted
+    fold means, empty-cluster carry — so any drift in any step of either
+    iteration breaks the hash. The single-row-per-model-cell
+    createDataFrame is the driver-side model envelope (the q16 pattern);
+    rounding happens in Spark so both engines share one rule."""
+    from openapc_olap_spark.operators import kmeans
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = kmeans.kmeans_fit(emb, k=4, n_iter=2, vec_col="embedding",
+                              id_col="vec_id", deterministic=True)
+    rows = [(ci, pos, float(val)) for ci, c in enumerate(cents)
+            for pos, val in enumerate(c)]
+    df = spark.createDataFrame(rows, "cid int, pos int, centroid double")
+    return df.select("cid", "pos", F.round("centroid", 6).alias("centroid"))
+
+
+# sequential dimension-ascending fold — bitwise the expression argmin's
+# distance (list_sum may re-associate; list_reduce cannot)
+_SQDIST_SEQ = ("list_reduce(list_transform(range(1, len({c}) + 1), "
+               "i -> ({c}[i] - {v}[i]) * ({c}[i] - {v}[i])), "
+               "(a, b) -> a + b)")
+
+
+def _x72_iter_sql(prev: str, aname: str, uname: str, cname: str) -> str:
+    """One Lloyd's iteration over centroid CTE ``prev``: argmin assign,
+    per-(cid, pos) id-sorted fold mean, empty-cluster carry."""
+    return f"""
+    {aname} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_SQDIST_SEQ.format(c='c.c', v='e.v')}, c.cid) AS rn
+        FROM e CROSS JOIN {prev} c) WHERE rn = 1),
+    {uname} AS (
+      SELECT cid, pos,
+             list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
+               / count(*) AS mean
+      FROM (SELECT vec_id, cid, generate_subscripts(v, 1) AS pos,
+                   unnest(v) AS val FROM {aname})
+      GROUP BY 1, 2),
+    {cname} AS (
+      SELECT cid, list(val ORDER BY pos) AS c FROM (
+        SELECT p.cid, p.pos, coalesce(u.mean, p.cval) AS val FROM
+          (SELECT cid, generate_subscripts(c, 1) AS pos, unnest(c) AS cval
+           FROM {prev}) p
+          LEFT JOIN {uname} u USING (cid, pos))
+      GROUP BY cid)"""
+
+
+_X72_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM e ORDER BY vec_id LIMIT 4),
+    {_x72_iter_sql('c0', 'a1', 'u1', 'c1')},
+    {_x72_iter_sql('c1', 'a2', 'u2', 'c2')}
+    SELECT cid::INT AS cid, (pos - 1)::INT AS pos,
+           round(val, 6) AS centroid
+    FROM (SELECT cid, generate_subscripts(c, 1) AS pos, unnest(c) AS val
+          FROM c2)
+"""
+
+
+# ---------------------------------------------------------------------------
+# X73: DSIR importance weights (hashed-ngram bucket models)
+# ---------------------------------------------------------------------------
+
+X73_BUCKETS = 256
+
+
+def _x73_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dsir``: target model from the doc_id%13 slice, raw model from the
+    whole corpus, per-document importance log-weight. Featurization
+    (unigram+bigram bag, repeats kept), the md5 bucket, both add-1
+    models, floors for unseen buckets, and the bucket-sorted weight fold
+    all sit under the hash; gram-less documents surface with
+    n_ngrams = 0 and weight 0."""
+    from openapc_olap_spark.operators import dsir
+
+    docs = _docs_split(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 13 == 0)
+    t_model, t_floor = dsir.fit_bucket_model(
+        dsir.corpus_bucket_counts(target, X73_BUCKETS), X73_BUCKETS)
+    r_model, r_floor = dsir.fit_bucket_model(
+        dsir.corpus_bucket_counts(docs, X73_BUCKETS), X73_BUCKETS)
+    w = dsir.importance_weights(docs, t_model, t_floor, r_model, r_floor,
+                                X73_BUCKETS)
+    return (w.filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id", "n_ngrams",
+                    F.round("weight", 6).alias("weight")))
+
+
+_X73_SQL = f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, unnest(list_concat(toks,
+          list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1]))) AS g
+        FROM d)),
+    per AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % {X73_BUCKETS}
+               AS bucket,
+             count(*) AS cnt
+      FROM grams GROUP BY 1, 2),
+    tm AS (SELECT bucket, count(*) AS c FROM
+             (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT
+                       % {X73_BUCKETS} AS bucket
+              FROM grams WHERE doc_id % 13 = 0) GROUP BY 1),
+    tt AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM tm),
+    rm AS (SELECT bucket, count(*) AS c FROM
+             (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT
+                       % {X73_BUCKETS} AS bucket
+              FROM grams) GROUP BY 1),
+    rt AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM rm),
+    contrib AS (
+      SELECT p.doc_id, p.bucket, p.cnt,
+             p.cnt * (coalesce(ln((tm.c + 1.0) / (tt.n + {X73_BUCKETS})),
+                               ln(1.0 / (tt.n + {X73_BUCKETS})))
+                    - coalesce(ln((rm.c + 1.0) / (rt.n + {X73_BUCKETS})),
+                               ln(1.0 / (rt.n + {X73_BUCKETS})))) AS delta
+      FROM per p LEFT JOIN tm USING (bucket) LEFT JOIN rm USING (bucket)
+      CROSS JOIN tt CROSS JOIN rt),
+    w AS (
+      SELECT d.doc_id,
+             coalesce(s.n_ngrams, 0)::BIGINT AS n_ngrams,
+             coalesce(s.weight, 0.0) AS weight
+      FROM d LEFT JOIN (
+        SELECT doc_id, sum(cnt)::BIGINT AS n_ngrams,
+               list_reduce(list(delta ORDER BY bucket),
+                           (a, b) -> a + b) AS weight
+        FROM contrib GROUP BY 1) s USING (doc_id))
+    SELECT doc_id, n_ngrams, round(weight, 6) AS weight
+    FROM w WHERE doc_id % 3 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# X74: cross-document repeated-span removal (Lee et al. window masking)
+# ---------------------------------------------------------------------------
+
+def _x74_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spandedup.remove_repeated_spans`` w=8, max_docs=2 on the real
+    corpus (which carries ~70 naturally cross-doc-hot 8-token windows):
+    per sampled document the removed-token count and the md5 of the
+    rebuilt text — window hashing, the hot set, coverage masking, and
+    reassembly all sit under the hash."""
+    from openapc_olap_spark.operators import spandedup
+
+    docs = _docs_split(spark, sf_dir).select("doc_id", "text")
+    out = spandedup.remove_repeated_spans(docs, w=8, max_docs=2)
+    return (out.filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id",
+                    F.col("n_tokens_removed").cast("long")
+                    .alias("n_tokens_removed"),
+                    F.md5("text").alias("digest")))
+
+
+_X74_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+               AS toks
+      FROM documents),
+    wins AS (
+      SELECT doc_id, unnest(range(0, greatest(len(toks) - 7, 0))) AS s,
+             toks
+      FROM t),
+    wh AS (
+      SELECT doc_id, s, md5(array_to_string(toks[s+1 : s+8], ' ')) AS h
+      FROM wins),
+    hot AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS nd FROM wh GROUP BY 1)
+      WHERE nd > 2),
+    hs AS (
+      SELECT doc_id, list(s ORDER BY s) AS starts
+      FROM wh JOIN hot USING (h) GROUP BY 1),
+    rebuilt AS (
+      SELECT t.doc_id, t.toks,
+             list_filter(
+               list_transform(range(1, len(t.toks) + 1),
+                 i -> CASE WHEN len(list_filter(
+                             coalesce(hs.starts, []::BIGINT[]),
+                             s -> s <= i - 1 AND i - 1 < s + 8)) > 0
+                      THEN NULL ELSE t.toks[i] END),
+               x -> x IS NOT NULL) AS kept
+      FROM t LEFT JOIN hs USING (doc_id))
+    SELECT doc_id, (len(toks) - len(kept))::BIGINT AS n_tokens_removed,
+           -- array_to_string([]) is NULL in DuckDB; array_join is '' in
+           -- Spark — a fully-removed document must hash as md5('')
+           md5(coalesce(array_to_string(kept, ' '), '')) AS digest
+    FROM rebuilt WHERE doc_id % 3 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# X75: deterministic exact-k per-group sampling (salt-pruned)
+# ---------------------------------------------------------------------------
+
+def _x75_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sampling.sample_k_per_group`` k=40 per language at salt_parts=4:
+    the oracle ranks the identical md5(seed:id) priority UNSALTED, so a
+    hash match certifies the salt-bucket pruning identity (any global
+    top-k row is top-k within its salt bucket), not just the sample."""
+    from openapc_olap_spark.operators import sampling
+
+    docs = _docs_split(spark, sf_dir).select("doc_id", "lang")
+    out = sampling.sample_k_per_group(docs, ["lang"], k=40,
+                                      id_col="doc_id", seed="7",
+                                      salt_parts=4)
+    return out.select("doc_id", "lang",
+                      F.col("rk").cast("long").alias("rk"))
+
+
+_X75_SQL = """
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5('7:' || doc_id::VARCHAR) ASC, doc_id ASC)
+               AS rk
+      FROM documents)
+    WHERE rk <= 40
+"""
+
+
+# ---------------------------------------------------------------------------
+# X76: CCNet-style per-language LM-score terciles (head/middle/tail)
+# ---------------------------------------------------------------------------
+
+def _x76_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ccnet.perplexity_buckets`` over 6dp-rounded self-trained unigram
+    LM scores: per (lang, bucket) the member count, rounded mean score,
+    and an id digest — the exact per-group R-7 quantile cuts and every
+    row's bucket assignment sit under the hash. Scores are rounded
+    BEFORE the cut so the quantile input multiset is engine-identical
+    (the x54 ulp discipline)."""
+    from openapc_olap_spark.operators import ccnet, lm
+
+    docs = _docs_split(spark, sf_dir)
+    scored = (lm.doc_mean_logprob(docs, round_to=6)
+              .join(docs.select("doc_id", "lang"), "doc_id")
+              .withColumnRenamed("mean_logprob", "score"))
+    bucketed = ccnet.perplexity_buckets(scored)
+    ids = F.array_sort(F.collect_list(F.col("doc_id").cast("string")))
+    return (bucketed.groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("score"), 6).alias("mean_score"),
+                 F.md5(F.array_join(ids, ",")).alias("digest")))
+
+
+_X76_SQL = f"""
+    WITH s AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    model AS (
+      SELECT token, count(*) AS c FROM
+        (SELECT unnest(toks) AS token FROM s) GROUP BY 1),
+    st AS (SELECT sum(c) AS n, count(*) AS v FROM model),
+    per AS (
+      SELECT doc_id, token, count(*) AS n FROM
+        (SELECT doc_id, unnest(toks) AS token FROM s) GROUP BY 1, 2),
+    contrib AS (
+      SELECT p.doc_id, p.token, p.n,
+             p.n * ln((coalesce(m.c, 0) + 1.0) / (st.n + 1.0 * (st.v + 1)))
+               AS contrib
+      FROM per p LEFT JOIN model m USING (token) CROSS JOIN st),
+    sc AS (
+      SELECT doc_id,
+             round(list_reduce(list(contrib ORDER BY token),
+                               (a, b) -> a + b) / sum(n), 6) AS score
+      FROM contrib GROUP BY 1),
+    sl AS (SELECT sc.doc_id, sc.score, d.lang
+           FROM sc JOIN documents d USING (doc_id)),
+    cuts AS (
+      SELECT lang, quantile_cont(score, 1.0/3.0) AS cut_lo,
+             quantile_cont(score, 2.0/3.0) AS cut_hi
+      FROM sl GROUP BY 1),
+    b AS (
+      SELECT sl.doc_id, sl.lang, sl.score,
+             CASE WHEN sl.score >= c.cut_hi THEN 'head'
+                  WHEN sl.score >= c.cut_lo THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM sl JOIN cuts c USING (lang))
+    SELECT lang, bucket, count(*) AS n_docs,
+           round(avg(score), 6) AS mean_score,
+           md5(string_agg(doc_id::VARCHAR, ','
+                          ORDER BY doc_id::VARCHAR)) AS digest
+    FROM b GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# X77: in-engine logistic regression (3 descent iterations under the hash)
+# ---------------------------------------------------------------------------
+
+def _x77_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``logreg.logreg_fit(deterministic=True)`` + ``logreg_score``:
+    3 full-batch mean-gradient iterations at lr=0.5 on two engineered
+    features (chars/1000, tokens/100) against an is-English label, then
+    every sampled document's 6dp-rounded quality score. The oracle walks
+    the identical descent (id-sorted gradient folds) — cross-engine
+    ``exp`` agrees to ~1 ulp/iteration, which the score rounding absorbs
+    (the module's documented ulp note)."""
+    from openapc_olap_spark.operators import logreg, text
+
+    docs = _docs_split(spark, sf_dir)
+    fx = docs.select(
+        "doc_id",
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("f1"),
+        (F.size(text.tokens("text")).cast("double") / F.lit(100.0))
+        .alias("f2"),
+        (F.col("lang") == "en").cast("int").alias("label"))
+    w = logreg.logreg_fit(fx, ["f1", "f2"], "label", n_iter=3, lr=0.5,
+                          deterministic=True)
+    scored = logreg.logreg_score(fx, w, ["f1", "f2"])
+    return (scored.filter(F.col("doc_id") % 3 == 1)
+            .select("doc_id",
+                    F.round("quality_score", 6).alias("quality_score")))
+
+
+def _x77_iter_sql(prev: str, name: str) -> str:
+    """One mean-gradient descent step from weights CTE ``prev``."""
+    dot = (f"((SELECT w0 FROM {prev}) + (SELECT w1 FROM {prev}) * f1 "
+           f"+ (SELECT w2 FROM {prev}) * f2)")
+    return f"""
+    {name}_g AS (
+      SELECT list_reduce(list(err ORDER BY doc_id), (a, b) -> a + b) AS g0,
+             list_reduce(list(err * f1 ORDER BY doc_id),
+                         (a, b) -> a + b) AS g1,
+             list_reduce(list(err * f2 ORDER BY doc_id),
+                         (a, b) -> a + b) AS g2
+      FROM (SELECT doc_id, f1, f2,
+                   1.0 / (1.0 + exp(-{dot})) - y AS err
+            FROM d)),
+    {name} AS (
+      SELECT (SELECT w0 FROM {prev}) - 0.5 * g0 / (SELECT n FROM nn) AS w0,
+             (SELECT w1 FROM {prev}) - 0.5 * g1 / (SELECT n FROM nn) AS w1,
+             (SELECT w2 FROM {prev}) - 0.5 * g2 / (SELECT n FROM nn) AS w2
+      FROM {name}_g)"""
+
+
+_X77_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, n_chars::DOUBLE / 1000.0 AS f1,
+             len({_TOKS_SQL})::DOUBLE / 100.0 AS f2,
+             (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS y
+      FROM documents),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM d),
+    it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+    {_x77_iter_sql('it0', 'it1')},
+    {_x77_iter_sql('it1', 'it2')},
+    {_x77_iter_sql('it2', 'it3')}
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-((SELECT w0 FROM it3)
+                 + (SELECT w1 FROM it3) * f1
+                 + (SELECT w2 FROM it3) * f2))), 6) AS quality_score
+    FROM d WHERE doc_id % 3 = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# X78: composed curation chain (span dedup -> LM -> CCNet -> sample)
+# ---------------------------------------------------------------------------
+
+def _x78_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 integration chain as a gated query (the x52 pattern):
+    span dedup (w=8, max_docs=2) -> self-trained unigram LM scoring on
+    the CLEANED text -> per-language tercile buckets -> keep
+    head+middle -> exact-5 per-language sample. The oracle re-derives
+    all five stages in one SQL query, so a drift in ANY stage (rebuilt
+    text, model counts, cuts, bucket labels, sample ranks) breaks the
+    hash."""
+    from openapc_olap_spark.operators import ccnet, lm, sampling, spandedup
+
+    docs = _docs_split(spark, sf_dir).select("doc_id", "lang", "text")
+    cleaned = spandedup.remove_repeated_spans(docs, w=8, max_docs=2)
+    scored = (lm.doc_mean_logprob(cleaned, round_to=6)
+              .join(cleaned.select("doc_id", "lang"), "doc_id")
+              .withColumnRenamed("mean_logprob", "score"))
+    bucketed = ccnet.perplexity_buckets(scored)
+    keep = bucketed.filter(F.col("bucket").isin("head", "middle"))
+    out = sampling.sample_k_per_group(keep, ["lang"], k=5,
+                                      id_col="doc_id", seed="chain")
+    return out.select("doc_id", "lang", "bucket",
+                      F.round("score", 6).alias("score"),
+                      F.col("rk").cast("long").alias("rk"))
+
+
+_X78_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+               AS toks
+      FROM documents),
+    wins AS (
+      SELECT doc_id, unnest(range(0, greatest(len(toks) - 7, 0))) AS s,
+             toks
+      FROM t),
+    wh AS (
+      SELECT doc_id, s, md5(array_to_string(toks[s+1 : s+8], ' ')) AS h
+      FROM wins),
+    hot AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS nd FROM wh GROUP BY 1)
+      WHERE nd > 2),
+    hs AS (
+      SELECT doc_id, list(s ORDER BY s) AS starts
+      FROM wh JOIN hot USING (h) GROUP BY 1),
+    rebuilt AS (
+      SELECT t.doc_id, t.lang,
+             list_transform(
+               list_filter(
+                 list_transform(range(1, len(t.toks) + 1),
+                   i -> CASE WHEN len(list_filter(
+                               coalesce(hs.starts, []::BIGINT[]),
+                               s -> s <= i - 1 AND i - 1 < s + 8)) > 0
+                        THEN NULL ELSE t.toks[i] END),
+                 x -> x IS NOT NULL),
+               x -> lower(x)) AS toks
+      FROM t LEFT JOIN hs USING (doc_id)),
+    model AS (
+      SELECT token, count(*) AS c FROM
+        (SELECT unnest(toks) AS token FROM rebuilt) GROUP BY 1),
+    st AS (SELECT sum(c) AS n, count(*) AS v FROM model),
+    per AS (
+      SELECT doc_id, token, count(*) AS n FROM
+        (SELECT doc_id, unnest(toks) AS token FROM rebuilt) GROUP BY 1, 2),
+    contrib AS (
+      SELECT p.doc_id, p.token, p.n,
+             p.n * ln((coalesce(m.c, 0) + 1.0) / (st.n + 1.0 * (st.v + 1)))
+               AS contrib
+      FROM per p LEFT JOIN model m USING (token) CROSS JOIN st),
+    sc AS (
+      SELECT doc_id,
+             round(list_reduce(list(contrib ORDER BY token),
+                               (a, b) -> a + b) / sum(n), 6) AS score
+      FROM contrib GROUP BY 1),
+    sl AS (SELECT sc.doc_id, sc.score, r.lang
+           FROM sc JOIN rebuilt r USING (doc_id)),
+    cuts AS (
+      SELECT lang, quantile_cont(score, 1.0/3.0) AS cut_lo,
+             quantile_cont(score, 2.0/3.0) AS cut_hi
+      FROM sl GROUP BY 1),
+    b AS (
+      SELECT sl.doc_id, sl.lang, sl.score,
+             CASE WHEN sl.score >= c.cut_hi THEN 'head'
+                  WHEN sl.score >= c.cut_lo THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM sl JOIN cuts c USING (lang)),
+    rk AS (
+      SELECT doc_id, lang, bucket, score,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5('chain:' || doc_id::VARCHAR) ASC,
+                        doc_id ASC) AS rk
+      FROM b WHERE bucket IN ('head', 'middle'))
+    SELECT doc_id, lang, bucket, round(score, 6) AS score, rk
+    FROM rk WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -3558,6 +4026,13 @@ QUERIES = {
     "x69_percentile_filter": _x69_percentile_filter,
     "x70_rolling_features": _x70_rolling_features,
     "x71_size_sharding": _x71_size_sharding,
+    "x72_kmeans_fit": _x72_kmeans_fit,
+    "x73_dsir_weights": _x73_dsir_weights,
+    "x74_span_dedup": _x74_span_dedup,
+    "x75_sample_per_group": _x75_sample_per_group,
+    "x76_ccnet_buckets": _x76_ccnet_buckets,
+    "x77_logreg_quality": _x77_logreg_quality,
+    "x78_curation_chain": _x78_curation_chain,
 }
 
 ORACLES = {
@@ -3632,4 +4107,11 @@ ORACLES = {
     "x69_percentile_filter": _X69_SQL,
     "x70_rolling_features": _X70_SQL,
     "x71_size_sharding": _X71_SQL,
+    "x72_kmeans_fit": _X72_SQL,
+    "x73_dsir_weights": _X73_SQL,
+    "x74_span_dedup": _X74_SQL,
+    "x75_sample_per_group": _X75_SQL,
+    "x76_ccnet_buckets": _X76_SQL,
+    "x77_logreg_quality": _X77_SQL,
+    "x78_curation_chain": _X78_SQL,
 }

@@ -170,6 +170,17 @@ _X_DEPS = {
     "x69_percentile_filter": [f"{_OPS}/stats.py"],
     "x70_rolling_features": [f"{_OPS}/rolling.py"],
     "x71_size_sharding": [f"{_OPS}/sharding.py"],
+    "x72_kmeans_fit": [f"{_OPS}/kmeans.py", f"{_OPS}/similarity.py"] + _MEMO,
+    "x73_dsir_weights": [f"{_OPS}/dsir.py", f"{_OPS}/packing.py",
+                         f"{_OPS}/text.py"],
+    "x74_span_dedup": [f"{_OPS}/spandedup.py", f"{_OPS}/text.py"],
+    "x75_sample_per_group": [f"{_OPS}/sampling.py", f"{_OPS}/ranking.py"],
+    "x76_ccnet_buckets": [f"{_OPS}/ccnet.py", f"{_OPS}/lm.py",
+                          f"{_OPS}/text.py"],
+    "x77_logreg_quality": [f"{_OPS}/logreg.py", f"{_OPS}/text.py"],
+    "x78_curation_chain": [f"{_OPS}/spandedup.py", f"{_OPS}/lm.py",
+                           f"{_OPS}/ccnet.py", f"{_OPS}/sampling.py",
+                           f"{_OPS}/ranking.py", f"{_OPS}/text.py"],
 }
 DEPS.update(_X_DEPS)
 

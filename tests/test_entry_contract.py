@@ -43,9 +43,11 @@ def test_every_oracle_has_a_query():
 def test_certification_window_invariants():
     """The driver checks the FIRST 50 queries() entries (insertion order) —
     README 'Certification schedule'. Guard the schedule: every entry of
-    _CERT_FIRST (never driver-certified) must sit inside the window, the
-    rotated-out tail must be exactly _CERT_TAIL (all r02+r03-certified),
-    and the declared names must be unique and fully oracled."""
+    _CERT_FIRST (never-certified / touched-this-round) must sit inside the
+    window, _CERT_REFRESH (old certs re-run for freshness) fills the
+    window's free slots, anything past position 50 must be refresh-spill or
+    _CERT_TAIL (both manifest-guarded), and the declared names must be
+    unique, disjoint across lists, and fully oracled."""
     qs = entrymod.queries()
     names = list(qs)
     assert len(names) == len(set(names))
@@ -53,25 +55,28 @@ def test_certification_window_invariants():
     assert set(entrymod._CERT_FIRST) <= window, \
         "a never-certified gate fell outside the driver's 50-query window"
     pending = [n for n in names if n in set(entrymod._CERT_PENDING)]
+    refresh = [n for n in names if n in set(entrymod._CERT_REFRESH)]
     tail_names = [n for n in names if n in set(entrymod._CERT_TAIL)]
-    assert names[50:] == pending + tail_names, \
-        "post-window order must be _CERT_PENDING (new, queued for round-6 " \
-        "promotion) then _CERT_TAIL (previously certified, manifest-guarded)"
-    assert len(names) - 50 == len(entrymod._CERT_PENDING) \
-        + len(entrymod._CERT_TAIL), \
-        "grow _CERT_PENDING/_CERT_TAIL when declaring new queries"
-    # the three lists must PARTITION the declared set exactly: an unlisted
-    # query would land in the mid-section after position 50 — never
+    n_spill = max(0, len(entrymod._CERT_FIRST) + len(pending)
+                  + len(refresh) - 50)
+    spill = refresh[len(refresh) - n_spill:] if n_spill else []
+    assert names[50:] == spill + tail_names, \
+        "post-window order must be refresh-spill then _CERT_TAIL"
+    # the lists must PARTITION the declared set exactly: an unlisted query
+    # would land in the mid-section — maybe outside the window, never
     # driver-certified AND invisible to the manifest tail check
     head, tail = set(entrymod._CERT_FIRST), set(entrymod._CERT_TAIL)
     pend = set(entrymod._CERT_PENDING)
-    assert not (head & tail or head & pend or pend & tail), \
-        "a query cannot be in two schedule lists"
-    orphans = set(names) - head - tail - pend
+    refr = set(entrymod._CERT_REFRESH)
+    lists = [head, pend, refr, tail]
+    for i, a in enumerate(lists):
+        for b in lists[i + 1:]:
+            assert not (a & b), "a query cannot be in two schedule lists"
+    orphans = set(names) - head - tail - pend - refr
     assert not orphans, \
         f"queries missing from the certification schedule: {sorted(orphans)}"
-    assert len(entrymod._CERT_FIRST) == 50, \
-        "_CERT_FIRST must fill the driver window exactly (rotate, don't grow)"
+    assert len(head) + len(pend) + len(refr) >= 50, \
+        "window underfilled: grow _CERT_REFRESH to spend all 50 driver slots"
 
 
 def test_all_declared_queries_match_oracles_at_sf0001(spark):
@@ -108,7 +113,7 @@ def test_cert_tail_code_unchanged_since_manifest():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     problems = []
-    for name in entrymod._CERT_TAIL:
+    for name in list(entrymod._CERT_TAIL) + list(entrymod._CERT_REFRESH):
         rec = manifest["queries"].get(name)
         if rec is None:
             problems.append(f"{name}: not in cert_manifest.json")
