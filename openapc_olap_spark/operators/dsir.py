@@ -156,11 +156,15 @@ def dsir_select(raw_df: DataFrame, target_df: DataFrame,
     above every genuinely raw-like (negative-weight) document despite
     carrying zero evidence of target-likeness.
 
-    The cutoff k = ceil(fraction * n) needs n — one count job; the
-    rank is a single global sort of the (id, weight) frame, which is
-    doc-cardinality scalar pairs, not documents (at 100 TB rank the
-    WEIGHTS frame, then semi-join the ids back, exactly as below —
-    never sort payload rows)."""
+    The cutoff is EXACT but never a one-task global sort (ADVICE r06):
+    an approx-quantile bracket on the weight column bounds the k-th
+    weight to a narrow rank band, one band-only aggregate finds the
+    boundary weight exactly, rows strictly above it are kept with a
+    plain filter, and only the boundary TIE GROUP (one weight value) is
+    ranked by id — so per-reducer work is band-sized, independent of
+    corpus size. The scored frame is localCheckpoint-ed first: it is
+    id-grain scalar triples (never documents), reused by the count, the
+    quantile sketch, the band aggregate, and the final filters."""
     if not 0.0 < keep_fraction <= 1.0:
         raise ValueError(f"keep_fraction must be in (0, 1], "
                          f"got {keep_fraction}")
@@ -170,11 +174,59 @@ def dsir_select(raw_df: DataFrame, target_df: DataFrame,
     r_model, r_floor = fit_bucket_model(r_counts, n_buckets, smoothing_k)
     w = importance_weights(raw_df, t_model, t_floor, r_model, r_floor,
                            n_buckets, id_col, text_col, n_max)
-    w = w.filter(F.col("n_ngrams") > 0)
+    w = w.filter(F.col("n_ngrams") > 0).localCheckpoint(eager=True)
     n = w.count()
-    k = max(1, math.ceil(keep_fraction * n)) if n else 0
-    ranked = w.withColumn(
-        "__rk", F.row_number().over(
-            Window.orderBy(F.col("weight").desc(), F.col(id_col))))
-    keep = ranked.filter(F.col("__rk") <= k).drop("__rk")
+    if n == 0:
+        return raw_df.join(w, id_col)
+    k = max(1, math.ceil(keep_fraction * n))
+    if k >= n:
+        return raw_df.join(w, id_col)
+    keep = _top_k_by_weight(w, k, n, id_col)
     return raw_df.join(keep, id_col)
+
+
+def _top_k_by_weight(w: DataFrame, k: int, n: int,
+                     id_col: str) -> DataFrame:
+    """Exact top-k rows of ``w`` by (weight desc, ``id_col`` asc) without
+    a global sort. approxQuantile's rank-error contract brackets the
+    k-th largest weight in [lo, hi] (rank span ~4*err*n); the boundary
+    weight is found exactly from a per-distinct-weight count of that
+    band; ties at the boundary are ranked by id within one weight value
+    (one reducer sized by the tie group, not the corpus). Falls back to
+    the windowed global rank only if the band degenerates (> _BAND_CAP
+    distinct weights — pathological weight spread)."""
+    err = min(1e-3, max(1e-6, 1e5 / n))
+    q = 1.0 - k / n
+    lo, hi = w.stat.approxQuantile(
+        "weight", [max(0.0, q - 2 * err), min(1.0, q + 2 * err)], err)
+    n_above = w.filter(F.col("weight") > hi).count()
+    band = (w.filter(F.col("weight").between(lo, hi))
+            .groupBy("weight").agg(F.count(F.lit(1)).alias("__c")))
+    rows = band.orderBy(F.col("weight").desc()).limit(_BAND_CAP + 1) \
+               .collect()
+    w_k, r_need = None, 0
+    if len(rows) <= _BAND_CAP:
+        acc = n_above                       # = count(weight > current)
+        for r in rows:
+            if acc + r["__c"] >= k:
+                w_k, r_need = r["weight"], k - acc
+                break
+            acc += r["__c"]
+    if w_k is None:
+        # degenerate band (or sketch contract violated): correct, slow
+        ranked = w.withColumn(
+            "__rk", F.row_number().over(
+                Window.orderBy(F.col("weight").desc(), F.col(id_col))))
+        return ranked.filter(F.col("__rk") <= k).drop("__rk")
+    ties = (w.filter(F.col("weight") == w_k)
+            .withColumn("__rk", F.row_number().over(
+                Window.partitionBy("weight")
+                      .orderBy(F.col(id_col).asc())))
+            .filter(F.col("__rk") <= r_need).drop("__rk"))
+    return w.filter(F.col("weight") > w_k).unionByName(ties)
+
+
+# distinct boundary-band weights collected to the driver before the exact
+# cutoff walk; beyond this the band is pathological and the windowed rank
+# takes over
+_BAND_CAP = 1_000_000

@@ -57,15 +57,32 @@ def _nearest_centroid_arrow(centroids: list[list[float]]):
     C = np.asarray(centroids, dtype=np.float64)          # k x dim
     cn = (C * C).sum(axis=1)                             # ||c||^2
 
+    dim = C.shape[1]
+
     @pandas_udf("int")
     def assign(vs: pd.Series) -> pd.Series:
         if not len(vs):
             return pd.Series(np.empty(0, dtype=np.int32))
-        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        # squared L2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is constant
-        # per row, so argmin over (cn - 2 V@C.T) matches exactly.
-        d = cn[None, :] - 2.0 * (V @ C.T)
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
+        # NULL / ragged / null-element vectors get a NULL id — the
+        # expression path's behavior (zip_with pads with NULL -> NULL
+        # distance -> NULL argmin), so the two paths agree on dirty data
+        # instead of this one crashing in np.asarray's object-array
+        # matmul. The mask is one cheap len() per row (no per-element
+        # scan); Arrow surfaces null ELEMENTS as NaN, caught post-matmul.
+        ok = np.fromiter((v is not None and len(v) == dim for v in vs),
+                         dtype=bool, count=len(vs))
+        out = pd.Series([pd.NA] * len(vs), dtype="Int32")
+        if ok.any():
+            V = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in vs[ok]])
+            # squared L2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is constant
+            # per row, so argmin over (cn - 2 V@C.T) matches exactly.
+            d = cn[None, :] - 2.0 * (V @ C.T)
+            ids = pd.array(d.argmin(axis=1).astype(np.int32),
+                           dtype="Int32")
+            ids[np.isnan(d).any(axis=1)] = pd.NA
+            out[ok] = ids
+        return out
 
     return assign
 
@@ -114,6 +131,19 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int = 5,
     if deterministic and assign == "arrow":
         raise ValueError("deterministic=True requires assign='expr' — "
                          "the oracle replays the expression argmin")
+    if deterministic:
+        # the id-sorted fold means materializes each (cluster, dim)
+        # group's member values — oracle-replay mode, bounded corpora
+        # only; enforce the docstring ceiling instead of trusting prose
+        # (VERDICT r06 item 4). limit(N+1) keeps the probe a bounded scan.
+        from .logreg import DETERMINISTIC_MAX_ROWS
+        if df.limit(DETERMINISTIC_MAX_ROWS + 1).count() \
+                > DETERMINISTIC_MAX_ROWS:
+            raise ValueError(
+                f"deterministic=True materializes id-sorted value lists "
+                f"per (cluster, dim) group: input exceeds the "
+                f"{DETERMINISTIC_MAX_ROWS}-row ceiling. Use the default "
+                f"map-side-combined avg at scale.")
     if init is not None:
         if len(init) != k:
             raise ValueError(f"init has {len(init)} centroids, want {k}")

@@ -40,6 +40,11 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# deterministic=True materializes id-sorted per-group value lists (the
+# oracle-replay summation order); above this the guard raises instead of
+# letting a one-reducer collect_list fold OOM (VERDICT r06 item 4)
+DETERMINISTIC_MAX_ROWS = 1_000_000
+
 
 def _dot_w(feats: Column, w: list[float]) -> Column:
     """x . w over an array column against literal weights — fixed
@@ -79,6 +84,13 @@ def logreg_fit(df: DataFrame, feature_cols: list[str], label_col: str,
     n = fx.count()
     if n == 0:
         return w
+    if deterministic and n > DETERMINISTIC_MAX_ROWS:
+        raise ValueError(
+            f"deterministic=True materializes one id-sorted value list of "
+            f"the WHOLE corpus per feature (a single-reducer collect_list "
+            f"fold, the oracle-replay mode): {n} rows exceeds the "
+            f"{DETERMINISTIC_MAX_ROWS}-row ceiling. Use the default "
+            f"map-side-combined sums at scale.")
 
     for _ in range(n_iter):
         err = (sigmoid(_dot_w(F.col("__x"), w))

@@ -75,11 +75,14 @@ def assign_shards(df: DataFrame, target: int,
         # materialize ONLY the 3-column id->shard map before dropping the
         # interior cache it reads — not the full joined output (at 100 TB
         # the payload join should stay lazy so downstream projections
-        # prune it; the map is id-grain metadata). The cached map lives
-        # as long as the returned frame references it; Spark's
-        # ContextCleaner reclaims it afterwards.
-        out = out.persist()
-        out.count()
+        # prune it; the map is id-grain metadata). localCheckpoint, not
+        # persist: persist() registers the plan in CacheManager, which
+        # holds a strong reference until an explicit unpersist — repeated
+        # calls in a long-lived session would accumulate cached maps.
+        # localCheckpoint blocks ARE reclaimed by the ContextCleaner once
+        # the returned frame is garbage-collected, and it also truncates
+        # the lineage so the window+join never recomputes.
+        out = out.localCheckpoint(eager=True)
     finally:
         interior.unpersist()
     return df.join(out, [id_col])

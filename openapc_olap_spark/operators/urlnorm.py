@@ -16,11 +16,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Query parameters that identify a CLIENT, not a resource — dropped during
-# canonicalization (the standard tracking-param strip list).
-TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref|ref_src)="
+# canonicalization (the standard tracking-param strip list). Bare ``ref``
+# is deliberately NOT here: it is semantic on many real sites (VCS branch
+# refs, API resource selectors), so stripping it would conflate distinct
+# resources; ``ref_src`` (the Twitter tracker) stays. Sites where ``ref``
+# IS a tracker can pass their own list via ``tracking_param_re=``.
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref_src)="
 
 
-def canonical_url(url: Column | str) -> Column:
+def canonical_url(url: Column | str,
+                  tracking_param_re: str = TRACKING_PARAM_RE) -> Column:
     """Canonical form of an absolute http(s) URL, as one expression:
 
     - scheme dropped (http/https serve the same resource), host
@@ -49,7 +54,7 @@ def canonical_url(url: Column | str) -> Column:
     path = F.regexp_replace(path, r"/+$", "")
     kept = F.array_sort(F.filter(
         F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
+        lambda p: (p != "") & ~p.rlike(tracking_param_re)))
     qs = F.when(F.size(kept) > 0,
                 F.concat(F.lit("?"), F.array_join(kept, "&"))
                 ).otherwise(F.lit(""))
@@ -57,13 +62,15 @@ def canonical_url(url: Column | str) -> Column:
 
 
 def url_duplicates(df: DataFrame, url_col: str = "url",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   tracking_param_re: str = TRACKING_PARAM_RE) -> DataFrame:
     """Canonical-URL dedup report: one row per canonical URL fetched more
     than once — (canonical_url, kept_id, n_dups). ``kept_id`` is the min
     id (first fetch wins, the crawl convention). One map-side-combined
     aggregation on the canonical key; at 100 TB this is the cheapest
     dedup pass and runs before any content-level dedup."""
-    return (df.select(canonical_url(url_col).alias("canonical_url"),
+    return (df.select(canonical_url(url_col, tracking_param_re)
+                      .alias("canonical_url"),
                       F.col(id_col))
             .groupBy("canonical_url")
             .agg(F.min(id_col).alias("kept_id"),
@@ -72,12 +79,14 @@ def url_duplicates(df: DataFrame, url_col: str = "url",
 
 
 def dedup_by_url(df: DataFrame, url_col: str = "url",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 tracking_param_re: str = TRACKING_PARAM_RE) -> DataFrame:
     """The filtering form: keep only each canonical URL's min-id row.
     Window-free: a (canonical, min_id) aggregate semi-joined back, so
     the heavy side is never sorted — the aggregate is tiny next to the
     corpus and AQE picks the join strategy."""
-    canon = df.withColumn("__cu", canonical_url(url_col))
+    canon = df.withColumn("__cu", canonical_url(url_col,
+                                                tracking_param_re))
     keep = (canon.groupBy("__cu").agg(F.min(id_col).alias(id_col))
             .select("__cu", id_col))
     return canon.join(keep, ["__cu", id_col], "left_semi").drop("__cu")

@@ -201,3 +201,27 @@ def test_randomized_corpora_match_python_reference(spark):
         for i in want:
             assert got[i][0] == want[i][0], f"seed {seed} doc {i}"
             assert got[i][1] == pytest.approx(want[i][1], rel=1e-12)
+
+
+def test_select_cutoff_tie_refinement(spark):
+    """ADVICE r06: the exact cutoff is approx-quantile + boundary
+    refinement, not a global sort. Duplicate texts put MANY docs on the
+    boundary weight — the kept set must still be (weight desc, id asc)
+    top-k, i.e. the smallest ids inside the tie group."""
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma") for i in range(3)],
+        ["doc_id", "text"])
+    # 2 target-like docs, then 10 identical middling docs (one tie
+    # group), then 3 spam docs; k = ceil(0.4 * 15) = 6 -> cut lands
+    # INSIDE the tie group: 2 winners + the 4 smallest tie ids
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma alpha")]
+    rows += [(10 + i, "alpha zzz qqq") for i in range(10)]
+    rows += [(50 + i, "spam spam spam eggs") for i in range(3)]
+    raw = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(7)
+    out = dsir.dsir_select(raw, target, keep_fraction=0.4,
+                           n_buckets=N_BUCKETS)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 2, 10, 11, 12, 13]
+    # fraction=1 keeps every gram-ful doc without entering the cutoff
+    assert dsir.dsir_select(raw, target, keep_fraction=1.0,
+                            n_buckets=N_BUCKETS).count() == 15

@@ -143,3 +143,41 @@ def test_ivf_assign_fast_matches_similarity(spark, vec_df):
     fast = {r["doc_id"]: r["list_id"]
             for r in kmeans.ivf_assign_fast(vec_df, cents).collect()}
     assert slow == fast
+
+
+def test_arrow_assign_null_and_ragged_vectors(spark):
+    """ADVICE r06: the Arrow argmin must tolerate dirty embeddings the way
+    the expression path does (NULL id), not crash in the matmul."""
+    from pyspark.sql import functions as F
+
+    from openapc_olap_spark.operators.similarity import _nearest_centroid
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None), (3, [1.0]), (4, [9.0, 9.0]),
+         (5, [1.0, None])],
+        "doc_id long, embedding array<double>")
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    got = {r["doc_id"]: r["cid"] for r in df.select(
+        "doc_id",
+        kmeans._nearest_centroid_arrow(cents)(
+            F.col("embedding").cast("array<double>")).alias("cid"))
+        .collect()}
+    assert got[1] == 0 and got[4] == 1
+    assert got[2] is None and got[3] is None and got[5] is None
+    # the expression path agrees on every row
+    expr = {r["doc_id"]: r["cid"] for r in df.select(
+        "doc_id", _nearest_centroid(
+            F.col("embedding").cast("array<double>"), cents).alias("cid"))
+        .collect()}
+    assert expr == got
+
+
+def test_deterministic_row_ceiling_guard(spark, vec_df, monkeypatch):
+    """VERDICT r06 item 4: the deterministic-mode corpus ceiling is a
+    raised guard, not docstring prose."""
+    from openapc_olap_spark.operators import logreg
+    monkeypatch.setattr(logreg, "DETERMINISTIC_MAX_ROWS", 3)
+    with pytest.raises(ValueError, match="ceiling"):
+        kmeans.kmeans_fit(vec_df, k=2, n_iter=1, deterministic=True)
+    # the scalable default mode is unaffected
+    assert kmeans.kmeans_fit(vec_df, k=2, n_iter=1)

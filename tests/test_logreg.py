@@ -107,3 +107,15 @@ def test_init_validation_and_empty_input(spark, lab_df):
     w = logreg.logreg_fit(empty, FEATS, "label", n_iter=3,
                           init=[0.5, 0.5, 0.5])
     assert w == [0.5, 0.5, 0.5]                 # kept verbatim
+
+
+def test_deterministic_row_ceiling_guard(spark, lab_df, monkeypatch):
+    """VERDICT r06 item 4: deterministic=True is the bounded oracle-replay
+    mode; above the ceiling it must raise, not build a corpus-sized
+    collect_list on one reducer."""
+    from openapc_olap_spark.operators import logreg as lr_mod
+    monkeypatch.setattr(lr_mod, "DETERMINISTIC_MAX_ROWS", 3)
+    with pytest.raises(ValueError, match="ceiling"):
+        logreg.logreg_fit(lab_df, ["f1", "f2"], "label", n_iter=1,
+                          deterministic=True)
+    assert logreg.logreg_fit(lab_df, ["f1", "f2"], "label", n_iter=1)

@@ -2479,12 +2479,20 @@ def test_canonical_url_rules(spark):
         "http://www.example.com": "example.com",
         # path case preserved, host folded; non-default port kept
         "https://Ex.COM:8080/CaseS": "ex.com:8080/CaseS",
+        # bare ref is SEMANTIC (VCS branch refs, API selectors) — kept by
+        # default; ref_src (the Twitter tracker) still strips
+        "https://git.example.com/tree?ref=main&ref_src=twsrc":
+            "git.example.com/tree?ref=main",
     }
     df = spark.createDataFrame([(u,) for u in cases], ["url"])
     got = {r["url"]: r["c"] for r in
            df.select("url", urlnorm.canonical_url("url").alias("c"))
            .collect()}
     assert got == cases
+    # a site where ref IS a tracker opts in via its own strip list
+    custom = df.select(urlnorm.canonical_url(
+        "url", tracking_param_re=r"^(utm_[a-z]+|ref|ref_src)=").alias("c"))
+    assert "git.example.com/tree" in {r["c"] for r in custom.collect()}
 
 
 def test_url_dedup_keeps_min_id(spark):
@@ -2634,7 +2642,7 @@ def test_canonical_url_differential_random(spark):
         path = (slash + path).rstrip("/")
         kept = sorted(p for p in query.split("&")
                       if p and not re.match(
-                          r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref|ref_src)=",
+                          r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref_src)=",
                           p))
         qs = "?" + "&".join(kept) if kept else ""
         return host + path + qs
