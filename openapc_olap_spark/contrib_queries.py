@@ -2572,13 +2572,17 @@ def _x53_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin instead of assuming KMeans), within-cluster exact-cosine pairs
     at {NEARDUP_COS}, min-id-wins survivor resolution. Returns per-label
     survivor count, id sum, and an md5 digest of the sorted survivor ids
-    — the full drop-set semantics sit under the value hash."""
+    — the full drop-set semantics sit under the value hash.
+    ``method="both"`` runs the Arrow argmin AND the expression argmin
+    with per-row in-plan equality asserts, so the vectorized fast path
+    is certified by this gate's hash too."""
     from openapc_olap_spark.operators import semdedup
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     cents = [[float(x) for x in r["embedding"]]
              for r in emb.orderBy("vec_id").limit(8).collect()]
-    kept = semdedup.semantic_dedup(emb, cents, threshold=NEARDUP_COS)
+    kept = semdedup.semantic_dedup(emb, cents, threshold=NEARDUP_COS,
+                                   method="both")
     ids = F.array_sort(F.collect_list(F.col("vec_id").cast("string")))
     return (kept.groupBy("label")
             .agg(F.count(F.lit(1)).alias("n_survivors"),
@@ -2922,13 +2926,14 @@ def _x59_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic centroids: per cluster, member count, flagged-outlier
     count, and the rounded mean centroid cosine — assignment, the cosine,
     the per-cluster stats, and every row's z-cut flag all sit under the
-    hash."""
+    hash. ``method="both"`` hash-certifies the Arrow argmin against the
+    expression path per row, in-plan."""
     from openapc_olap_spark.operators import semdedup
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     cents = [[float(x) for x in r["embedding"]]
              for r in emb.orderBy("vec_id").limit(8).collect()]
-    out = semdedup.cluster_outliers(emb, cents, z=1.5)
+    out = semdedup.cluster_outliers(emb, cents, z=1.5, method="both")
     return (out.groupBy("list_id")
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),

@@ -33,58 +33,11 @@ construction, not corpus-dependent.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _nearest_centroid
-
-
-def _nearest_centroid_arrow(centroids: list[list[float]]):
-    """Arrow-vectorized argmin (batch matmul) — identical ids to the
-    expression path (first-index tie-break; a test asserts equality on
-    every fixture, the x04 SimHash discipline for the repo's only other
-    pandas_udf). The expression argmin is interpreted per element
-    (HOF lambdas don't codegen), ~k*dim interpreter ops per row; this
-    path does one ||v||^2 - 2 v.C + ||c||^2 matmul per Arrow batch —
-    measured 35x faster (389.6 -> 11.0 s for a 5-iteration full-corpus
-    fit at 200k vecs, k=64, dim=64; 0 assignment mismatches across all
-    200k, identical final cost). Built lazily so importing the module
-    never registers a UDF."""
-    from pyspark.sql.functions import pandas_udf
-
-    C = np.asarray(centroids, dtype=np.float64)          # k x dim
-    cn = (C * C).sum(axis=1)                             # ||c||^2
-
-    dim = C.shape[1]
-
-    @pandas_udf("int")
-    def assign(vs: pd.Series) -> pd.Series:
-        if not len(vs):
-            return pd.Series(np.empty(0, dtype=np.int32))
-        # NULL / ragged / null-element vectors get a NULL id — the
-        # expression path's behavior (zip_with pads with NULL -> NULL
-        # distance -> NULL argmin), so the two paths agree on dirty data
-        # instead of this one crashing in np.asarray's object-array
-        # matmul. The mask is one cheap len() per row (no per-element
-        # scan); Arrow surfaces null ELEMENTS as NaN, caught post-matmul.
-        ok = np.fromiter((v is not None and len(v) == dim for v in vs),
-                         dtype=bool, count=len(vs))
-        out = pd.Series([pd.NA] * len(vs), dtype="Int32")
-        if ok.any():
-            V = np.asarray([np.asarray(v, dtype=np.float64)
-                            for v in vs[ok]])
-            # squared L2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is constant
-            # per row, so argmin over (cn - 2 V@C.T) matches exactly.
-            d = cn[None, :] - 2.0 * (V @ C.T)
-            ids = pd.array(d.argmin(axis=1).astype(np.int32),
-                           dtype="Int32")
-            ids[np.isnan(d).any(axis=1)] = pd.NA
-            out[ok] = ids
-        return out
-
-    return assign
+from .similarity import (_nearest_centroid, _nearest_centroid_arrow,
+                         ivf_assign)
 
 
 def _update(assigned: DataFrame, vec_col: str, id_col: str,
@@ -191,14 +144,10 @@ def kmeans_cost(df: DataFrame, centroids: list[list[float]],
 
 def ivf_assign_fast(df: DataFrame, centroids: list[list[float]],
                     vec_col: str = "embedding") -> DataFrame:
-    """``similarity.ivf_assign`` with the Arrow batch-matmul argmin —
-    same ``list_id`` ids (equality-asserted in-suite), for full-corpus
-    assignment jobs where the interpreted-HOF expression is the
-    bottleneck (it dominates e.g. the k=200 cluster-outlier scan at
-    sf10 — SCALING.md). Lives here rather than in similarity.py so the
-    gate-certified module stays byte-stable mid-round; the expression
-    path remains what every oracle-hashed gate executes."""
-    return df.withColumn(
-        "list_id",
-        _nearest_centroid_arrow(centroids)(
-            F.col(vec_col).cast("array<double>")))
+    """``similarity.ivf_assign(method="arrow")`` — kept as the
+    historically-named convenience for full-corpus assignment jobs where
+    the interpreted-HOF expression is the bottleneck (it dominated e.g.
+    the k=200 cluster-outlier scan at sf10 — SCALING.md). The argmin
+    implementations now live in similarity.py so every cluster path
+    (semdedup, outliers, IVF) shares them via ``method=``."""
+    return ivf_assign(df, centroids, vec_col, method="arrow")

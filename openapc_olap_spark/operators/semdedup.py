@@ -44,7 +44,8 @@ def semantic_candidate_pairs(df: DataFrame, centroids: list[list[float]],
                              vec_col: str = "embedding",
                              cluster_cap: int | None = None,
                              materialize: bool = True,
-                             block_parts: int | None = None) -> DataFrame:
+                             block_parts: int | None = None,
+                             method: str = "expr") -> DataFrame:
     """Verified same-cluster pairs: (id_a, id_b, cos_sim), id_a < id_b,
     cos_sim >= threshold. ``materialize`` persists the assigned frame so
     centroid argmin + norms are computed once, not once per join side.
@@ -55,8 +56,12 @@ def semantic_candidate_pairs(df: DataFrame, centroids: list[list[float]],
     is k * B(B+1)/2 instead of k, at ~(B+1)/2x input replication. The
     PAIR SET is identical for any B (tested) — use it when cluster count
     is below core count (small-k regimes; at production k, leave None).
+
+    ``method`` picks the centroid-argmin path ("expr" | "arrow" |
+    "both" — see ``similarity._centroid_id``): "arrow" for full-corpus
+    assignment speed, "both" for in-plan hash-certified equality.
     """
-    a = (ivf_assign(df, centroids, vec_col)
+    a = (ivf_assign(df, centroids, vec_col, method=method)
          .select(F.col(id_col).alias("id"),
                  F.col(vec_col).cast("array<double>").alias("v"), "list_id")
          .withColumn("inv_norm", F.when(norm(F.col("v")) > 0,
@@ -113,7 +118,8 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
                    vec_col: str = "embedding",
                    cluster_cap: int | None = None,
                    materialize: bool = True,
-                   block_parts: int | None = None) -> DataFrame:
+                   block_parts: int | None = None,
+                   method: str = "expr") -> DataFrame:
     """Greedy min-id-wins survivor set: the input minus every row whose id
     appears as the GREATER id of a verified pair. Deterministic (drop set
     is a pure function of the pair list, independent of join order) and
@@ -121,13 +127,14 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
     use dedup.duplicate_groups over semantic_candidate_pairs instead."""
     pairs = semantic_candidate_pairs(df, centroids, threshold, id_col,
                                      vec_col, cluster_cap, materialize,
-                                     block_parts)
+                                     block_parts, method)
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, [id_col], "left_anti")
 
 
 def with_centroid_cosine(df: DataFrame, centroids: list[list[float]],
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         method: str = "expr") -> DataFrame:
     """Attach ``list_id`` and ``centroid_cos`` (cosine of each vector to
     its assigned centroid) — the per-row quality signal of an embedding
     space (low cosine = far from every centroid = off-distribution).
@@ -136,7 +143,7 @@ def with_centroid_cosine(df: DataFrame, centroids: list[list[float]],
     from openapc_olap_spark.operators.similarity import (_as_double_array,
                                                          cosine)
 
-    assigned = ivf_assign(df, centroids, vec_col)
+    assigned = ivf_assign(df, centroids, vec_col, method=method)
     cents = F.array(*[_as_double_array(c) for c in centroids])
     own = F.element_at(cents, F.col("list_id") + 1)
     return assigned.withColumn(
@@ -146,7 +153,8 @@ def with_centroid_cosine(df: DataFrame, centroids: list[list[float]],
 
 def cluster_outliers(df: DataFrame, centroids: list[list[float]],
                      z: float = 2.0, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     method: str = "expr") -> DataFrame:
     """Flag embedding outliers per cluster: rows whose centroid cosine
     falls more than ``z`` sample-stddevs below their cluster's mean get
     ``is_outlier`` = true (single-member clusters never flag — stddev is
@@ -157,7 +165,7 @@ def cluster_outliers(df: DataFrame, centroids: list[list[float]],
     100 TB posture: one scan for the per-row cosine, one
     cluster-cardinality aggregate, one broadcast join of k stat rows back
     onto the scan. Nothing corpus-sized shuffles."""
-    scored = with_centroid_cosine(df, centroids, vec_col)
+    scored = with_centroid_cosine(df, centroids, vec_col, method)
     stats = (scored.groupBy("list_id")
              .agg(F.avg("centroid_cos").alias("__mean"),
                   F.stddev("centroid_cos").alias("__std")))

@@ -181,3 +181,26 @@ def test_deterministic_row_ceiling_guard(spark, vec_df, monkeypatch):
         kmeans.kmeans_fit(vec_df, k=2, n_iter=1, deterministic=True)
     # the scalable default mode is unaffected
     assert kmeans.kmeans_fit(vec_df, k=2, n_iter=1)
+
+
+def test_centroid_method_both_certifies_in_plan(spark, vec_df):
+    """method='both' returns the arrow ids with a per-row in-plan
+    equality assert against the expression path (the x04 discipline);
+    all three methods agree, and a bogus method raises."""
+    from pyspark.sql import functions as F
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    outs = {}
+    for m in ("expr", "arrow", "both"):
+        outs[m] = {r["doc_id"]: r["list_id"] for r in
+                   similarity.ivf_assign(vec_df, cents, "embedding",
+                                         method=m).collect()}
+    assert outs["expr"] == outs["arrow"] == outs["both"]
+    with pytest.raises(ValueError, match="method"):
+        similarity.ivf_assign(vec_df, cents, "embedding", method="bogus")
+    # the semdedup cluster paths accept the knob end-to-end
+    from openapc_olap_spark.operators import semdedup
+    a = semdedup.cluster_outliers(vec_df, cents, id_col="doc_id",
+                                  method="both")
+    b = semdedup.cluster_outliers(vec_df, cents, id_col="doc_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
