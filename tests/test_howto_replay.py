@@ -216,3 +216,47 @@ def test_howto_14_doi_lookup(app):
     # miss -> [] not an error (HOWTO.md:99)
     _, rows = call(app, "/cube/doi_lookup/facts", "cut=doi:10.9999/none")
     assert rows == []
+
+
+def test_howto_aggregate_csv_export(app):
+    """VERDICT r06 item 6: the slicer deployment serves CSV on aggregates
+    too (cubes' format=csv) — cells as rows, summary row when no
+    drilldown."""
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = dict(headers)
+
+    body = b"".join(app({"PATH_INFO": "/cube/bielefeld_u/aggregate",
+                         "QUERY_STRING":
+                         "drilldown=publisher&format=csv"}, start_response))
+    assert captured["status"] == "200 OK"
+    assert captured["headers"]["Content-Type"] == "text/csv"
+    lines = body.decode().splitlines()
+    header = lines[0].split(",")
+    assert "publisher" in header and "apc_amount_sum" in header
+    pubs = {r[2] for r in _BIELEFELD}
+    assert len(lines) == 1 + len(pubs)
+    # no drilldown -> the summary as the single CSV row
+    body = b"".join(app({"PATH_INFO": "/cube/bielefeld_u/aggregate",
+                         "QUERY_STRING": "format=csv"}, start_response))
+    lines = body.decode().splitlines()
+    assert len(lines) == 2
+    assert "apc_amount_sum" in lines[0].split(",")
+
+
+def test_howto_approx_total_envelope_parity(app):
+    """VERDICT r06 item 8: the ?approx_total=1 knob replayed at HTTP level
+    on the reference-shaped cube — identical envelope SHAPE (keys, cells,
+    summary) to the exact path; total_cell_count numeric both ways."""
+    _, exact = call(app, "/cube/bielefeld_u/aggregate",
+                    "drilldown=publisher&order=publisher")
+    _, approx = call(app, "/cube/bielefeld_u/aggregate",
+                     "drilldown=publisher&order=publisher&approx_total=1")
+    assert set(exact) == set(approx)
+    assert exact["cells"] == approx["cells"]
+    assert exact["summary"] == approx["summary"]
+    assert isinstance(approx["total_cell_count"], int)
+    # HLL++ is exact at this cardinality
+    assert approx["total_cell_count"] == exact["total_cell_count"]
