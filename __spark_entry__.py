@@ -420,6 +420,10 @@ _CERT_FIRST = [
     "x72_kmeans_fit", "x73_dsir_weights", "x74_span_dedup",
     "x75_sample_per_group", "x76_ccnet_buckets", "x77_logreg_quality",
     "x78_curation_chain",
+    # new gates this round (never certified): BM25, PageRank, PMI,
+    # feature hashing, z-order layout
+    "x79_bm25_topk", "x80_pagerank", "x81_pmi_cooccurrence",
+    "x82_hashed_features", "x83_zorder_layout",
     # r07 touched kmeans.py/similarity.py/semdedup.py (Arrow argmin wired
     # into the certified cluster paths; null masking in the pandas_udf)
     "x05_ann_topk", "x06_lsh_neardup_embeddings", "x17_ivf_ann",
@@ -447,9 +451,7 @@ _CERT_REFRESH = [
     "x21_repetition_deciles", "x22_vocab_top", "x25_streaming_tumbling",
     "x26_streaming_dedup", "x27_winnow_fingerprints", "x31_profile",
     "e01_enrich_ror", "e02_publication_key", "e03_deal_halving",
-    "e04_union_combined", "e06_prune_semi", "e19_manifest_roundtrip",
-    "x15_media_metadata", "x19_image_dims", "x23_wav_metadata",
-    "x24_audio_headers",
+    "e04_union_combined", "e06_prune_semi",
 ]
 _CERT_TAIL = [
     # previously hash-certified; implementing modules untouched in r07
@@ -460,7 +462,7 @@ _CERT_TAIL = [
     "e07_priority_rank", "e08_melt_explode",
     "e10_colon_scrub", "e11_doi_lookup", "e12_institution_report",
     "e13_ac_institutions", "e16_springer_coverage",
-    "e18_partition_prune",
+    "e18_partition_prune", "e19_manifest_roundtrip",
     "q01_facts_page", "q02_cut_point", "q03_cut_range", "q04_cut_set",
     "q05_cut_negate", "q06_aggregate_summary", "q07_drilldown",
     "q08_multi_drilldown", "q09_order_topk", "q10_pagination_cells",
@@ -468,7 +470,8 @@ _CERT_TAIL = [
     "q14_members", "q15_total_percentage",
     "x01_dedup_summary", "x02_ngram_jaccard", "x03_minhash_neardup",
     "x04_simhash_neardup", "x14_ngram_jaccard_capped",
-    "x28_curation_funnel",
+    "x15_media_metadata", "x19_image_dims", "x23_wav_metadata",
+    "x24_audio_headers", "x28_curation_funnel",
     "x29_sequence_packing", "x30_hash_split",
     "x32_image_decode", "x33_stateful_sessions", "x34_wav_decode",
     "x35_duplicate_groups",

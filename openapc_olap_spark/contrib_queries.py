@@ -3959,6 +3959,270 @@ _X78_SQL = r"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X79: BM25 ranked retrieval (Okapi, Lucene IDF) over documents
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["hash", "merge", "vector"]
+
+
+def _x79_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bm25.bm25_top_k`` for a 3-term query, k=25: corpus statistics
+    (N, avgdl, per-term df over distinct-per-doc tokens), the Lucene
+    non-negative IDF, the Okapi tf saturation with length normalization,
+    the term-sorted contribution fold, and the (score desc, id asc)
+    top-k ALL sit under the hash — the oracle restates every float
+    operation in the same order."""
+    from openapc_olap_spark.operators import bm25
+
+    docs = _docs_split(spark, sf_dir)
+    return bm25.bm25_top_k(docs, _BM25_TERMS, k=25, round_to=6)
+
+
+_X79_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    st AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t),
+    dfc AS (
+      SELECT token, count(*) AS df FROM
+        (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t)
+      GROUP BY 1),
+    q AS (
+      SELECT token,
+             ln(1.0 + ((st.n - df) + 0.5) / (df + 0.5)) AS idf
+      FROM dfc CROSS JOIN st
+      WHERE token IN ('hash', 'merge', 'vector')),
+    per AS (
+      SELECT doc_id, token, count(*) AS tf, any_value(dl) AS dl FROM
+        (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM t)
+      WHERE token IN ('hash', 'merge', 'vector')
+      GROUP BY 1, 2),
+    c AS (
+      SELECT per.doc_id, per.token,
+             ((q.idf * per.tf) * 2.2)
+               / (per.tf + (1.2 * (0.25 + ((0.75 * per.dl) / st.avgdl))))
+               AS contrib
+      FROM per JOIN q USING (token) CROSS JOIN st),
+    sc AS (
+      SELECT doc_id,
+             round(list_reduce(list(contrib ORDER BY token),
+                               (a, b) -> a + b), 6) AS score
+      FROM c GROUP BY 1)
+    SELECT doc_id, score FROM sc
+    ORDER BY score DESC, doc_id ASC LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# X80: PageRank over an events-derived link graph (3 iterations)
+# ---------------------------------------------------------------------------
+
+def _x80_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``graph.pagerank(deterministic=True)``, 3 power iterations at
+    d=0.85, over the 40-node multigraph (user_id % 40) ->
+    ((user_id + event_id) % 40) derived from events. The oracle replays
+    every iteration — per-node src-sorted inflow folds, out-degree
+    division, and the mass-conserving dangling redistribution — so any
+    drift in any round breaks the hash."""
+    from openapc_olap_spark.operators import graph
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    edges = ev.select((F.col("user_id") % 40).alias("src"),
+                      ((F.col("user_id") + F.col("event_id")) % 40)
+                      .alias("dst"))
+    out = graph.pagerank(edges, n_iter=3, damping=0.85,
+                         deterministic=True, round_to=6)
+    return out.select(F.col("node").cast("long").alias("node"), "rank")
+
+
+def _x80_iter_sql(prev: str, dname: str, iname: str, rname: str) -> str:
+    """One power iteration over rank CTE ``prev``."""
+    return f"""
+    {dname} AS (
+      SELECT coalesce(sum(rank), 0.0) AS dm FROM {prev} WHERE outdeg = 0),
+    {iname} AS (
+      SELECT e.dst AS node,
+             list_reduce(list(r.rank / r.outdeg ORDER BY e.src),
+                         (a, b) -> a + b) AS infl
+      FROM e JOIN {prev} r ON e.src = r.node GROUP BY 1),
+    {rname} AS (
+      SELECT nd.node, nd.outdeg,
+             (1.0 - 0.85) / nn.c
+               + 0.85 * (coalesce(i.infl, 0.0) + d.dm / nn.c) AS rank
+      FROM nd LEFT JOIN {iname} i ON nd.node = i.node
+      CROSS JOIN nn CROSS JOIN {dname} d)"""
+
+
+_X80_SQL = f"""
+    WITH e AS (
+      SELECT user_id % 40 AS src, (user_id + event_id) % 40 AS dst
+      FROM events),
+    nodes AS (
+      SELECT DISTINCT node FROM
+        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+    nd AS (
+      SELECT n.node, coalesce(d.outdeg, 0) AS outdeg
+      FROM nodes n LEFT JOIN deg d ON n.node = d.src),
+    nn AS (SELECT count(*) AS c FROM nd),
+    r0 AS (
+      SELECT node, outdeg, 1.0 / nn.c AS rank FROM nd CROSS JOIN nn),
+    {_x80_iter_sql('r0', 'd1', 'i1', 'r1')},
+    {_x80_iter_sql('r1', 'd2', 'i2', 'r2')},
+    {_x80_iter_sql('r2', 'd3', 'i3', 'r3')}
+    SELECT node, round(rank, 6) AS rank FROM r3
+"""
+
+
+# ---------------------------------------------------------------------------
+# X81: PMI collocations (windowed co-occurrence) over documents
+# ---------------------------------------------------------------------------
+
+def _x81_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cooc.top_collocations`` k=50, window=2, min_pair_count=5: the
+    shifted-key pair enumeration (forward offsets, unordered canonical
+    pairs, self-pairs kept), the post-filter pair total, the corpus
+    unigram counts, and the PMI expression all sit under the hash."""
+    from openapc_olap_spark.operators import cooc
+
+    docs = _docs_split(spark, sf_dir)
+    return cooc.top_collocations(docs, k=50, window=2, min_pair_count=5,
+                                 round_to=6)
+
+
+_X81_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(range(1, len(toks) + 1)) AS i
+      FROM t),
+    pr AS (
+      SELECT least(p.toks[p.i], p.toks[p.i + k.k]) AS tok_a,
+             greatest(p.toks[p.i], p.toks[p.i + k.k]) AS tok_b
+      FROM pos p CROSS JOIN (SELECT unnest(range(1, 3)) AS k) k
+      WHERE p.i + k.k <= len(p.toks)),
+    pairs AS (
+      SELECT tok_a, tok_b, count(*) AS n_pairs FROM pr GROUP BY 1, 2
+      HAVING count(*) >= 5),
+    pt AS (SELECT sum(n_pairs)::DOUBLE AS p FROM pairs),
+    uni AS (
+      SELECT token, count(*) AS c FROM
+        (SELECT unnest(toks) AS token FROM t) GROUP BY 1),
+    tt AS (SELECT sum(len(toks))::DOUBLE AS t FROM t),
+    scored AS (
+      SELECT p.tok_a, p.tok_b, p.n_pairs,
+             round(ln((p.n_pairs / pt.p)
+                      / ((ua.c / tt.t) * (ub.c / tt.t))), 6) AS pmi
+      FROM pairs p
+      JOIN uni ua ON p.tok_a = ua.token
+      JOIN uni ub ON p.tok_b = ub.token
+      CROSS JOIN pt CROSS JOIN tt)
+    SELECT tok_a, tok_b, n_pairs, pmi FROM scored
+    ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# X82: signed feature hashing (hashing trick) over documents
+# ---------------------------------------------------------------------------
+
+def _x82_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``featurehash.hashed_feature_pairs`` m=32 signed: per-bucket
+    document count, signed-value total, and an id-weighted checksum
+    (sum(value * (doc_id % 97))) — the md5 bucket, the disjoint md5 sign
+    digit, and every per-(doc, bucket) signed count sit under the hash.
+    Sums are integer-valued doubles well inside 2^53, so addition order
+    cannot perturb them."""
+    from openapc_olap_spark.operators import featurehash
+
+    docs = _docs_split(spark, sf_dir)
+    pairs = featurehash.hashed_feature_pairs(docs, 32)
+    return (pairs.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum("value"), 6).alias("sum_value"),
+                 F.round(F.sum(F.col("value") * (F.col("doc_id") % 97)), 6)
+                 .alias("id_chk")))
+
+
+_X82_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 32 AS bucket,
+             CASE WHEN ('0x' || substr(md5(tok), 16, 1))::INT % 2 = 0
+                  THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS s
+      FROM t),
+    p AS (SELECT doc_id, bucket, sum(s) AS value FROM h GROUP BY 1, 2)
+    SELECT bucket, count(*) AS n_docs,
+           round(sum(value), 6) AS sum_value,
+           round(sum(value * (doc_id % 97)), 6) AS id_chk
+    FROM p GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# X83: z-order (Morton) clustering layout over lineitem keys
+# ---------------------------------------------------------------------------
+
+_ZTERMS = " + ".join(
+    f"((((sx >> {j}) & 1) << {2 * j}) + (((sy >> {j}) & 1) << {2 * j + 1}))"
+    for j in range(8))
+
+
+def _x83_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``zorder.zorder_value`` bits=8 on (l_partkey, l_suppkey) with
+    data-derived bounds: the per-1024-cell z histogram with min/max of
+    BOTH keys per bucket — the scaling, clamping, bit interleave, and
+    bucket locality all sit under the hash (every output is integral, so
+    the comparison is exact, not rounded)."""
+    from openapc_olap_spark.operators import zorder
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    bounds = zorder.column_bounds(li, ["l_partkey", "l_suppkey"])
+    z = zorder.zorder_value(["l_partkey", "l_suppkey"], bounds, bits=8)
+    return (li.select(z.alias("__z"), "l_partkey", "l_suppkey")
+            .groupBy(F.shiftright(F.col("__z"), 10).alias("zbucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("l_partkey").alias("min_part"),
+                 F.max("l_partkey").alias("max_part"),
+                 F.min("l_suppkey").alias("min_supp"),
+                 F.max("l_suppkey").alias("max_supp")))
+
+
+_X83_SQL = f"""
+    WITH b AS (
+      SELECT min(l_partkey)::DOUBLE AS plo, max(l_partkey)::DOUBLE AS phi,
+             min(l_suppkey)::DOUBLE AS slo, max(l_suppkey)::DOUBLE AS shi
+      FROM lineitem),
+    s AS (
+      SELECT l_partkey, l_suppkey,
+             greatest(0, least(255,
+               floor((l_partkey - b.plo) / (b.phi - b.plo) * 256.0)::BIGINT
+             )) AS sx,
+             greatest(0, least(255,
+               floor((l_suppkey - b.slo) / (b.shi - b.slo) * 256.0)::BIGINT
+             )) AS sy
+      FROM lineitem CROSS JOIN b),
+    z AS (
+      SELECT l_partkey, l_suppkey, ({_ZTERMS}) AS zv FROM s)
+    SELECT zv >> 10 AS zbucket, count(*) AS n_rows,
+           min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+           min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+    FROM z GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -4038,6 +4302,11 @@ QUERIES = {
     "x76_ccnet_buckets": _x76_ccnet_buckets,
     "x77_logreg_quality": _x77_logreg_quality,
     "x78_curation_chain": _x78_curation_chain,
+    "x79_bm25_topk": _x79_bm25_topk,
+    "x80_pagerank": _x80_pagerank,
+    "x81_pmi_cooccurrence": _x81_pmi_cooccurrence,
+    "x82_hashed_features": _x82_hashed_features,
+    "x83_zorder_layout": _x83_zorder_layout,
 }
 
 ORACLES = {
@@ -4119,4 +4388,9 @@ ORACLES = {
     "x76_ccnet_buckets": _X76_SQL,
     "x77_logreg_quality": _X77_SQL,
     "x78_curation_chain": _X78_SQL,
+    "x79_bm25_topk": _X79_SQL,
+    "x80_pagerank": _X80_SQL,
+    "x81_pmi_cooccurrence": _X81_SQL,
+    "x82_hashed_features": _X82_SQL,
+    "x83_zorder_layout": _X83_SQL,
 }

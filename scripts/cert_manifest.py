@@ -181,6 +181,13 @@ _X_DEPS = {
     "x78_curation_chain": [f"{_OPS}/spandedup.py", f"{_OPS}/lm.py",
                            f"{_OPS}/ccnet.py", f"{_OPS}/sampling.py",
                            f"{_OPS}/ranking.py", f"{_OPS}/text.py"],
+    "x79_bm25_topk": [f"{_OPS}/bm25.py", f"{_OPS}/text.py"],
+    "x80_pagerank": [f"{_OPS}/graph.py", f"{_OPS}/dedup.py"] + _MEMO,
+    "x81_pmi_cooccurrence": [f"{_OPS}/cooc.py", f"{_OPS}/lm.py",
+                             f"{_OPS}/text.py", f"{_OPS}/dedup.py"] + _MEMO,
+    "x82_hashed_features": [f"{_OPS}/featurehash.py", f"{_OPS}/text.py",
+                            f"{_OPS}/packing.py"],
+    "x83_zorder_layout": [f"{_OPS}/zorder.py"],
 }
 DEPS.update(_X_DEPS)
 
