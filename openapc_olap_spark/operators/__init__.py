@@ -11,15 +11,19 @@ genuinely needed (multimodal decode); never row-at-a-time Python.
 
 from openapc_olap_spark.operators import (  # noqa: F401
     bloom,
+    bm25,
     bpe,
     ccnet,
+    cooc,
     chunking,
     cohort,
     curation,
     decontam,
     dedup,
     dsir,
+    featurehash,
     funnel,
+    graph,
     kmeans,
     linededup,
     lm,
@@ -47,4 +51,5 @@ from openapc_olap_spark.operators import (  # noqa: F401
     urlnorm,
     web,
     windows,
+    zorder,
 )

@@ -626,3 +626,51 @@ def test_assign_shards_offsets_broadcast(spark, sf_dir):
     p = plans.plan_of(out)
     assert "BroadcastHashJoin" in p
     out.unpersist()
+
+
+def test_bm25_topk_prunes_columns_no_global_sort(spark, sf_dir):
+    """x79: the scoring scan reads only (doc_id, text); the final top-k
+    is TakeOrderedAndProject, never a global sort; the |q|-row stats
+    join broadcasts."""
+    from openapc_olap_spark.operators import bm25
+
+    spark.catalog.clearCache()
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = bm25.bm25_top_k(docs, ["hash", "merge"], k=10)
+    assert plans.is_top_k(out)
+    assert not plans.has_global_sort(out)
+    assert plans.has_broadcast_join(out)
+    cols = plans.columns_read(out)
+    assert "text" in cols and "lang" not in cols and "source" not in cols
+
+
+def test_zorder_cluster_is_one_range_exchange(spark, sf_dir):
+    """x83: z-clustering adds exactly one exchange (range on the
+    z-value) plus the in-partition sort — the layout-rewrite budget."""
+    from openapc_olap_spark.operators import zorder
+
+    spark.catalog.clearCache()
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    out = zorder.cluster_by_zorder(li, ["l_partkey", "l_suppkey"], bits=8,
+                                   num_partitions=8)
+    p = plans.plan_of(out)
+    # the range exchange IS the clustering (intended, unlike a top-k's
+    # accidental global sort); the sort stays in-partition (one Sort,
+    # global=false)
+    assert p.count("Exchange rangepartitioning") == 1
+    assert plans.shuffle_exchange_count(out) == 1
+    assert p.count("+- Sort") == 1 and "SortMergeJoin" not in p
+
+
+def test_cooc_pair_join_no_cartesian(spark, sf_dir):
+    """x81: pair enumeration is an equi-join on (doc, pos) — never a
+    BroadcastNestedLoop/cartesian — and pre-aggregates map-side."""
+    from openapc_olap_spark.operators import cooc
+
+    spark.catalog.clearCache()
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = cooc.cooccurrence_counts(docs.limit(50), window=2)
+    p = plans.plan_of(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert plans.has_partial_aggregate(out)
