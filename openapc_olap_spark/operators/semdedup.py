@@ -138,11 +138,24 @@ def with_centroid_cosine(df: DataFrame, centroids: list[list[float]],
     """Attach ``list_id`` and ``centroid_cos`` (cosine of each vector to
     its assigned centroid) — the per-row quality signal of an embedding
     space (low cosine = far from every centroid = off-distribution).
-    Pure expressions: assignment argmin + one element_at into the literal
-    centroid array; no shuffle."""
-    from openapc_olap_spark.operators.similarity import (_as_double_array,
-                                                         cosine)
 
+    ``method="expr"`` (default) / ``"both"``: assignment per
+    ``similarity._centroid_id``, cosine as a pure expression
+    (one element_at into the literal centroid array; no shuffle) — what
+    the oracle gates replay. ``method="arrow"``: the FUSED batch-matmul
+    scorer — argmin and cosine share one V @ C.T Gram block, removing
+    the dim-linear interpreted cosine fold too (equality-tested to 1e-9
+    in-suite; ids bitwise)."""
+    from openapc_olap_spark.operators.similarity import (
+        _as_double_array, _centroid_cosine_arrow, cosine)
+
+    if method == "arrow":
+        sc = _centroid_cosine_arrow(centroids)(
+            F.col(vec_col).cast("array<double>"))
+        return (df.withColumn("__sc", sc)
+                .select(*df.columns,
+                        F.col("__sc.list_id").alias("list_id"),
+                        F.col("__sc.centroid_cos").alias("centroid_cos")))
     assigned = ivf_assign(df, centroids, vec_col, method=method)
     cents = F.array(*[_as_double_array(c) for c in centroids])
     own = F.element_at(cents, F.col("list_id") + 1)

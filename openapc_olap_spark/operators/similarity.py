@@ -259,6 +259,58 @@ def _nearest_centroid_arrow(centroids: list[list[float]]):
     return assign
 
 
+def _centroid_cosine_arrow(centroids: list[list[float]]):
+    """Fused argmin + own-centroid cosine in ONE Arrow batch matmul:
+    the V @ C.T Gram block serves both the squared-L2 argmin and the
+    chosen centroid's dot product, so the per-row interpreted cosine
+    fold (dim-linear — the residual cost of the argmin-only arrow path,
+    SCALING.md r07) disappears. Returns struct<list_id, centroid_cos>.
+
+    Float caveat: numpy's SIMD/pairwise dot differs from the expression
+    fold's sequential order by ulps, so this path is equality-tested
+    in-suite to 1e-9 (ids bitwise) rather than hash-certified — gates
+    keep the expression cosine. NULL/ragged/NaN vectors yield NULL
+    list_id with cosine 0.0 — exactly the expression path (its
+    when(nn > 0) guard sees a NULL condition and falls to the 0.0
+    otherwise-branch); zero norms likewise yield 0.0."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    cnorm = np.sqrt(cn)
+    dim = C.shape[1]
+
+    @pandas_udf("list_id int, centroid_cos double")
+    def score(vs: pd.Series) -> pd.DataFrame:
+        n = len(vs)
+        out = pd.DataFrame(
+            {"list_id": pd.array([pd.NA] * n, dtype="Int32"),
+             "centroid_cos": pd.array([0.0] * n, dtype="Float64")})
+        ok = np.fromiter((v is not None and len(v) == dim for v in vs),
+                         dtype=bool, count=n)
+        if ok.any():
+            V = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in vs[ok]])
+            G = V @ C.T
+            d = cn[None, :] - 2.0 * G
+            ids = d.argmin(axis=1)
+            bad = np.isnan(d).any(axis=1)
+            dots = G[np.arange(len(ids)), ids]
+            vn = np.sqrt((V * V).sum(axis=1))
+            denom = vn * cnorm[ids]
+            cos = np.where(denom > 0, dots / np.maximum(denom, 1e-300),
+                           0.0)
+            idarr = pd.array(ids.astype(np.int32), dtype="Int32")
+            cosarr = pd.array(cos, dtype="Float64")
+            idarr[bad] = pd.NA
+            cosarr[bad] = 0.0
+            out.loc[ok, "list_id"] = idarr
+            out.loc[ok, "centroid_cos"] = cosarr
+        return out
+
+    return score
+
+
 def _centroid_id(vec_expr: Column, centroids: list[list[float]],
                  method: str = "expr") -> Column:
     """The assignment column for the chosen path:

@@ -204,3 +204,37 @@ def test_centroid_method_both_certifies_in_plan(spark, vec_df):
                                   method="both")
     b = semdedup.cluster_outliers(vec_df, cents, id_col="doc_id")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_fused_arrow_cosine_matches_expr(spark):
+    """The fused batch-matmul scorer (with_centroid_cosine
+    method='arrow') gives bitwise-identical ids and 1e-9-close cosines
+    to the expression path, including on dirty vectors."""
+    from openapc_olap_spark.operators import semdedup
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(60)]
+    rows += [(100, None), (101, [1.0]), (102, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.0, 0.0], [6.0, 4.0], [3.0, 2.0]]
+    e = {r["vec_id"]: (r["list_id"], r["centroid_cos"]) for r in
+         semdedup.with_centroid_cosine(df, cents).collect()}
+    a = {r["vec_id"]: (r["list_id"], r["centroid_cos"]) for r in
+         semdedup.with_centroid_cosine(df, cents,
+                                       method="arrow").collect()}
+    assert set(e) == set(a)
+    for k in e:
+        assert e[k][0] == a[k][0], k                       # ids bitwise
+        assert a[k][1] == pytest.approx(e[k][1], abs=1e-9), k
+    # zero-norm AND dirty vectors score 0.0 on both paths (the expr
+    # when-guard's otherwise-branch), with NULL list_id for dirty rows
+    assert e[102][1] == 0.0 and a[102][1] == 0.0
+    assert e[100] == (None, 0.0) and a[100] == (None, 0.0)
+    # cluster_outliers accepts the fused path end-to-end; its inner
+    # stats join drops NULL-assignment rows on BOTH paths
+    oa = semdedup.cluster_outliers(df, cents, id_col="vec_id",
+                                   method="arrow")
+    oe = semdedup.cluster_outliers(df, cents, id_col="vec_id")
+    assert oa.filter("vec_id = 100").count() == 0
+    assert oe.filter("vec_id = 100").count() == 0
+    assert sorted(r["vec_id"] for r in oa.collect()) \
+        == sorted(r["vec_id"] for r in oe.collect())
