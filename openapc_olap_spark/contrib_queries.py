@@ -4223,6 +4223,218 @@ _X83_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X84: distributed PCA (deterministic covariance + replayed power iteration)
+# ---------------------------------------------------------------------------
+
+def _x84_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pca.covariance_matrix(deterministic=True)`` over the first 8
+    embedding dimensions, ``pca.top_component`` (3 power iterations of
+    fully-specified ascending-index folds), and the centered projection:
+    one tall frame (part, i, j, val) carrying the means, the 36
+    upper-triangle covariance cells, the component, the id-sorted
+    projection sum/sum-of-squares, and n. The oracle replays every fold
+    — moments, cov assembly, all three iterations, norm, sign fix,
+    per-row projection — so drift anywhere breaks the hash. Driver-side
+    model cells enter via createDataFrame (the q16/x72 envelope
+    pattern); rounding happens in Spark so both engines share one rule."""
+    from openapc_olap_spark.operators import pca
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    d8 = emb.select("vec_id",
+                    F.slice(F.col("embedding").cast("array<double>"),
+                            1, 8).alias("v"))
+    cov, mean, n = pca.covariance_matrix(d8, dim=8, vec_col="v",
+                                         id_col="vec_id",
+                                         deterministic=True)
+    comp = pca.top_component(cov, n_iter=3)
+    proj = pca.project_expr("v", comp, mean).alias("__p")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("vec_id").alias("i"), F.col("__p").alias("p")))),
+        lambda st: st["p"])
+    ordered_sq = F.transform(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("vec_id").alias("i"),
+            (F.col("__p") * F.col("__p")).alias("p")))),
+        lambda st: st["p"])
+    strow = (d8.select("vec_id", proj)
+             .agg(F.aggregate(ordered, F.lit(0.0),
+                              lambda a, x: a + x).alias("ps"),
+                  F.aggregate(ordered_sq, F.lit(0.0),
+                              lambda a, x: a + x).alias("pss")).first())
+    rows = [("n", -1, -1, float(n)),
+            ("proj_sum", -1, -1, float(strow["ps"])),
+            ("proj_sumsq", -1, -1, float(strow["pss"]))]
+    for i in range(8):
+        rows.append(("mean", i, -1, mean[i]))
+        rows.append(("comp", i, -1, comp[i]))
+        for j in range(i, 8):
+            rows.append(("cov", i, j, cov[i][j]))
+    df = spark.createDataFrame(rows, "part string, i int, j int, val double")
+    # + 0.0 folds IEEE -0.0 to +0.0 (the centered projection sum rounds
+    # to a signed zero nondeterministically across engines)
+    return df.select("part", "i", "j",
+                     (F.round("val", 6) + F.lit(0.0)).alias("val"))
+
+
+def _x84_iter_sql(prev: str, wname: str, nname: str, vname: str) -> str:
+    """One power iteration over component CTE ``prev``: j-ascending
+    matvec folds, i-ascending norm fold, normalize."""
+    return f"""
+    {wname} AS (
+      SELECT f.i, list_reduce(list(f.c * v.v ORDER BY f.j),
+                              (a, b) -> a + b) AS w
+      FROM fm f JOIN {prev} v ON f.j = v.i GROUP BY f.i),
+    {nname} AS (
+      SELECT sqrt(list_reduce(list(w * w ORDER BY i),
+                              (a, b) -> a + b)) AS nr FROM {wname}),
+    {vname} AS (
+      SELECT i, w / (SELECT nr FROM {nname}) AS v FROM {wname})"""
+
+
+_X84_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM e),
+    dims AS (SELECT unnest(range(0, 8)) AS i),
+    m AS (
+      SELECT d.i,
+             list_reduce(list(e.v[d.i + 1] ORDER BY e.vec_id),
+                         (a, b) -> a + b) / (SELECT n FROM nn) AS m
+      FROM e CROSS JOIN dims d GROUP BY d.i),
+    prs AS (SELECT a.i AS i, b.i AS j FROM dims a
+            JOIN dims b ON b.i >= a.i),
+    sm AS (
+      SELECT p.i, p.j,
+             list_reduce(list(e.v[p.i + 1] * e.v[p.j + 1]
+                              ORDER BY e.vec_id), (a, b) -> a + b) AS s
+      FROM e CROSS JOIN prs p GROUP BY p.i, p.j),
+    cv AS (
+      SELECT sm.i, sm.j,
+             sm.s / (SELECT n FROM nn) - mi.m * mj.m AS c
+      FROM sm JOIN m mi ON sm.i = mi.i JOIN m mj ON sm.j = mj.i),
+    fm AS (
+      SELECT i, j, c FROM cv
+      UNION ALL SELECT j, i, c FROM cv WHERE i < j),
+    v0 AS (SELECT i, 1.0 / sqrt(8.0) AS v FROM dims),
+    {_x84_iter_sql('v0', 'w1', 'n1', 'v1')},
+    {_x84_iter_sql('v1', 'w2', 'n2', 'v2')},
+    {_x84_iter_sql('v2', 'w3', 'n3', 'v3')},
+    sgn AS (
+      SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+      FROM v3 WHERE abs(v) > 1e-12 ORDER BY i LIMIT 1),
+    comp AS (SELECT i, v * (SELECT s FROM sgn) AS v FROM v3),
+    pj AS (
+      SELECT e.vec_id,
+             list_reduce(list((e.v[c.i + 1] - m.m) * c.v ORDER BY c.i),
+                         (a, b) -> a + b) AS p
+      FROM e CROSS JOIN comp c JOIN m ON c.i = m.i
+      GROUP BY e.vec_id),
+    ps AS (
+      SELECT list_reduce(list(p ORDER BY vec_id), (a, b) -> a + b)
+               AS psum,
+             list_reduce(list(p * p ORDER BY vec_id), (a, b) -> a + b)
+               AS psumsq
+      FROM pj)
+    SELECT 'n' AS part, -1 AS i, -1 AS j,
+           round((SELECT n FROM nn)::DOUBLE, 6) + 0.0 AS val
+    UNION ALL SELECT 'proj_sum', -1, -1, round(psum, 6) + 0.0 FROM ps
+    UNION ALL SELECT 'proj_sumsq', -1, -1, round(psumsq, 6) + 0.0 FROM ps
+    UNION ALL SELECT 'mean', i::INT, -1, round(m, 6) + 0.0 FROM m
+    UNION ALL SELECT 'comp', i::INT, -1, round(v, 6) + 0.0 FROM comp
+    UNION ALL SELECT 'cov', i::INT, j::INT, round(c, 6) + 0.0 FROM cv
+"""
+
+
+# ---------------------------------------------------------------------------
+# X85: fuzzy record linkage (q-gram blocking + count bound + levenshtein)
+# ---------------------------------------------------------------------------
+
+_FUZZY_CAP = 1000
+
+
+def _x85_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``fuzzy.fuzzy_duplicates`` max_dist=2, q=3, gram_cap=1000 over
+    deterministically-synthesized name variants: each document gets one
+    of four spellings of "<source> rec <doc_id%5>" (exact, uppercased,
+    third char replaced, last char replaced). The whole algorithm —
+    normalization, distinct q-grams, the doc-frequency cap, the Gravano
+    shared-count bound, levenshtein verify — replays in the oracle; the
+    per-residue rollup digests every matched (id_a, id_b, dist) triple,
+    so one wrong/missing/extra pair breaks the hash."""
+    from openapc_olap_spark.operators import fuzzy
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    base = F.concat(F.col("source"), F.lit(" rec "),
+                    (F.col("doc_id") % 5).cast("string"))
+    variant = F.col("doc_id") % 4
+    name = (F.when(variant == 0, base)
+            .when(variant == 1, F.upper(base))
+            .when(variant == 2, F.concat(
+                F.substring(base, 1, 2), F.lit("x"),
+                F.substring(base, 4, 1000)))
+            .otherwise(F.concat(
+                F.substring(base, 1, F.length(base) - 1), F.lit("z"))))
+    named = docs.select("doc_id", name.alias("name"))
+    pairs = fuzzy.fuzzy_duplicates(named, col="name", id_col="doc_id",
+                                   max_dist=2, q=3, gram_cap=_FUZZY_CAP)
+    trip = F.concat_ws(":", F.col("id_a").cast("string"),
+                       F.col("id_b").cast("string"),
+                       F.col("dist").cast("string"))
+    return (pairs.groupBy((F.col("id_a") % 5).alias("grp"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("dist").cast("long").alias("dist_sum"),
+                 F.md5(F.array_join(F.array_sort(
+                     F.collect_list(trip)), ",")).alias("digest")))
+
+
+_X85_SQL = f"""
+    WITH named AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN b WHEN 1 THEN upper(b)
+               WHEN 2 THEN substr(b, 1, 2) || 'x' || substr(b, 4)
+               ELSE substr(b, 1, len(b) - 1) || 'z'
+             END AS name
+      FROM (SELECT doc_id,
+                   source || ' rec ' || (doc_id % 5)::VARCHAR AS b
+            FROM documents)),
+    nrm AS (
+      SELECT doc_id AS id,
+             trim(regexp_replace(lower(name), '\s+', ' ', 'g')) AS s
+      FROM named),
+    g AS (
+      SELECT id, len(s) AS l, unnest(list_distinct(
+               list_transform(range(1, greatest(len(s) - 2, 1) + 1),
+                              i -> s[i : i + 2]))) AS gram
+      FROM nrm),
+    keep AS (
+      SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY 1)
+      WHERE c <= {_FUZZY_CAP}),
+    p AS (SELECT g.* FROM g JOIN keep USING (gram)),
+    sh AS (
+      SELECT l.id AS id_a, r.id AS id_b, count(*) AS shared,
+             any_value(l.l) AS la, any_value(r.l) AS lb
+      FROM p l JOIN p r ON l.gram = r.gram AND l.id < r.id
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT id_a, id_b FROM sh
+      WHERE shared >= greatest(greatest(la, lb) - 2 - 6, 1)),
+    v AS (
+      SELECT c.id_a, c.id_b, levenshtein(a.s, b.s) AS dist
+      FROM cand c JOIN nrm a ON c.id_a = a.id
+      JOIN nrm b ON c.id_b = b.id),
+    hits AS (SELECT * FROM v WHERE dist <= 2)
+    SELECT (id_a % 5)::BIGINT AS grp, count(*) AS n_pairs,
+           sum(dist)::BIGINT AS dist_sum,
+           md5(array_to_string(list_sort(list(
+             id_a::VARCHAR || ':' || id_b::VARCHAR || ':'
+             || dist::VARCHAR)), ',')) AS digest
+    FROM hits GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -4307,6 +4519,8 @@ QUERIES = {
     "x81_pmi_cooccurrence": _x81_pmi_cooccurrence,
     "x82_hashed_features": _x82_hashed_features,
     "x83_zorder_layout": _x83_zorder_layout,
+    "x84_pca_projection": _x84_pca_projection,
+    "x85_fuzzy_linkage": _x85_fuzzy_linkage,
 }
 
 ORACLES = {
@@ -4393,4 +4607,6 @@ ORACLES = {
     "x81_pmi_cooccurrence": _X81_SQL,
     "x82_hashed_features": _X82_SQL,
     "x83_zorder_layout": _X83_SQL,
+    "x84_pca_projection": _X84_SQL,
+    "x85_fuzzy_linkage": _X85_SQL,
 }

@@ -23,6 +23,7 @@ from openapc_olap_spark.operators import (  # noqa: F401
     dsir,
     featurehash,
     funnel,
+    fuzzy,
     graph,
     kmeans,
     linededup,
@@ -31,6 +32,7 @@ from openapc_olap_spark.operators import (  # noqa: F401
     mixture,
     multimodal,
     packing,
+    pca,
     pipeline,
     profile,
     quantize,

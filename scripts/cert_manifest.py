@@ -188,6 +188,8 @@ _X_DEPS = {
     "x82_hashed_features": [f"{_OPS}/featurehash.py", f"{_OPS}/text.py",
                             f"{_OPS}/packing.py"],
     "x83_zorder_layout": [f"{_OPS}/zorder.py"],
+    "x84_pca_projection": [f"{_OPS}/pca.py", f"{_OPS}/logreg.py"],
+    "x85_fuzzy_linkage": [f"{_OPS}/fuzzy.py", f"{_OPS}/dedup.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

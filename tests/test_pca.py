@@ -1,0 +1,100 @@
+"""Distributed PCA (operators/pca.py) vs numpy and a pure-Python
+power-iteration twin."""
+
+import math
+
+import numpy as np
+import pytest
+
+from openapc_olap_spark.operators import pca
+
+RNG = np.random.RandomState(7)
+# anisotropic cloud: dominant direction ~ [3, 1, 0.2]
+BASE = RNG.randn(80, 3) * np.array([3.0, 1.0, 0.2])
+ROT = np.linalg.qr(RNG.randn(3, 3))[0]
+DATA = BASE @ ROT + np.array([1.0, -2.0, 0.5])
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rows = [(i, [float(x) for x in DATA[i]]) for i in range(len(DATA))]
+    return spark.createDataFrame(rows, "doc_id long, embedding array<double>") \
+        .repartition(5)
+
+
+def test_covariance_matches_numpy(spark, vec_df):
+    cov, mean, n = pca.covariance_matrix(vec_df, dim=3)
+    assert n == 80
+    np.testing.assert_allclose(mean, DATA.mean(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(cov, np.cov(DATA.T, bias=True), rtol=1e-9)
+
+
+def test_deterministic_covariance_partition_invariant(spark, vec_df):
+    a = pca.covariance_matrix(vec_df.coalesce(1), dim=3,
+                              deterministic=True)
+    b = pca.covariance_matrix(vec_df.repartition(7, "doc_id"), dim=3,
+                              deterministic=True)
+    assert a == b            # bitwise, not approx
+
+
+def test_top_component_matches_eigh_direction(spark, vec_df):
+    cov, mean, _ = pca.covariance_matrix(vec_df, dim=3)
+    comp = pca.top_component(cov, n_iter=50)
+    comps, eigvals = pca.principal_components(cov, k=3)
+    dot = abs(sum(a * b for a, b in zip(comp, comps[0])))
+    assert dot == pytest.approx(1.0, abs=1e-9)
+    assert eigvals[0] >= eigvals[1] >= eigvals[2] >= -1e-9
+    assert sum(x * x for x in comp) == pytest.approx(1.0, rel=1e-12)
+
+
+def test_projection_explains_variance(spark, vec_df):
+    cov, mean, n = pca.covariance_matrix(vec_df, dim=3)
+    comps, eigvals = pca.principal_components(cov, k=2)
+    out = pca.project(vec_df, comps, mean)
+    P = np.array([r["pca"] for r in out.orderBy("doc_id").collect()])
+    # per-coordinate variance of the projection == the eigenvalue
+    np.testing.assert_allclose(P.var(axis=0), eigvals[:2], rtol=1e-9)
+    # coordinates are uncorrelated
+    assert abs(np.cov(P.T, bias=True)[0, 1]) < 1e-9
+
+
+def test_power_iteration_python_twin(spark, vec_df):
+    """top_component's folds are fully specified: an independent Python
+    replay (same ascending loops) is BITWISE identical."""
+    cov, _, _ = pca.covariance_matrix(vec_df, dim=3,
+                                      deterministic=True)
+    d = len(cov)
+    v = [1.0 / math.sqrt(d)] * d
+    for _ in range(4):
+        w = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc = acc + cov[i][j] * v[j]
+            w.append(acc)
+        nrm = 0.0
+        for i in range(d):
+            nrm = nrm + w[i] * w[i]
+        nrm = math.sqrt(nrm)
+        v = [x / nrm for x in w]
+    first = next(i for i, x in enumerate(v) if abs(x) > 1e-12)
+    if v[first] < 0:
+        v = [-y for y in v]
+    assert pca.top_component(cov, n_iter=4) == v
+
+
+def test_validation_and_empty(spark, vec_df):
+    with pytest.raises(ValueError):
+        pca.covariance_matrix(vec_df, dim=0)
+    empty = vec_df.filter("doc_id < 0")
+    cov, mean, n = pca.covariance_matrix(empty, dim=3)
+    assert n == 0 and mean == [0.0] * 3
+    monkey_ceiling = __import__(
+        "openapc_olap_spark.operators.logreg", fromlist=["x"])
+    old = monkey_ceiling.DETERMINISTIC_MAX_ROWS
+    try:
+        monkey_ceiling.DETERMINISTIC_MAX_ROWS = 3
+        with pytest.raises(ValueError, match="ceiling"):
+            pca.covariance_matrix(vec_df, dim=3, deterministic=True)
+    finally:
+        monkey_ceiling.DETERMINISTIC_MAX_ROWS = old
