@@ -56,9 +56,16 @@ def main():
           lambda: pca.project(emb, comps, mean, vec_col="embedding")
           .agg(F.sum(F.element_at("pca", 1))).first()[0] and 0 or 0)
 
-    # fuzzy linkage over synthesized names (the x85 shape at 500k rows)
-    base = F.concat(F.col("source"), F.lit(" rec "),
-                    (F.col("doc_id") % 997).cast("string"))
+    # fuzzy linkage over high-entropy synthesized names. Two lessons
+    # baked in (SCALING.md r07 part 2): q=4 keeps the q-gram blocking's
+    # sum(df^2) join volume within budget where q=3 over this token
+    # space times out; and low-entropy name formats die at the
+    # cap+bound (a run on "src7 rec 431"-style names matched nothing —
+    # every informative gram was capped). SPARK_GRAFT_DRIVER_MEM=48g
+    # recommended: the dense duplicate load yields ~25M verified pairs.
+    base = F.concat(F.col("source"), F.lit(" "),
+                    F.substring(F.md5((F.col("doc_id") % 20000)
+                                      .cast("string")), 1, 8))
     variant = F.col("doc_id") % 4
     name = (F.when(variant == 0, base)
             .when(variant == 1, F.upper(base))
@@ -68,10 +75,10 @@ def main():
             .otherwise(F.concat(
                 F.substring(base, 1, F.length(base) - 1), F.lit("z"))))
     named = docs.select("doc_id", name.alias("name"))
-    timed("fuzzy_duplicates max_dist=2 cap=2000, 500k names",
+    timed("fuzzy_duplicates q=4 max_dist=2 cap=20000, 500k names",
           lambda: fuzzy.fuzzy_duplicates(
-              named, col="name", id_col="doc_id", max_dist=2,
-              gram_cap=2000).count())
+              named, col="name", id_col="doc_id", max_dist=2, q=4,
+              gram_cap=20000).count())
 
 
 if __name__ == "__main__":
