@@ -424,7 +424,7 @@ _CERT_FIRST = [
     # feature hashing, z-order layout
     "x79_bm25_topk", "x80_pagerank", "x81_pmi_cooccurrence",
     "x82_hashed_features", "x83_zorder_layout", "x84_pca_projection",
-    "x85_fuzzy_linkage",
+    "x85_fuzzy_linkage", "x86_weighted_sample",
     # r07 touched kmeans.py/similarity.py/semdedup.py (Arrow argmin wired
     # into the certified cluster paths; null masking in the pandas_udf)
     "x05_ann_topk", "x06_lsh_neardup_embeddings", "x17_ivf_ann",
@@ -451,7 +451,7 @@ _CERT_REFRESH = [
     "x13_salted_drilldown", "x16_quality_deciles", "x20_pii_redaction",
     "x21_repetition_deciles", "x22_vocab_top", "x25_streaming_tumbling",
     "x26_streaming_dedup", "x27_winnow_fingerprints", "x31_profile",
-    "e01_enrich_ror", "e02_publication_key", "e03_deal_halving",
+    "e01_enrich_ror", "e02_publication_key",
 ]
 _CERT_TAIL = [
     # previously hash-certified; implementing modules untouched in r07
@@ -459,7 +459,7 @@ _CERT_TAIL = [
     # e-gate deps narrowed to their verified import closures in
     # scripts/cert_manifest.py — etl/openapc.py, etl/coverage.py, model.py
     # and, for e19, catalog.py; none executes through query.py except e18)
-    "e04_union_combined", "e06_prune_semi",
+    "e03_deal_halving", "e04_union_combined", "e06_prune_semi",
     "e07_priority_rank", "e08_melt_explode",
     "e10_colon_scrub", "e11_doi_lookup", "e12_institution_report",
     "e13_ac_institutions", "e16_springer_coverage",

@@ -4435,6 +4435,45 @@ _X85_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X86: weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+def _x86_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sampling.weighted_sample_k_per_group`` k=20 per language,
+    weighted by n_chars: the md5-derived uniforms, the ln(u)/w A-ES
+    keys, the (key desc, id asc) rank, and the exact-k cut all sit
+    under the hash — the oracle recomputes every key and replays the
+    rank. Keys are ln-separated by construction, so the ~1-ulp JVM/libm
+    ln() divergence cannot reorder them (the x77 discipline)."""
+    from openapc_olap_spark.operators import sampling
+
+    docs = _docs_split(spark, sf_dir)
+    out = sampling.weighted_sample_k_per_group(
+        docs, ["lang"], k=20, weight_col="n_chars", id_col="doc_id",
+        seed="42", salt_parts=4)
+    return out.select("lang", "doc_id",
+                      F.col("rk").cast("long").alias("rk"))
+
+
+_X86_SQL = """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars::DOUBLE AS w FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0),
+    ks AS (
+      SELECT doc_id, lang,
+             ln((('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 12))
+                 ::BIGINT + 1) / 281474976710657.0) / w AS key
+      FROM d),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY key DESC, doc_id ASC) AS rk
+      FROM ks)
+    SELECT lang, doc_id, rk FROM r WHERE rk <= 20
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -4521,6 +4560,7 @@ QUERIES = {
     "x83_zorder_layout": _x83_zorder_layout,
     "x84_pca_projection": _x84_pca_projection,
     "x85_fuzzy_linkage": _x85_fuzzy_linkage,
+    "x86_weighted_sample": _x86_weighted_sample,
 }
 
 ORACLES = {
@@ -4609,4 +4649,5 @@ ORACLES = {
     "x83_zorder_layout": _X83_SQL,
     "x84_pca_projection": _X84_SQL,
     "x85_fuzzy_linkage": _X85_SQL,
+    "x86_weighted_sample": _X86_SQL,
 }

@@ -38,3 +38,48 @@ def sample_k_per_group(df: DataFrame, group_cols: list[str], k: int,
                           "__pri", k, id_col, descending=False,
                           salt_parts=salt_parts)
     return out.drop("__pri")
+
+
+# (h + 1) / (2^48 + 1): a 12-hex-digit md5 prefix mapped into the OPEN
+# interval (0, 1) — both endpoints excluded, so ln(u) is always finite.
+# 2^48 + 1 is exactly representable as a double.
+_U_DENOM = float((1 << 48) + 1)
+
+
+def _md5_uniform(col, seed: str):
+    """Deterministic uniform in (0, 1) from (seed, id) — the engine-
+    portable randomness primitive (DuckDB twin:
+    ('0x' || substr(md5(seed || ':' || id), 1, 12))::BIGINT + 1, over
+    the same denominator)."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(str(seed)), F.lit(":"),
+                       col.cast("string"))), 1, 12), 16, 10).cast("long")
+    return (h + F.lit(1).cast("long")) / F.lit(_U_DENOM)
+
+
+def weighted_sample_k_per_group(df: DataFrame, group_cols: list[str],
+                                k: int, weight_col: str, id_col: str,
+                                seed: str = "0",
+                                salt_parts: int = 1) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly min(k, |group|)
+    rows per group: the Efraimidis-Spirakis A-ES scheme — each row
+    draws u ~ U(0,1) deterministically from (seed, id) and the k rows
+    with the largest u^(1/w) win, which selects each row with
+    probability proportional to its weight among the remaining rows.
+    Ranked on the monotone-equivalent key ln(u)/w descending (ln and
+    one division — engine-replayable where pow is not guaranteed
+    bit-identical), ties broken by id.
+
+    Rows with NULL or non-positive weight are EXCLUDED before the draw
+    (they have no defined inclusion probability); redraw by changing
+    ``seed``. Inherits ``top_k_per_group``'s salted two-stage pruning —
+    the sample is identical for every ``salt_parts``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    key = F.log(_md5_uniform(F.col(id_col), seed)) / w
+    out = top_k_per_group(
+        df.filter(w.isNotNull() & (w > 0)).withColumn("__key", key),
+        group_cols, "__key", k, id_col, descending=True,
+        salt_parts=salt_parts)
+    return out.drop("__key")

@@ -190,6 +190,7 @@ _X_DEPS = {
     "x83_zorder_layout": [f"{_OPS}/zorder.py"],
     "x84_pca_projection": [f"{_OPS}/pca.py", f"{_OPS}/logreg.py"],
     "x85_fuzzy_linkage": [f"{_OPS}/fuzzy.py", f"{_OPS}/dedup.py"] + _MEMO,
+    "x86_weighted_sample": [f"{_OPS}/sampling.py", f"{_OPS}/ranking.py"],
 }
 DEPS.update(_X_DEPS)
 
