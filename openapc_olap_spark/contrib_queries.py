@@ -4084,8 +4084,10 @@ _X80_SQL = f"""
 def _x81_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``cooc.top_collocations`` k=50, window=2, min_pair_count=5: the
     shifted-key pair enumeration (forward offsets, unordered canonical
-    pairs, self-pairs kept), the post-filter pair total, the corpus
-    unigram counts, and the PMI expression all sit under the hash."""
+    pairs, self-pairs kept), the PRE-filter pair total P (the module
+    formula — the filter only prunes reporting, never rescales
+    probabilities; ADVICE r07), the corpus unigram counts, and the PMI
+    expression all sit under the hash."""
     from openapc_olap_spark.operators import cooc
 
     docs = _docs_split(spark, sf_dir)
@@ -4108,10 +4110,10 @@ _X81_SQL = r"""
              greatest(p.toks[p.i], p.toks[p.i + k.k]) AS tok_b
       FROM pos p CROSS JOIN (SELECT unnest(range(1, 3)) AS k) k
       WHERE p.i + k.k <= len(p.toks)),
-    pairs AS (
-      SELECT tok_a, tok_b, count(*) AS n_pairs FROM pr GROUP BY 1, 2
-      HAVING count(*) >= 5),
-    pt AS (SELECT sum(n_pairs)::DOUBLE AS p FROM pairs),
+    pairs_all AS (
+      SELECT tok_a, tok_b, count(*) AS n_pairs FROM pr GROUP BY 1, 2),
+    pt AS (SELECT sum(n_pairs)::DOUBLE AS p FROM pairs_all),
+    pairs AS (SELECT * FROM pairs_all WHERE n_pairs >= 5),
     uni AS (
       SELECT token, count(*) AS c FROM
         (SELECT unnest(toks) AS token FROM t) GROUP BY 1),
@@ -4358,11 +4360,15 @@ def _x85_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``fuzzy.fuzzy_duplicates`` max_dist=2, q=3, gram_cap=1000 over
     deterministically-synthesized name variants: each document gets one
     of four spellings of "<source> rec <doc_id%5>" (exact, uppercased,
-    third char replaced, last char replaced). The whole algorithm —
-    normalization, distinct q-grams, the doc-frequency cap, the Gravano
-    shared-count bound, levenshtein verify — replays in the oracle; the
-    per-residue rollup digests every matched (id_a, id_b, dist) triple,
-    so one wrong/missing/extra pair breaks the hash."""
+    third char replaced, last char replaced). The oracle is the
+    SEMANTIC contract, not an algorithm replay (ADVICE r07): brute-force
+    all-pairs levenshtein over the normalized strings — so an unsound
+    blocking filter (the r07 distinct-gram bound bug) breaks the hash
+    instead of hiding inside a twin reimplementation. The cap is
+    inactive at the gate's scale (every gram's doc-frequency is <= 500
+    here), so blocked + short strata must reproduce EVERY true pair.
+    The per-residue rollup digests every matched (id_a, id_b, dist)
+    triple; one wrong/missing/extra pair breaks the hash."""
     from openapc_olap_spark.operators import fuzzy
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
@@ -4389,7 +4395,7 @@ def _x85_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.collect_list(trip)), ",")).alias("digest")))
 
 
-_X85_SQL = f"""
+_X85_SQL = r"""
     WITH named AS (
       SELECT doc_id,
              CASE doc_id % 4
@@ -4404,28 +4410,10 @@ _X85_SQL = f"""
       SELECT doc_id AS id,
              trim(regexp_replace(lower(name), '\s+', ' ', 'g')) AS s
       FROM named),
-    g AS (
-      SELECT id, len(s) AS l, unnest(list_distinct(
-               list_transform(range(1, greatest(len(s) - 2, 1) + 1),
-                              i -> s[i : i + 2]))) AS gram
-      FROM nrm),
-    keep AS (
-      SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY 1)
-      WHERE c <= {_FUZZY_CAP}),
-    p AS (SELECT g.* FROM g JOIN keep USING (gram)),
-    sh AS (
-      SELECT l.id AS id_a, r.id AS id_b, count(*) AS shared,
-             any_value(l.l) AS la, any_value(r.l) AS lb
-      FROM p l JOIN p r ON l.gram = r.gram AND l.id < r.id
-      GROUP BY 1, 2),
-    cand AS (
-      SELECT id_a, id_b FROM sh
-      WHERE shared >= greatest(greatest(la, lb) - 2 - 6, 1)),
-    v AS (
-      SELECT c.id_a, c.id_b, levenshtein(a.s, b.s) AS dist
-      FROM cand c JOIN nrm a ON c.id_a = a.id
-      JOIN nrm b ON c.id_b = b.id),
-    hits AS (SELECT * FROM v WHERE dist <= 2)
+    hits AS (
+      SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS dist
+      FROM nrm a JOIN nrm b ON a.id < b.id
+      WHERE levenshtein(a.s, b.s) <= 2)
     SELECT (id_a % 5)::BIGINT AS grp, count(*) AS n_pairs,
            sum(dist)::BIGINT AS dist_sum,
            md5(array_to_string(list_sort(list(

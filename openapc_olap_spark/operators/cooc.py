@@ -22,7 +22,9 @@ fully-specified symmetric-window variant, so any engine can replay it.
   vocab-sized (AQE broadcasts when they fit); totals are one-row
   aggregates — the only driver scalars.
 - ``min_pair_count`` prunes the pair tail BEFORE the unigram joins (PMI
-  on hapax pairs is noise anyway — the standard practice).
+  on hapax pairs is noise anyway — the standard practice). P stays the
+  UNFILTERED total, so reported PMIs are absolute (cross-corpus
+  comparable) regardless of the reporting threshold.
 """
 
 from __future__ import annotations
@@ -74,11 +76,18 @@ def pmi_pairs(df: DataFrame, window: int = 2, min_pair_count: int = 2,
     that repel (useful for boilerplate detection)."""
     from openapc_olap_spark.operators.lm import unigram_counts
 
-    pairs = cooccurrence_counts(df, window, id_col, text_col)
+    pairs_all = cooccurrence_counts(df, window, id_col, text_col)
+    pairs = pairs_all
     if min_pair_count > 1:
-        pairs = pairs.filter(F.col("n_pairs") >= min_pair_count)
+        from openapc_olap_spark.operators.dedup import _materialized
+        pairs_all = _materialized(pairs_all)
+        pairs = pairs_all.filter(F.col("n_pairs") >= min_pair_count)
     uni = unigram_counts(df, text_col)
-    totals = (pairs.agg(F.sum("n_pairs")).first()[0] or 0,
+    # P is the total pair count BEFORE the min_pair_count filter (the
+    # module formula): the filter only prunes which pairs are REPORTED,
+    # it must not rescale every reported probability (ADVICE r07 — the
+    # post-filter total inflated all PMIs by ln(true_total/filtered)).
+    totals = (pairs_all.agg(F.sum("n_pairs")).first()[0] or 0,
               df.agg(F.sum(F.size(text.tokens(text_col)))).first()[0] or 0)
     p_total, t_total = float(totals[0]), float(totals[1])
     if p_total == 0 or t_total == 0:

@@ -205,7 +205,11 @@ def _top_k_by_weight(w: DataFrame, k: int, n: int,
     rows = band.orderBy(F.col("weight").desc()).limit(_BAND_CAP + 1) \
                .collect()
     w_k, r_need = None, 0
-    if len(rows) <= _BAND_CAP:
+    # n_above >= k means the sketch's upper bracket was breached (the
+    # k-th weight lies ABOVE hi, not inside the band): leave w_k None so
+    # the exact windowed fallback runs — walking the band would return
+    # every row above hi (> k rows) with r_need <= 0 (ADVICE r07).
+    if len(rows) <= _BAND_CAP and n_above < k:
         acc = n_above                       # = count(weight > current)
         for r in rows:
             if acc + r["__c"] >= k:

@@ -6,22 +6,57 @@ LLM-pipeline surface).
 
 Classic blocked edit-distance join, Spark-first:
 
-1. **q-gram postings blocking.** Each string emits its DISTINCT
-   positional-free q-grams; an equi-join on the gram pairs only strings
-   sharing at least one (never all-pairs). ``gram_cap`` drops grams
-   occurring in more than cap strings BEFORE the join — the stopword-
-   gram guard, same df-cap discipline as ngram_jaccard (x14).
-2. **Count-filter pruning.** Strings within edit distance k share at
-   least max(|a|,|b|) - q + 1 - k*q q-grams (Gravano et al. 2001,
-   the standard q-gram count bound) — applied on the aggregated shared
-   count BEFORE any expensive verify, pairs failing the bound never
-   reach levenshtein.
-3. **Exact verify.** ``F.levenshtein`` (JVM, codegen) on the surviving
+1. **q-gram postings blocking.** Each NORMALIZED string is padded with
+   q-1 sentinel chars on both ends (Gravano et al. 2001 — so short and
+   boundary-edited strings still share grams) and emits its q-grams
+   WITH MULTIPLICITY as (gram, cnt) pairs; an equi-join on the gram
+   pairs only strings sharing at least one (never all-pairs).
+   ``gram_cap`` drops grams occurring in more than cap strings BEFORE
+   the join — the stopword-gram guard, same df-cap discipline as
+   ngram_jaccard (x14).
+2. **Count-filter pruning.** One edit changes at most q padded grams,
+   so strings within edit distance k share (as a MULTISET — shared =
+   sum over grams of min(cnt_a, cnt_b)) at least
+
+       bound = max(|a|, |b|) + q - 1 - k*q
+
+   padded q-grams (|s| + q - 1 grams per string). Applied on the
+   aggregated shared count BEFORE any expensive verify; pairs failing
+   the bound never reach levenshtein. Counting DISTINCT grams here
+   would under-count strings with repeated grams and silently prune
+   true pairs (ADVICE r07) — multiplicity is load-bearing.
+3. **Exact short-string path.** When max(|a|, |b|) <= L0 :=
+   q*(k-1) + 1 the bound is <= 0 and blocking guarantees nothing (two
+   length-2 strings at distance 2 can share zero grams), so the tiny
+   <=L0-length stratum is verified exactly: a length-banded nested-loop
+   join of the short set against itself. Short x long pairs never land
+   here (the bound only degenerates when BOTH sides are short, since it
+   uses the max length), so the two candidate regions are disjoint and
+   together complete.
+4. **Exact verify.** ``F.levenshtein`` (JVM, codegen) on the surviving
    sliver; identical semantics in DuckDB's levenshtein, so the whole
    operator is oracle-replayable.
 
-The postings carry (gram, id) only — strings join back onto the
-candidate PAIRS, so the wide columns never ride the gram exchange.
+The postings carry (gram, id, cnt) only — strings join back onto the
+candidate PAIRS, so the wide columns never ride the gram exchange. The
+(gram, cnt) run-length pairs are built JVM-side from one array_sort
+(no groupBy shuffle): the only exchanges are the pair join and its
+aggregation.
+
+**Self-tuning blocking (VERDICT r07 #2).** The join volume is
+sum over grams of C(df, 2) — one hot gram (low-entropy keys, e.g. hex
+tokens at q=3) makes it quadratic and the job times out instead of
+failing fast. ``max_candidates`` arms a one-pass gram-df probe
+(``estimate_blocking_volume``) BEFORE the pair join: if the measured
+volume exceeds the budget, ``auto_q=True`` retries the probe at q+1,
+q+2 (longer grams are strictly more selective; ANY q is correct, the
+bound adapts), and if nothing fits the call raises with the measured
+per-q volumes instead of submitting a doomed join. Zero probe cost
+when the knobs are off.
+
+Sentinel: ``\\x01`` (never produced by the lower/whitespace
+normalization; a real \\x01 in input text would merely weaken the
+filter's tightness by one gram, never its soundness).
 """
 
 from __future__ import annotations
@@ -29,17 +64,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def qgrams(col: Column | str, q: int = 3) -> Column:
-    """Distinct q-grams of the lowercased, whitespace-normalized string
-    -> array<string>. Strings shorter than q yield their whole
-    normalized self as the single gram (so short strings still block)."""
-    c = F.col(col) if isinstance(col, str) else col
-    s = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(s) - q + 1, F.lit(1))),
-        lambda i: s.substr(i, F.lit(q)))
-    return F.array_distinct(grams)
+_SENTINEL = "\x01"
 
 
 def _norm(col: Column | str) -> Column:
@@ -47,51 +72,191 @@ def _norm(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
-def fuzzy_duplicates(df: DataFrame, col: str = "text",
-                     id_col: str = "doc_id", max_dist: int = 2,
-                     q: int = 3,
-                     gram_cap: int | None = None) -> DataFrame:
-    """Self-join form: (id_a, id_b, dist) for all pairs with
-    levenshtein(norm_a, norm_b) <= max_dist, id_a < id_b. Distance is
-    on the NORMALIZED strings (lowercase, collapsed whitespace) — the
-    linkage convention; identical-after-normalization pairs surface
-    with dist 0."""
-    if max_dist < 0:
-        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
-    if q < 1:
-        raise ValueError(f"q must be >= 1, got {q}")
-    from openapc_olap_spark.operators.dedup import _materialized, _spread
+def qgrams(col: Column | str, q: int = 3) -> Column:
+    """Distinct PADDED q-grams of the lowercased, whitespace-normalized
+    string -> array<string> (q-1 sentinel chars each side, so every
+    string — even the empty one, for q >= 2 — carries grams). The
+    distinct view of :func:`qgram_counts`; kept for callers that only
+    need set blocking."""
+    return F.array_distinct(
+        F.transform(qgram_counts(col, q), lambda p: p["gram"]))
 
-    base = _materialized(_spread(df.select(
+
+def qgram_counts(col: Column | str, q: int = 1) -> Column:
+    """Padded q-grams WITH MULTIPLICITY -> array<struct<gram,cnt>>,
+    built entirely JVM-side: sort the gram array once, then emit one
+    struct per run (run-length encoding via index arithmetic) — no
+    shuffle, no UDF. Multiplicity is what makes the Gravano count
+    filter sound on strings with repeated grams (ADVICE r07)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pad = F.lit(_SENTINEL * (q - 1))
+    p = F.concat(pad, _norm(c), pad)
+    n_grams = F.length(p) - q + 1           # = len(norm) + q - 1
+    grams = F.when(n_grams >= 1, F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: p.substr(i, F.lit(q)))
+    ).otherwise(F.array().cast("array<string>"))
+    sg = F.array_sort(grams)
+    # 0-based start index of every run of equal grams
+    starts = F.filter(
+        F.transform(sg, lambda _, i: i),
+        lambda i: (i == 0) | (F.element_at(sg, i + 1)
+                              != F.element_at(sg, i)))
+    n_starts = F.size(starts)
+    return F.transform(
+        starts,
+        lambda s, j: F.struct(
+            F.element_at(sg, s + 1).alias("gram"),
+            (F.when(j == n_starts - 1, F.size(sg))
+             .otherwise(F.element_at(starts, j + 2)) - s)
+            .cast("int").alias("cnt")))
+
+
+def _short_len(q: int, max_dist: int) -> int:
+    """L0: the longest max-side length at which the count bound
+    degenerates (bound <= 0) — both-short pairs go to the exact path."""
+    return q * (max_dist - 1) + 1
+
+
+def _bound(la: Column | str, lb: Column | str, q: int,
+           max_dist: int) -> Column:
+    return (F.greatest(la, lb) + F.lit(q - 1) - F.lit(max_dist * q))
+
+
+def _base(df: DataFrame, col: str, id_col: str, q: int) -> DataFrame:
+    from openapc_olap_spark.operators.dedup import _materialized, _spread
+    return _materialized(_spread(df.select(
         F.col(id_col).alias("id"), _norm(col).alias("s"),
-        qgrams(col, q).alias("__g"))))
-    post = base.select("id", F.length("s").alias("__len"),
-                       F.explode("__g").alias("gram"))
+        qgram_counts(col, q).alias("__gc"))))
+
+
+def _postings(base: DataFrame, gram_cap: int | None) -> DataFrame:
+    post = base.select(
+        "id", F.length("s").alias("__len"),
+        F.explode("__gc").alias("__p")
+    ).select("id", "__len", F.col("__p.gram").alias("gram"),
+             F.col("__p.cnt").alias("cnt"))
     if gram_cap is not None:
+        # df = number of STRINGS containing the gram (postings are one
+        # row per (id, gram) by construction)
         small = (post.groupBy("gram")
                  .agg(F.count(F.lit(1)).alias("__n"))
                  .filter(F.col("__n") <= gram_cap)
                  .select("gram"))
         post = post.join(small, ["gram"], "left_semi")
-    l, r = post.alias("l"), post.alias("r")
-    shared = (l.join(r, (F.col("l.gram") == F.col("r.gram"))
-                     & (F.col("l.id") < F.col("r.id")))
-              .groupBy(F.col("l.id").alias("id_a"),
-                       F.col("r.id").alias("id_b"))
-              .agg(F.count(F.lit(1)).alias("__shared"),
-                   F.first("l.__len").alias("__la"),
-                   F.first("r.__len").alias("__lb")))
-    # Gravano q-gram count lower bound for edit distance <= k
-    bound = (F.greatest("__la", "__lb") - F.lit(q - 1)
-             - F.lit(max_dist * q))
-    cands = (shared.filter(F.col("__shared") >= F.greatest(bound, F.lit(1)))
-             .select("id_a", "id_b"))
-    sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("__sa"))
-    sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("__sb"))
+    return post
+
+
+def estimate_blocking_volume(df: DataFrame, col: str = "text",
+                             id_col: str = "doc_id", q: int = 3,
+                             max_dist: int = 2,
+                             gram_cap: int | None = None) -> dict:
+    """One-pass probe of the candidate-pair volume the blocked join
+    would produce at these dials: sum over grams of C(df, 2) (the
+    equi-join's output rows, the quantity that explodes on low-entropy
+    keys) plus the short-stratum C(n_short, 2) nested-loop volume.
+    Returns {"q", "blocked_pairs", "n_short", "short_pairs", "total"} —
+    driver-sized scalars from two tiny aggregates."""
+    base = _base(df, col, id_col, q)
+    post = _postings(base, gram_cap)
+    blocked = (post.groupBy("gram")
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .agg(F.sum(F.col("__n") * (F.col("__n") - 1) / 2)
+                    .cast("long").alias("v"))
+               .first()["v"]) or 0
+    n_short = base.filter(
+        F.length("s") <= _short_len(q, max_dist)).count()
+    short_pairs = n_short * (n_short - 1) // 2
+    return {"q": q, "blocked_pairs": int(blocked), "n_short": int(n_short),
+            "short_pairs": int(short_pairs),
+            "total": int(blocked) + int(short_pairs)}
+
+
+def _pick_q(df: DataFrame, col: str, id_col: str, q: int, max_dist: int,
+            gram_cap: int | None, max_candidates: int,
+            auto_q: bool) -> int:
+    """Probe q (and q+1, q+2 under ``auto_q``) against the budget;
+    return the first q that fits or raise with the measured volumes —
+    the fail-fast the SCALING.md q=3 low-entropy timeout asked for."""
+    tried = []
+    for q_eff in range(q, q + (3 if auto_q else 1)):
+        vol = estimate_blocking_volume(df, col, id_col, q_eff, max_dist,
+                                       gram_cap)
+        if vol["total"] <= max_candidates:
+            return q_eff
+        tried.append(vol)
+    detail = "; ".join(
+        f"q={v['q']}: {v['blocked_pairs']} blocked + {v['short_pairs']} "
+        f"short = {v['total']}" for v in tried)
+    raise ValueError(
+        f"fuzzy blocking volume exceeds max_candidates={max_candidates} "
+        f"at every probed q ({detail}). Raise max_candidates, set/lower "
+        f"gram_cap (drops hot grams, may lose recall), or pass a larger "
+        f"q explicitly.")
+
+
+def _verify(cands: DataFrame, sa: DataFrame, sb: DataFrame,
+            max_dist: int) -> DataFrame:
     return (cands.join(sa, ["id_a"]).join(sb, ["id_b"])
             .withColumn("dist", F.levenshtein("__sa", "__sb"))
             .filter(F.col("dist") <= max_dist)
             .select("id_a", "id_b", "dist"))
+
+
+def fuzzy_duplicates(df: DataFrame, col: str = "text",
+                     id_col: str = "doc_id", max_dist: int = 2,
+                     q: int = 3,
+                     gram_cap: int | None = None,
+                     max_candidates: int | None = None,
+                     auto_q: bool = False) -> DataFrame:
+    """Self-join form: (id_a, id_b, dist) for ALL pairs with
+    levenshtein(norm_a, norm_b) <= max_dist, id_a < id_b. Distance is
+    on the NORMALIZED strings (lowercase, collapsed whitespace) — the
+    linkage convention; identical-after-normalization pairs surface
+    with dist 0. ``gram_cap`` trades recall for volume (documented
+    knob); ``max_candidates`` (+ ``auto_q``) arms the fail-fast volume
+    probe — see the module docstring."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    if max_candidates is not None:
+        q = _pick_q(df, col, id_col, q, max_dist, gram_cap,
+                    max_candidates, auto_q)
+    elif auto_q:
+        raise ValueError("auto_q requires max_candidates (the budget "
+                         "the probe tunes against)")
+    base = _base(df, col, id_col, q)
+    post = _postings(base, gram_cap)
+    l, r = post.alias("l"), post.alias("r")
+    short_max = _short_len(q, max_dist)
+    shared = (l.join(r, (F.col("l.gram") == F.col("r.gram"))
+                     & (F.col("l.id") < F.col("r.id")))
+              .groupBy(F.col("l.id").alias("id_a"),
+                       F.col("r.id").alias("id_b"))
+              .agg(F.sum(F.least("l.cnt", "r.cnt")).alias("__shared"),
+                   F.first("l.__len").alias("__la"),
+                   F.first("r.__len").alias("__lb")))
+    cands = (shared.filter(
+                (F.greatest("__la", "__lb") > short_max)
+                & (F.col("__shared") >= _bound("__la", "__lb", q, max_dist)))
+             .select("id_a", "id_b"))
+    sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("__sa"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("__sb"))
+    blocked = _verify(cands, sa, sb, max_dist)
+    # exact path for the degenerate-bound stratum (both sides <= L0):
+    # a length-banded nested-loop join over the tiny short set — AQE
+    # broadcasts it; the probe priced it as C(n_short, 2)
+    sh = base.filter(F.length("s") <= short_max)
+    a, b = sh.alias("a"), sh.alias("b")
+    short = (a.join(b, (F.col("a.id") < F.col("b.id"))
+                    & (F.abs(F.length("a.s") - F.length("b.s"))
+                       <= max_dist))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"),
+                     F.levenshtein("a.s", "b.s").alias("dist"))
+             .filter(F.col("dist") <= max_dist))
+    return blocked.unionByName(short)
 
 
 def fuzzy_join(left: DataFrame, right: DataFrame, col: str,
@@ -100,41 +265,56 @@ def fuzzy_join(left: DataFrame, right: DataFrame, col: str,
                gram_cap: int | None = None) -> DataFrame:
     """Two-frame form: (left_id, right_id, dist) for cross-frame pairs
     within ``max_dist`` — the record-linkage join (match a dirty feed
-    against a canonical table). Same blocking + bound + verify."""
+    against a canonical table). Same multiset blocking + padded bound +
+    exact short stratum + verify as :func:`fuzzy_duplicates`."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
-    from openapc_olap_spark.operators.dedup import _materialized, _spread
-
-    def prep(df, id_col, side):
-        return _materialized(_spread(df.select(
-            F.col(id_col).alias(f"__id_{side}"),
-            _norm(col).alias(f"__s_{side}"),
-            qgrams(col, q).alias("__g"))))
-
-    bl, br = prep(left, left_id, "l"), prep(right, right_id, "r")
-    pl = bl.select("__id_l", F.length("__s_l").alias("__la"),
-                   F.explode("__g").alias("gram"))
-    pr = br.select("__id_r", F.length("__s_r").alias("__lb"),
-                   F.explode("__g").alias("gram"))
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    bl = _base(left, col, left_id, q)
+    br = _base(right, col, right_id, q)
+    pl = (bl.select(F.col("id").alias("__id_l"),
+                    F.length("s").alias("__la"),
+                    F.explode("__gc").alias("__p"))
+          .select("__id_l", "__la", F.col("__p.gram").alias("gram"),
+                  F.col("__p.cnt").alias("__cl")))
+    pr = (br.select(F.col("id").alias("__id_r"),
+                    F.length("s").alias("__lb"),
+                    F.explode("__gc").alias("__p"))
+          .select("__id_r", "__lb", F.col("__p.gram").alias("gram"),
+                  F.col("__p.cnt").alias("__cr")))
     if gram_cap is not None:
         counts = (pl.select("gram").unionByName(pr.select("gram"))
                   .groupBy("gram").agg(F.count(F.lit(1)).alias("__n"))
                   .filter(F.col("__n") <= gram_cap).select("gram"))
         pl = pl.join(counts, ["gram"], "left_semi")
         pr = pr.join(counts, ["gram"], "left_semi")
+    short_max = _short_len(q, max_dist)
     shared = (pl.join(pr, ["gram"])
               .groupBy("__id_l", "__id_r")
-              .agg(F.count(F.lit(1)).alias("__shared"),
+              .agg(F.sum(F.least("__cl", "__cr")).alias("__shared"),
                    F.first("__la").alias("__la"),
                    F.first("__lb").alias("__lb")))
-    bound = (F.greatest("__la", "__lb") - F.lit(q - 1)
-             - F.lit(max_dist * q))
-    cands = (shared.filter(F.col("__shared") >= F.greatest(bound, F.lit(1)))
+    cands = (shared.filter(
+                (F.greatest("__la", "__lb") > short_max)
+                & (F.col("__shared")
+                   >= _bound("__la", "__lb", q, max_dist)))
              .select("__id_l", "__id_r"))
-    return (cands
-            .join(bl.select("__id_l", "__s_l"), ["__id_l"])
-            .join(br.select("__id_r", "__s_r"), ["__id_r"])
-            .withColumn("dist", F.levenshtein("__s_l", "__s_r"))
-            .filter(F.col("dist") <= max_dist)
-            .select(F.col("__id_l").alias(left_id),
-                    F.col("__id_r").alias(right_id), "dist"))
+    blocked = (cands
+               .join(bl.select(F.col("id").alias("__id_l"),
+                               F.col("s").alias("__s_l")), ["__id_l"])
+               .join(br.select(F.col("id").alias("__id_r"),
+                               F.col("s").alias("__s_r")), ["__id_r"])
+               .withColumn("dist", F.levenshtein("__s_l", "__s_r"))
+               .filter(F.col("dist") <= max_dist)
+               .select(F.col("__id_l").alias(left_id),
+                       F.col("__id_r").alias(right_id), "dist"))
+    shl = bl.filter(F.length("s") <= short_max).alias("a")
+    shr = br.filter(F.length("s") <= short_max).alias("b")
+    short = (shl.join(shr, F.abs(F.length("a.s") - F.length("b.s"))
+                      <= max_dist)
+             .select(F.col("a.id").alias(left_id),
+                     F.col("b.id").alias(right_id),
+                     F.levenshtein("a.s", "b.s").alias("dist"))
+             .filter(F.col("dist") <= max_dist))
+    return blocked.unionByName(short)

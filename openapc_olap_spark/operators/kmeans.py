@@ -111,8 +111,9 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int = 5,
 
     for _ in range(n_iter):
         if assign == "arrow":
-            cid = _nearest_centroid_arrow(cents)(
-                F.col(vec_col).cast("array<double>"))
+            from .similarity import _null_elem
+            v = F.col(vec_col).cast("array<double>")
+            cid = _nearest_centroid_arrow(cents)(v, _null_elem(v))
         else:
             cid = _nearest_centroid(F.col(vec_col).cast("array<double>"),
                                     cents)

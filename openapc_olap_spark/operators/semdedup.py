@@ -147,15 +147,25 @@ def with_centroid_cosine(df: DataFrame, centroids: list[list[float]],
     the dim-linear interpreted cosine fold too (equality-tested to 1e-9
     in-suite; ids bitwise)."""
     from openapc_olap_spark.operators.similarity import (
-        _as_double_array, _centroid_cosine_arrow, cosine)
+        _as_double_array, _centroid_cosine_arrow, _null_elem, cosine)
 
     if method == "arrow":
-        sc = _centroid_cosine_arrow(centroids)(
-            F.col(vec_col).cast("array<double>"))
+        v = F.col(vec_col).cast("array<double>")
+        sc = _centroid_cosine_arrow(centroids)(v, _null_elem(v))
+        # pandas->Arrow folds NaN doubles into NULL on the UDF's way out,
+        # but the expr twin yields cosine NaN for NaN-element vectors
+        # (Spark evaluates NaN > 0 as TRUE in the when-guard) — restore
+        # it with an expression on exactly those rows: full-length,
+        # no null elements, some NaN element (ADVICE r07)
+        nan_row = ((F.size(v) == len(centroids[0]))
+                   & ~_null_elem(v)
+                   & F.coalesce(F.exists(v, F.isnan), F.lit(False)))
+        cos = F.when(nan_row, F.lit(float("nan"))) \
+               .otherwise(F.col("__sc.centroid_cos"))
         return (df.withColumn("__sc", sc)
                 .select(*df.columns,
                         F.col("__sc.list_id").alias("list_id"),
-                        F.col("__sc.centroid_cos").alias("centroid_cos")))
+                        cos.alias("centroid_cos")))
     assigned = ivf_assign(df, centroids, vec_col, method=method)
     cents = F.array(*[_as_double_array(c) for c in centroids])
     own = F.element_at(cents, F.col("list_id") + 1)

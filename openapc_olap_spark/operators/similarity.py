@@ -226,9 +226,18 @@ def _nearest_centroid_arrow(centroids: list[list[float]]):
     interpreter ops per row; this path does one ||v||^2 - 2 v.C + ||c||^2
     matmul per Arrow batch — measured 35x faster (389.6 -> 11.0 s for a
     5-iteration full-corpus fit at 200k vecs, k=64, dim=64; 0 assignment
-    mismatches, identical final cost). NULL / ragged / null-element
-    vectors yield NULL ids, matching the expression path on dirty data.
-    Built lazily so importing the module never registers a UDF."""
+    mismatches, identical final cost).
+
+    Dirty-data contract (mirrors the expression path exactly — ADVICE
+    r07): NULL / ragged / null-ELEMENT vectors yield NULL ids (the expr
+    twin's distances are NULL there); vectors containing NaN yield the
+    argmin under SPARK's NaN ordering (NaN sorts above every number, so
+    an all-NaN distance row resolves to id 0 — array_min = NaN,
+    array_position finds it first), NOT NULL. Arrow flattens null
+    elements to NaN inside numpy, so the null-element case rides a
+    Spark-side ``exists(v, isnull)`` flag, the only way to keep the two
+    dirt kinds distinguishable. Built lazily so importing the module
+    never registers a UDF."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)          # k x dim
@@ -236,13 +245,15 @@ def _nearest_centroid_arrow(centroids: list[list[float]]):
     dim = C.shape[1]
 
     @pandas_udf("int")
-    def assign(vs: pd.Series) -> pd.Series:
+    def assign(vs: pd.Series, has_null: pd.Series) -> pd.Series:
         if not len(vs):
             return pd.Series(np.empty(0, dtype=np.int32))
-        # one cheap len() per row (no per-element scan); Arrow surfaces
-        # null ELEMENTS as NaN, caught post-matmul
-        ok = np.fromiter((v is not None and len(v) == dim for v in vs),
-                         dtype=bool, count=len(vs))
+        # one cheap len() per row (no per-element scan); null ELEMENTS
+        # arrive via the Spark-computed has_null flag
+        ok = np.fromiter(
+            (v is not None and len(v) == dim and not hn
+             for v, hn in zip(vs, has_null)),
+            dtype=bool, count=len(vs))
         out = pd.Series([pd.NA] * len(vs), dtype="Int32")
         if ok.any():
             V = np.asarray([np.asarray(v, dtype=np.float64)
@@ -250,13 +261,26 @@ def _nearest_centroid_arrow(centroids: list[list[float]]):
             # squared L2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is constant
             # per row, so argmin over (cn - 2 V@C.T) matches exactly.
             d = cn[None, :] - 2.0 * (V @ C.T)
-            ids = pd.array(d.argmin(axis=1).astype(np.int32),
-                           dtype="Int32")
-            ids[np.isnan(d).any(axis=1)] = pd.NA
-            out[ok] = ids
+            # Spark NaN ordering: NaN sorts ABOVE +inf, so a NaN distance
+            # never wins argmin unless every distance is NaN — masking to
+            # +inf reproduces both cases (all-masked rows argmin to 0,
+            # exactly array_position(d, array_min(d)) on an all-NaN row)
+            d = np.where(np.isnan(d), np.inf, d)
+            out[ok] = pd.array(d.argmin(axis=1).astype(np.int32),
+                               dtype="Int32")
         return out
 
     return assign
+
+
+def _null_elem(vec_expr: Column) -> Column:
+    """True when the array itself is non-NULL but some ELEMENT is NULL —
+    the flag the Arrow kernels need because Arrow->numpy flattens null
+    elements into NaN, erasing a distinction the expression twins keep
+    (NULL element -> NULL distance -> NULL id; NaN element -> NaN
+    distance -> Spark-ordered argmin)."""
+    return F.coalesce(F.exists(vec_expr, lambda x: x.isNull()),
+                      F.lit(False))
 
 
 def _centroid_cosine_arrow(centroids: list[list[float]]):
@@ -269,10 +293,17 @@ def _centroid_cosine_arrow(centroids: list[list[float]]):
     Float caveat: numpy's SIMD/pairwise dot differs from the expression
     fold's sequential order by ulps, so this path is equality-tested
     in-suite to 1e-9 (ids bitwise) rather than hash-certified — gates
-    keep the expression cosine. NULL/ragged/NaN vectors yield NULL
-    list_id with cosine 0.0 — exactly the expression path (its
-    when(nn > 0) guard sees a NULL condition and falls to the 0.0
-    otherwise-branch); zero norms likewise yield 0.0."""
+    keep the expression cosine. Dirty data mirrors the expression twin
+    (ADVICE r07): NULL/ragged/null-ELEMENT vectors yield NULL list_id
+    with cosine 0.0 (the when(nn > 0) guard sees a NULL condition and
+    falls to the 0.0 otherwise-branch); NaN-element vectors yield the
+    Spark-ordered argmin (id 0 on an all-NaN distance row) with cosine
+    NaN (Spark evaluates NaN > 0 as TRUE — NaN sorts above everything —
+    so the expr guard takes the then-branch and the NaN propagates);
+    zero norms yield 0.0. Caveat: pandas->Arrow serialization folds NaN
+    doubles to NULL on the UDF's way out, so the NaN cosine reaches
+    Spark as NULL — ``semdedup.with_centroid_cosine`` restores it with
+    a when-expression on exactly the NaN-element rows."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
@@ -281,32 +312,36 @@ def _centroid_cosine_arrow(centroids: list[list[float]]):
     dim = C.shape[1]
 
     @pandas_udf("list_id int, centroid_cos double")
-    def score(vs: pd.Series) -> pd.DataFrame:
+    def score(vs: pd.Series, has_null: pd.Series) -> pd.DataFrame:
         n = len(vs)
-        out = pd.DataFrame(
-            {"list_id": pd.array([pd.NA] * n, dtype="Int32"),
-             "centroid_cos": pd.array([0.0] * n, dtype="Float64")})
-        ok = np.fromiter((v is not None and len(v) == dim for v in vs),
-                         dtype=bool, count=n)
+        out_ids = pd.array([pd.NA] * n, dtype="Int32")
+        # plain float64, NOT nullable Float64: the masked dtype folds
+        # NaN into NA, but the expr twin never yields NULL cosine (dirty
+        # rows get 0.0, NaN rows keep NaN) — NaN must survive to match
+        out_cos = np.zeros(n, dtype=np.float64)
+        ok = np.fromiter(
+            (v is not None and len(v) == dim and not hn
+             for v, hn in zip(vs, has_null)),
+            dtype=bool, count=n)
         if ok.any():
             V = np.asarray([np.asarray(v, dtype=np.float64)
                             for v in vs[ok]])
             G = V @ C.T
             d = cn[None, :] - 2.0 * G
-            ids = d.argmin(axis=1)
-            bad = np.isnan(d).any(axis=1)
+            # Spark NaN ordering (see _nearest_centroid_arrow)
+            ids = np.where(np.isnan(d), np.inf, d).argmin(axis=1)
             dots = G[np.arange(len(ids)), ids]
             vn = np.sqrt((V * V).sum(axis=1))
             denom = vn * cnorm[ids]
-            cos = np.where(denom > 0, dots / np.maximum(denom, 1e-300),
-                           0.0)
-            idarr = pd.array(ids.astype(np.int32), dtype="Int32")
-            cosarr = pd.array(cos, dtype="Float64")
-            idarr[bad] = pd.NA
-            cosarr[bad] = 0.0
-            out.loc[ok, "list_id"] = idarr
-            out.loc[ok, "centroid_cos"] = cosarr
-        return out
+            # expr guard is when(denom > 0, dot/denom).otherwise(0.0)
+            # under SPARK comparison semantics, where NaN > 0 is TRUE:
+            # NaN denominators take the then-branch and propagate NaN
+            take = (denom > 0) | np.isnan(denom)
+            cos = np.where(take,
+                           dots / np.where(take, denom, 1.0), 0.0)
+            out_ids[ok] = pd.array(ids.astype(np.int32), dtype="Int32")
+            out_cos[ok] = cos
+        return pd.DataFrame({"list_id": out_ids, "centroid_cos": out_cos})
 
     return score
 
@@ -329,7 +364,8 @@ def _centroid_id(vec_expr: Column, centroids: list[list[float]],
             f"method must be 'expr', 'arrow' or 'both', got {method!r}")
     if method == "expr":
         return _nearest_centroid(vec_expr, centroids)
-    arrow = _nearest_centroid_arrow(centroids)(vec_expr)
+    arrow = _nearest_centroid_arrow(centroids)(vec_expr,
+                                               _null_elem(vec_expr))
     if method == "arrow":
         return arrow
     expr = _nearest_centroid(vec_expr, centroids)

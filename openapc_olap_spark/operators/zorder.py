@@ -10,8 +10,13 @@ reference has no equivalent — driver-mandated scale surface).
 Everything is integer Catalyst expressions (shift/mask/or — replayable
 in any engine):
 
-    scaled_c = clamp(floor((x_c - lo_c) / (hi_c - lo_c) * (2^bits - 1)))
+    scaled_c = clamp(floor((x_c - lo_c) / (hi_c - lo_c) * 2^bits),
+                     0, 2^bits - 1)
     z        = OR over c, j of  bit_j(scaled_c) << (j * ncols + c)
+
+(half-open cells: the multiplier is 2^bits, the top cell absorbs
+x = hi via the clamp — exactly what ``_scaled`` computes and the x83
+oracle replays)
 
 100 TB posture:
 - computing z is a zero-shuffle projection;

@@ -29,14 +29,17 @@ def _py_pairs(window):
 
 
 def _py_pmi(window, min_count):
-    pairs = {p: c for p, c in _py_pairs(window).items() if c >= min_count}
+    pairs_all = _py_pairs(window)
+    pairs = {p: c for p, c in pairs_all.items() if c >= min_count}
     uni = {}
     total_tok = 0
     for _, t in DOCS:
         for tok in t.lower().split():
             uni[tok] = uni.get(tok, 0) + 1
             total_tok += 1
-    p_total = sum(pairs.values())
+    # P is the UNFILTERED pair total (module formula): min_pair_count
+    # prunes reporting only, it must not rescale every probability
+    p_total = sum(pairs_all.values())
     return {p: math.log((c / p_total)
                         / ((uni[p[0]] / total_tok) * (uni[p[1]] / total_tok)))
             for p, c in pairs.items()}

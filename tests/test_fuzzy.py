@@ -1,5 +1,8 @@
-"""Fuzzy matching (operators/fuzzy.py) vs a pure-Python blocked
-edit-distance reference with the same q-gram blocking + count bound."""
+"""Fuzzy matching (operators/fuzzy.py) vs a pure-Python BRUTE-FORCE
+reference: all pairs, exact levenshtein on normalized strings — the
+semantic contract, deliberately NOT a replay of the blocking/bound
+(ADVICE r07: a reference that reimplements the operator's own filter
+cannot catch an unsound filter)."""
 
 import pytest
 
@@ -17,6 +20,18 @@ NAMES = [
     (9, "completely different"),
 ]
 
+# the ADVICE r07 adversarial set: repeated-gram strings where the
+# DISTINCT-gram count bound silently pruned a true pair, plus short /
+# empty strings that carry no unpadded grams at all
+NASTY = [
+    (1, "aaaaaaaaaaaa"),               # 12 x 'a'
+    (2, "aaaaaaaaaaab"),               # dist 1, shared DISTINCT grams = 1
+    (3, "aaaabaaaabaa"),               # dist 2 from id 1
+    (4, "ab"), (5, "ac"), (6, "cd"),   # short: zero shared grams possible
+    (7, ""), (8, "a"), (9, "xy"),
+    (10, "abcdefghijkl"),
+]
+
 
 def _py_lev(a, b):
     prev = list(range(len(b) + 1))
@@ -29,31 +44,19 @@ def _py_lev(a, b):
     return prev[-1]
 
 
-def _py_pairs(rows, max_dist, q=3):
+def _norm(s):
     import re
+    return re.sub(r"\s+", " ", s.lower()).strip()
 
-    def norm(s):
-        return re.sub(r"\s+", " ", s.lower()).strip()
 
-    def grams(s):
-        s = norm(s)
-        if len(s) <= q:
-            return {s}
-        return {s[i:i + q] for i in range(len(s) - q + 1)}
-
+def _brute_pairs(rows, max_dist):
     out = {}
     for i, (ia, sa) in enumerate(rows):
         for ib, sb in rows[i + 1:]:
-            a, b = (ia, sa), (ib, sb)
-            if ia > ib:
-                a, b = b, a
-            na, nb = norm(a[1]), norm(b[1])
-            shared = len(grams(a[1]) & grams(b[1]))
-            bound = max(max(len(na), len(nb)) - (q - 1) - max_dist * q, 1)
-            if shared >= bound:
-                d = _py_lev(na, nb)
-                if d <= max_dist:
-                    out[(a[0], b[0])] = d
+            lo, hi = min(ia, ib), max(ia, ib)
+            d = _py_lev(_norm(sa), _norm(sb))
+            if d <= max_dist:
+                out[(lo, hi)] = d
     return out
 
 
@@ -62,11 +65,16 @@ def names_df(spark):
     return spark.createDataFrame(NAMES, ["doc_id", "text"]).repartition(3)
 
 
-def test_self_pairs_match_python(spark, names_df):
+@pytest.fixture(scope="module")
+def nasty_df(spark):
+    return spark.createDataFrame(NASTY, ["doc_id", "text"]).repartition(3)
+
+
+def test_self_pairs_match_brute_force(spark, names_df):
     for k in (0, 1, 2, 3):
         got = {(r["id_a"], r["id_b"]): r["dist"] for r in
                fuzzy.fuzzy_duplicates(names_df, max_dist=k).collect()}
-        assert got == _py_pairs(NAMES, k), f"max_dist {k}"
+        assert got == _brute_pairs(NAMES, k), f"max_dist {k}"
     # the expected structure at k=2: case/space variants + single subs
     got2 = {(r["id_a"], r["id_b"]): r["dist"] for r in
             fuzzy.fuzzy_duplicates(names_df, max_dist=2).collect()}
@@ -75,25 +83,84 @@ def test_self_pairs_match_python(spark, names_df):
     assert not any(9 in p for p in got2)
 
 
+def test_repeated_gram_and_short_strings_match_brute_force(spark, nasty_df):
+    """The ADVICE r07 soundness cases: multiset counting keeps
+    'aaaaaaaaaaaa' ~ 'aaaaaaaaaaab' (distinct-gram count 1 < bound);
+    the exact short stratum finds 'ab' ~ 'ac' and 'ab' ~ 'cd' (zero
+    shared grams); padding keeps '' ~ 'a'."""
+    for k in (0, 1, 2):
+        got = {(r["id_a"], r["id_b"]): r["dist"] for r in
+               fuzzy.fuzzy_duplicates(nasty_df, max_dist=k).collect()}
+        assert got == _brute_pairs(NASTY, k), f"max_dist {k}"
+    got2 = _brute_pairs(NASTY, 2)
+    assert got2[(1, 2)] == 1          # the repeated-gram pair survives
+    assert got2[(4, 5)] == 1 and got2[(4, 6)] == 2 and got2[(7, 8)] == 1
+    # and at several q (any q is correct; only cost changes)
+    for q in (1, 2, 4):
+        got = {(r["id_a"], r["id_b"]): r["dist"] for r in
+               fuzzy.fuzzy_duplicates(nasty_df, max_dist=2, q=q).collect()}
+        assert got == got2, f"q {q}"
+
+
 def test_two_frame_join(spark):
     canon = spark.createDataFrame(
-        [(100, "New York"), (200, "Los Angeles"), (300, "Chicago")],
+        [(100, "New York"), (200, "Los Angeles"), (300, "Chicago"),
+         (400, "ab")],
         ["cid", "text"])
     dirty = spark.createDataFrame(
         [(1, "new  york"), (2, "Los Angelos"), (3, "Chicagoo"),
-         (4, "Houston")],
+         (4, "Houston"), (5, "cd")],
         ["rid", "text"])
     got = {(r["rid"], r["cid"]): r["dist"] for r in
            fuzzy.fuzzy_join(dirty, canon, "text", left_id="rid",
                             right_id="cid", max_dist=2).collect()}
-    assert got == {(1, 100): 0, (2, 200): 1, (3, 300): 1}
+    # (5, 400): 'cd' ~ 'ab' dist 2 shares zero grams — the cross-frame
+    # short stratum must find it
+    assert got == {(1, 100): 0, (2, 200): 1, (3, 300): 1, (5, 400): 2}
 
 
 def test_gram_cap_and_validation(spark, names_df):
-    # an absurd cap of 1 kills every shared gram -> no candidates
+    # an absurd cap of 1 kills every shared gram -> no BLOCKED
+    # candidates (the long strings here are all > L0, so the short
+    # stratum is empty too)
     assert fuzzy.fuzzy_duplicates(names_df, max_dist=2,
                                   gram_cap=1).count() == 0
     with pytest.raises(ValueError):
         fuzzy.fuzzy_duplicates(names_df, max_dist=-1)
     with pytest.raises(ValueError):
         fuzzy.fuzzy_duplicates(names_df, q=0)
+    with pytest.raises(ValueError, match="auto_q requires"):
+        fuzzy.fuzzy_duplicates(names_df, auto_q=True)
+
+
+def test_volume_probe_and_fail_fast(spark, nasty_df, names_df):
+    vol = fuzzy.estimate_blocking_volume(nasty_df, col="text", q=3,
+                                         max_dist=2)
+    assert vol["q"] == 3 and vol["total"] == (vol["blocked_pairs"]
+                                              + vol["short_pairs"])
+    assert vol["n_short"] == 6 and vol["short_pairs"] == 15
+    assert vol["blocked_pairs"] > 0
+    # generous budget: runs, correct
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in
+           fuzzy.fuzzy_duplicates(nasty_df, max_dist=2,
+                                  max_candidates=10_000).collect()}
+    assert got == _brute_pairs(NASTY, 2)
+    # hopeless budget: measured-volume error, not a doomed join
+    with pytest.raises(ValueError, match="blocking volume exceeds"):
+        fuzzy.fuzzy_duplicates(nasty_df, max_dist=2, max_candidates=1,
+                               auto_q=True)
+    # the SCALING.md low-entropy shape: hex tokens, where the q=3 gram
+    # space (16^3) saturates and every gram goes hot, but q=5 (16^5) is
+    # sparse — auto_q must escalate inside the budget and stay correct
+    import hashlib
+    rows = [(i, hashlib.md5(str(i).encode()).hexdigest())
+            for i in range(400)]
+    low = spark.createDataFrame(rows, ["doc_id", "text"])
+    v3 = fuzzy.estimate_blocking_volume(low, q=3, max_dist=1)
+    v5 = fuzzy.estimate_blocking_volume(low, q=5, max_dist=1)
+    assert v5["blocked_pairs"] < v3["blocked_pairs"]
+    budget = v3["total"] - 1
+    assert v5["total"] <= budget     # escalation has room to land
+    got = fuzzy.fuzzy_duplicates(low, max_dist=1, max_candidates=budget,
+                                 auto_q=True)
+    assert got.count() == 0          # md5 hexes are all >1 edit apart

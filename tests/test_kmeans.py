@@ -111,13 +111,15 @@ def test_validation(spark, vec_df):
 
 def test_arrow_assign_matches_expression_path(spark, vec_df):
     from pyspark.sql import functions as F
-    from openapc_olap_spark.operators.similarity import _nearest_centroid
+    from openapc_olap_spark.operators.similarity import (_nearest_centroid,
+                                                         _null_elem)
     cents = [[0.0, 0.0], [10.0, 10.0], [49.0, 49.0]]
     v = F.col("embedding").cast("array<double>")
     both = vec_df.select(
         "doc_id",
         _nearest_centroid(v, cents).alias("expr_cid"),
-        kmeans._nearest_centroid_arrow(cents)(v).alias("arrow_cid"))
+        kmeans._nearest_centroid_arrow(cents)(v, _null_elem(v))
+        .alias("arrow_cid"))
     rows = both.collect()
     assert rows and all(r["expr_cid"] == r["arrow_cid"] for r in rows)
 
@@ -146,24 +148,31 @@ def test_ivf_assign_fast_matches_similarity(spark, vec_df):
 
 
 def test_arrow_assign_null_and_ragged_vectors(spark):
-    """ADVICE r06: the Arrow argmin must tolerate dirty embeddings the way
-    the expression path does (NULL id), not crash in the matmul."""
+    """ADVICE r06 + r07: the Arrow argmin must treat dirty embeddings
+    exactly the way the expression path does — NULL id for NULL/ragged/
+    null-element vectors, but Spark-ordered argmin (id 0, not NULL) for
+    NaN-element vectors (array_min = NaN, array_position finds it at 1),
+    so method='both' never trips on a NaN row."""
+    import math
+
     from pyspark.sql import functions as F
 
-    from openapc_olap_spark.operators.similarity import _nearest_centroid
+    from openapc_olap_spark.operators.similarity import (_nearest_centroid,
+                                                         _null_elem)
 
     df = spark.createDataFrame(
         [(1, [0.0, 0.0]), (2, None), (3, [1.0]), (4, [9.0, 9.0]),
-         (5, [1.0, None])],
+         (5, [1.0, None]), (6, [math.nan, 1.0]), (7, [math.nan, math.nan])],
         "doc_id long, embedding array<double>")
     cents = [[0.0, 0.0], [10.0, 10.0]]
+    v = F.col("embedding").cast("array<double>")
     got = {r["doc_id"]: r["cid"] for r in df.select(
         "doc_id",
-        kmeans._nearest_centroid_arrow(cents)(
-            F.col("embedding").cast("array<double>")).alias("cid"))
-        .collect()}
+        kmeans._nearest_centroid_arrow(cents)(v, _null_elem(v))
+        .alias("cid")).collect()}
     assert got[1] == 0 and got[4] == 1
     assert got[2] is None and got[3] is None and got[5] is None
+    assert got[6] == 0 and got[7] == 0
     # the expression path agrees on every row
     expr = {r["doc_id"]: r["cid"] for r in df.select(
         "doc_id", _nearest_centroid(
@@ -212,8 +221,11 @@ def test_fused_arrow_cosine_matches_expr(spark):
     to the expression path, including on dirty vectors."""
     from openapc_olap_spark.operators import semdedup
 
+    import math
+
     rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(60)]
-    rows += [(100, None), (101, [1.0]), (102, [0.0, 0.0])]
+    rows += [(100, None), (101, [1.0]), (102, [0.0, 0.0]),
+             (103, [math.nan, 1.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cents = [[0.0, 0.0], [6.0, 4.0], [3.0, 2.0]]
     e = {r["vec_id"]: (r["list_id"], r["centroid_cos"]) for r in
@@ -224,11 +236,21 @@ def test_fused_arrow_cosine_matches_expr(spark):
     assert set(e) == set(a)
     for k in e:
         assert e[k][0] == a[k][0], k                       # ids bitwise
-        assert a[k][1] == pytest.approx(e[k][1], abs=1e-9), k
+        if isinstance(e[k][1], float) and math.isnan(e[k][1]):
+            assert math.isnan(a[k][1]), k
+        else:
+            assert a[k][1] == pytest.approx(e[k][1], abs=1e-9), k
     # zero-norm AND dirty vectors score 0.0 on both paths (the expr
     # when-guard's otherwise-branch), with NULL list_id for dirty rows
     assert e[102][1] == 0.0 and a[102][1] == 0.0
     assert e[100] == (None, 0.0) and a[100] == (None, 0.0)
+    # NaN vectors: Spark's NaN ordering makes the expr argmin resolve to
+    # id 0 (array_min = NaN, found first) and its when(nn > 0) guard
+    # TRUE (NaN > 0 in Spark), so cosine is NaN — on BOTH paths
+    # (ADVICE r07: arrow used to return NULL id and would have failed
+    # method='both' on a single NaN row)
+    assert e[103][0] == 0 and a[103][0] == 0
+    assert math.isnan(e[103][1]) and math.isnan(a[103][1])
     # cluster_outliers accepts the fused path end-to-end; its inner
     # stats join drops NULL-assignment rows on BOTH paths
     oa = semdedup.cluster_outliers(df, cents, id_col="vec_id",
