@@ -4462,6 +4462,97 @@ _X86_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X89: high-dim PCA block path (arrow moment kernel vs explode replay)
+# ---------------------------------------------------------------------------
+
+def _x89_pca_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pca.covariance_matrix(method='both')`` over the FULL 64-dim
+    embeddings (VERDICT r07 #1): the Arrow V^T@V moment kernel runs
+    in-gate and is asserted cell-by-cell against the constant-plan-size
+    explode path, whose values are what the oracle replays. Embeddings
+    are quantized to integer-valued doubles (floor(x*1000 + 0.5)) so
+    every raw moment is EXACT (< 2^53) — order-independent, hence
+    bitwise identical across arrow, explode, and DuckDB regardless of
+    partitioning. Output: n, the 64 means, the 3-iteration power
+    component, and per-row integer checksums of the full 64x64
+    covariance (sum and position-weighted sum of floor(c*1e6 + 0.5)) —
+    2,080 cells folded into 64 hash-stable rows, all under the value
+    hash."""
+    import math as _math
+
+    from openapc_olap_spark.operators import pca
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 1000 + F.lit(0.5))
+                     .cast("double"))
+    dq = emb.select("vec_id", qv.alias("v"))
+    cov, mean, n = pca.covariance_matrix(dq, dim=64, vec_col="v",
+                                         id_col="vec_id", method="both")
+    comp = pca.top_component(cov, n_iter=3)
+    rows = [("n", -1, float(n), 0)]
+    for i in range(64):
+        rows.append(("mean", i, mean[i], 0))
+        rows.append(("comp", i, comp[i], 0))
+        chk1 = 0
+        chk2 = 0
+        for j in range(64):
+            c = int(_math.floor(cov[i][j] * 1_000_000 + 0.5))
+            chk1 += c
+            chk2 += (j + 1) * c
+        rows.append(("cov", i, float(chk1), chk2))
+    out = spark.createDataFrame(
+        rows, "part string, i int, val double, chk long")
+    return out.select("part", "i",
+                      (F.round("val", 6) + F.lit(0.0)).alias("val"),
+                      "chk")
+
+
+_X89_SQL = f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 1000 + 0.5)) AS v
+      FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM e),
+    dims AS (SELECT unnest(range(0, 64)) AS i),
+    m AS (
+      SELECT d.i, sum(e.v[d.i + 1]) / (SELECT n FROM nn) AS m
+      FROM e CROSS JOIN dims d GROUP BY d.i),
+    prs AS (SELECT a.i AS i, b.i AS j FROM dims a
+            JOIN dims b ON b.i >= a.i),
+    sm AS (
+      SELECT p.i, p.j, sum(e.v[p.i + 1] * e.v[p.j + 1]) AS s
+      FROM e CROSS JOIN prs p GROUP BY p.i, p.j),
+    cv AS (
+      SELECT sm.i, sm.j, sm.s / (SELECT n FROM nn) - mi.m * mj.m AS c
+      FROM sm JOIN m mi ON sm.i = mi.i JOIN m mj ON sm.j = mj.i),
+    fm AS (SELECT i, j, c FROM cv
+           UNION ALL SELECT j, i, c FROM cv WHERE i < j),
+    v0 AS (SELECT i, 1.0 / sqrt(64.0) AS v FROM dims),
+    {_x84_iter_sql('v0', 'w1', 'n1', 'v1')},
+    {_x84_iter_sql('v1', 'w2', 'n2', 'v2')},
+    {_x84_iter_sql('v2', 'w3', 'n3', 'v3')},
+    sgn AS (
+      SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+      FROM v3 WHERE abs(v) > 1e-12 ORDER BY i LIMIT 1),
+    comp AS (SELECT i, v * (SELECT s FROM sgn) AS v FROM v3),
+    chk AS (
+      SELECT i,
+             sum(floor(c * 1000000 + 0.5)::BIGINT)::DOUBLE AS val,
+             sum((j + 1) * floor(c * 1000000 + 0.5)::BIGINT)::BIGINT
+               AS chk
+      FROM fm GROUP BY i)
+    SELECT 'n' AS part, -1 AS i,
+           round((SELECT n FROM nn)::DOUBLE, 6) + 0.0 AS val,
+           0::BIGINT AS chk
+    UNION ALL SELECT 'mean', i::INT, round(m, 6) + 0.0, 0 FROM m
+    UNION ALL SELECT 'comp', i::INT, round(v, 6) + 0.0, 0 FROM comp
+    UNION ALL SELECT 'cov', i::INT, round(val, 6) + 0.0, chk FROM chk
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -4549,6 +4640,7 @@ QUERIES = {
     "x84_pca_projection": _x84_pca_projection,
     "x85_fuzzy_linkage": _x85_fuzzy_linkage,
     "x86_weighted_sample": _x86_weighted_sample,
+    "x89_pca_block": _x89_pca_block,
 }
 
 ORACLES = {
@@ -4638,4 +4730,5 @@ ORACLES = {
     "x84_pca_projection": _X84_SQL,
     "x85_fuzzy_linkage": _X85_SQL,
     "x86_weighted_sample": _X86_SQL,
+    "x89_pca_block": _X89_SQL,
 }
