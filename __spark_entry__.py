@@ -414,80 +414,74 @@ ORACLES: dict[str, str] = {
 # iteration) and the local twin-runner (scripts/oracle_check.py) always
 # cover the full set.
 _CERT_FIRST = [
-    # never driver-certified: the six round-6 library-only operators
-    # (kmeans, dsir, spandedup, sampling, ccnet, logreg) + the composed
-    # curation chain — VERDICT r06 items 1 and 3
-    "x72_kmeans_fit", "x73_dsir_weights", "x74_span_dedup",
-    "x75_sample_per_group", "x76_ccnet_buckets", "x77_logreg_quality",
-    "x78_curation_chain",
-    # new gates this round (never certified): BM25, PageRank, PMI,
-    # feature hashing, z-order layout
-    "x79_bm25_topk", "x80_pagerank", "x81_pmi_cooccurrence",
-    "x82_hashed_features", "x83_zorder_layout", "x84_pca_projection",
-    "x85_fuzzy_linkage", "x86_weighted_sample",
-    # r07 touched kmeans.py/similarity.py/semdedup.py (Arrow argmin wired
-    # into the certified cluster paths; null masking in the pandas_udf)
-    "x05_ann_topk", "x06_lsh_neardup_embeddings", "x17_ivf_ann",
-    "x18_lsh_neardup_capped", "x36_ivf_index", "x53_semantic_dedup",
-    "x59_cluster_outliers",
-    # r07 touched sharding.py (localCheckpoint lifecycle + write_shards)
-    "x71_size_sharding",
-    # r07 touched urlnorm.py (tracking-param list parameterized)
-    "x65_url_dedup",
-    # r07 touched server.py (aggregate-endpoint CSV, approx_total replay)
-    "q16_cell_http", "q17_model_http",
-    # r07 touched sources/io.py (sharded-write round trip)
-    "x51_orc_roundtrip",
+    # r08 touched pca.py (explode/arrow moment paths, method knob) and
+    # added x89 WITHOUT rotating the schedule — both PCA gates lead the
+    # r09 window (x89 was driver-certified in the r08 window but never
+    # entered the manifest; r09 touches pca.py again for the unified
+    # dirty-row contract, ADVICE r08)
+    "x84_pca_projection", "x89_pca_block",
+    # r09 touches fuzzy.py (fuzzy_join volume probe, qgram_counts default,
+    # probe base reuse — ADVICE r08) and the x85 gate callable (gram_cap
+    # scale-fragility fix)
+    "x85_fuzzy_linkage",
+    # r09 touches dedup.py (large-star/small-star connected components,
+    # VERDICT r08 #3): every gate executing through dedup.py rotates in
+    "x01_dedup_summary", "x02_ngram_jaccard", "x03_minhash_neardup",
+    "x04_simhash_neardup", "x06_lsh_neardup_embeddings",
+    "x14_ngram_jaccard_capped", "x18_lsh_neardup_capped",
+    "x35_duplicate_groups", "x49_incremental_dedup", "x53_semantic_dedup",
+    "x55_bpe_train", "x59_cluster_outliers", "x61_bpe_encode",
+    "x68_canonical_docs", "x80_pagerank", "x81_pmi_cooccurrence",
 ]
 _CERT_PENDING: list[str] = []
 # Oldest-certified gates, rotated into the window's free slots for a free
-# freshness re-certification (r03/r04 certs; code unchanged — they'd be
-# valid in the tail, re-running them just renews the stamp).
+# freshness re-certification (r04/r05 certs, the oldest in the ledger —
+# VERDICT r08 #6; code unchanged, re-running renews the stamp). The last
+# entries spill past the window when new r09 gates land in _CERT_FIRST;
+# spill stays manifest-guarded.
 _CERT_REFRESH = [
-    "x09_tumbling_daily", "x10_sliding_windows", "x12_props_json",
-    "e05_coverage_zerofill", "e09_journal_id", "e14_annual_pubdates",
-    "e15_hybrid_catalog", "e17_cache_upsert", "e20_json_cache",
-    "x07_text_metrics", "x08_langid_distribution", "x11_session_stats",
-    "x13_salted_drilldown", "x16_quality_deciles", "x20_pii_redaction",
-    "x21_repetition_deciles", "x22_vocab_top", "x25_streaming_tumbling",
-    "x26_streaming_dedup", "x27_winnow_fingerprints", "x31_profile",
-    "e01_enrich_ror", "e02_publication_key",
-]
-_CERT_TAIL = [
-    # previously hash-certified; implementing modules untouched in r07
-    # (enforced by test_entry_contract.py against tests/cert_manifest.json;
-    # e-gate deps narrowed to their verified import closures in
-    # scripts/cert_manifest.py — etl/openapc.py, etl/coverage.py, model.py
-    # and, for e19, catalog.py; none executes through query.py except e18)
     "e03_deal_halving", "e04_union_combined", "e06_prune_semi",
-    "e07_priority_rank", "e08_melt_explode",
-    "e10_colon_scrub", "e11_doi_lookup", "e12_institution_report",
-    "e13_ac_institutions", "e16_springer_coverage",
-    "e18_partition_prune", "e19_manifest_roundtrip",
+    "e07_priority_rank", "e08_melt_explode", "e10_colon_scrub",
+    "e11_doi_lookup", "e12_institution_report", "e13_ac_institutions",
+    "e16_springer_coverage", "e18_partition_prune", "e19_manifest_roundtrip",
     "q01_facts_page", "q02_cut_point", "q03_cut_range", "q04_cut_set",
     "q05_cut_negate", "q06_aggregate_summary", "q07_drilldown",
     "q08_multi_drilldown", "q09_order_topk", "q10_pagination_cells",
     "q11_envelope_rollup", "q12_point_lookup", "q13_fact_by_id",
     "q14_members", "q15_total_percentage",
-    "x01_dedup_summary", "x02_ngram_jaccard", "x03_minhash_neardup",
-    "x04_simhash_neardup", "x14_ngram_jaccard_capped",
     "x15_media_metadata", "x19_image_dims", "x23_wav_metadata",
-    "x24_audio_headers", "x28_curation_funnel",
-    "x29_sequence_packing", "x30_hash_split",
+    "x24_audio_headers",
+]
+_CERT_TAIL = [
+    # previously hash-certified; implementing modules untouched since the
+    # certifying round (enforced by test_entry_contract.py against
+    # tests/cert_manifest.json; e-gate deps narrowed to their verified
+    # import closures in scripts/cert_manifest.py)
+    "e01_enrich_ror", "e02_publication_key", "e05_coverage_zerofill",
+    "e09_journal_id", "e14_annual_pubdates", "e15_hybrid_catalog",
+    "e17_cache_upsert", "e20_json_cache", "q16_cell_http", "q17_model_http",
+    "x05_ann_topk", "x07_text_metrics", "x08_langid_distribution",
+    "x09_tumbling_daily", "x10_sliding_windows", "x11_session_stats",
+    "x12_props_json", "x13_salted_drilldown", "x16_quality_deciles",
+    "x17_ivf_ann", "x20_pii_redaction", "x21_repetition_deciles",
+    "x22_vocab_top", "x25_streaming_tumbling", "x26_streaming_dedup",
+    "x27_winnow_fingerprints", "x28_curation_funnel",
+    "x29_sequence_packing", "x30_hash_split", "x31_profile",
     "x32_image_decode", "x33_stateful_sessions", "x34_wav_decode",
-    "x35_duplicate_groups",
-    "x37_asof_join", "x38_interval_join", "x39_stratified_sample",
-    "x40_decontaminate", "x41_bloom_semi_join", "x42_topk_per_group",
-    "x43_deterministic_shuffle", "x44_cms_estimates",
-    "x45_tfidf_top_terms", "x46_quantize_embeddings",
-    "x47_chunk_documents", "x48_rebalance_mixture",
-    "x49_incremental_dedup", "x50_streaming_cms",
-    "x52_pretraining_pipeline", "x54_unigram_logprob",
-    "x55_bpe_train", "x56_domain_stats", "x57_temperature_resample",
-    "x58_bigram_logprob", "x60_stream_stream_join",
-    "x61_bpe_encode", "x62_quality_rules", "x63_event_funnel",
-    "x64_cohort_retention", "x66_line_dedup", "x67_char_entropy",
-    "x68_canonical_docs", "x69_percentile_filter", "x70_rolling_features",
+    "x36_ivf_index", "x37_asof_join", "x38_interval_join",
+    "x39_stratified_sample", "x40_decontaminate", "x41_bloom_semi_join",
+    "x42_topk_per_group", "x43_deterministic_shuffle", "x44_cms_estimates",
+    "x45_tfidf_top_terms", "x46_quantize_embeddings", "x47_chunk_documents",
+    "x48_rebalance_mixture", "x50_streaming_cms", "x51_orc_roundtrip",
+    "x52_pretraining_pipeline", "x54_unigram_logprob", "x56_domain_stats",
+    "x57_temperature_resample", "x58_bigram_logprob",
+    "x60_stream_stream_join", "x62_quality_rules", "x63_event_funnel",
+    "x64_cohort_retention", "x65_url_dedup", "x66_line_dedup",
+    "x67_char_entropy", "x69_percentile_filter", "x70_rolling_features",
+    "x71_size_sharding", "x72_kmeans_fit", "x73_dsir_weights",
+    "x74_span_dedup", "x75_sample_per_group", "x76_ccnet_buckets",
+    "x77_logreg_quality", "x78_curation_chain", "x79_bm25_topk",
+    "x82_hashed_features", "x83_zorder_layout", "x86_weighted_sample",
 ]
 
 
