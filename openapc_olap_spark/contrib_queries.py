@@ -4297,7 +4297,12 @@ def _x84_iter_sql(prev: str, wname: str, nname: str, vname: str) -> str:
 
 _X84_SQL = f"""
     WITH e AS (
-      SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings),
+      -- the engine's shared dirty-row prefilter (pca.clean_vectors):
+      -- vector present, exactly dim long, no NULL elements
+      SELECT vec_id, v FROM (
+        SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings
+        WHERE embedding IS NOT NULL)
+      WHERE len(v) = 8 AND len(list_filter(v, x -> x IS NULL)) = 0),
     nn AS (SELECT count(*) AS n FROM e),
     dims AS (SELECT unnest(range(0, 8)) AS i),
     m AS (
@@ -4511,10 +4516,14 @@ def _x89_pca_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X89_SQL = f"""
     WITH e AS (
+      -- the engine's shared dirty-row prefilter (pca.clean_vectors):
+      -- vector present, exactly dim long, no NULL elements
       SELECT vec_id,
              list_transform(embedding::DOUBLE[],
                             x -> floor(x * 1000 + 0.5)) AS v
-      FROM embeddings),
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     nn AS (SELECT count(*) AS n FROM e),
     dims AS (SELECT unnest(range(0, 64)) AS i),
     m AS (

@@ -51,6 +51,17 @@ The classic two-phase shape, Spark-first:
 id-sorted fold per (i, j) cell — the x54/x58 engine-deterministic
 summation discipline (bounded corpora; the logreg row ceiling guards
 it). The default SUM path is the 100 TB mode.
+
+**Dirty-row contract (ADVICE r08, unified across ALL paths):** a row
+whose vector is NULL, has length != dim, or contains a NULL element is
+excluded ENTIRELY — from n, the means, and every covariance cell — by
+one Spark-side prefilter applied before any physical path runs. Every
+method therefore computes the same statistic on the same clean subset,
+``method='both'`` is a pure kernel-equality gate even on dirty corpora,
+and ``method='auto'`` cannot change results when dim crosses
+``AUTO_ARROW_DIM``. NaN elements are NOT dirty: they pass the filter
+and poison exactly the cells they touch (SUM-over-NaN semantics),
+identically in every path.
 """
 
 from __future__ import annotations
@@ -70,6 +81,14 @@ AUTO_ARROW_DIM = 16
 EXPR_DIM_CAP = 256
 
 _METHODS = ("auto", "expr", "explode", "arrow", "both")
+
+
+def clean_vectors(v: Column, dim: int) -> Column:
+    """The shared dirty-row predicate: vector present, exactly ``dim``
+    long, no NULL elements. Applied ONCE before any moments path so
+    every method sees the same clean subset (module docstring)."""
+    return (v.isNotNull() & (F.size(v) == dim)
+            & (F.size(F.filter(v, lambda x: x.isNull())) == 0))
 
 
 def _moments_expr(df: DataFrame, dim: int, v: Column):
@@ -120,12 +139,11 @@ def _moments_arrow(df: DataFrame, dim: int, v: Column):
     """The production kernel: per-partition V^T @ V partials (one BLAS
     matmul per Arrow batch), ONE array<double> row per partition of
     length 1 + d + d(d+1)/2, tree-combined (coalesce + re-kernel) when
-    the partition count is large, summed on the driver. Dirty rows
-    (NULL / ragged / null-element) are counted in n but contribute no
-    moments — fixed-dim corpora are the contract here (the expr path's
-    partial-prefix credit for ragged rows is deliberately not
-    mirrored); NaN elements poison exactly the cells they touch, same
-    as SUM over NaN."""
+    the partition count is large, summed on the driver. The caller
+    (covariance_matrix) has already dropped dirty rows — the kernel's
+    own length guard is a belt-and-braces invariant, not a semantic
+    branch; NaN elements poison exactly the cells they touch, same as
+    SUM over NaN."""
     import numpy as np
     import pandas as pd
 
@@ -161,11 +179,7 @@ def _moments_arrow(df: DataFrame, dim: int, v: Column):
         if seen:
             yield pd.DataFrame({"part": [acc]})
 
-    clean = F.when(
-        v.isNotNull() & (F.size(v) == dim)
-        & ~F.coalesce(F.exists(v, lambda x: x.isNull()), F.lit(True)),
-        v).otherwise(F.lit(None).cast("array<double>"))
-    parts = df.select(clean.alias("__v")).mapInPandas(kernel, schema)
+    parts = df.select(v.alias("__v")).mapInPandas(kernel, schema)
     if df.rdd.getNumPartitions() > 64:
         parts = parts.coalesce(16).mapInPandas(combine, schema)
     rows = parts.collect()
@@ -208,13 +222,19 @@ def covariance_matrix(df: DataFrame, dim: int, vec_col: str = "embedding",
     moments so ONE pass suffices (no second centered scan). ``method``
     picks the physical moments path — see the module docstring; every
     path feeds the same driver-side assembly, so downstream
-    (top_component / principal_components / project) is path-blind."""
+    (top_component / principal_components / project) is path-blind.
+
+    Dirty rows (NULL / wrong-length / null-element vectors) are dropped
+    by one shared prefilter before ANY path runs, so n, means, and
+    moments all describe the same clean subset regardless of method
+    (module docstring; ADVICE r08)."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
     if method not in _METHODS:
         raise ValueError(f"method must be one of {_METHODS}, "
                          f"got {method!r}")
     v = F.col(vec_col).cast("array<double>")
+    df = df.filter(clean_vectors(v, dim))
     if deterministic:
         if method not in ("auto", "expr"):
             raise ValueError(

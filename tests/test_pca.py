@@ -136,22 +136,28 @@ def test_high_dim_arrow_path(spark):
                               method="arrow")
 
 
-def test_arrow_path_dirty_rows(spark):
-    """Dirty rows (NULL / ragged / null-element) count in n but add no
-    moments on the arrow path; clean-row moments match numpy."""
+def test_dirty_rows_excluded_identically_on_every_path(spark):
+    """ADVICE r08: ONE dirty-row contract — NULL / ragged / null-element
+    rows are excluded entirely (from n, means, and covariance) by a
+    shared Spark-side prefilter, so every method returns the clean-subset
+    statistic and 'both'/'auto' cannot diverge on dirty corpora."""
     X = [[1.0, 2.0], [3.0, 5.0], [0.0, -1.0]]
     rows = [(1, X[0]), (2, X[1]), (3, X[2]),
-            (4, None), (5, [1.0]), (6, [1.0, None])]
+            (4, None), (5, [1.0]), (6, [1.0, None]),
+            (7, [1.0, 2.0, 3.0])]
     df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
-    cov, mean, n = pca.covariance_matrix(df, dim=2, method="arrow")
-    assert n == 6
     A = np.array(X)
-    # raw moments over clean rows, divided by the FULL n (mirrors the
-    # expr path's count-all / sum-clean split)
-    m = A.sum(axis=0) / 6
+    m = A.mean(axis=0)
+    c = np.cov(A.T, bias=True)
+    for method in ("expr", "explode", "arrow", "both"):
+        cov, mean, n = pca.covariance_matrix(df, dim=2, method=method)
+        assert n == 3, method
+        np.testing.assert_allclose(mean, m, rtol=1e-12, err_msg=method)
+        np.testing.assert_allclose(cov, c, rtol=1e-12, err_msg=method)
+    cov, mean, n = pca.covariance_matrix(df, dim=2, deterministic=True)
+    assert n == 3
     np.testing.assert_allclose(mean, m, rtol=1e-12)
-    s = A.T @ A / 6
-    np.testing.assert_allclose(cov, s - np.outer(m, m), rtol=1e-12)
+    np.testing.assert_allclose(cov, c, rtol=1e-12)
 
 
 def test_integer_quantized_moments_bitwise_across_paths(spark):
