@@ -4358,22 +4358,24 @@ _X84_SQL = f"""
 # X85: fuzzy record linkage (q-gram blocking + count bound + levenshtein)
 # ---------------------------------------------------------------------------
 
-_FUZZY_CAP = 1000
-
-
 def _x85_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``fuzzy.fuzzy_duplicates`` max_dist=2, q=3, gram_cap=1000 over
-    deterministically-synthesized name variants: each document gets one
-    of four spellings of "<source> rec <doc_id%5>" (exact, uppercased,
-    third char replaced, last char replaced). The oracle is the
-    SEMANTIC contract, not an algorithm replay (ADVICE r07): brute-force
-    all-pairs levenshtein over the normalized strings — so an unsound
-    blocking filter (the r07 distinct-gram bound bug) breaks the hash
-    instead of hiding inside a twin reimplementation. The cap is
-    inactive at the gate's scale (every gram's doc-frequency is <= 500
-    here), so blocked + short strata must reproduce EVERY true pair.
-    The per-residue rollup digests every matched (id_a, id_b, dist)
-    triple; one wrong/missing/extra pair breaks the hash."""
+    """``fuzzy.fuzzy_duplicates`` max_dist=2, q=3, collapse_exact=True
+    over deterministically-synthesized name variants: each document
+    gets one of four spellings of "<source> rec <doc_id%5>" (exact,
+    uppercased, third char replaced, last char replaced). The oracle is
+    the SEMANTIC contract, not an algorithm replay (ADVICE r07):
+    brute-force all-pairs levenshtein over the normalized strings — so
+    an unsound blocking filter (the r07 distinct-gram bound bug) breaks
+    the hash instead of hiding inside a twin reimplementation. No
+    gram_cap (ADVICE r08: the constant " rec " infix makes those grams'
+    doc-frequency EQUAL the row count, so any df cap silently activates
+    at a large-enough sf and breaks recall for a data-scale reason);
+    instead collapse_exact runs blocking at distinct-string grain —
+    bounded by key entropy (sources x residues x variants), constant in
+    sf — and expands matches back to id pairs, so blocked + short
+    strata must reproduce EVERY true pair at EVERY scale. The
+    per-residue rollup digests every matched (id_a, id_b, dist) triple;
+    one wrong/missing/extra pair breaks the hash."""
     from openapc_olap_spark.operators import fuzzy
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
@@ -4389,7 +4391,7 @@ def _x85_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.substring(base, 1, F.length(base) - 1), F.lit("z"))))
     named = docs.select("doc_id", name.alias("name"))
     pairs = fuzzy.fuzzy_duplicates(named, col="name", id_col="doc_id",
-                                   max_dist=2, q=3, gram_cap=_FUZZY_CAP)
+                                   max_dist=2, q=3, collapse_exact=True)
     trip = F.concat_ws(":", F.col("id_a").cast("string"),
                        F.col("id_b").cast("string"),
                        F.col("dist").cast("string"))

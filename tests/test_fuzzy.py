@@ -164,3 +164,98 @@ def test_volume_probe_and_fail_fast(spark, nasty_df, names_df):
     got = fuzzy.fuzzy_duplicates(low, max_dist=1, max_candidates=budget,
                                  auto_q=True)
     assert got.count() == 0          # md5 hexes are all >1 edit apart
+
+
+def test_collapse_exact_matches_plain(spark):
+    """ADVICE r08 / x85 scale fix: collapse_exact runs blocking at
+    distinct-string grain and expands back — the id-pair output must be
+    IDENTICAL to the plain path, including intra-class dist-0 pairs and
+    short-stratum classes."""
+    rows = []
+    for i in range(60):
+        variant = i % 4
+        base = f"src{i % 2} rec {i % 3}"
+        s = [base, base.upper(), base[:2] + "x" + base[3:],
+             base[:-1] + "z"][variant]
+        rows.append((i, s))
+    rows += [(100, "ab"), (101, "AB"), (102, "ac")]   # short classes
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(4)
+    want = _brute_pairs(rows, 2)
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in
+           fuzzy.fuzzy_duplicates(df, max_dist=2,
+                                  collapse_exact=True).collect()}
+    assert got == want
+    plain = {(r["id_a"], r["id_b"]): r["dist"] for r in
+             fuzzy.fuzzy_duplicates(df, max_dist=2).collect()}
+    assert got == plain
+    # and with the probe armed: the budget is judged at CLASS grain, so
+    # a duplicate-heavy corpus fits a budget its row grain never could
+    distinct = sorted({_norm(s) for _, s in rows})
+    cls_vol = fuzzy.estimate_blocking_volume(
+        spark.createDataFrame(list(enumerate(distinct)),
+                              ["doc_id", "text"]), max_dist=2)
+    got2 = {(r["id_a"], r["id_b"]): r["dist"] for r in
+            fuzzy.fuzzy_duplicates(df, max_dist=2, collapse_exact=True,
+                                   max_candidates=cls_vol["total"]).collect()}
+    assert got2 == want
+
+
+def test_join_probe_and_auto_q(spark):
+    """ADVICE r08: fuzzy_join carries the same fail-fast volume probe
+    as fuzzy_duplicates (cross-frame law: sum of df_l*df_r + short
+    cross product)."""
+    import hashlib
+    left = spark.createDataFrame(
+        [(i, hashlib.md5(str(i).encode()).hexdigest())
+         for i in range(200)], ["rid", "text"])
+    right = spark.createDataFrame(
+        [(i, hashlib.md5(str(i + 500).encode()).hexdigest())
+         for i in range(200)], ["cid", "text"])
+    v3 = fuzzy.estimate_join_volume(left, right, "text", left_id="rid",
+                                    right_id="cid", q=3, max_dist=1)
+    v5 = fuzzy.estimate_join_volume(left, right, "text", left_id="rid",
+                                    right_id="cid", q=5, max_dist=1)
+    assert v5["blocked_pairs"] < v3["blocked_pairs"]
+    assert v3["total"] == v3["blocked_pairs"] + v3["short_pairs"]
+    # hopeless budget fails fast with measured volumes
+    with pytest.raises(ValueError, match="blocking volume exceeds"):
+        fuzzy.fuzzy_join(left, right, "text", left_id="rid",
+                         right_id="cid", max_dist=1, max_candidates=1)
+    # auto_q escalates to q=5 inside the v3-1 budget and stays correct
+    got = fuzzy.fuzzy_join(left, right, "text", left_id="rid",
+                           right_id="cid", max_dist=1,
+                           max_candidates=v3["total"] - 1, auto_q=True)
+    assert got.count() == 0
+    with pytest.raises(ValueError, match="auto_q requires"):
+        fuzzy.fuzzy_join(left, right, "text", auto_q=True)
+
+
+def test_join_collapse_exact_matches_plain(spark):
+    canon = [(100, "New York"), (200, "new  york"), (300, "Chicago")]
+    dirty = [(1, "new york"), (2, "NEW YORK"), (3, "Chicagoo"),
+             (4, "Houston")]
+    cdf = spark.createDataFrame(canon, ["cid", "text"])
+    ddf = spark.createDataFrame(dirty, ["rid", "text"])
+    plain = {(r["rid"], r["cid"]): r["dist"] for r in
+             fuzzy.fuzzy_join(ddf, cdf, "text", left_id="rid",
+                              right_id="cid", max_dist=2).collect()}
+    coll = {(r["rid"], r["cid"]): r["dist"] for r in
+            fuzzy.fuzzy_join(ddf, cdf, "text", left_id="rid",
+                             right_id="cid", max_dist=2,
+                             collapse_exact=True).collect()}
+    assert coll == plain
+    assert coll[(1, 100)] == 0 and coll[(2, 200)] == 0
+    assert coll[(3, 300)] == 1 and not any(r == 4 for r, _ in coll)
+
+
+def test_qgram_counts_default_q_matches_module_convention(spark):
+    """ADVICE r08: qgram_counts defaulted to q=1 while everything else
+    defaults to q=3 — a caller relying on the default silently got
+    unigrams, the weakest blocking keys."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([("abc",)], ["s"])
+    got = df.select(fuzzy.qgram_counts("s").alias("g")).first()["g"]
+    grams = sorted(p["gram"] for p in got)
+    assert all(len(g) == 3 for g in grams)    # trigrams, not unigrams
+    want = df.select(fuzzy.qgram_counts("s", 3).alias("g")).first()["g"]
+    assert got == want
