@@ -1957,15 +1957,19 @@ def _x36_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _x35_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``dedup.duplicate_groups`` (iterative min-label propagation with
-    per-round lineage checkpointing) over the MinHash near-dup pair graph:
-    one row per connected component, (canon_id = min doc id, n_members).
-    The oracle resolves the same components with a recursive-CTE
-    transitive closure over the exact-Jaccard pair set — component
-    membership, canonical choice, and group sizes all under the hash."""
+    """``dedup.duplicate_groups(method='both')`` over the MinHash
+    near-dup pair graph: min-label propagation AND the alternating
+    large-star/small-star rewrite (Kiveris et al., VERDICT r08 #3) both
+    run in-gate and are asserted node-identical before the label-mode
+    frame is returned — the x53/x59/x89 self-certification pattern at
+    component grain. One row per connected component, (canon_id = min
+    doc id, n_members). The oracle resolves the same components with a
+    recursive-CTE transitive closure over the exact-Jaccard pair set —
+    component membership, canonical choice, and group sizes all under
+    the hash."""
     docs = _docs_split(spark, sf_dir)
     pairs = dedup.minhash_near_duplicates(docs, threshold=0.5)
-    return dedup.duplicate_groups(pairs).orderBy("canon_id")
+    return dedup.duplicate_groups(pairs, method="both").orderBy("canon_id")
 
 
 _X35_SQL = f"""

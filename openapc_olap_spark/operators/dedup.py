@@ -589,27 +589,63 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         method: str = "label") -> DataFrame:
     """Resolve the connected components of an undirected pair graph:
     output (id, comp) where ``comp`` is the MINIMUM node id reachable from
     ``id`` — the canonical representative every dedup pipeline needs after
     pair generation (pairs alone don't say which doc to keep when dups
     chain a-b, b-c).
 
-    Algorithm: iterative min-label propagation with pointer-jumping
-    compression. Each round, (1) every node offers its current label to
-    its neighbours and labels re-aggregate by min (one join + one
-    map-side combined min-agg on node keys), then (2) labels shortcut
-    through their own target (comp -> comp(comp)), so the distance a
-    component min travels roughly doubles per round — convergence in
-    O(log diameter) rounds, and near-dup graphs (near-cliques from
-    candidate generation) finish in 2-3. The edge frame is persisted
-    once and reused every round; per-round label frames are
-    localCheckpoint-ed so the plan stays constant-size across rounds
-    (the standard iterative-DataFrame lineage guard). Raises after
-    ``max_iter`` rounds without convergence rather than returning
+    Two physical algorithms behind one contract (``method=``, the
+    kmeans/pca knob pattern — VERDICT r08 #3):
+
+    - ``"label"`` (default, the oracle-replay mode): iterative min-label
+      propagation with pointer-jumping compression. Each round, (1)
+      every node offers its current label to its neighbours and labels
+      re-aggregate by min (one join + one map-side combined min-agg on
+      node keys), then (2) labels shortcut through their own target
+      (comp -> comp(comp)), so the distance a component min travels
+      roughly doubles per round — O(log diameter) rounds; near-dup
+      graphs (near-cliques) finish in 2-3. Every round touches the FULL
+      node-label frame.
+    - ``"star"`` — alternating large-star/small-star (Kiveris et al.
+      2014, "Connected Components in MapReduce and Beyond"): rewrites
+      the EDGE set itself toward a star forest rooted at component
+      minima, converging in O(log^2 n) rounds independent of diameter,
+      with per-round volume bounded by the CURRENT edge count (large-star
+      emits <= |E| edges, small-star <= |E| + |V|). On long-chain graphs
+      — pathological for label propagation's per-round full-frame
+      traffic — star's edge frame collapses geometrically instead
+      (SCALING.md r09 measurement).
+    - ``"both"`` — the self-certifying gate: runs BOTH, asserts the
+      (id, comp) maps are identical, returns the label-mode frame.
+
+    The edge frame is persisted once and reused every round; per-round
+    frames are localCheckpoint-ed so the plan stays constant-size across
+    rounds (the standard iterative-DataFrame lineage guard). Raises
+    after ``max_iter`` rounds without convergence rather than returning
     silently-wrong labels.
     """
+    if method not in ("label", "star", "both"):
+        raise ValueError(f"method must be 'label', 'star' or 'both', "
+                         f"got {method!r}")
+    if method == "star":
+        return _cc_star(edges, src, dst, max_iter)
+    if method == "both":
+        lab = _materialized(connected_components(edges, src, dst,
+                                                 max_iter, "label"))
+        star = _cc_star(edges, src, dst, max_iter)
+        diff = (lab.join(star.withColumnRenamed("comp", "__sc"),
+                         ["id"], "full")
+                .filter(F.col("comp").isNull() | F.col("__sc").isNull()
+                        | (F.col("comp") != F.col("__sc")))
+                .count())
+        if diff:
+            raise AssertionError(
+                f"connected_components label/star mismatch on {diff} "
+                f"node(s) — kernel bug, not data")
+        return lab
     sym = (edges.select(F.col(src).cast("long").alias("a"),
                         F.col(dst).cast("long").alias("b"))
            .union(edges.select(F.col(dst).cast("long").alias("a"),
@@ -667,20 +703,90 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         sym.unpersist()
 
 
+def _cc_star(edges: DataFrame, src: str, dst: str,
+             max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al. 2014): each
+    round rewrites the canonical undirected edge set
+
+    - large-star(u): every neighbour v > u re-attaches to
+      m = min(N(u) + {u})  — emits (m, v), one edge per directed pair
+      with v > u, so |E'| <= |E|;
+    - small-star(u): every neighbour v < u (and u itself) re-attaches
+      to m = min(N^-(u)) — emits <= |E| + |V| edges;
+
+    until the set is stable, i.e. a star forest rooted at component
+    minima. Neither phase ever drops a node: a local-min u keeps
+    appearing via (x, m(u)=u) in large-star, and a node with any edge
+    appears in its greater endpoint's small-star emission. Per-round
+    cost is two (groupBy-min + join-back + distinct) passes over the
+    CURRENT edge frame — which shrinks geometrically on long chains,
+    where label propagation keeps shuffling the full node-label frame
+    every round. localCheckpoint per phase keeps the plan
+    constant-size (the label-mode lineage discipline)."""
+    cur = (edges.select(F.col(src).cast("long").alias("u"),
+                        F.col(dst).cast("long").alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .select(F.least("u", "v").alias("a"),
+                   F.greatest("u", "v").alias("b"))
+           .distinct()
+           .localCheckpoint())
+    for _ in range(max_iter):
+        # -- large-star: (v, min(N(u) + {u})) for v > u
+        dirn = cur.union(cur.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+        mins = (dirn.groupBy("a").agg(F.min("b").alias("__mb"))
+                .select("a", F.least("__mb", F.col("a")).alias("__m")))
+        # m <= u < v, so (m, v) is already canonical and never a loop
+        big = (dirn.filter(F.col("b") > F.col("a"))
+               .join(mins, ["a"])
+               .select(F.col("__m").alias("a"), "b")
+               .distinct()
+               .localCheckpoint())
+        # -- small-star: (v, min(N^-(u))) for v < u, plus (u, min)
+        dirn2 = big.union(big.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
+        minus = dirn2.filter(F.col("b") < F.col("a"))
+        mins2 = minus.groupBy("a").agg(F.min("b").alias("__m"))
+        sm = (minus.join(mins2, ["a"])
+              .select(F.col("__m").alias("na"), F.col("b").alias("nb"))
+              .filter(F.col("na") != F.col("nb"))      # v == m loop
+              .union(mins2.select(F.col("__m").alias("na"),
+                                  F.col("a").alias("nb")))
+              .distinct()
+              .select(F.col("na").alias("a"), F.col("nb").alias("b"))
+              .localCheckpoint())
+        stable = (sm.join(cur, ["a", "b"], "left_anti").count() == 0
+                  and sm.count() == cur.count())
+        cur = sm
+        if stable:
+            # star forest: every edge is (component-min, member)
+            centers = (cur.select(F.col("a").alias("id")).distinct()
+                       .withColumn("comp", F.col("id")))
+            leaves = (cur.groupBy(F.col("b").alias("id"))
+                      .agg(F.min("a").alias("comp")))
+            return leaves.unionByName(centers)
+    raise RuntimeError(
+        f"connected_components(method='star') did not converge in "
+        f"{max_iter} rounds (the Kiveris bound is O(log^2 n) — raise "
+        f"max_iter)")
+
+
 def duplicate_groups(pairs: DataFrame, src: str = "id_a",
-                     dst: str = "id_b") -> DataFrame:
+                     dst: str = "id_b", method: str = "label") -> DataFrame:
     """Per-group summary of the near-dup pair graph: one row per
     connected component — (canon_id, n_members), canon_id = min doc id.
     Feed any pair family (x02/x03/x04/x06) in; groups say which docs
-    collapse together and which single doc survives."""
-    comp = connected_components(pairs, src, dst)
+    collapse together and which single doc survives. ``method`` selects
+    the CC algorithm (label / star / both — see connected_components)."""
+    comp = connected_components(pairs, src, dst, method=method)
     return (comp.groupBy(F.col("comp").alias("canon_id"))
             .agg(F.count(F.lit(1)).alias("n_members")))
 
 
 def resolve_duplicates(df: DataFrame, pairs: DataFrame,
                        id_col: str = "doc_id",
-                       src: str = "id_a", dst: str = "id_b") -> DataFrame:
+                       src: str = "id_a", dst: str = "id_b",
+                       method: str = "label") -> DataFrame:
     """Attach ``canon_id`` to every row of ``df``: the component
     representative for docs in the pair graph, the doc's own id otherwise
     (singletons). ``df.filter(col(id_col) == col('canon_id'))`` is then
@@ -688,7 +794,7 @@ def resolve_duplicates(df: DataFrame, pairs: DataFrame,
     the (tiny relative to the corpus) component map."""
     # collision-proof aliases: dropping a bare 'id'/'comp' would also
     # drop (or clash with) same-named columns of the caller's frame
-    comp = connected_components(pairs, src, dst).select(
+    comp = connected_components(pairs, src, dst, method=method).select(
         F.col("id").alias("__cc_id"), F.col("comp").alias("__cc_comp"))
     return (df.join(comp, df[id_col] == comp["__cc_id"], "left")
             .withColumn("canon_id",

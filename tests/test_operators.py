@@ -1139,10 +1139,87 @@ def test_connected_components_empty_and_no_pairs(spark):
     maps every doc to itself (all singletons kept)."""
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.connected_components(empty).count() == 0
+    assert dedup.connected_components(empty, method="star").count() == 0
+    assert dedup.connected_components(empty, method="both").count() == 0
     docs = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
     got = {r["doc_id"]: r["canon_id"]
            for r in dedup.resolve_duplicates(docs, empty).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_connected_components_star_mode(spark):
+    """VERDICT r08 #3: the alternating large-star/small-star rewrite
+    (Kiveris et al.) matches label propagation on chains, cliques,
+    self-loops, duplicate/reversed edges — and 'both' self-certifies."""
+    pairs = [(1, 2), (2, 3),                      # chain
+             (10, 11), (10, 12), (11, 12),        # clique
+             (20, 21), (21, 20), (20, 20),        # dup + reversed + loop
+             (30, 31), (31, 32), (32, 33), (33, 34)]   # longer chain
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20,
+            30: 30, 31: 30, 32: 30, 33: 30, 34: 30}
+    for method in ("star", "both"):
+        got = {r["id"]: r["comp"] for r in
+               dedup.connected_components(df, method=method).collect()}
+        assert got == want, method
+    got2 = {r["id"]: r["comp"] for r in
+            dedup.connected_components(df.repartition(5),
+                                       method="star").collect()}
+    assert got2 == want
+    with pytest.raises(ValueError, match="method"):
+        dedup.connected_components(df, method="bogus")
+
+
+def test_connected_components_star_long_chain_few_rounds(spark):
+    """A 64-node path (diameter 63) — star mode's worst published bound
+    is O(log^2 n) alternating rounds; it must land well inside
+    max_iter=10 where one-hop propagation would need 64."""
+    pairs = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r["id"]: r["comp"] for r in
+           dedup.connected_components(df, max_iter=10,
+                                      method="star").collect()}
+    assert set(got.values()) == {0} and len(got) == 65
+
+
+def test_connected_components_star_matches_union_find_random(spark):
+    """Same 10-seeded-random-graph property net as label mode, run
+    through the star kernel."""
+    import random
+
+    def uf_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(members) for members in comp.values()
+                for n in members}
+
+    rng = random.Random(13)
+    for trial in range(10):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        nodes = sorted({x for e in edges for x in e})
+        expect = uf_components(edges, nodes)
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["id"]: r["comp"] for r in
+               dedup.connected_components(df, method="star").collect()}
+        assert got == expect, f"trial {trial}: {edges}"
 
 
 # ---------------------------------------------------------------- temporal
