@@ -4520,6 +4520,72 @@ def _x89_pca_block(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "chk")
 
 
+# ---------------------------------------------------------------------------
+# X87: kNN-graph construction (brute exact, arrow/expr equality-gated)
+# ---------------------------------------------------------------------------
+
+def _x87_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn.knn_graph(method='both', metric='dot')`` — every 20th
+    vector linked to its 5 nearest corpus neighbours (VERDICT r08 #4).
+    Embeddings are quantized to integer-valued doubles
+    (floor(x*1000 + 0.5)) so every dot product is EXACT (< 2^53) in
+    both the Arrow BLAS kernel and the SQL fold — method='both' runs
+    the broadcast-matmul path in-gate and asserts every (src, rank,
+    dst, score) slot against the window-ranked expr twin, whose values
+    the oracle replays (the x35/x89 self-certification pattern).
+    Tie-break (score desc, dst asc) is pinned on both engines. The
+    per-residue rollup digests every edge; one wrong neighbour, rank,
+    or score breaks the hash."""
+    from openapc_olap_spark.operators import knn
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 1000 + F.lit(0.5))
+                     .cast("double"))
+    dq = emb.select("vec_id", qv.alias("embedding"))
+    g = knn.knn_graph(dq, dim=64, k=5,
+                      queries=dq.filter(F.col("vec_id") % 20 == 0),
+                      metric="dot", method="both")
+    trip = F.concat_ws(":", F.col("src").cast("string"),
+                       F.col("rank").cast("string"),
+                       F.col("dst").cast("string"),
+                       F.col("score").cast("long").cast("string"))
+    return (g.groupBy((F.col("src") % 7).alias("grp"))
+            .agg(F.count(F.lit(1)).alias("n_edges"),
+                 F.sum("rank").cast("long").alias("rank_sum"),
+                 F.sum("score").cast("long").alias("score_sum"),
+                 F.md5(F.array_join(F.array_sort(
+                     F.collect_list(trip)), ",")).alias("digest")))
+
+
+_X87_SQL = """
+    WITH e AS (
+      -- the engine's shared dirty-row prefilter (pca.clean_vectors)
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 1000 + 0.5)) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    q AS (SELECT * FROM e WHERE vec_id % 20 = 0),
+    ranked AS (
+      SELECT q.vec_id AS src, d.vec_id AS dst,
+             list_dot_product(q.v, d.v) AS score,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, d.v) DESC, d.vec_id ASC)
+               AS rank
+      FROM q JOIN e d ON d.vec_id != q.vec_id),
+    top AS (SELECT src, rank, dst, score FROM ranked WHERE rank <= 5)
+    SELECT (src % 7)::BIGINT AS grp, count(*) AS n_edges,
+           sum(rank)::BIGINT AS rank_sum, sum(score)::BIGINT AS score_sum,
+           md5(array_to_string(list_sort(list(
+             src::VARCHAR || ':' || rank::VARCHAR || ':' || dst::VARCHAR
+             || ':' || score::BIGINT::VARCHAR)), ',')) AS digest
+    FROM top GROUP BY 1
+"""
+
+
 _X89_SQL = f"""
     WITH e AS (
       -- the engine's shared dirty-row prefilter (pca.clean_vectors):
@@ -4655,6 +4721,7 @@ QUERIES = {
     "x84_pca_projection": _x84_pca_projection,
     "x85_fuzzy_linkage": _x85_fuzzy_linkage,
     "x86_weighted_sample": _x86_weighted_sample,
+    "x87_knn_graph": _x87_knn_graph,
     "x89_pca_block": _x89_pca_block,
 }
 
@@ -4745,5 +4812,6 @@ ORACLES = {
     "x84_pca_projection": _X84_SQL,
     "x85_fuzzy_linkage": _X85_SQL,
     "x86_weighted_sample": _X86_SQL,
+    "x87_knn_graph": _X87_SQL,
     "x89_pca_block": _X89_SQL,
 }

@@ -26,6 +26,7 @@ from openapc_olap_spark.operators import (  # noqa: F401
     fuzzy,
     graph,
     kmeans,
+    knn,
     linededup,
     lm,
     logreg,

@@ -191,6 +191,8 @@ _X_DEPS = {
     "x84_pca_projection": [f"{_OPS}/pca.py", f"{_OPS}/logreg.py"],
     "x85_fuzzy_linkage": [f"{_OPS}/fuzzy.py", f"{_OPS}/dedup.py"] + _MEMO,
     "x86_weighted_sample": [f"{_OPS}/sampling.py", f"{_OPS}/ranking.py"],
+    "x87_knn_graph": [f"{_OPS}/knn.py", f"{_OPS}/similarity.py",
+                      f"{_OPS}/pca.py"] + _MEMO,
     "x89_pca_block": [f"{_OPS}/pca.py", f"{_OPS}/logreg.py"],
 }
 DEPS.update(_X_DEPS)
