@@ -424,9 +424,11 @@ _CERT_FIRST = [
     # probe base reuse — ADVICE r08) and the x85 gate callable (gram_cap
     # scale-fragility fix)
     "x85_fuzzy_linkage",
-    # new r09 gate (never certified): kNN-graph construction, arrow
-    # kernel hash-certified in-plan via method='both' (VERDICT r08 #4)
-    "x87_knn_graph",
+    # new r09 gates (never certified): kNN-graph construction with the
+    # arrow kernel hash-certified in-plan via method='both' (VERDICT
+    # r08 #4), and unigram-LM tokenizer EM training with a generated
+    # full-replay CTE oracle (VERDICT r08 #5)
+    "x87_knn_graph", "x88_unigram_tokenizer",
     # r09 touches dedup.py (large-star/small-star connected components,
     # VERDICT r08 #3): every gate executing through dedup.py rotates in
     "x01_dedup_summary", "x02_ngram_jaccard", "x03_minhash_neardup",

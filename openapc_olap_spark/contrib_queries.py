@@ -4586,6 +4586,160 @@ _X87_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# X88: unigram-LM (SentencePiece-style) tokenizer training
+# ---------------------------------------------------------------------------
+
+def _x88_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unigram.unigram_train(deterministic=True)`` — 2 EM rounds of
+    the Kudo 2018 unigram tokenizer over the top-200 corpus words
+    (VERDICT r08 #5): seed substring counts, forward-backward expected
+    counts over each word's segmentation lattice, prune to all single
+    chars + top-60 multi-char pieces, renormalize. Every sum and
+    product in the E-step has ONE fixed association order (the x84
+    power-iteration discipline applied to lattice DP), so the oracle —
+    the same seed/EM/prune pipeline generated as chained CTEs with
+    correlated piece lookups — replays every double bitwise; rounding
+    to 6/7 dp happens identically on both engines. One wrong lattice
+    edge, posterior, prune rank, or normalizer breaks the hash."""
+    from openapc_olap_spark.operators import unigram
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = unigram.unigram_train(docs, vocab_size=60, n_iter=2,
+                                piece_len=3, word_cap=8, seed_size=80,
+                                max_words=200, deterministic=True)
+    return out.select("piece",
+                      (F.round("cnt", 6) + F.lit(0.0)).alias("cnt"),
+                      (F.round("p", 7) + F.lit(0.0)).alias("p"))
+
+
+def _x88_sql() -> str:
+    """Generate the oracle: the exact CTE replay of unigram_train at
+    the gate's dials (word_cap=8, piece_len=3, max_words=200,
+    seed_size=80, vocab_size=60, n_iter=2). Mirrors
+    operators/unigram.py expression-for-expression: forward terms
+    i-ascending, backward terms l-ascending, left-associated folds,
+    (word, i, l)-ordered list_reduce sums, (cnt desc, piece asc)
+    pruning."""
+    cap, plen, maxw, seed, vocab = 8, 3, 200, 80, 60
+    slots = [(i, l) for i in range(cap)
+             for l in range(1, plen + 1) if i + l <= cap]
+    bslots = [(k, l) for k in range(1, cap + 1)
+              for l in range(1, min(plen, k) + 1)]
+
+    seed_union = "\n      UNION ALL ".join(
+        f"SELECT substr(word, {i + 1}, {l}) AS piece, wc FROM words "
+        f"WHERE {i + l} <= wlen" for (i, l) in slots)
+
+    def em_block(r: int) -> str:
+        look_f = ",\n         ".join(
+            f"CASE WHEN {i + l} <= wlen THEN coalesce((SELECT p FROM "
+            f"pieces{r} pp WHERE pp.piece = substr(word, {i + 1}, {l})),"
+            f" 0.0) ELSE 0.0 END AS pf_{i}_{l}" for (i, l) in slots)
+        look_b = ",\n         ".join(
+            f"CASE WHEN {k} <= wlen THEN coalesce((SELECT p FROM "
+            f"pieces{r} pp WHERE pp.piece = substr(word, wlen - {k} + 1,"
+            f" {l})), 0.0) ELSE 0.0 END AS pb_{k}_{l}"
+            for (k, l) in bslots)
+        fdefs = ["1.0 AS f0"]
+        for j in range(1, cap + 1):
+            terms = [f"(f{j - l} * pf_{j - l}_{l})"
+                     for l in range(min(plen, j), 0, -1)]   # i-ascending
+            expr = terms[0]
+            for t in terms[1:]:
+                expr = f"({expr} + {t})"
+            fdefs.append(f"{expr} AS f{j}")
+        bdefs = ["1.0 AS b0"]
+        for k in range(1, cap + 1):
+            terms = [f"(pb_{k}_{l} * b{k - l})"
+                     for l in range(1, min(plen, k) + 1)]   # l-ascending
+            expr = terms[0]
+            for t in terms[1:]:
+                expr = f"({expr} + {t})"
+            bdefs.append(f"{expr} AS b{k}")
+        flist = ", ".join(f"f{j}" for j in range(cap + 1))
+        blist = ", ".join(f"b{k}" for k in range(cap + 1))
+        ecdefs = ",\n         ".join(
+            f"CASE WHEN {i + l} <= wlen AND z > 0.0 THEN "
+            f"((f{i} * pf_{i}_{l}) * "
+            f"(list_value({blist})[wlen - {i + l} + 1])) / z "
+            f"ELSE 0.0 END AS ec_{i}_{l}" for (i, l) in slots)
+        contrib_union = "\n      UNION ALL ".join(
+            f"SELECT word, {i} AS i, {l} AS l, "
+            f"substr(word, {i + 1}, {l}) AS piece, wc * ec_{i}_{l} AS v "
+            f"FROM em{r}_state WHERE {i + l} <= wlen"
+            for (i, l) in slots)
+        fjoin = ",\n         ".join(fdefs)
+        bjoin = ",\n         ".join(bdefs)
+        # lookups (correlated subqueries) live in their own CTE: DuckDB
+        # forbids reusing a SELECT alias whose expression contains a
+        # subquery, while pure-arithmetic alias chains (f/b/ec) are fine
+        return f"""
+    em{r}_probs AS MATERIALIZED (
+      SELECT word, wc, wlen,
+         {look_f},
+         {look_b}
+      FROM words),
+    em{r}_state AS MATERIALIZED (
+      SELECT *,
+         {fjoin},
+         {bjoin},
+         list_value({flist})[wlen + 1] AS z,
+         {ecdefs}
+      FROM em{r}_probs),
+    em{r}_contrib AS (
+      {contrib_union}),
+    em{r}_cnt AS MATERIALIZED (
+      SELECT piece, list_reduce(list(v ORDER BY word, i, l),
+                                (a, b) -> a + b) AS cnt
+      FROM em{r}_contrib GROUP BY piece),
+    em{r}_keep AS MATERIALIZED (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece ASC) AS r
+        FROM em{r}_cnt WHERE len(piece) > 1) WHERE r <= {vocab}
+      UNION ALL
+      SELECT piece, cnt FROM em{r}_cnt WHERE len(piece) = 1),
+    pieces{r + 1} AS MATERIALIZED (
+      SELECT piece, cnt,
+             cnt / (SELECT list_reduce(list(cnt ORDER BY piece),
+                                       (a, b) -> a + b)
+                    FROM em{r}_keep) AS p
+      FROM em{r}_keep)"""
+
+    return f"""
+    WITH w0 AS (
+      SELECT substr(t, 1, {cap}) AS word, count(*) AS wc
+      FROM (SELECT unnest({_TOKS_SQL}) AS t FROM documents)
+      GROUP BY 1),
+    words AS MATERIALIZED (
+      SELECT word, wc, len(word) AS wlen FROM w0
+      QUALIFY row_number() OVER (ORDER BY wc DESC, word ASC) <= {maxw}),
+    seed_cnt AS MATERIALIZED (
+      SELECT piece, sum(wc)::BIGINT AS cnt FROM (
+      {seed_union}
+      ) GROUP BY 1),
+    seed_keep AS MATERIALIZED (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece ASC) AS r
+        FROM seed_cnt WHERE len(piece) > 1) WHERE r <= {seed}
+      UNION ALL
+      SELECT piece, cnt FROM seed_cnt WHERE len(piece) = 1),
+    pieces0 AS MATERIALIZED (
+      SELECT piece, cnt::DOUBLE AS cnt,
+             cnt::DOUBLE / (SELECT sum(cnt) FROM seed_keep)::DOUBLE AS p
+      FROM seed_keep),
+    {em_block(0)},
+    {em_block(1)}
+    SELECT piece, round(cnt, 6) + 0.0 AS cnt, round(p, 7) + 0.0 AS p
+    FROM pieces2
+"""
+
+
+_X88_SQL = _x88_sql()
+
+
 _X89_SQL = f"""
     WITH e AS (
       -- the engine's shared dirty-row prefilter (pca.clean_vectors):
@@ -4722,6 +4876,7 @@ QUERIES = {
     "x85_fuzzy_linkage": _x85_fuzzy_linkage,
     "x86_weighted_sample": _x86_weighted_sample,
     "x87_knn_graph": _x87_knn_graph,
+    "x88_unigram_tokenizer": _x88_unigram_tokenizer,
     "x89_pca_block": _x89_pca_block,
 }
 
@@ -4813,5 +4968,6 @@ ORACLES = {
     "x85_fuzzy_linkage": _X85_SQL,
     "x86_weighted_sample": _X86_SQL,
     "x87_knn_graph": _X87_SQL,
+    "x88_unigram_tokenizer": _X88_SQL,
     "x89_pca_block": _X89_SQL,
 }

@@ -51,6 +51,7 @@ from openapc_olap_spark.operators import (  # noqa: F401
     temporal,
     text,
     tfidf,
+    unigram,
     urlnorm,
     web,
     windows,

@@ -193,6 +193,9 @@ _X_DEPS = {
     "x86_weighted_sample": [f"{_OPS}/sampling.py", f"{_OPS}/ranking.py"],
     "x87_knn_graph": [f"{_OPS}/knn.py", f"{_OPS}/similarity.py",
                       f"{_OPS}/pca.py"] + _MEMO,
+    "x88_unigram_tokenizer": [f"{_OPS}/unigram.py", f"{_OPS}/text.py",
+                              f"{_OPS}/logreg.py",
+                              f"{_OPS}/dedup.py"] + _MEMO,
     "x89_pca_block": [f"{_OPS}/pca.py", f"{_OPS}/logreg.py"],
 }
 DEPS.update(_X_DEPS)
