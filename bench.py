@@ -9,6 +9,20 @@ Protocol (BASELINE.md): per query 1 warm-up + ``BENCH_RUNS`` timed runs
 (median reported); timing covers plan + execute + collect, the same work the
 driver's gate does. Config knobs recorded in the JSON so numbers stay
 comparable across rounds.
+
+Tiered protocol (BASELINE.md "Tiered bench protocol", VERDICT r08 #8):
+the FULL declared set (default, what the driver records per round) now
+costs ~2 min at sf0.1 and grows every round; intermediate/iteration runs
+should time only the queries under work. Pass query names (or prefixes)
+as argv, or set ``SPARK_GRAFT_BENCH_QUERIES`` to a comma list:
+
+    python bench.py                      # full set (the per-round record)
+    python bench.py x85 x87 x88          # exact names
+    python bench.py e q0                 # every e-gate + q01..q09
+    SPARK_GRAFT_BENCH_QUERIES=x8 python bench.py
+
+Subset runs stamp ``query_set: "subset(<n>)"`` in the JSON so a partial
+number can never be mistaken for a full-set round record.
 """
 
 from __future__ import annotations
@@ -34,8 +48,20 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    wanted = [a for a in sys.argv[1:] if not a.startswith("-")]
+    env_q = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    wanted += [q.strip() for q in env_q.split(",") if q.strip()]
+    declared = sorted(entrymod.queries().items())
+    if wanted:
+        declared = [(n, f) for n, f in declared
+                    if any(n.startswith(w) for w in wanted)]
+        if not declared:
+            print(f"bench: no declared query matches {wanted}",
+                  file=sys.stderr)
+            sys.exit(2)
+
     per_query: dict[str, float] = {}
-    for name, fn in sorted(entrymod.queries().items()):
+    for name, fn in declared:
         try:
             fn(spark, sf_dir).collect()          # warm-up: plan + IO caches
             times = []
@@ -48,11 +74,15 @@ def main() -> None:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             per_query[name] = -1.0
     total = round(sum(t for t in per_query.values() if t > 0), 4)
+    qset = "full" if not wanted else f"subset({len(per_query)})"
     print(json.dumps({
-        "metric": "sum of per-query median wall-clock (warm), full declared query set",
+        "metric": ("sum of per-query median wall-clock (warm), "
+                   + ("full declared query set" if not wanted
+                      else f"SUBSET of {len(per_query)} queries")),
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "query_set": qset,
         "sf": sf,
         "config": {
             "spark": spark.version,
