@@ -124,38 +124,64 @@ def _arrow_topk(queries: DataFrame, corpus: DataFrame, k: int,
     sc = corpus.sparkSession.sparkContext
     b_ids, b_m = sc.broadcast(ids), sc.broadcast(M)
 
+    def _row_topk(s, mids, k):
+        """Exact top-k indices by (score desc, id asc). Fast path:
+        argpartition to k + slack candidates (O(n)), exact-sort only
+        those; provably complete unless a score TIE spans the
+        partition boundary, in which case fall back to the full
+        lexsort — ties above the k-th candidate's score cannot exist
+        outside the candidate set by the partition guarantee."""
+        n = len(s)
+        take = k + 8
+        if take >= n:
+            order = np.lexsort((mids, -s))
+        else:
+            cand = np.argpartition(-s, take - 1)[:take]
+            cand = cand[np.lexsort((mids[cand], -s[cand]))]
+            kth_val = s[cand[-1]]          # the partition boundary
+            if len(cand) >= k and s[cand[k - 1]] > kth_val:
+                order = cand
+            else:                           # boundary tie: exact path
+                order = np.lexsort((mids, -s))
+        return order
+
     def kernel(batches):
         mids, mat = b_ids.value, b_m.value
         if metric == "cosine":
             mnrm = np.sqrt((mat * mat).sum(axis=1))
+        # chunk the matmul so the score block stays ~256 MB regardless
+        # of corpus size (the 200k x 200k full matrix would be 320 GB)
+        chunk = max(1, (1 << 25) // max(1, len(mids)))
         for pdf in batches:
             if not len(pdf):
                 continue
-            Q = np.array(list(pdf["v"]), dtype=np.float64)
-            qid = pdf["id"].to_numpy(dtype=np.int64)
-            S = Q @ mat.T
-            if metric == "cosine":
-                qn = np.sqrt((Q * Q).sum(axis=1))
-                den = np.outer(qn, mnrm)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    S = np.where(den > 0, S / den, 0.0)
+            Qall = np.array(list(pdf["v"]), dtype=np.float64)
+            qall = pdf["id"].to_numpy(dtype=np.int64)
             out_src, out_rank, out_dst, out_score = [], [], [], []
-            for i in range(len(qid)):
-                s = S[i]
-                # (score desc, dst asc), self excluded — identical to
-                # the expr window's ORDER BY
-                order = np.lexsort((mids, -s))
-                taken = 0
-                for j in order:
-                    if mids[j] == qid[i]:
-                        continue
-                    taken += 1
-                    out_src.append(qid[i])
-                    out_rank.append(taken)
-                    out_dst.append(mids[j])
-                    out_score.append(float(s[j]))
-                    if taken == k:
-                        break
+            for c0 in range(0, len(qall), chunk):
+                Q = Qall[c0:c0 + chunk]
+                qid = qall[c0:c0 + chunk]
+                S = Q @ mat.T
+                if metric == "cosine":
+                    qn = np.sqrt((Q * Q).sum(axis=1))
+                    den = np.outer(qn, mnrm)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        S = np.where(den > 0, S / den, 0.0)
+                for i in range(len(qid)):
+                    s = S[i].copy()
+                    s[mids == qid[i]] = -np.inf     # self excluded
+                    order = _row_topk(s, mids, k)
+                    taken = 0
+                    for j in order:
+                        if not np.isfinite(s[j]):
+                            continue
+                        taken += 1
+                        out_src.append(qid[i])
+                        out_rank.append(taken)
+                        out_dst.append(mids[j])
+                        out_score.append(float(s[j]))
+                        if taken == k:
+                            break
             yield pd.DataFrame({"src": pd.Series(out_src, dtype="int64"),
                                 "rank": pd.Series(out_rank, dtype="int32"),
                                 "dst": pd.Series(out_dst, dtype="int64"),

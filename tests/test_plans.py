@@ -674,3 +674,54 @@ def test_cooc_pair_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert plans.has_partial_aggregate(out)
+
+
+def test_knn_arrow_never_materializes_pair_set(spark, sf_dir):
+    """x87: the arrow path is scan -> prefilter -> MapInPandas emitting
+    top-k rows directly — no join, no window, no exchange of an n^2
+    pair set anywhere in the plan."""
+    from openapc_olap_spark.operators import knn
+
+    spark.catalog.clearCache()
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    out = knn.knn_graph(emb, dim=64, k=5, method="arrow")
+    p = plans.plan_of(out)
+    assert "MapInPandas" in p
+    assert "Join" not in p and "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_knn_ivf_blocks_on_equi_join(spark, sf_dir):
+    """x87 scale path: candidates come from an equi-join on list_id —
+    never a cartesian/nested-loop — and the top-k is one window over
+    the blocked candidates only."""
+    from openapc_olap_spark.operators import knn
+
+    spark.catalog.clearCache()
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = [[1.0] + [0.0] * 63, [0.0, 1.0] + [0.0] * 62,
+             [0.0, 0.0, 1.0] + [0.0] * 61]
+    out = knn.knn_graph_ivf(emb, dim=64, k=5, n_probe=2, centroids=cents)
+    p = plans.plan_of(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "list_id" in p and "Window" in p
+
+
+def test_unigram_pivot_broadcasts_piece_table(spark, sf_dir):
+    """x88: the only joins in an EM round are the slot-substring
+    equi-join against the (tiny, broadcast) piece table and the pivot's
+    partial-aggregated groupBy — the word table never shuffles to meet
+    the model."""
+    from openapc_olap_spark.operators import unigram
+
+    spark.catalog.clearCache()
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    words = unigram.word_vocab(docs, max_words=50)
+    pieces = unigram.seed_pieces(words, seed_size=20)
+    piv = unigram._attach_slot_probs(words, pieces, 8, 3)
+    assert plans.has_broadcast_join(piv)
+    assert plans.has_partial_aggregate(piv)
+    p = plans.plan_of(piv)
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
