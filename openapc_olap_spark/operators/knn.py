@@ -84,6 +84,30 @@ def _clean(df: DataFrame, dim: int, id_col: str,
             .select(F.col(id_col).alias("id"), v.alias("v")))
 
 
+def _row_topk_np(s, mids, k):
+    """Exact top-k indices by (score desc, id asc). Fast path:
+    argpartition to k + slack candidates (O(n)), exact-sort only
+    those; provably complete unless a score TIE spans the partition
+    boundary, in which case fall back to the full lexsort — ties above
+    the k-th candidate's score cannot exist outside the candidate set
+    by the partition guarantee."""
+    import numpy as np
+
+    n = len(s)
+    take = k + 8
+    if take >= n:
+        order = np.lexsort((mids, -s))
+    else:
+        cand = np.argpartition(-s, take - 1)[:take]
+        cand = cand[np.lexsort((mids[cand], -s[cand]))]
+        kth_val = s[cand[-1]]              # the partition boundary
+        if len(cand) >= k and s[cand[k - 1]] > kth_val:
+            order = cand
+        else:                               # boundary tie: exact path
+            order = np.lexsort((mids, -s))
+    return order
+
+
 def _expr_topk(queries: DataFrame, corpus: DataFrame, k: int,
                metric: str) -> DataFrame:
     """(src, rank, dst, score): join + fold + one window per src —
@@ -123,27 +147,7 @@ def _arrow_topk(queries: DataFrame, corpus: DataFrame, k: int,
         nrm = np.sqrt((M * M).sum(axis=1))
     sc = corpus.sparkSession.sparkContext
     b_ids, b_m = sc.broadcast(ids), sc.broadcast(M)
-
-    def _row_topk(s, mids, k):
-        """Exact top-k indices by (score desc, id asc). Fast path:
-        argpartition to k + slack candidates (O(n)), exact-sort only
-        those; provably complete unless a score TIE spans the
-        partition boundary, in which case fall back to the full
-        lexsort — ties above the k-th candidate's score cannot exist
-        outside the candidate set by the partition guarantee."""
-        n = len(s)
-        take = k + 8
-        if take >= n:
-            order = np.lexsort((mids, -s))
-        else:
-            cand = np.argpartition(-s, take - 1)[:take]
-            cand = cand[np.lexsort((mids[cand], -s[cand]))]
-            kth_val = s[cand[-1]]          # the partition boundary
-            if len(cand) >= k and s[cand[k - 1]] > kth_val:
-                order = cand
-            else:                           # boundary tie: exact path
-                order = np.lexsort((mids, -s))
-        return order
+    _row_topk = _row_topk_np
 
     def kernel(batches):
         mids, mat = b_ids.value, b_m.value
@@ -270,16 +274,31 @@ def knn_graph_ivf(df: DataFrame, dim: int, k: int = 10,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   queries: DataFrame | None = None,
                   metric: str = "cosine",
-                  assign_method: str = "expr") -> DataFrame:
+                  assign_method: str = "expr",
+                  score_method: str = "expr") -> DataFrame:
     """IVF-blocked APPROXIMATE kNN graph — the 100 TB path: score only
     pairs whose assigned centroid is among the query's ``n_probe``
     nearest. Same output contract as :func:`knn_graph`; recall < 1 by
     construction (probe-breadth curve in tests/test_ann_recall.py).
     ``centroids=None`` trains ``n_centroids`` seeded-MLlib centroids on
     the corpus (``similarity.train_ivf_centroids``; at real scale train
-    on a sample and pass them in). ``assign_method`` forwards to
-    ``similarity.ivf_assign`` ('arrow' for full-corpus assignment
-    jobs)."""
+    on a sample and pass them in — and size n_centroids ~ n /
+    target_list_size: candidate volume is n * list_size * n_probe, so
+    too few lists quietly reverts to quadratic work).
+    ``assign_method`` forwards to ``similarity.ivf_assign`` ('arrow'
+    for full-corpus assignment jobs). ``score_method``:
+
+    - ``"expr"`` — pair join then a JVM cosine fold per candidate row
+      + one window top-k (oracle-replayable; the fold is interpreted,
+      so past ~10M candidates it dominates);
+    - ``"arrow"`` — the fused path (the r07 semdedup Gram-scorer
+      lesson): cogroup queries-probing-a-list with the list's members
+      and run ONE BLAS Q_l @ M_l^T per list, emitting only each
+      query's per-list top-k (argpartition + exact tie fallback); the
+      global top-k then merges <= n * n_probe * k candidate rows —
+      the full candidate pair set never materializes. Measured 19x at
+      sf10 (SCALING.md r09).
+    """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if n_probe < 1:
@@ -287,6 +306,9 @@ def knn_graph_ivf(df: DataFrame, dim: int, k: int = 10,
     if metric not in _METRICS:
         raise ValueError(f"metric must be one of {_METRICS}, "
                          f"got {metric!r}")
+    if score_method not in ("expr", "arrow"):
+        raise ValueError(f"score_method must be 'expr' or 'arrow', "
+                         f"got {score_method!r}")
     corpus = _clean(df, dim, id_col, vec_col)
     if centroids is None:
         centroids = train_ivf_centroids(corpus, k=n_centroids,
@@ -302,13 +324,69 @@ def knn_graph_ivf(df: DataFrame, dim: int, k: int = 10,
                         F.explode(_probe_lists(
                             F.col("v"), centroids,
                             n_probe)).alias("list_id")))
-    scored = (probed.join(assigned, ["list_id"])
-              .filter(F.col("src") != F.col("dst"))
-              .select("src", "dst",
-                      _score(metric, F.col("__qv"),
-                             F.col("__cv")).alias("score")))
+    if score_method == "arrow":
+        scored = _cogroup_scored(probed, assigned, k, metric)
+    else:
+        scored = (probed.join(assigned, ["list_id"])
+                  .filter(F.col("src") != F.col("dst"))
+                  .select("src", "dst",
+                          _score(metric, F.col("__qv"),
+                                 F.col("__cv")).alias("score")))
     w = Window.partitionBy("src").orderBy(F.col("score").desc(),
                                           F.col("dst").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("src", "rank", "dst", "score"))
+
+
+def _cogroup_scored(probed: DataFrame, assigned: DataFrame, k: int,
+                    metric: str) -> DataFrame:
+    """(src, dst, score) per-list top-k candidates via ONE BLAS matmul
+    per IVF list: cogroup the probing queries with the list members;
+    each list contributes at most k candidates per query, which is
+    sufficient for the global per-src top-k (the union of per-list
+    top-ks contains the global top-k)."""
+    import numpy as np
+    import pandas as pd
+
+    def score_fn(_key, qpdf, mpdf):
+        if not len(qpdf) or not len(mpdf):
+            return pd.DataFrame({"src": pd.Series(dtype="int64"),
+                                 "dst": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        Q = np.array(list(qpdf["__qv"]), dtype=np.float64)
+        qids = qpdf["src"].to_numpy(dtype=np.int64)
+        M = np.array(list(mpdf["__cv"]), dtype=np.float64)
+        mids = mpdf["dst"].to_numpy(dtype=np.int64)
+        out_s, out_d, out_v = [], [], []
+        chunk = max(1, (1 << 24) // max(1, len(mids)))
+        if metric == "cosine":
+            mnrm = np.sqrt((M * M).sum(axis=1))
+        for c0 in range(0, len(qids), chunk):
+            Qc, qc = Q[c0:c0 + chunk], qids[c0:c0 + chunk]
+            S = Qc @ M.T
+            if metric == "cosine":
+                qn = np.sqrt((Qc * Qc).sum(axis=1))
+                den = np.outer(qn, mnrm)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = np.where(den > 0, S / den, 0.0)
+            for i in range(len(qc)):
+                s = S[i].copy()
+                s[mids == qc[i]] = -np.inf        # self excluded
+                taken = 0
+                for j in _row_topk_np(s, mids, k):
+                    if not np.isfinite(s[j]):
+                        continue
+                    taken += 1
+                    out_s.append(qc[i])
+                    out_d.append(mids[j])
+                    out_v.append(float(s[j]))
+                    if taken == k:
+                        break
+        return pd.DataFrame({"src": pd.Series(out_s, dtype="int64"),
+                             "dst": pd.Series(out_d, dtype="int64"),
+                             "score": pd.Series(out_v, dtype="float64")})
+
+    return (probed.groupBy("list_id")
+            .cogroup(assigned.groupBy("list_id"))
+            .applyInPandas(score_fn, "src long, dst long, score double"))

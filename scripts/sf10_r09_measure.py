@@ -1,10 +1,12 @@
 """Round-9 sf10 (100x) spot measurements for SCALING.md: star-mode
 connected components vs label propagation, kNN-graph construction
-(brute Arrow + IVF-blocked), collapse-exact fuzzy linkage, and
-full-vocabulary unigram-LM training. Same protocol as
-sf10_r07_measure.py (local[32], warm caches, wall-clock).
+(brute Arrow + IVF-blocked with the cogrouped BLAS scorer),
+collapse-exact fuzzy linkage, and full-vocabulary unigram-LM training.
+Same protocol as sf10_r07_measure.py (local[32], warm caches,
+wall-clock).
 
-Usage: python scripts/sf10_r09_measure.py [sf10_dir]
+Usage: python scripts/sf10_r09_measure.py [sf10_dir] [sections...]
+       sections: any of cc knn fuzzy unigram (default: all)
 """
 
 from __future__ import annotations
@@ -27,20 +29,9 @@ def timed(label, fn):
     return dt
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10_derived"
-    spark = get_spark(app_name="sf10-r09", master="local[32]")
-    spark.sparkContext.setLogLevel("ERROR")
-    par = spark.sparkContext.defaultParallelism
-
-    from pyspark.sql import functions as F
-
-    from openapc_olap_spark.operators import dedup, fuzzy, knn, unigram
-
-    # ---- connected components: label vs star ------------------------
-    # adversarial long chain: ONE path of 2M nodes (diameter 2M).
-    n_chain = 2_000_000
-    chain = (spark.range(n_chain - 1)
+def _run_cc(spark, F, dedup, par):
+    # adversarial long chain: ONE path of 2M nodes (diameter 2M)
+    chain = (spark.range(2_000_000 - 1)
              .select(F.col("id").alias("id_a"),
                      (F.col("id") + 1).alias("id_b"))
              .repartition(par).cache())
@@ -50,7 +41,7 @@ def main():
               lambda m=method: dedup.connected_components(
                   chain, max_iter=40, method=m)
               .agg(F.countDistinct("comp")).first()[0])
-    # dedup-shaped graph: 400k near-cliques of 5 (2M nodes, 4M edges)
+    # dedup-shaped graph: 400k near-cliques of 5 (2M nodes, ~2M edges)
     cliq = (spark.range(2_000_000)
             .select((F.col("id") - F.col("id") % 5).alias("base"),
                     F.col("id"))
@@ -70,32 +61,37 @@ def main():
     chain.unpersist()
     cliq.unpersist()
 
-    # ---- kNN graph over 200k embeddings ------------------------------
-    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+
+def _run_knn(spark, F, knn, t, par, brute=True):
     emb = t["embeddings"].repartition(par).cache()
     emb.count()
     dim = len(emb.first()["embedding"])
     print("embedding dim:", dim, flush=True)
-    timed("knn_graph arrow brute: 200k x 200k, k=10 (chunked BLAS)",
-          lambda: knn.knn_graph(emb, dim=dim, k=10,
-                                method="arrow").count())
+    if brute:
+        timed("knn_graph arrow brute: 200k x 200k, k=10 (chunked BLAS)",
+              lambda: knn.knn_graph(emb, dim=dim, k=10,
+                                    method="arrow").count())
     from openapc_olap_spark.operators.similarity import train_ivf_centroids
     cents = None
 
     def _train():
         nonlocal cents
-        cents = train_ivf_centroids(emb.sample(0.1, seed=7), k=64)
+        # n_centroids ~ n / target_list_size: 512 lists -> ~390
+        # members/list, candidate volume n * 390 * 2 instead of n^2
+        cents = train_ivf_centroids(emb.sample(0.1, seed=7), k=512,
+                                    max_iter=3)
         return len(cents)
-    timed("ivf centroids k=64 (10% sample train)", _train)
-    timed("knn_graph_ivf: 200k vecs, k=10, n_probe=2, 64 lists "
-          "(arrow assign)",
+    timed("ivf centroids k=512 (10% sample train)", _train)
+    timed("knn_graph_ivf: 200k vecs, k=10, n_probe=2, 512 lists "
+          "(arrow assign + cogrouped BLAS scorer)",
           lambda: knn.knn_graph_ivf(emb, dim=dim, k=10, n_probe=2,
                                     centroids=cents,
-                                    assign_method="arrow").count())
+                                    assign_method="arrow",
+                                    score_method="arrow").count())
+    emb.unpersist()
 
-    # ---- collapse-exact fuzzy linkage --------------------------------
-    docs = t["documents"].repartition(par).cache()
-    docs.count()
+
+def _run_fuzzy(F, fuzzy, docs):
     base = F.concat(F.col("source"), F.lit(" "),
                     F.substring(F.md5((F.col("doc_id") % 20000)
                                       .cast("string")), 1, 8))
@@ -114,11 +110,39 @@ def main():
               named, col="name", id_col="doc_id", max_dist=2, q=3,
               collapse_exact=True).count())
 
-    # ---- unigram-LM training, full word vocabulary -------------------
-    timed("unigram_train: 500k docs, FULL word vocab, vocab_size=2000, "
-          "2 EM rounds (SUM mode)",
-          lambda: unigram.unigram_train(
-              docs, vocab_size=2000, n_iter=2, seed_size=4000).count())
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) \
+        else "/tmp/sf10_derived"
+    sections = set(a for a in args
+                   if a in ("cc", "knn", "fuzzy", "unigram")) \
+        or {"cc", "knn", "fuzzy", "unigram"}
+    spark = get_spark(app_name="sf10-r09", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    par = spark.sparkContext.defaultParallelism
+
+    from pyspark.sql import functions as F
+
+    from openapc_olap_spark.operators import dedup, fuzzy, knn, unigram
+
+    if "cc" in sections:
+        _run_cc(spark, F, dedup, par)
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    if "knn" in sections:
+        _run_knn(spark, F, knn, t, par,
+                 brute="nobrute" not in args)
+    if sections & {"fuzzy", "unigram"}:
+        docs = t["documents"].repartition(par).cache()
+        docs.count()
+        if "fuzzy" in sections:
+            _run_fuzzy(F, fuzzy, docs)
+        if "unigram" in sections:
+            timed("unigram_train: 500k docs, FULL word vocab, "
+                  "vocab_size=2000, 2 EM rounds (SUM mode)",
+                  lambda: unigram.unigram_train(
+                      docs, vocab_size=2000, n_iter=2,
+                      seed_size=4000).count())
 
 
 if __name__ == "__main__":

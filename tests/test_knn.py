@@ -142,6 +142,27 @@ def test_ivf_full_probe_equals_exact(spark, clustered):
     assert full == exact          # probing every list IS the exact graph
 
 
+def test_ivf_arrow_scorer_matches_expr(spark, clustered):
+    """score_method='arrow' (cogrouped per-list BLAS, the 100 TB
+    scorer) returns the same neighbors and ranks as the expr fold;
+    scores agree to float tolerance."""
+    cents = knn.train_ivf_centroids(
+        clustered.selectExpr("embedding as v"), k=4, vec_col="v")
+    e = {(r["src"], r["rank"]): (r["dst"], r["score"]) for r in
+         knn.knn_graph_ivf(clustered, dim=4, k=5, n_probe=2,
+                           centroids=cents).collect()}
+    a = {(r["src"], r["rank"]): (r["dst"], r["score"]) for r in
+         knn.knn_graph_ivf(clustered, dim=4, k=5, n_probe=2,
+                           centroids=cents,
+                           score_method="arrow").collect()}
+    assert set(a) == set(e)
+    for key in e:
+        assert a[key][0] == e[key][0], key
+        assert a[key][1] == pytest.approx(e[key][1], rel=1e-9)
+    with pytest.raises(ValueError, match="score_method"):
+        knn.knn_graph_ivf(clustered, dim=4, score_method="bogus")
+
+
 def test_ivf_recall_curve(spark, clustered):
     cents = knn.train_ivf_centroids(
         clustered.selectExpr("embedding as v"), k=4, vec_col="v")
