@@ -4396,14 +4396,22 @@ def _x85_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     named = docs.select("doc_id", name.alias("name"))
     pairs = fuzzy.fuzzy_duplicates(named, col="name", id_col="doc_id",
                                    max_dist=2, q=3, collapse_exact=True)
-    trip = F.concat_ws(":", F.col("id_a").cast("string"),
-                       F.col("id_b").cast("string"),
-                       F.col("dist").cast("string"))
-    return (pairs.groupBy((F.col("id_a") % 5).alias("grp"))
+    # per-pair dual modular checksums, SUMMED: order-independent and
+    # map-side combined, so the rollup parallelizes and never
+    # materializes a sorted trip list (the old collect_list+md5 digest
+    # was the gate's own bottleneck once full recall made the matched
+    # set millions of pairs; each per-pair term is < 2^31, so 25M-pair
+    # sums stay exact in int64 on both engines). A wrong/missing/extra
+    # (id_a, id_b, dist) triple shifts both sums.
+    chk1 = ((F.col("id_a") * 1000003 + F.col("id_b") * 101
+             + F.col("dist")) % 2147483647)
+    chk2 = ((F.col("id_a") * 7919 + F.col("id_b") * 104729
+             + F.col("dist") * 31) % 1000000007)
+    return (pairs.groupBy((F.col("id_a") % 29).alias("grp"))
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.sum("dist").cast("long").alias("dist_sum"),
-                 F.md5(F.array_join(F.array_sort(
-                     F.collect_list(trip)), ",")).alias("digest")))
+                 F.sum(chk1).cast("long").alias("chk1"),
+                 F.sum(chk2).cast("long").alias("chk2")))
 
 
 _X85_SQL = r"""
@@ -4425,11 +4433,12 @@ _X85_SQL = r"""
       SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS dist
       FROM nrm a JOIN nrm b ON a.id < b.id
       WHERE levenshtein(a.s, b.s) <= 2)
-    SELECT (id_a % 5)::BIGINT AS grp, count(*) AS n_pairs,
+    SELECT (id_a % 29)::BIGINT AS grp, count(*) AS n_pairs,
            sum(dist)::BIGINT AS dist_sum,
-           md5(array_to_string(list_sort(list(
-             id_a::VARCHAR || ':' || id_b::VARCHAR || ':'
-             || dist::VARCHAR)), ',')) AS digest
+           sum((id_a * 1000003 + id_b * 101 + dist)
+               % 2147483647)::BIGINT AS chk1,
+           sum((id_a * 7919 + id_b * 104729 + dist * 31)
+               % 1000000007)::BIGINT AS chk2
     FROM hits GROUP BY 1
 """
 

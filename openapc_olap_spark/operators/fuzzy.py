@@ -398,8 +398,12 @@ def fuzzy_duplicates(df: DataFrame, col: str = "text",
     # expand string-class matches back to id pairs. Classes are
     # disjoint, so every cross-class member pair appears exactly once;
     # least/greatest restores id_a < id_b (member ids interleave across
-    # classes). Intra-class pairs are dist 0 by construction.
-    mem = norm_df.join(reps, ["s"]).select("id", "rid")
+    # classes). Intra-class pairs are dist 0 by construction. The
+    # member map is SPREAD before the expansion joins: it inherits the
+    # (often 1-2-split) scan partitioning, and the output-bound
+    # million-pair expansion would otherwise run on those few tasks.
+    from openapc_olap_spark.operators.dedup import _spread
+    mem = _spread(norm_df.join(reps, ["s"]).select("id", "rid"))
     ma = mem.select(F.col("rid").alias("id_a"), F.col("id").alias("__a"))
     mb = mem.select(F.col("rid").alias("id_b"), F.col("id").alias("__b"))
     cross = (pairs.join(ma, ["id_a"]).join(mb, ["id_b"])
