@@ -429,6 +429,8 @@ _CERT_FIRST = [
     # r08 #4), and unigram-LM tokenizer EM training with a generated
     # full-replay CTE oracle (VERDICT r08 #5)
     "x87_knn_graph", "x88_unigram_tokenizer",
+    # x90: Viterbi encoding, the x88 model's inference half (x61 pattern)
+    "x90_unigram_encode",
     # r09 touches dedup.py (large-star/small-star connected components,
     # VERDICT r08 #3): every gate executing through dedup.py rotates in
     "x01_dedup_summary", "x02_ngram_jaccard", "x03_minhash_neardup",

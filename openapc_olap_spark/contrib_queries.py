@@ -4749,6 +4749,180 @@ def _x88_sql() -> str:
 _X88_SQL = _x88_sql()
 
 
+# ---------------------------------------------------------------------------
+# X90: unigram-LM Viterbi encoding (the inference half of x88)
+# ---------------------------------------------------------------------------
+
+# literal piece model shared verbatim by gate and oracle — multi-char
+# pieces beat their char products, full a-z/0-9 coverage so only tokens
+# with punctuation fall to <unk>
+_X90_MODEL: list[tuple[str, float]] = (
+    [("jo", .02), ("in", .02), ("ha", .02), ("sh", .02), ("row", .03),
+     ("sca", .02), ("an", .02), ("ba", .02), ("tch", .02), ("col", .02),
+     ("umn", .02), ("fil", .02), ("ter", .02), ("er", .02), ("or", .02),
+     ("ta", .02), ("ble", .02), ("val", .02), ("ue", .02), ("str", .02),
+     ("eam", .02), ("win", .02), ("dow", .02), ("par", .02)]
+    + [(c, .005) for c in "abcdefghijklmnopqrstuvwxyz"]
+    + [(c, .002) for c in "0123456789"])
+
+
+def _x90_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unigram.unigram_encode`` (Viterbi, max-product, smallest-l
+    tie-break) over every document with a LITERAL 60-piece model — the
+    inference half of the x88 tokenizer story (BPE's x61 counterpart).
+    Output: per-piece encoded counts plus per-residue sequence
+    checksums (position-weighted piece-shape sums — order-sensitive, so
+    a transposed or mis-segmented token breaks the hash even when the
+    piece multiset survives). The oracle replays the identical DP —
+    same pivot lookups, same comparison order, same string-accumulator
+    backtrack fold — so every branch decision reproduces bitwise."""
+    from openapc_olap_spark.operators import unigram
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pieces = spark.createDataFrame(_X90_MODEL, "piece string, p double")
+    enc = unigram.unigram_encode(docs, pieces)
+    # per-doc order-sensitive checksum: sum over positions of
+    # (pos+1) * (len*131 + ascii(first char)) mod 2^31
+    chk = F.aggregate(
+        F.zip_with(F.col("pieces"),
+                   F.sequence(F.lit(1), F.size("pieces")),
+                   lambda x, i: (i.cast("long")
+                                 * (F.length(x) * 131
+                                    + F.ascii(F.substring(x, 1, 1))))
+                   % 2147483647),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    per_doc = enc.select("doc_id", chk.alias("__chk"),
+                         F.size("pieces").alias("__n"),
+                         F.explode_outer("pieces").alias("piece"))
+    counts = (per_doc.groupBy("piece")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.lit("cnt").alias("part"),
+                      F.col("piece").alias("key"), "n",
+                      F.lit(0).cast("long").alias("chk")))
+    docsum = (enc.select("doc_id", chk.alias("__chk"),
+                         F.size("pieces").alias("__n"))
+              .groupBy((F.col("doc_id") % 7).alias("grp"))
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("__n").alias("n_pieces"),
+                   F.sum("__chk").alias("chksum"))
+              .select(F.lit("doc").alias("part"),
+                      F.col("grp").cast("string").alias("key"),
+                      F.col("n_pieces").alias("n"),
+                      F.col("chksum").alias("chk")))
+    return counts.unionByName(docsum)
+
+
+def _x90_sql() -> str:
+    """Generate the x90 oracle: the literal model, the pivot lookups,
+    the Viterbi v/bp chains (same comparison order as the engine's
+    forward fold — strict >, smallest l wins ties), the
+    string-accumulator backtrack via list_reduce with a prepended
+    init (DuckDB list_reduce has no init parameter), per-doc
+    reassembly ordered by token position, and the gate's rollups."""
+    cap, plen = 8, 3
+    slots = [(i, l) for i in range(cap)
+             for l in range(1, plen + 1) if i + l <= cap]
+    model_rows = ", ".join(f"('{p}', {v!r})" for p, v in _X90_MODEL)
+    look_f = ",\n         ".join(
+        f"CASE WHEN {i + l} <= wlen THEN coalesce((SELECT p FROM model "
+        f"mm WHERE mm.piece = substr(word, {i + 1}, {l})), 0.0) "
+        f"ELSE 0.0 END AS pf_{i}_{l}" for (i, l) in slots)
+    vdefs = ["1.0 AS v0"]
+    bpdefs = []
+    for j in range(1, cap + 1):
+        cands = {l: f"(v{j - l} * pf_{j - l}_{l})"
+                 for l in range(1, min(plen, j) + 1)}
+        best = cands[1]
+        bp = "1"
+        for l in range(2, min(plen, j) + 1):
+            bp = (f"CASE WHEN {cands[l]} > ({best}) THEN {l} "
+                  f"ELSE ({bp}) END")
+            best = (f"CASE WHEN {cands[l]} > ({best}) THEN {cands[l]} "
+                    f"ELSE ({best}) END")
+        vdefs.append(f"{best} AS v{j}")
+        bpdefs.append(f"({bp}) AS bp{j}")
+    vlist = ", ".join(f"v{j}" for j in range(cap + 1))
+    bplist = ", ".join(f"bp{j}" for j in range(1, cap + 1))
+    vjoin = ",\n         ".join(vdefs)
+    bpjoin = ",\n         ".join(bpdefs)
+    # one backtrack step of the string-accumulator fold (chr(1) sep)
+    step = (
+        "CASE WHEN CAST(substr(acc, 1, 2) AS INT) > 0 THEN "
+        "lpad((CAST(substr(acc, 1, 2) AS INT) "
+        f"- list_value({bplist})[greatest(CAST(substr(acc, 1, 2) "
+        "AS INT), 1)])::VARCHAR, 2, '0') || chr(1) || "
+        "substr(word, CAST(substr(acc, 1, 2) AS INT) "
+        f"- list_value({bplist})[greatest(CAST(substr(acc, 1, 2) "
+        "AS INT), 1)] + 1, "
+        f"list_value({bplist})[greatest(CAST(substr(acc, 1, 2) "
+        "AS INT), 1)]) || substr(acc, 3) ELSE acc END")
+    return f"""
+    WITH model AS MATERIALIZED (
+      SELECT * FROM (VALUES {model_rows}) AS t(piece, p)),
+    toks AS MATERIALIZED (
+      SELECT doc_id, u.pos, substr(u.w, 1, {cap}) AS word
+      FROM (SELECT doc_id,
+                   list_transform({_TOKS_SQL},
+                                  (x, i) -> struct_pack(pos := i,
+                                                        w := x)) AS ts
+            FROM documents),
+           unnest(ts) AS uu(u)),
+    words AS MATERIALIZED (
+      SELECT DISTINCT word, len(word) AS wlen FROM toks),
+    probs AS MATERIALIZED (
+      SELECT word, wlen,
+         {look_f}
+      FROM words),
+    vit AS MATERIALIZED (
+      SELECT *,
+         {vjoin},
+         {bpjoin},
+         list_value({vlist})[wlen + 1] AS z
+      FROM probs),
+    bt AS MATERIALIZED (
+      SELECT word,
+             z > 0.0 AS ok,
+             list_reduce(
+               list_prepend(
+                 CASE WHEN z > 0.0 THEN lpad(wlen::VARCHAR, 2, '0')
+                      ELSE '00' END,
+                 list_transform(range(1, {cap + 1}), x -> '')),
+               (acc, x) -> {step}) AS fin
+      FROM vit),
+    seg AS MATERIALIZED (
+      SELECT word,
+             CASE WHEN ok THEN
+               list_filter(string_split(substr(fin, 3), chr(1)),
+                           x -> x <> '')
+             ELSE ['<unk>'] END AS seg
+      FROM bt),
+    encoded AS MATERIALIZED (
+      SELECT t.doc_id,
+             flatten(list(s.seg ORDER BY t.pos)) AS pieces
+      FROM toks t JOIN seg s ON t.word = s.word
+      GROUP BY t.doc_id),
+    perdoc AS MATERIALIZED (
+      SELECT doc_id, len(pieces) AS n_pieces,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(pieces,
+                   (x, i) -> (i::BIGINT * (len(x) * 131
+                              + ascii(substr(x, 1, 1))))
+                             % 2147483647)),
+               (a, b) -> a + b) AS chk
+      FROM encoded)
+    SELECT 'cnt' AS part, piece AS key, count(*) AS n, 0::BIGINT AS chk
+    FROM (SELECT unnest(pieces) AS piece FROM encoded) GROUP BY 2
+    UNION ALL
+    SELECT 'doc', (doc_id % 7)::VARCHAR, sum(n_pieces)::BIGINT,
+           sum(chk)::BIGINT
+    FROM perdoc GROUP BY 2
+"""
+
+
+_X90_SQL = _x90_sql()
+
+
 _X89_SQL = f"""
     WITH e AS (
       -- the engine's shared dirty-row prefilter (pca.clean_vectors):
@@ -4886,6 +5060,7 @@ QUERIES = {
     "x86_weighted_sample": _x86_weighted_sample,
     "x87_knn_graph": _x87_knn_graph,
     "x88_unigram_tokenizer": _x88_unigram_tokenizer,
+    "x90_unigram_encode": _x90_unigram_encode,
     "x89_pca_block": _x89_pca_block,
 }
 
@@ -4978,5 +5153,6 @@ ORACLES = {
     "x86_weighted_sample": _X86_SQL,
     "x87_knn_graph": _X87_SQL,
     "x88_unigram_tokenizer": _X88_SQL,
+    "x90_unigram_encode": _X90_SQL,
     "x89_pca_block": _X89_SQL,
 }

@@ -35,10 +35,10 @@ Spark columns, which is what makes the whole trainer oracle-replayable:
   the gate mode; plain SUM is the 100 TB mode.
 
 No model state ever crosses the driver: the piece table flows between
-iterations as a broadcast frame, and each round's per-word DP state is
-localCheckpoint-ed (constant-size plans — the bpe/pagerank per-round
-lineage discipline; Catalyst would otherwise inline the DP recurrences
-into tribonacci-sized trees). Seed counts are integer (wc-weighted
+iterations as a broadcast frame, and the lattice DP runs as RUNTIME
+folds over packed slot-prob matrices — constant plan size however many
+rounds chain (Catalyst would inline an unrolled recurrence into
+tribonacci-sized trees). Seed counts are integer (wc-weighted
 substring occurrences), so seed probs are exact ratios on any engine
 regardless of summation order.
 """
@@ -53,6 +53,11 @@ from openapc_olap_spark.operators import text
 # deterministic=True materializes per-piece sorted contribution lists;
 # reuse the engine-wide ceiling discipline
 from openapc_olap_spark.operators.logreg import DETERMINISTIC_MAX_ROWS
+
+# separator inside the Viterbi backtrack's string accumulator — a piece
+# containing \x01 would split wrongly (identically on both engines);
+# whitespace tokenization never produces it from normal text
+_SEG_SEP = "\x01"
 
 
 def _slots(word_cap: int, piece_len: int) -> list[tuple[int, int]]:
@@ -103,7 +108,9 @@ def seed_pieces(words: DataFrame, piece_len: int = 3,
                         F.explode(slot_structs).alias("piece"))
            .filter(F.col("piece").isNotNull())
            .groupBy("piece")
-           .agg(F.sum("wc").cast("long").alias("cnt")))
+           .agg(F.sum("wc").cast("long").alias("cnt"))
+           # model-grain; consumed twice by the prune (rank + total)
+           .localCheckpoint(eager=False))
     return _prune_and_normalize(cnt, seed_size, integer_counts=True)
 
 
@@ -174,31 +181,6 @@ def _attach_slot_probs(words: DataFrame, pieces: DataFrame,
     return joined.groupBy("word", "wc", "wlen").agg(*aggs)
 
 
-def _lattice_columns(word_cap: int,
-                     piece_len: int) -> tuple[list, list, Column]:
-    """The unrolled DP as column expressions over the pivoted frame:
-    forward f_0..f_cap (terms i-ascending), backward-from-end
-    b_0..b_cap (terms l-ascending), and Z = f_wlen."""
-    fs: list[Column] = [F.lit(1.0)]
-    for j in range(1, word_cap + 1):
-        acc = None
-        # i-ascending == l descending
-        for l in range(min(piece_len, j), 0, -1):
-            i = j - l
-            t = fs[i] * F.col(f"pf_{i}_{l}")
-            acc = t if acc is None else acc + t
-        fs.append(acc)
-    bs: list[Column] = [F.lit(1.0)]
-    for k in range(1, word_cap + 1):
-        acc = None
-        for l in range(1, min(piece_len, k) + 1):
-            t = F.col(f"pb_{k}_{l}") * bs[k - l]
-            acc = t if acc is None else acc + t
-        bs.append(acc)
-    z = F.element_at(F.array(*fs), F.col("wlen") + 1)
-    return fs, bs, z
-
-
 def em_counts(words: DataFrame, pieces: DataFrame, word_cap: int = 8,
               piece_len: int = 3,
               deterministic: bool = False) -> DataFrame:
@@ -206,29 +188,67 @@ def em_counts(words: DataFrame, pieces: DataFrame, word_cap: int = 8,
     the current model — forward-backward posteriors per slot, summed at
     piece grain (sorted (word, i, l) folds when ``deterministic``).
 
-    The DP state (f_0..f_cap, b_0..b_cap, Z) is materialized per round
-    with localCheckpoint: Catalyst's CollapseProject would otherwise
-    inline f_(j-1)/f_(j-2)/f_(j-3) into f_j textually — tribonacci tree
-    growth that, squared across chained EM rounds, produced a 126 MiB
-    task binary and a 244 s plan at 250 words. Checkpointed, each
-    round's expressions reference plain columns and the whole train
-    runs in seconds (the bpe/pagerank per-round lineage discipline)."""
+    The DP arrays (f_0..f_cap, b_0..b_cap) are computed by RUNTIME
+    folds over the packed slot-prob matrices — constant plan size per
+    round. An earlier unrolled-column formulation let Catalyst's
+    CollapseProject inline f_(j-1)/f_(j-2)/f_(j-3) into f_j textually
+    (tribonacci tree growth: a 126 MiB task binary and a 244 s plan at
+    250 words); the fold adds each position's terms in the SAME fixed
+    i-ascending (forward) / l-ascending (backward) order starting from
+    +0.0 — IEEE-exact next to the unrolled chains the oracle replays,
+    because every term is non-negative and x + 0.0 == x."""
     piv = _attach_slot_probs(words, pieces, word_cap, piece_len)
-    fs, bs, z = _lattice_columns(word_cap, piece_len)
-    state = piv.select(
-        "*",
-        *[fs[j].alias(f"__f{j}") for j in range(word_cap + 1)],
-        *[bs[k].alias(f"__b{k}") for k in range(word_cap + 1)],
-        z.alias("__z")).localCheckpoint(eager=False)
-    barr = F.array(*[F.col(f"__b{k}") for k in range(word_cap + 1)])
+    pfmat = F.array(*[
+        F.array(*[(F.col(f"pf_{i}_{l}") if i + l <= word_cap
+                   else F.lit(0.0))
+                  for l in range(1, piece_len + 1)])
+        for i in range(word_cap)])
+    pbmat = F.array(*[
+        F.array(*[(F.col(f"pb_{k}_{l}") if l <= min(piece_len, k)
+                   else F.lit(0.0))
+                  for l in range(1, piece_len + 1)])
+        for k in range(1, word_cap + 1)])
+
+    def fstep(acc, j):
+        t = F.lit(0.0)
+        for l in range(piece_len, 0, -1):      # i-ascending
+            t = t + F.when(
+                j >= l,
+                F.element_at(acc, (j - l + 1).cast("int"))
+                * F.element_at(F.element_at(F.col("__pfm"),
+                                            (j - l + 1).cast("int")),
+                               l)).otherwise(F.lit(0.0))
+        return F.concat(acc, F.array(t))
+
+    def bstep(acc, k):
+        t = F.lit(0.0)
+        for l in range(1, piece_len + 1):      # l-ascending
+            t = t + F.when(
+                k >= l,
+                F.element_at(F.element_at(F.col("__pbm"),
+                                          k.cast("int")), l)
+                * F.element_at(acc, (k - l + 1).cast("int"))
+            ).otherwise(F.lit(0.0))
+        return F.concat(acc, F.array(t))
+
+    seq = F.sequence(F.lit(1), F.lit(word_cap))
+    state = (piv.withColumn("__pfm", pfmat)
+             .withColumn("__pbm", pbmat)
+             .withColumn("__fa", F.aggregate(
+                 seq, F.array(F.lit(1.0)), fstep))
+             .withColumn("__ba", F.aggregate(
+                 seq, F.array(F.lit(1.0)), bstep))
+             .withColumn("__z", F.element_at(F.col("__fa"),
+                                             F.col("wlen") + 1)))
     slot_ec = []
     for (i, l) in _slots(word_cap, piece_len):
         # posterior mass of "a piece spans [i+1, i+l]":
         # f_i * p * b_(wlen - i - l) / Z
         ec = F.when(
             (F.lit(i + l) <= F.col("wlen")) & (F.col("__z") > F.lit(0.0)),
-            F.col(f"__f{i}") * F.col(f"pf_{i}_{l}")
-            * F.element_at(barr, F.col("wlen") - F.lit(i + l) + 1)
+            F.element_at(F.col("__fa"), i + 1) * F.col(f"pf_{i}_{l}")
+            * F.element_at(F.col("__ba"),
+                           F.col("wlen") - F.lit(i + l) + 1)
             / F.col("__z")
         ).otherwise(F.lit(0.0))
         slot_ec.append(F.struct(
@@ -252,6 +272,127 @@ def em_counts(words: DataFrame, pieces: DataFrame, word_cap: int = 8,
         lambda s: s["v"])
     return contrib.groupBy("piece").agg(
         F.aggregate(ordered, F.lit(0.0), lambda a, x: a + x).alias("cnt"))
+
+
+def viterbi_segment(words: DataFrame, pieces: DataFrame,
+                    word_cap: int = 8, piece_len: int = 3) -> DataFrame:
+    """(word, seg): the max-probability segmentation of every word as
+    array<string>, NULL when the word is unsegmentable under the model
+    (some position unreachable — e.g. a character absent from the piece
+    table). Same pivot + unrolled-DP machinery as the EM E-step; the
+    backtrack is ``word_cap`` chained CASE steps indexing the
+    backpointer columns by the current position (element_at), so the
+    whole segmentation is one zero-shuffle projection after the
+    broadcast pivot join."""
+    if word_cap > 99:
+        raise ValueError("word_cap > 99 breaks the 2-digit backtrack "
+                         "position encoding")
+    piv = _attach_slot_probs(words, pieces, word_cap, piece_len)
+    # pack the pivoted slot probs into ONE array-of-arrays column and
+    # run the forward DP as a RUNTIME fold with a (vs, bps) struct
+    # accumulator — an unrolled column-chain formulation embeds the v
+    # trees inside nested CASEs and Catalyst spent ~14 s ANALYZING
+    # them for a 31-row frame; the fold's expression is
+    # constant-size. The oracle replays the same
+    # products/comparisons as unrolled lateral-alias chains (SQL
+    # planners handle those fine), so values still match bitwise.
+    pfmat = F.array(*[
+        F.array(*[(F.col(f"pf_{i}_{l}") if i + l <= word_cap
+                   else F.lit(0.0))
+                  for l in range(1, piece_len + 1)])
+        for i in range(word_cap)])
+    state = piv.select("word", "wlen", pfmat.alias("__pf"))
+    facc0 = F.struct(
+        F.array(F.lit(1.0)).alias("vs"),
+        F.array().cast("array<int>").alias("bps"))
+
+    def fstep(acc, j):
+        # cand(l) = vs[j-l] * pf[j-l][l]; strict > keeps the SMALLEST
+        # winning l (same order as _viterbi_columns / the SQL chains);
+        # slots with l > j get a -1 sentinel that can never win
+        def cand(l):
+            return F.when(
+                j >= l,
+                F.element_at(acc["vs"], (j - l + 1).cast("int"))
+                * F.element_at(F.element_at(F.col("__pf"),
+                                            (j - l + 1).cast("int")),
+                               l)).otherwise(F.lit(-1.0))
+        best, bp = cand(1), F.lit(1)
+        for l in range(2, piece_len + 1):
+            c = cand(l)
+            bp = F.when(c > best, F.lit(l)).otherwise(bp)
+            best = F.when(c > best, c).otherwise(best)
+        return F.struct(
+            F.concat(acc["vs"], F.array(best)).alias("vs"),
+            F.concat(acc["bps"],
+                     F.array(bp.cast("int"))).alias("bps"))
+
+    fwd = F.aggregate(F.sequence(F.lit(1), F.lit(word_cap)),
+                      facc0, fstep)
+    state = state.select("word", "wlen", fwd["vs"].alias("__vs"),
+                         fwd["bps"].alias("__bps"))
+    varr = F.col("__vs")
+    bparr = F.col("__bps")
+    ok = F.element_at(varr, F.col("wlen") + 1) > F.lit(0.0)
+    # Backtrack as a RUNTIME fold (constant plan size — an unrolled
+    # version quintuples the expression tree per step under
+    # CollapseProject). The accumulator is a plain string —
+    # "PP<sep>piece<sep>piece..." with PP the 2-digit remaining
+    # position — because a struct accumulator mis-binds inside
+    # DuckDB 1.0 list_reduce lambdas and the oracle must replay this
+    # fold verbatim. Each step consumes bp[pos] chars off the end and
+    # PREPENDS the piece, so the final list reads front-to-back.
+    sep = F.lit(_SEG_SEP)
+    acc0 = F.when(ok, F.lpad(F.col("wlen").cast("string"), 2, "0")) \
+        .otherwise(F.lit("00"))
+
+    def step(acc, _):
+        p = F.substring(acc, 1, 2).cast("int")
+        l = F.element_at(bparr, F.greatest(p, F.lit(1)))
+        piece = F.col("word").substr(p - l + 1, l)
+        return F.when(
+            p > 0,
+            F.concat(F.lpad((p - l).cast("string"), 2, "0"), sep,
+                     piece, F.substring(acc, 3, 1 << 20))
+        ).otherwise(acc)
+
+    final = F.aggregate(F.sequence(F.lit(1), F.lit(word_cap)),
+                        acc0, step)
+    seg = F.filter(F.split(F.substring(final, 3, 1 << 20), _SEG_SEP),
+                   lambda x: x != "")
+    return state.select("word", F.when(ok, seg).alias("seg"))
+
+
+def unigram_encode(df: DataFrame, pieces: DataFrame,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   word_cap: int = 8, piece_len: int = 3,
+                   unk: str = "<unk>") -> DataFrame:
+    """Encode every document with a trained unigram model: (id_col,
+    pieces array<string>) — each whitespace token (truncated to
+    ``word_cap``, the training contract) replaced by its Viterbi
+    segmentation, unsegmentable tokens by ``unk``. Work is word-vocab
+    grain: segment DISTINCT words once, broadcast-map them back onto
+    the token stream, reassemble per doc with a position-sorted fold —
+    at 100 TB the corpus crosses the wire once and the DP runs on the
+    vocabulary."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(text.tokens(text_col)).alias("__pos", "__t")
+    ).select(id_col, "__pos",
+             F.substring("__t", 1, word_cap).alias("word"))
+    words = (toks.select("word").distinct()
+             .withColumn("wlen", F.length("word"))
+             .withColumn("wc", F.lit(1)))
+    seg = viterbi_segment(words, pieces, word_cap, piece_len)
+    seg = seg.select("word", F.coalesce(
+        F.col("seg"), F.array(F.lit(unk))).alias("seg"))
+    joined = toks.join(F.broadcast(seg), ["word"])
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("__pos").alias("p"), F.col("seg").alias("s")))),
+        lambda st: st["s"])
+    return (joined.groupBy(id_col)
+            .agg(F.flatten(ordered).alias("pieces")))
 
 
 def unigram_train(df: DataFrame, text_col: str = "text",
@@ -279,9 +420,18 @@ def unigram_train(df: DataFrame, text_col: str = "text",
     # the word vocabulary feeds the seed and every EM round — persist
     from openapc_olap_spark.operators.dedup import _materialized
     words = _materialized(word_vocab(df, text_col, word_cap, max_words))
-    pieces = seed_pieces(words, piece_len, seed_size, word_cap)
+    # the piece table is model-grain (vocab_size + charset rows);
+    # localCheckpoint it between rounds so round N+1's plan starts from
+    # the materialized model instead of re-embedding (and re-executing)
+    # round N's whole DAG at every reference
+    pieces = seed_pieces(words, piece_len, seed_size,
+                         word_cap).localCheckpoint(eager=False)
     for _ in range(n_iter):
+        # cnt is ALSO model-grain and feeds _prune_and_normalize twice
+        # (the ranked keep-set and the normalizer total) — checkpoint
+        # it or the whole E-step executes once per consumer
         cnt = em_counts(words, pieces, word_cap, piece_len,
-                        deterministic)
-        pieces = _prune_and_normalize(cnt, vocab_size)
+                        deterministic).localCheckpoint(eager=False)
+        pieces = _prune_and_normalize(
+            cnt, vocab_size).localCheckpoint(eager=False)
     return pieces

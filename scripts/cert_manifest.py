@@ -196,6 +196,9 @@ _X_DEPS = {
     "x88_unigram_tokenizer": [f"{_OPS}/unigram.py", f"{_OPS}/text.py",
                               f"{_OPS}/logreg.py",
                               f"{_OPS}/dedup.py"] + _MEMO,
+    "x90_unigram_encode": [f"{_OPS}/unigram.py", f"{_OPS}/text.py",
+                           f"{_OPS}/logreg.py",
+                           f"{_OPS}/dedup.py"] + _MEMO,
     "x89_pca_block": [f"{_OPS}/pca.py", f"{_OPS}/logreg.py"],
 }
 DEPS.update(_X_DEPS)

@@ -725,3 +725,10 @@ def test_unigram_pivot_broadcasts_piece_table(spark, sf_dir):
     p = plans.plan_of(piv)
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+    # x90: the encoder maps the (broadcast) word->segmentation table
+    # back onto the token stream — no sort-merge, no UDF, no cartesian
+    enc = unigram.unigram_encode(docs.limit(50), pieces)
+    pe = plans.plan_of(enc)
+    assert plans.has_broadcast_join(enc)
+    assert "CartesianProduct" not in pe and "SortMergeJoin" not in pe
+    assert "BatchEvalPython" not in pe and "MapInPandas" not in pe

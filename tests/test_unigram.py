@@ -151,6 +151,69 @@ def test_scale_mode_matches_to_tolerance(spark, docs_df):
         assert fast[p] == pytest.approx(det[p], rel=1e-9)
 
 
+MODEL = ([("jo", .02), ("in", .02), ("ha", .02), ("sh", .02),
+          ("row", .03), ("sca", .02), ("an", .02), ("ba", .02),
+          ("tch", .02), ("the", .03), ("cat", .03), ("at", .02)]
+         + [(c, .005) for c in "abcdefghijklmnopqrstuvwxyz"])
+
+
+def _py_viterbi(w, P, cap=8, L=3):
+    w = w[:cap]
+    n = len(w)
+    v = [1.0] + [0.0] * n
+    bp = [0] * (n + 1)
+    for j in range(1, n + 1):
+        best = v[j - 1] * P.get(w[j - 1:j], 0.0)
+        b = 1
+        for l in range(2, min(L, j) + 1):
+            c = v[j - l] * P.get(w[j - l:j], 0.0)
+            if c > best:
+                best, b = c, l
+        v[j], bp[j] = best, b
+    if v[n] <= 0.0:
+        return None
+    seg, p = [], n
+    while p > 0:
+        seg.append(w[p - bp[p]:p])
+        p -= bp[p]
+    return list(reversed(seg))
+
+
+def test_viterbi_encode_matches_python(spark):
+    P = dict(MODEL)
+    pieces = spark.createDataFrame(MODEL, "piece string, p double")
+    docs = [(1, "join hash row batch scan"),
+            (2, "the cat hatch Scan  JOIN"),     # case/space normalize
+            (3, "zebra q!x internationalization"),  # unk + 8-char cap
+            (4, "a")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(3)
+    got = {r["doc_id"]: r["pieces"] for r in
+           unigram.unigram_encode(df, pieces).collect()}
+    for did, t in docs:
+        want = []
+        for tok in t.lower().split():
+            s = _py_viterbi(tok, P)
+            want += s if s else ["<unk>"]
+        assert got[did] == want, (did, got[did], want)
+    # ties: 'at' (0.02) vs 'a'+'t' (0.000025): piece wins; and the
+    # smallest-l tie rule is exercised via equal-probability chars
+    assert "at" in got[2] or "cat" in got[2]
+
+
+def test_encode_after_train_round_trip(spark, docs_df):
+    """Encoding with a model trained on the same corpus segments every
+    token (full char coverage -> no <unk>) and concatenating the
+    pieces of each doc reproduces its whitespace-joined tokens."""
+    model = unigram.unigram_train(docs_df, vocab_size=8, n_iter=1,
+                                  seed_size=12, max_words=100)
+    out = unigram.unigram_encode(docs_df, model)
+    rows = {r["doc_id"]: r["pieces"] for r in out.collect()}
+    for did, t in DOCS:
+        toks = [w[:CAP] for w in t.lower().split()]
+        assert "".join(rows[did]) == "".join(toks), did
+        assert "<unk>" not in rows[did]
+
+
 def test_validation(spark, docs_df):
     with pytest.raises(ValueError, match="n_iter"):
         unigram.unigram_train(docs_df, n_iter=0)
