@@ -414,39 +414,53 @@ ORACLES: dict[str, str] = {
 # iteration) and the local twin-runner (scripts/oracle_check.py) always
 # cover the full set.
 _CERT_FIRST = [
-    # r08 touched pca.py (explode/arrow moment paths, method knob) and
-    # added x89 WITHOUT rotating the schedule — both PCA gates lead the
-    # r09 window (x89 was driver-certified in the r08 window but never
-    # entered the manifest; r09 touches pca.py again for the unified
-    # dirty-row contract, ADVICE r08)
-    "x84_pca_projection", "x89_pca_block",
-    # r09 touches fuzzy.py (fuzzy_join volume probe, qgram_counts default,
-    # probe base reuse — ADVICE r08) and the x85 gate callable (gram_cap
-    # scale-fragility fix)
-    "x85_fuzzy_linkage",
-    # new r09 gates (never certified): kNN-graph construction with the
-    # arrow kernel hash-certified in-plan via method='both' (VERDICT
-    # r08 #4), and unigram-LM tokenizer EM training with a generated
-    # full-replay CTE oracle (VERDICT r08 #5)
-    "x87_knn_graph", "x88_unigram_tokenizer",
-    # x90: Viterbi encoding, the x88 model's inference half (x61 pattern)
-    "x90_unigram_encode",
-    # r09 touches dedup.py (large-star/small-star connected components,
-    # VERDICT r08 #3): every gate executing through dedup.py rotates in
+    # r10 touches dedup.py (_cc_star self-loop-singleton contract fix,
+    # ADVICE r09; incremental_dedup transactional upsert, VERDICT r09 #5):
+    # every gate executing through dedup.py rotates in
     "x01_dedup_summary", "x02_ngram_jaccard", "x03_minhash_neardup",
     "x04_simhash_neardup", "x06_lsh_neardup_embeddings",
     "x14_ngram_jaccard_capped", "x18_lsh_neardup_capped",
     "x35_duplicate_groups", "x49_incremental_dedup", "x53_semantic_dedup",
     "x55_bpe_train", "x59_cluster_outliers", "x61_bpe_encode",
     "x68_canonical_docs", "x80_pagerank", "x81_pmi_cooccurrence",
+    # r10 touches knn.py (dead cosine-norm removal, ADVICE r09) and adds
+    # dedup.py to x87's manifest deps (ADVICE r09)
+    "x87_knn_graph",
+    # r10 reshapes the x85 gate to aggregate grain (VERDICT r09 #2)
+    "x85_fuzzy_linkage",
+    # r10 touches unigram.py (multi-round EM+prune loop, VERDICT r09 #6)
+    "x88_unigram_tokenizer", "x90_unigram_encode",
+    # r10 touches sources/io.py + the e17 gate (partition-overwrite
+    # transactional upsert, VERDICT r09 #5)
+    "x51_orc_roundtrip", "e17_cache_upsert",
+    # r10 adds single-method bench twins (VERDICT r09 #1): the certifying
+    # gate callables of the dual-method family were refactored onto shared
+    # parameterized impls, so their source hashes changed (x35/x53/x59/x87
+    # already rotate above; x89's only other dep, pca.py, is untouched)
+    "x89_pca_block",
 ]
 _CERT_PENDING: list[str] = []
 # Oldest-certified gates, rotated into the window's free slots for a free
-# freshness re-certification (r04/r05 certs, the oldest in the ledger —
-# VERDICT r08 #6; code unchanged, re-running renews the stamp). The last
-# entries spill past the window when new r09 gates land in _CERT_FIRST;
-# spill stays manifest-guarded.
+# freshness re-certification (VERDICT r09 #3: oldest remaining certs are
+# r04/r05 — the e/q HTTP gates and the x05–x25 band; x15/x19/x23/x24
+# spilled past the r09 window so they lead this one).
 _CERT_REFRESH = [
+    "x15_media_metadata", "x19_image_dims", "x23_wav_metadata",
+    "x24_audio_headers",
+    "e01_enrich_ror", "e02_publication_key", "e05_coverage_zerofill",
+    "e09_journal_id", "e14_annual_pubdates", "e15_hybrid_catalog",
+    "e20_json_cache", "q16_cell_http", "q17_model_http",
+    "x05_ann_topk", "x07_text_metrics", "x08_langid_distribution",
+    "x09_tumbling_daily", "x10_sliding_windows", "x11_session_stats",
+    "x12_props_json", "x13_salted_drilldown", "x16_quality_deciles",
+    "x17_ivf_ann", "x20_pii_redaction", "x21_repetition_deciles",
+    "x22_vocab_top", "x25_streaming_tumbling", "x26_streaming_dedup",
+]
+_CERT_TAIL = [
+    # previously hash-certified; implementing modules untouched since the
+    # certifying round (enforced by test_entry_contract.py against
+    # tests/cert_manifest.json; e-gate deps narrowed to their verified
+    # import closures in scripts/cert_manifest.py)
     "e03_deal_halving", "e04_union_combined", "e06_prune_semi",
     "e07_priority_rank", "e08_melt_explode", "e10_colon_scrub",
     "e11_doi_lookup", "e12_institution_report", "e13_ac_institutions",
@@ -456,22 +470,6 @@ _CERT_REFRESH = [
     "q08_multi_drilldown", "q09_order_topk", "q10_pagination_cells",
     "q11_envelope_rollup", "q12_point_lookup", "q13_fact_by_id",
     "q14_members", "q15_total_percentage",
-    "x15_media_metadata", "x19_image_dims", "x23_wav_metadata",
-    "x24_audio_headers",
-]
-_CERT_TAIL = [
-    # previously hash-certified; implementing modules untouched since the
-    # certifying round (enforced by test_entry_contract.py against
-    # tests/cert_manifest.json; e-gate deps narrowed to their verified
-    # import closures in scripts/cert_manifest.py)
-    "e01_enrich_ror", "e02_publication_key", "e05_coverage_zerofill",
-    "e09_journal_id", "e14_annual_pubdates", "e15_hybrid_catalog",
-    "e17_cache_upsert", "e20_json_cache", "q16_cell_http", "q17_model_http",
-    "x05_ann_topk", "x07_text_metrics", "x08_langid_distribution",
-    "x09_tumbling_daily", "x10_sliding_windows", "x11_session_stats",
-    "x12_props_json", "x13_salted_drilldown", "x16_quality_deciles",
-    "x17_ivf_ann", "x20_pii_redaction", "x21_repetition_deciles",
-    "x22_vocab_top", "x25_streaming_tumbling", "x26_streaming_dedup",
     "x27_winnow_fingerprints", "x28_curation_funnel",
     "x29_sequence_packing", "x30_hash_split", "x31_profile",
     "x32_image_decode", "x33_stateful_sessions", "x34_wav_decode",
@@ -479,7 +477,7 @@ _CERT_TAIL = [
     "x39_stratified_sample", "x40_decontaminate", "x41_bloom_semi_join",
     "x42_topk_per_group", "x43_deterministic_shuffle", "x44_cms_estimates",
     "x45_tfidf_top_terms", "x46_quantize_embeddings", "x47_chunk_documents",
-    "x48_rebalance_mixture", "x50_streaming_cms", "x51_orc_roundtrip",
+    "x48_rebalance_mixture", "x50_streaming_cms",
     "x52_pretraining_pipeline", "x54_unigram_logprob", "x56_domain_stats",
     "x57_temperature_resample", "x58_bigram_logprob",
     "x60_stream_stream_join", "x62_quality_rules", "x63_event_funnel",
@@ -488,7 +486,8 @@ _CERT_TAIL = [
     "x71_size_sharding", "x72_kmeans_fit", "x73_dsir_weights",
     "x74_span_dedup", "x75_sample_per_group", "x76_ccnet_buckets",
     "x77_logreg_quality", "x78_curation_chain", "x79_bm25_topk",
-    "x82_hashed_features", "x83_zorder_layout", "x86_weighted_sample",
+    "x82_hashed_features", "x83_zorder_layout", "x84_pca_projection",
+    "x86_weighted_sample",
 ]
 
 

@@ -723,13 +723,29 @@ def _cc_star(edges: DataFrame, src: str, dst: str,
     where label propagation keeps shuffling the full node-label frame
     every round. localCheckpoint per phase keeps the plan
     constant-size (the label-mode lineage discipline)."""
-    cur = (edges.select(F.col(src).cast("long").alias("u"),
+    raw = (edges.select(F.col(src).cast("long").alias("u"),
                         F.col(dst).cast("long").alias("v"))
-           .filter(F.col("u") != F.col("v"))
+           .localCheckpoint())
+    cur = (raw.filter(F.col("u") != F.col("v"))
            .select(F.least("u", "v").alias("a"),
                    F.greatest("u", "v").alias("b"))
            .distinct()
            .localCheckpoint())
+    # the u != v filter drops SELF-LOOP edges; a node whose only edge is a
+    # self-loop would vanish from the output, while label mode keeps it
+    # (sym retains (a,a) -> (a, comp=a)). The contract is "every node in
+    # the edge frame gets a comp row", so capture the filtered-away node
+    # set up front and union it back as singleton components at the end
+    # (ADVICE r09). One extra anti-join over the (small) node set.
+    loop_only = (raw.select(F.col("u").alias("id"))
+                 .union(raw.select(F.col("v").alias("id")))
+                 .distinct()
+                 .join(cur.select(F.col("a").alias("id"))
+                       .union(cur.select(F.col("b").alias("id")))
+                       .distinct(),
+                       ["id"], "left_anti")
+                 .withColumn("comp", F.col("id"))
+                 .localCheckpoint())
     for _ in range(max_iter):
         # -- large-star: (v, min(N(u) + {u})) for v > u
         dirn = cur.union(cur.select(F.col("b").alias("a"),
@@ -759,12 +775,13 @@ def _cc_star(edges: DataFrame, src: str, dst: str,
                   and sm.count() == cur.count())
         cur = sm
         if stable:
-            # star forest: every edge is (component-min, member)
+            # star forest: every edge is (component-min, member); plus the
+            # self-loop-only singletons filtered out before the loop
             centers = (cur.select(F.col("a").alias("id")).distinct()
                        .withColumn("comp", F.col("id")))
             leaves = (cur.groupBy(F.col("b").alias("id"))
                       .agg(F.min("a").alias("comp")))
-            return leaves.unionByName(centers)
+            return leaves.unionByName(centers).unionByName(loop_only)
     raise RuntimeError(
         f"connected_components(method='star') did not converge in "
         f"{max_iter} rounds (the Kiveris bound is O(log^2 n) — raise "

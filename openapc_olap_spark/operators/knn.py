@@ -143,8 +143,6 @@ def _arrow_topk(queries: DataFrame, corpus: DataFrame, k: int,
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     M = (np.array([r["v"] for r in rows], dtype=np.float64)
          if rows else np.zeros((0, dim), dtype=np.float64))
-    if metric == "cosine":
-        nrm = np.sqrt((M * M).sum(axis=1))
     sc = corpus.sparkSession.sparkContext
     b_ids, b_m = sc.broadcast(ids), sc.broadcast(M)
     _row_topk = _row_topk_np

@@ -191,8 +191,10 @@ _X_DEPS = {
     "x84_pca_projection": [f"{_OPS}/pca.py", f"{_OPS}/logreg.py"],
     "x85_fuzzy_linkage": [f"{_OPS}/fuzzy.py", f"{_OPS}/dedup.py"] + _MEMO,
     "x86_weighted_sample": [f"{_OPS}/sampling.py", f"{_OPS}/ranking.py"],
+    # dedup.py: the x87 gate runs knn_graph(method='both'), which executes
+    # dedup._materialized (ADVICE r09 — omission is the failure mode)
     "x87_knn_graph": [f"{_OPS}/knn.py", f"{_OPS}/similarity.py",
-                      f"{_OPS}/pca.py"] + _MEMO,
+                      f"{_OPS}/pca.py", f"{_OPS}/dedup.py"] + _MEMO,
     "x88_unigram_tokenizer": [f"{_OPS}/unigram.py", f"{_OPS}/text.py",
                               f"{_OPS}/logreg.py",
                               f"{_OPS}/dedup.py"] + _MEMO,

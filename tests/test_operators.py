@@ -1170,6 +1170,27 @@ def test_connected_components_star_mode(spark):
         dedup.connected_components(df, method="bogus")
 
 
+def test_connected_components_self_loop_only_nodes(spark):
+    """ADVICE r09: a node whose ONLY edge is a self-loop must still get a
+    (id, comp=id) row in every mode — star's u != v pre-filter used to
+    drop it (and 'both' then raised a spurious label/star mismatch)."""
+    pairs = [(1, 2),          # ordinary component
+             (7, 7),          # self-loop-only node
+             (9, 9), (9, 10)]  # self-loop on a node that ALSO has an edge
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    want = {1: 1, 2: 1, 7: 7, 9: 9, 10: 9}
+    for method in ("label", "star", "both"):
+        got = {r["id"]: r["comp"] for r in
+               dedup.connected_components(df, method=method).collect()}
+        assert got == want, method
+    # all-self-loop frame: every node is its own singleton component
+    loops = spark.createDataFrame([(5, 5), (6, 6)], ["id_a", "id_b"])
+    for method in ("label", "star", "both"):
+        got = {r["id"]: r["comp"] for r in
+               dedup.connected_components(loops, method=method).collect()}
+        assert got == {5: 5, 6: 6}, method
+
+
 def test_connected_components_star_long_chain_few_rounds(spark):
     """A 64-node path (diameter 63) — star mode's worst published bound
     is O(log^2 n) alternating rounds; it must land well inside
