@@ -63,7 +63,6 @@ def main() -> None:
     from openapc_olap_spark.contrib_queries import BENCH_TWINS
     declared = sorted((n, BENCH_TWINS.get(n, f))
                       for n, f in entrymod.queries().items())
-    twinned = sorted(set(entrymod.queries()) & set(BENCH_TWINS))
     if wanted:
         declared = [(n, f) for n, f in declared
                     if any(n.startswith(w) for w in wanted)]
@@ -86,6 +85,7 @@ def main() -> None:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             per_query[name] = -1.0
     total = round(sum(t for t in per_query.values() if t > 0), 4)
+    twinned = sorted(set(per_query) & set(BENCH_TWINS))
     qset = "full" if not wanted else f"subset({len(per_query)})"
     print(json.dumps({
         "metric": ("sum of per-query median wall-clock (warm), "

@@ -259,3 +259,61 @@ def test_qgram_counts_default_q_matches_module_convention(spark):
     assert all(len(g) == 3 for g in grams)    # trigrams, not unigrams
     want = df.select(fuzzy.qgram_counts("s", 3).alias("g")).first()["g"]
     assert got == want
+
+
+def _pair_grain_stats(pairs):
+    """Reference: compute linkage_stats' contract directly from the
+    materialized (id_a, id_b, dist) pair set + a norm-length map."""
+    M1, M2 = 2147483647, 1000000007
+    C1, C2 = 1000003, 7919
+    agg = {}
+    for a, b, d, ls in pairs:
+        key = (d, ls)
+        n, c1, c2 = agg.get(key, (0, 0, 0))
+        agg[key] = (n + 1,
+                    (c1 + (a * C1) % M1 + (b * C1) % M1) % M1,
+                    (c2 + (a * C2) % M2 + (b * C2) % M2) % M2)
+    return agg
+
+
+def test_linkage_stats_matches_pair_grain(spark):
+    """VERDICT r09 #2: linkage_stats must equal the per-(dist, len_sum)
+    count + dual-checksum rollup of fuzzy_duplicates(collapse_exact) —
+    computed here at pair grain from the materialized pair set —
+    including duplicate-heavy classes (intra dist-0 pairs), near pairs,
+    and singletons."""
+    rows = [(1, "alpha beta"), (2, "ALPHA  beta"), (7, "alpha beta"),
+            (3, "alpha betA"),      # dist 1 from the class above
+            (4, "gamma"), (5, "gamm"), (6, "delta"),
+            (9, "unrelated string here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    import re
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s.lower()).strip()
+
+    lens = {i: len(norm(s)) for i, s in rows}
+    pairs = [(r["id_a"], r["id_b"], r["dist"],
+              lens[r["id_a"]] + lens[r["id_b"]])
+             for r in fuzzy.fuzzy_duplicates(
+                 df, max_dist=2, collapse_exact=True).collect()]
+    want = _pair_grain_stats(pairs)
+    got = {(r["dist"], r["len_sum"]): (r["n_pairs"], r["chk1"], r["chk2"])
+           for r in fuzzy.linkage_stats(df, max_dist=2).collect()}
+    assert got == want
+    assert any(d == 0 for d, _ in got)        # intra-class pairs present
+    assert any(d > 0 for d, _ in got)         # cross-class pairs present
+
+
+def test_linkage_stats_probe_knobs(spark):
+    """max_candidates / auto_q wire through to the string-grain probe."""
+    rows = [(i, f"name {i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = fuzzy.linkage_stats(df, max_dist=1, max_candidates=100,
+                              auto_q=True).collect()
+    # the 3 classes are all within dist 1 of each other: every cross pair
+    # matches too, so the full C(30,2) pair set is covered
+    assert sum(r["n_pairs"] for r in got) == 30 * 29 // 2
+    assert {r["dist"] for r in got} == {0, 1}
+    with pytest.raises(ValueError, match="auto_q requires"):
+        fuzzy.linkage_stats(df, auto_q=True)
