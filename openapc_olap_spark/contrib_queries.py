@@ -4653,23 +4653,28 @@ _X87_SQL = """
 # ---------------------------------------------------------------------------
 
 def _x88_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``unigram.unigram_train(deterministic=True)`` — 2 EM rounds of
-    the Kudo 2018 unigram tokenizer over the top-200 corpus words
-    (VERDICT r08 #5): seed substring counts, forward-backward expected
-    counts over each word's segmentation lattice, prune to all single
-    chars + top-60 multi-char pieces, renormalize. Every sum and
-    product in the E-step has ONE fixed association order (the x84
-    power-iteration discipline applied to lattice DP), so the oracle —
-    the same seed/EM/prune pipeline generated as chained CTEs with
-    correlated piece lookups — replays every double bitwise; rounding
-    to 6/7 dp happens identically on both engines. One wrong lattice
-    edge, posterior, prune rank, or normalizer breaks the hash."""
+    """``unigram.unigram_train(deterministic=True,
+    shrink_factor=0.7)`` — the Kudo 2018 multi-round EM+prune loop
+    (VERDICT r09 #6) over the top-120 corpus words: seed substring
+    counts (seed 120 multi-char pieces), then per-round
+    forward-backward expected counts over each word's segmentation
+    lattice with a geometric prune 120 -> 84 -> 60 (the
+    prune_schedule contract: the schedule is a pure function of the
+    dials, so the generated oracle replays round-for-round without
+    knowing the corpus). Every sum and product in the E-step has ONE
+    fixed association order (the x84 power-iteration discipline
+    applied to lattice DP), so the oracle — the same seed/EM/prune
+    pipeline generated as chained CTEs with correlated piece lookups
+    — replays every double bitwise; rounding to 6/7 dp happens
+    identically on both engines. One wrong lattice edge, posterior,
+    prune rank, or normalizer breaks the hash."""
     from openapc_olap_spark.operators import unigram
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     out = unigram.unigram_train(docs, vocab_size=60, n_iter=2,
-                                piece_len=3, word_cap=8, seed_size=80,
-                                max_words=200, deterministic=True)
+                                piece_len=3, word_cap=6, seed_size=120,
+                                max_words=120, shrink_factor=0.7,
+                                deterministic=True)
     return out.select("piece",
                       (F.round("cnt", 6) + F.lit(0.0)).alias("cnt"),
                       (F.round("p", 7) + F.lit(0.0)).alias("p"))
@@ -4677,13 +4682,15 @@ def _x88_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _x88_sql() -> str:
     """Generate the oracle: the exact CTE replay of unigram_train at
-    the gate's dials (word_cap=8, piece_len=3, max_words=200,
-    seed_size=80, vocab_size=60, n_iter=2). Mirrors
-    operators/unigram.py expression-for-expression: forward terms
-    i-ascending, backward terms l-ascending, left-associated folds,
-    (word, i, l)-ordered list_reduce sums, (cnt desc, piece asc)
-    pruning."""
-    cap, plen, maxw, seed, vocab = 8, 3, 200, 80, 60
+    the gate's dials (word_cap=6, piece_len=3, max_words=120,
+    seed_size=120, vocab_size=60, shrink_factor=0.7 — prune schedule
+    [84, 60]). Mirrors operators/unigram.py
+    expression-for-expression: forward terms i-ascending, backward
+    terms l-ascending, left-associated folds, (word, i, l)-ordered
+    list_reduce sums, (cnt desc, piece asc) pruning."""
+    from openapc_olap_spark.operators.unigram import prune_schedule
+    cap, plen, maxw, seed, vocab = 6, 3, 120, 120, 60
+    sizes = prune_schedule(seed, vocab, 0.7, 2)
     slots = [(i, l) for i in range(cap)
              for l in range(1, plen + 1) if i + l <= cap]
     bslots = [(k, l) for k in range(1, cap + 1)
@@ -4693,7 +4700,7 @@ def _x88_sql() -> str:
         f"SELECT substr(word, {i + 1}, {l}) AS piece, wc FROM words "
         f"WHERE {i + l} <= wlen" for (i, l) in slots)
 
-    def em_block(r: int) -> str:
+    def em_block(r: int, size: int) -> str:
         look_f = ",\n         ".join(
             f"CASE WHEN {i + l} <= wlen THEN coalesce((SELECT p FROM "
             f"pieces{r} pp WHERE pp.piece = substr(word, {i + 1}, {l})),"
@@ -4759,7 +4766,7 @@ def _x88_sql() -> str:
       SELECT piece, cnt FROM (
         SELECT piece, cnt,
                row_number() OVER (ORDER BY cnt DESC, piece ASC) AS r
-        FROM em{r}_cnt WHERE len(piece) > 1) WHERE r <= {vocab}
+        FROM em{r}_cnt WHERE len(piece) > 1) WHERE r <= {size}
       UNION ALL
       SELECT piece, cnt FROM em{r}_cnt WHERE len(piece) = 1),
     pieces{r + 1} AS MATERIALIZED (
@@ -4792,10 +4799,9 @@ def _x88_sql() -> str:
       SELECT piece, cnt::DOUBLE AS cnt,
              cnt::DOUBLE / (SELECT sum(cnt) FROM seed_keep)::DOUBLE AS p
       FROM seed_keep),
-    {em_block(0)},
-    {em_block(1)}
+    {",".join(em_block(r, s) for r, s in enumerate(sizes))}
     SELECT piece, round(cnt, 6) + 0.0 AS cnt, round(p, 7) + 0.0 AS p
-    FROM pieces2
+    FROM pieces{len(sizes)}
 """
 
 

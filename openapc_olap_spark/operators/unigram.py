@@ -15,9 +15,10 @@ Spark columns, which is what makes the whole trainer oracle-replayable:
   position count and the DP unrolls into plain column chains
   (f_0..f_cap forward, b_0..b_cap backward-from-the-end) instead of an
   iterative join. Each slot (i, l) — piece of length l at offset i —
-  is valid iff i + l <= wlen; piece probabilities arrive by ONE
-  broadcast equi-join of the slot substrings against the current piece
-  table, pivoted back to per-word columns.
+  is valid iff i + l <= wlen; piece probabilities arrive by an
+  element_at lookup of the slot substrings against the MODEL-grain
+  piece table embedded as a literal map (collected once per round,
+  LITERAL_MAP_MAX_PIECES-guarded) — a zero-shuffle projection.
 - f_j = sum over l of f_(j-l) * p(word[j-l+1 .. j]), terms added in
   FIXED i-ascending order; b_k (k = chars from the END, so variable
   word length never indexes a column) = sum over l of
@@ -34,13 +35,14 @@ Spark columns, which is what makes the whole trainer oracle-replayable:
   sorted folds (the x54/x58/logreg discipline, row-ceiling-guarded) —
   the gate mode; plain SUM is the 100 TB mode.
 
-No model state ever crosses the driver: the piece table flows between
-iterations as a broadcast frame, and the lattice DP runs as RUNTIME
-folds over packed slot-prob matrices — constant plan size however many
-rounds chain (Catalyst would inline an unrolled recurrence into
-tribonacci-sized trees). Seed counts are integer (wc-weighted
-substring occurrences), so seed probs are exact ratios on any engine
-regardless of summation order.
+Model state crossing the driver is MODEL-grain only (the piece table,
+collected per round into the literal lookup map — exact binary doubles,
+so values are engine-deterministic); corpus-grain data never does. The
+lattice DP runs as RUNTIME folds over packed slot-prob matrices —
+constant plan size however many rounds chain (Catalyst would inline an
+unrolled recurrence into tribonacci-sized trees). Seed counts are
+integer (wc-weighted substring occurrences), so seed probs are exact
+ratios on any engine regardless of summation order.
 """
 
 from __future__ import annotations
@@ -87,9 +89,12 @@ def word_vocab(df: DataFrame, text_col: str = "text",
          .filter(F.length("word") >= 1)
          .groupBy("word").agg(F.count(F.lit(1)).alias("wc")))
     if max_words is not None:
-        rank = Window.orderBy(F.col("wc").desc(), F.col("word").asc())
-        w = (w.withColumn("__r", F.row_number().over(rank))
-             .filter(F.col("__r") <= max_words).drop("__r"))
+        # distributed TakeOrdered, not row_number over a global Window —
+        # the Window form funnels the ENTIRE distinct-word vocabulary
+        # through one task's sort; (wc desc, word asc) is a total order,
+        # so sort+limit picks the identical top set
+        w = w.orderBy(F.col("wc").desc(), F.col("word").asc()) \
+             .limit(max_words)
     return w.withColumn("wlen", F.length("word"))
 
 
@@ -138,47 +143,75 @@ def _prune_and_normalize(cnt: DataFrame, vocab_size: int,
                     (F.col("cnt") / F.col("__t")).alias("p")))
 
 
+# the piece table is model-grain by construction (vocab/seed size +
+# charset); it is embedded in the plan as a literal map, so cap it
+LITERAL_MAP_MAX_PIECES = 200_000
+
+
 def _attach_slot_probs(words: DataFrame, pieces: DataFrame,
                        word_cap: int, piece_len: int) -> DataFrame:
-    """Pivot the current piece probs onto each word as fixed columns:
-    pf_{i}_{l} (forward slot: piece at offset i) and pb_{k}_{l}
-    (backward slot: piece ENDING k-l chars from the end). Invalid slots
-    (outside the word) and unknown pieces are 0.0. One broadcast
-    equi-join + one pivot groupBy — the only joins in an EM round."""
-    fwd = [F.struct(F.lit(0).alias("d"), F.lit(i).alias("x"),
-                    F.lit(l).alias("l"),
-                    F.when(F.lit(i + l) <= F.col("wlen"),
-                           F.substring("word", i + 1, l))
-                    .alias("sub"))
-           for (i, l) in _slots(word_cap, piece_len)]
+    """Attach the current piece probs to each word as two packed
+    array-of-arrays columns: ``__pfm`` (forward — [i+1][l] = prob of
+    the piece of length l at offset i) and ``__pbm`` (backward —
+    [k][l] = prob of the piece ENDING k-l chars from the end). Invalid
+    slots (outside the word) and unknown pieces are 0.0.
+
+    The piece table is MODEL-grain (vocab/seed size + charset — tens of
+    thousands at the outside, guarded by LITERAL_MAP_MAX_PIECES), so it
+    is collected once per round and embedded as a literal map: every
+    slot prob is then a zero-shuffle element_at projection over the
+    word frame. The earlier explode -> broadcast-join -> 30-column
+    conditional pivot produced identical values but cost two shuffles
+    plus the pivot's analysis time EVERY round — on a vocab-grain word
+    table the planning dominated the whole EM loop (r10 profile: half
+    of each 2.5 s round). Probabilities cross the driver as exact
+    binary doubles (collect -> lit), so values are bitwise unchanged."""
+    rows = pieces.select("piece", "p").collect()
+    if len(rows) > LITERAL_MAP_MAX_PIECES:
+        raise ValueError(
+            f"piece table has {len(rows)} rows — beyond "
+            f"LITERAL_MAP_MAX_PIECES={LITERAL_MAP_MAX_PIECES} the "
+            f"plan-embedded model map bloats the task binary; shrink "
+            f"the vocabulary or restore a join-based lookup")
+    # the model crosses back in as a 1-row broadcast map frame (no SQL
+    # escaping of corpus bytes; probabilities ride as exact binary
+    # doubles) — the engine's scalar broadcast-crossJoin pattern. All
+    # slot expressions below are built as ONE SQL string per column:
+    # the Column-object formulation cost ~10k py4j round-trips (~1.5 s
+    # socket I/O) per EM round on a vocab-grain table (r10 profile);
+    # F.expr parses the identical Catalyst tree in one call, so values
+    # are bitwise unchanged and the oracle hash certifies it.
+    spark = words.sparkSession
+    mrow = spark.createDataFrame(
+        [({r["piece"]: float(r["p"]) for r in rows},)],
+        "__pmap map<string,double>")
+
+    def look(valid: str, sub: str) -> str:
+        return (f"CASE WHEN {valid} THEN "
+                f"coalesce(element_at(__pmap, {sub}), 0.0D) "
+                f"ELSE 0.0D END")
+
+    # packed directly as the DP's array-of-arrays matrices (__pfm[i+1][l]
+    # forward, __pbm[k][l] backward) in ONE select
+    pfm = "array(" + ", ".join(
+        "array(" + ", ".join(
+            (look(f"{i + l} <= wlen", f"substring(word, {i + 1}, {l})")
+             if i + l <= word_cap else "0.0D")
+            for l in range(1, piece_len + 1)) + ")"
+        for i in range(word_cap)) + ")"
     # backward slot (k, l): substr(wlen-k+1, l), valid iff k <= wlen
     # (l <= k holds by slot construction, so the piece lies inside)
-    bwd = [F.struct(F.lit(1).alias("d"), F.lit(k).alias("x"),
-                    F.lit(l).alias("l"),
-                    F.when(F.lit(k) <= F.col("wlen"),
-                           F.col("word").substr(
-                               F.col("wlen") - F.lit(k) + 1, F.lit(l)))
-                    .alias("sub"))
-           for (k, l) in _bslots(word_cap, piece_len)]
-    ex = (words.select("word", "wc", "wlen",
-                       F.explode(F.array(*(fwd + bwd))).alias("s"))
-          .select("word", "wc", "wlen", F.col("s.d").alias("d"),
-                  F.col("s.x").alias("x"), F.col("s.l").alias("l"),
-                  F.col("s.sub").alias("sub"))
-          .filter(F.col("sub").isNotNull()))
-    joined = ex.join(F.broadcast(pieces.select(F.col("piece").alias("sub"),
-                                               "p")),
-                     ["sub"], "left")
-    aggs = []
-    for (i, l) in _slots(word_cap, piece_len):
-        aggs.append(F.coalesce(F.max(F.when(
-            (F.col("d") == 0) & (F.col("x") == i) & (F.col("l") == l),
-            F.col("p"))), F.lit(0.0)).alias(f"pf_{i}_{l}"))
-    for (k, l) in _bslots(word_cap, piece_len):
-        aggs.append(F.coalesce(F.max(F.when(
-            (F.col("d") == 1) & (F.col("x") == k) & (F.col("l") == l),
-            F.col("p"))), F.lit(0.0)).alias(f"pb_{k}_{l}"))
-    return joined.groupBy("word", "wc", "wlen").agg(*aggs)
+    pbm = "array(" + ", ".join(
+        "array(" + ", ".join(
+            (look(f"{k} <= wlen",
+                  f"substring(word, wlen - {k} + 1, {l})")
+             if l <= min(piece_len, k) else "0.0D")
+            for l in range(1, piece_len + 1)) + ")"
+        for k in range(1, word_cap + 1)) + ")"
+    return (words.crossJoin(F.broadcast(mrow))
+            .select("word", "wc", "wlen",
+                    F.expr(pfm).alias("__pfm"),
+                    F.expr(pbm).alias("__pbm")))
 
 
 def em_counts(words: DataFrame, pieces: DataFrame, word_cap: int = 8,
@@ -198,80 +231,68 @@ def em_counts(words: DataFrame, pieces: DataFrame, word_cap: int = 8,
     +0.0 — IEEE-exact next to the unrolled chains the oracle replays,
     because every term is non-negative and x + 0.0 == x."""
     piv = _attach_slot_probs(words, pieces, word_cap, piece_len)
-    pfmat = F.array(*[
-        F.array(*[(F.col(f"pf_{i}_{l}") if i + l <= word_cap
-                   else F.lit(0.0))
-                  for l in range(1, piece_len + 1)])
-        for i in range(word_cap)])
-    pbmat = F.array(*[
-        F.array(*[(F.col(f"pb_{k}_{l}") if l <= min(piece_len, k)
-                   else F.lit(0.0))
-                  for l in range(1, piece_len + 1)])
-        for k in range(1, word_cap + 1)])
 
-    def fstep(acc, j):
-        t = F.lit(0.0)
-        for l in range(piece_len, 0, -1):      # i-ascending
-            t = t + F.when(
-                j >= l,
-                F.element_at(acc, (j - l + 1).cast("int"))
-                * F.element_at(F.element_at(F.col("__pfm"),
-                                            (j - l + 1).cast("int")),
-                               l)).otherwise(F.lit(0.0))
-        return F.concat(acc, F.array(t))
+    # every big expression below is ONE F.expr SQL string — identical
+    # Catalyst trees to the former Column-object chains (values bitwise
+    # unchanged, oracle-certified), ~10k fewer py4j round-trips per round
+    def fterm(l: int) -> str:                  # i-ascending via l desc
+        return (f"CASE WHEN j >= {l} THEN "
+                f"element_at(acc, CAST(j - {l} + 1 AS INT)) * "
+                f"element_at(element_at(__pfm, "
+                f"CAST(j - {l} + 1 AS INT)), {l}) ELSE 0.0D END")
 
-    def bstep(acc, k):
-        t = F.lit(0.0)
-        for l in range(1, piece_len + 1):      # l-ascending
-            t = t + F.when(
-                k >= l,
-                F.element_at(F.element_at(F.col("__pbm"),
-                                          k.cast("int")), l)
-                * F.element_at(acc, (k - l + 1).cast("int"))
-            ).otherwise(F.lit(0.0))
-        return F.concat(acc, F.array(t))
+    def bterm(l: int) -> str:                  # l-ascending
+        return (f"CASE WHEN k >= {l} THEN "
+                f"element_at(element_at(__pbm, CAST(k AS INT)), {l}) * "
+                f"element_at(acc, CAST(k - {l} + 1 AS INT)) "
+                f"ELSE 0.0D END")
 
-    seq = F.sequence(F.lit(1), F.lit(word_cap))
-    state = (piv.withColumn("__pfm", pfmat)
-             .withColumn("__pbm", pbmat)
-             .withColumn("__fa", F.aggregate(
-                 seq, F.array(F.lit(1.0)), fstep))
-             .withColumn("__ba", F.aggregate(
-                 seq, F.array(F.lit(1.0)), bstep))
-             .withColumn("__z", F.element_at(F.col("__fa"),
-                                             F.col("wlen") + 1)))
+    fsum = "0.0D"
+    for l in range(piece_len, 0, -1):
+        fsum = f"({fsum} + {fterm(l)})"
+    bsum = "0.0D"
+    for l in range(1, piece_len + 1):
+        bsum = f"({bsum} + {bterm(l)})"
+    fa = (f"aggregate(sequence(1, {word_cap}), array(1.0D), "
+          f"(acc, j) -> concat(acc, array({fsum})))")
+    ba = (f"aggregate(sequence(1, {word_cap}), array(1.0D), "
+          f"(acc, k) -> concat(acc, array({bsum})))")
+    # two selects, not five withColumns — every withColumn re-analyzes
+    # the whole (large) projection
+    state = piv.select("word", "wc", "wlen", "__pfm",
+                       F.expr(fa).alias("__fa"), F.expr(ba).alias("__ba"))
+    state = state.select(
+        "word", "wc", "wlen", "__pfm", "__fa", "__ba",
+        F.expr("element_at(__fa, wlen + 1)").alias("__z"))
     slot_ec = []
     for (i, l) in _slots(word_cap, piece_len):
         # posterior mass of "a piece spans [i+1, i+l]":
         # f_i * p * b_(wlen - i - l) / Z
-        ec = F.when(
-            (F.lit(i + l) <= F.col("wlen")) & (F.col("__z") > F.lit(0.0)),
-            F.element_at(F.col("__fa"), i + 1) * F.col(f"pf_{i}_{l}")
-            * F.element_at(F.col("__ba"),
-                           F.col("wlen") - F.lit(i + l) + 1)
-            / F.col("__z")
-        ).otherwise(F.lit(0.0))
-        slot_ec.append(F.struct(
-            F.lit(i).alias("i"), F.lit(l).alias("l"),
-            F.when(F.lit(i + l) <= F.col("wlen"),
-                   F.substring("word", i + 1, l)).alias("piece"),
-            ec.alias("ec")))
-    contrib = (state.select("word", "wc",
-                            F.explode(F.array(*slot_ec)).alias("s"))
-               .filter(F.col("s.piece").isNotNull())
-               .select("word", F.col("s.i").alias("i"),
-                       F.col("s.l").alias("l"),
-                       F.col("s.piece").alias("piece"),
-                       (F.col("wc") * F.col("s.ec")).alias("v")))
+        ec = (f"CASE WHEN {i + l} <= wlen AND __z > 0.0D THEN "
+              f"element_at(__fa, {i + 1}) * "
+              f"element_at(element_at(__pfm, {i + 1}), {l}) * "
+              f"element_at(__ba, wlen - {i + l} + 1) / __z "
+              f"ELSE 0.0D END")
+        slot_ec.append(
+            f"named_struct('i', {i}, 'l', {l}, 'piece', "
+            f"CASE WHEN {i + l} <= wlen "
+            f"THEN substring(word, {i + 1}, {l}) END, 'ec', {ec})")
+    contrib = (state.select(
+        "word", "wc",
+        F.explode(F.expr("array(" + ", ".join(slot_ec) + ")"))
+        .alias("s"))
+        .filter(F.col("s.piece").isNotNull())
+        .select("word", F.col("s.i").alias("i"),
+                F.col("s.l").alias("l"),
+                F.col("s.piece").alias("piece"),
+                (F.col("wc") * F.col("s.ec")).alias("v")))
     if not deterministic:
         return contrib.groupBy("piece").agg(F.sum("v").alias("cnt"))
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct(
-            F.col("word").alias("w"), F.col("i").alias("i"),
-            F.col("l").alias("l"), F.col("v").alias("v")))),
-        lambda s: s["v"])
+    ordered = ("transform(array_sort(collect_list(named_struct("
+               "'w', word, 'i', i, 'l', l, 'v', v))), s -> s.v)")
     return contrib.groupBy("piece").agg(
-        F.aggregate(ordered, F.lit(0.0), lambda a, x: a + x).alias("cnt"))
+        F.expr(f"aggregate({ordered}, 0.0D, (a, x) -> a + x)")
+        .alias("cnt"))
 
 
 def viterbi_segment(words: DataFrame, pieces: DataFrame,
@@ -288,52 +309,42 @@ def viterbi_segment(words: DataFrame, pieces: DataFrame,
         raise ValueError("word_cap > 99 breaks the 2-digit backtrack "
                          "position encoding")
     piv = _attach_slot_probs(words, pieces, word_cap, piece_len)
-    # pack the pivoted slot probs into ONE array-of-arrays column and
-    # run the forward DP as a RUNTIME fold with a (vs, bps) struct
-    # accumulator — an unrolled column-chain formulation embeds the v
-    # trees inside nested CASEs and Catalyst spent ~14 s ANALYZING
-    # them for a 31-row frame; the fold's expression is
-    # constant-size. The oracle replays the same
-    # products/comparisons as unrolled lateral-alias chains (SQL
-    # planners handle those fine), so values still match bitwise.
-    pfmat = F.array(*[
-        F.array(*[(F.col(f"pf_{i}_{l}") if i + l <= word_cap
-                   else F.lit(0.0))
-                  for l in range(1, piece_len + 1)])
-        for i in range(word_cap)])
-    state = piv.select("word", "wlen", pfmat.alias("__pf"))
-    facc0 = F.struct(
-        F.array(F.lit(1.0)).alias("vs"),
-        F.array().cast("array<int>").alias("bps"))
+    # the slot probs arrive already packed as the __pfm matrix; run the
+    # forward DP as a RUNTIME fold with a (vs, bps) struct accumulator —
+    # an unrolled column-chain formulation embeds the v trees inside
+    # nested CASEs and Catalyst spent ~14 s ANALYZING them for a 31-row
+    # frame; the fold's expression is constant-size. The oracle replays
+    # the same products/comparisons as unrolled lateral-alias chains
+    # (SQL planners handle those fine), so values still match bitwise.
+    state = piv.select("word", "wlen", F.col("__pfm").alias("__pf"))
+    # cand(l) = vs[j-l] * pf[j-l][l]; strict > keeps the SMALLEST
+    # winning l (same order as the oracle's SQL chains); slots with
+    # l > j get a -1 sentinel that can never win. Expressions are built
+    # as SQL strings (single F.expr parse — the Column-object chains
+    # cost thousands of py4j round-trips per call; identical Catalyst
+    # trees, oracle-certified bitwise).
 
-    def fstep(acc, j):
-        # cand(l) = vs[j-l] * pf[j-l][l]; strict > keeps the SMALLEST
-        # winning l (same order as _viterbi_columns / the SQL chains);
-        # slots with l > j get a -1 sentinel that can never win
-        def cand(l):
-            return F.when(
-                j >= l,
-                F.element_at(acc["vs"], (j - l + 1).cast("int"))
-                * F.element_at(F.element_at(F.col("__pf"),
-                                            (j - l + 1).cast("int")),
-                               l)).otherwise(F.lit(-1.0))
-        best, bp = cand(1), F.lit(1)
-        for l in range(2, piece_len + 1):
-            c = cand(l)
-            bp = F.when(c > best, F.lit(l)).otherwise(bp)
-            best = F.when(c > best, c).otherwise(best)
-        return F.struct(
-            F.concat(acc["vs"], F.array(best)).alias("vs"),
-            F.concat(acc["bps"],
-                     F.array(bp.cast("int"))).alias("bps"))
+    def cand(l: int) -> str:
+        return (f"CASE WHEN j >= {l} THEN "
+                f"element_at(acc.vs, CAST(j - {l} + 1 AS INT)) * "
+                f"element_at(element_at(__pf, "
+                f"CAST(j - {l} + 1 AS INT)), {l}) ELSE -1.0D END")
 
-    fwd = F.aggregate(F.sequence(F.lit(1), F.lit(word_cap)),
-                      facc0, fstep)
-    state = state.select("word", "wlen", fwd["vs"].alias("__vs"),
-                         fwd["bps"].alias("__bps"))
-    varr = F.col("__vs")
-    bparr = F.col("__bps")
-    ok = F.element_at(varr, F.col("wlen") + 1) > F.lit(0.0)
+    best, bp = cand(1), "1"
+    for l in range(2, piece_len + 1):
+        c = cand(l)
+        bp = f"CASE WHEN {c} > {best} THEN {l} ELSE {bp} END"
+        best = f"CASE WHEN {c} > {best} THEN {c} ELSE {best} END"
+    fwd = (f"aggregate(sequence(1, {word_cap}), "
+           f"named_struct('vs', array(1.0D), "
+           f"'bps', CAST(array() AS ARRAY<INT>)), "
+           f"(acc, j) -> named_struct("
+           f"'vs', concat(acc.vs, array({best})), "
+           f"'bps', concat(acc.bps, array(CAST({bp} AS INT)))))")
+    state = state.select("word", "wlen",
+                         F.expr(f"{fwd}.vs").alias("__vs"),
+                         F.expr(f"{fwd}.bps").alias("__bps"))
+    ok = "element_at(__vs, wlen + 1) > 0.0D"
     # Backtrack as a RUNTIME fold (constant plan size — an unrolled
     # version quintuples the expression tree per step under
     # CollapseProject). The accumulator is a plain string —
@@ -342,25 +353,20 @@ def viterbi_segment(words: DataFrame, pieces: DataFrame,
     # DuckDB 1.0 list_reduce lambdas and the oracle must replay this
     # fold verbatim. Each step consumes bp[pos] chars off the end and
     # PREPENDS the piece, so the final list reads front-to-back.
-    sep = F.lit(_SEG_SEP)
-    acc0 = F.when(ok, F.lpad(F.col("wlen").cast("string"), 2, "0")) \
-        .otherwise(F.lit("00"))
-
-    def step(acc, _):
-        p = F.substring(acc, 1, 2).cast("int")
-        l = F.element_at(bparr, F.greatest(p, F.lit(1)))
-        piece = F.col("word").substr(p - l + 1, l)
-        return F.when(
-            p > 0,
-            F.concat(F.lpad((p - l).cast("string"), 2, "0"), sep,
-                     piece, F.substring(acc, 3, 1 << 20))
-        ).otherwise(acc)
-
-    final = F.aggregate(F.sequence(F.lit(1), F.lit(word_cap)),
-                        acc0, step)
-    seg = F.filter(F.split(F.substring(final, 3, 1 << 20), _SEG_SEP),
-                   lambda x: x != "")
-    return state.select("word", F.when(ok, seg).alias("seg"))
+    acc0 = (f"CASE WHEN {ok} THEN "
+            f"lpad(CAST(wlen AS STRING), 2, '0') ELSE '00' END")
+    p = "CAST(substring(acc, 1, 2) AS INT)"
+    ln = f"element_at(__bps, greatest({p}, 1))"
+    step = (f"CASE WHEN {p} > 0 THEN concat("
+            f"lpad(CAST({p} - {ln} AS STRING), 2, '0'), '{_SEG_SEP}', "
+            f"substring(word, {p} - {ln} + 1, {ln}), "
+            f"substring(acc, 3, {1 << 20})) ELSE acc END")
+    final = (f"aggregate(sequence(1, {word_cap}), {acc0}, "
+             f"(acc, ig) -> {step})")
+    seg = (f"filter(split(substring({final}, 3, {1 << 20}), "
+           f"'{_SEG_SEP}'), x -> x != '')")
+    return state.select(
+        "word", F.expr(f"CASE WHEN {ok} THEN {seg} END").alias("seg"))
 
 
 def unigram_encode(df: DataFrame, pieces: DataFrame,
@@ -395,16 +401,53 @@ def unigram_encode(df: DataFrame, pieces: DataFrame,
             .agg(F.flatten(ordered).alias("pieces")))
 
 
+def prune_schedule(seed_size: int, vocab_size: int,
+                   shrink_factor: float | None,
+                   n_iter: int) -> list[int]:
+    """Per-EM-round multi-char prune sizes. ``shrink_factor=None`` is
+    the single-cut mode: every one of the ``n_iter`` rounds prunes
+    straight to ``vocab_size``. With a factor f in (0, 1) the schedule
+    is the Kudo 2018 alternating EM+prune loop: round r prunes to
+    max(vocab_size, floor(prev * f)) starting from ``seed_size``, until
+    the target is reached; if the shrink chain is shorter than
+    ``n_iter`` the remaining rounds run at ``vocab_size``. The schedule
+    is a pure function of the DIALS — never of the data — so a
+    generated SQL oracle can replay round-for-round without knowing the
+    corpus (the x88 gate contract)."""
+    if shrink_factor is None:
+        return [vocab_size] * n_iter
+    if not 0.0 < shrink_factor < 1.0:
+        raise ValueError(f"shrink_factor must be in (0, 1), got "
+                         f"{shrink_factor}")
+    sizes: list[int] = []
+    cur = seed_size
+    while cur > vocab_size:
+        cur = max(vocab_size, int(cur * shrink_factor))
+        sizes.append(cur)
+    while len(sizes) < n_iter:
+        sizes.append(vocab_size)
+    return sizes
+
+
 def unigram_train(df: DataFrame, text_col: str = "text",
                   vocab_size: int = 60, n_iter: int = 2,
                   piece_len: int = 3, word_cap: int = 8,
                   seed_size: int = 80,
                   max_words: int | None = None,
+                  shrink_factor: float | None = None,
                   deterministic: bool = False) -> DataFrame:
-    """Fit the unigram tokenizer model: (piece, cnt, p) after
-    ``n_iter`` EM rounds, pruned each round to all single chars + the
-    top ``vocab_size`` multi-char pieces. One Spark plan end to end —
-    the piece table flows between rounds as a broadcast frame."""
+    """Fit the unigram tokenizer model: (piece, cnt, p) after EM
+    rounds following :func:`prune_schedule` — by default ``n_iter``
+    rounds each pruned to all single chars + the top ``vocab_size``
+    multi-char pieces; with ``shrink_factor`` set, the Kudo 2018
+    multi-round loop that alternates EM with a geometric prune from
+    ``seed_size`` down to ``vocab_size`` (VERDICT r09 #6), so pieces
+    competing near the cut survive long enough for their expected
+    counts to stabilize instead of being guillotined on round-1
+    posteriors. One Spark plan end to end — the piece table flows
+    between rounds as a broadcast frame; the loop is driver-coordinated
+    at VOCAB grain (the bpe.py discipline), with per-round work
+    independent of corpus size."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if not 1 <= piece_len <= word_cap:
@@ -417,6 +460,7 @@ def unigram_train(df: DataFrame, text_col: str = "text",
             f"contribution lists: pass max_words <= "
             f"{DETERMINISTIC_MAX_ROWS} (the engine-wide ceiling). "
             f"Use the default SUM path at scale.")
+    sizes = prune_schedule(seed_size, vocab_size, shrink_factor, n_iter)
     # the word vocabulary feeds the seed and every EM round — persist
     from openapc_olap_spark.operators.dedup import _materialized
     words = _materialized(word_vocab(df, text_col, word_cap, max_words))
@@ -426,12 +470,12 @@ def unigram_train(df: DataFrame, text_col: str = "text",
     # round N's whole DAG at every reference
     pieces = seed_pieces(words, piece_len, seed_size,
                          word_cap).localCheckpoint(eager=False)
-    for _ in range(n_iter):
+    for size in sizes:
         # cnt is ALSO model-grain and feeds _prune_and_normalize twice
         # (the ranked keep-set and the normalizer total) — checkpoint
         # it or the whole E-step executes once per consumer
         cnt = em_counts(words, pieces, word_cap, piece_len,
                         deterministic).localCheckpoint(eager=False)
         pieces = _prune_and_normalize(
-            cnt, vocab_size).localCheckpoint(eager=False)
+            cnt, size).localCheckpoint(eager=False)
     return pieces

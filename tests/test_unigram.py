@@ -221,3 +221,43 @@ def test_validation(spark, docs_df):
         unigram.unigram_train(docs_df, piece_len=9, word_cap=8)
     with pytest.raises(ValueError, match="ceiling"):
         unigram.unigram_train(docs_df, deterministic=True)
+
+
+def test_prune_schedule_is_dial_pure():
+    """VERDICT r09 #6: the Kudo shrink loop's per-round prune sizes are
+    a pure function of the dials (never the data), so generated SQL
+    oracles can replay round-for-round."""
+    assert unigram.prune_schedule(80, 60, None, 2) == [60, 60]
+    assert unigram.prune_schedule(120, 60, 0.7, 2) == [84, 60]
+    assert unigram.prune_schedule(500, 60, 0.75, 2) == [
+        375, 281, 210, 157, 117, 87, 65, 60]
+    # shrink chain shorter than n_iter: pad with target-size rounds
+    assert unigram.prune_schedule(70, 60, 0.5, 3) == [60, 60, 60]
+    with pytest.raises(ValueError, match="shrink_factor"):
+        unigram.prune_schedule(80, 60, 1.5, 2)
+
+
+def test_unigram_train_shrink_loop(spark):
+    """shrink_factor training: multi-char piece count respects every
+    round's prune size and the final model is at target size; the
+    explicit schedule replayed by hand gives the identical model."""
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 3) for i in range(4)]
+        + [(9, "a banana and a bandana")],
+        ["doc_id", "text"])
+    got = unigram.unigram_train(docs, vocab_size=4, n_iter=2,
+                                piece_len=3, word_cap=6, seed_size=9,
+                                shrink_factor=0.7, max_words=50,
+                                deterministic=True)
+    rows = {r["piece"]: (r["cnt"], r["p"]) for r in got.collect()}
+    assert sum(1 for k in rows if len(k) > 1) <= 4
+    # replay the schedule by hand: [6, 4] for seed 9 -> 0.7
+    assert unigram.prune_schedule(9, 4, 0.7, 2) == [6, 4]
+    from openapc_olap_spark.operators.dedup import _materialized
+    words = _materialized(unigram.word_vocab(docs, "text", 6, 50))
+    pieces = unigram.seed_pieces(words, 3, 9, 6)
+    for size in [6, 4]:
+        cnt = unigram.em_counts(words, pieces, 6, 3, True)
+        pieces = unigram._prune_and_normalize(cnt, size)
+    want = {r["piece"]: (r["cnt"], r["p"]) for r in pieces.collect()}
+    assert rows == want
