@@ -60,7 +60,9 @@ def main() -> None:
     # dual-method certifying gates are timed via their single-method
     # production twins (VERDICT r09 #1): same result frame, engine cost
     # only — the dual-kernel audit cost stays in the correctness gate
-    from openapc_olap_spark.contrib_queries import BENCH_TWINS
+    from openapc_olap_spark import contrib_queries, etl_queries
+    BENCH_TWINS = {**contrib_queries.BENCH_TWINS,
+                   **etl_queries.BENCH_TWINS}
     declared = sorted((n, BENCH_TWINS.get(n, f))
                       for n, f in entrymod.queries().items())
     if wanted:

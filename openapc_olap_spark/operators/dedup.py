@@ -850,3 +850,44 @@ def incremental_dedup(new_df: DataFrame, seen_fps: DataFrame,
     definitely_new = marked.filter(~might)
     candidates = marked.filter(might).join(seen, "__fp", "left_anti")
     return definitely_new.unionByName(candidates).drop("__fp")
+
+
+def incremental_dedup_commit(new_df, store, crawl_seq: int,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             bloom_bits: int | None = None):
+    """Crawl-over-crawl dedup against a TRANSACTIONAL fingerprint store
+    (sources/txn.TxnTable, VERDICT r09 #5): keep rows of ``new_df``
+    whose normalized fingerprint is absent from the store's current
+    snapshot (the same bloom-guarded anti-join as
+    :func:`incremental_dedup`), then COMMIT the surviving fingerprints
+    back as a bucketed partition-overwrite upsert keyed on ``fp`` with
+    sequence ``crawl_seq``.
+
+    The store is the "seen in any previous crawl" index as a real
+    table instead of a rewrite-the-world parquet dir: a crashed run
+    never publishes (orphan files only — re-run converges bitwise), a
+    lost commit race re-merges against the winner, and only the
+    buckets this crawl's fingerprints hash into are rewritten. The
+    store must have been created over (fp, seq) rows bucketed by
+    ``add_bucket(..., ["fp"], n)`` with ``meta={"n_buckets": n}`` —
+    the bucket count is read back from the manifest so every crawl
+    buckets identically. Returns the kept rows, MATERIALIZED before
+    the commit so the returned frame is stable against the store's
+    own advance."""
+    from openapc_olap_spark.sources.txn import add_bucket
+
+    n_buckets = store.snapshot().get("meta", {}).get("n_buckets")
+    if not n_buckets:
+        raise ValueError(
+            "store manifest carries no meta.n_buckets — create the "
+            "fingerprint store with TxnTable.create(..., "
+            "meta={'n_buckets': n}) over add_bucket(df, ['fp'], n)")
+    seen = store.read().select("fp")
+    kept = _materialized(incremental_dedup(
+        new_df, seen, id_col, text_col, "fp", bloom_bits))
+    fresh = (kept.select(fingerprint(text_col).alias("fp"))
+             .distinct()
+             .withColumn("seq", F.lit(crawl_seq).cast("long")))
+    store.upsert(add_bucket(fresh, ["fp"], n_buckets), ["fp"], "seq")
+    return kept

@@ -73,7 +73,8 @@ DEPS["q17_model_http"] = _QUERY_STACK + [f"{_P}/server.py",
 DEPS["e18_partition_prune"] = _ETL_STACK + _QUERY_STACK
 DEPS["e19_manifest_roundtrip"] = _ETL_STACK + [f"{_P}/catalog.py"]
 DEPS["e20_json_cache"] = [f"{_P}/etl/coverage.py"]
-DEPS["e17_cache_upsert"] = [f"{_P}/etl/coverage.py"]
+DEPS["e17_cache_upsert"] = [f"{_P}/etl/coverage.py",
+                            f"{_P}/sources/txn.py"]
 DEPS["e14_annual_pubdates"] = [f"{_P}/etl/coverage.py"]
 DEPS["e15_hybrid_catalog"] = [f"{_P}/etl/coverage.py"]
 DEPS["e09_journal_id"] = [f"{_P}/etl/coverage.py"]
@@ -136,7 +137,8 @@ _X_DEPS = {
     "x47_chunk_documents": [f"{_OPS}/chunking.py", f"{_OPS}/text.py"],
     "x48_rebalance_mixture": [f"{_OPS}/packing.py", f"{_OPS}/text.py"],
     "x49_incremental_dedup": [f"{_OPS}/dedup.py", f"{_OPS}/bloom.py",
-                              f"{_OPS}/text.py"] + _MEMO,
+                              f"{_OPS}/text.py",
+                              f"{_P}/sources/txn.py"] + _MEMO,
     "x50_streaming_cms": [f"{_P}/streaming/__init__.py",
                           f"{_P}/streaming/sketches.py",
                           f"{_OPS}/sketches.py", f"{_OPS}/packing.py",

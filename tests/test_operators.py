@@ -2911,3 +2911,41 @@ def test_r06_operators_empty_input(spark):
     assert rolling.rolling_features(ev, k=3).count() == 0
     assert sharding.assign_shards(docs, target=10).count() == 0
     assert dedup.canonical_documents(docs, "n_chars").count() == 0
+
+
+def test_incremental_dedup_commit_two_crawls(spark, tmp_path):
+    """VERDICT r09 #5: crawl-over-crawl dedup against the transactional
+    fingerprint store — crawl 2 must be filtered by crawl 1's committed
+    fingerprints, each crawl advances exactly one store version, and a
+    re-run of the same crawl yields zero new rows (convergence)."""
+    from openapc_olap_spark.sources import txn
+
+    hist = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], ["doc_id", "text"])
+    seen = (hist.select(dedup.fingerprint("text").alias("fp"))
+            .distinct().withColumn("seq", F.lit(0).cast("long")))
+    store = txn.TxnTable.create(
+        spark, str(tmp_path / "fps"), txn.add_bucket(seen, ["fp"], 4),
+        "bucket", meta={"n_buckets": 4})
+    crawl1 = spark.createDataFrame(
+        [(10, "ALPHA  text"),            # dup of history (normalized)
+         (11, "gamma text")], ["doc_id", "text"])
+    kept1 = dedup.incremental_dedup_commit(crawl1, store, crawl_seq=1)
+    assert {r["doc_id"] for r in kept1.collect()} == {11}
+    assert store.version() == 1
+    crawl2 = spark.createDataFrame(
+        [(20, "gamma TEXT"),             # dup of crawl 1
+         (21, "delta text")], ["doc_id", "text"])
+    kept2 = dedup.incremental_dedup_commit(crawl2, store, crawl_seq=2,
+                                           bloom_bits=1 << 12)
+    assert {r["doc_id"] for r in kept2.collect()} == {21}
+    assert store.version() == 2
+    # convergence: re-running crawl 2 admits nothing and still commits
+    kept2b = dedup.incremental_dedup_commit(crawl2, store, crawl_seq=3)
+    assert kept2b.count() == 0
+    # store without bucket meta fails fast
+    bare = txn.TxnTable.create(
+        spark, str(tmp_path / "bare"), txn.add_bucket(seen, ["fp"], 4),
+        "bucket")
+    with pytest.raises(ValueError, match="n_buckets"):
+        dedup.incremental_dedup_commit(crawl1, bare, crawl_seq=1)

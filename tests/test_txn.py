@@ -1,0 +1,190 @@
+"""TxnTable: manifest-swap transactional parquet (VERDICT r09 #5) —
+snapshot isolation, partition-overwrite upsert, crash consistency,
+commit races, vacuum."""
+
+import json
+import os
+
+import pytest
+
+from openapc_olap_spark.sources import txn
+from openapc_olap_spark.sources.txn import CommitConflict, TxnTable
+
+
+def _rows(df):
+    return {(r["k"], r["seq"], r["val"]) for r in
+            df.select("k", "seq", "val").collect()}
+
+
+def _mk(spark, tmp_path, rows):
+    df = txn.add_bucket(
+        spark.createDataFrame(rows, "k string, seq long, val string"),
+        ["k"], 4)
+    return TxnTable.create(spark, str(tmp_path / "t"), df, "bucket")
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a", 1, "x"), ("b", 1, "y")])
+    assert t.version() == 0
+    assert _rows(t.read()) == {("a", 1, "x"), ("b", 1, "y")}
+
+
+def test_upsert_last_wins_and_partition_rewrite_scope(spark, tmp_path):
+    rows = [(f"k{i}", 1, f"v{i}") for i in range(20)]
+    t = _mk(spark, tmp_path, rows)
+    before = {f["path"] for f in t.snapshot()["files"]}
+    up = txn.add_bucket(
+        spark.createDataFrame([("k3", 2, "NEW"), ("zz", 2, "new-key")],
+                              "k string, seq long, val string"),
+        ["k"], 4)
+    v = t.upsert(up, ["k"], "seq")
+    assert v == 1
+    got = _rows(t.read())
+    assert ("k3", 2, "NEW") in got and ("k3", 1, "v3") not in got
+    assert ("zz", 2, "new-key") in got
+    assert len(got) == 21
+    # untouched partitions' files are RE-LINKED, not rewritten
+    touched = {r[0] for r in up.select("bucket").distinct().collect()}
+    after = t.snapshot()["files"]
+    untouched_before = {f["path"] for f in after
+                        if f["partition"] not in {str(x) for x in touched}}
+    assert untouched_before <= before
+    # stale seq loses
+    stale = txn.add_bucket(
+        spark.createDataFrame([("k3", 0, "OLD")],
+                              "k string, seq long, val string"),
+        ["k"], 4)
+    t.upsert(stale, ["k"], "seq")
+    assert ("k3", 2, "NEW") in _rows(t.read())
+
+
+def test_upsert_matches_coverage_merge_contract(spark, tmp_path):
+    """TxnTable.upsert's merge == etl/coverage.upsert_last_wins on the
+    same frames (the e17 semantics, now behind a transactional store)."""
+    from openapc_olap_spark.etl.coverage import upsert_last_wins
+    ex = [(f"d{i % 7}", i, f"y{i % 3}") for i in range(0, 30, 2)]
+    up = [(f"d{i % 9}", 100 + i, f"y{i % 4}") for i in range(0, 20, 3)]
+    edf = spark.createDataFrame(ex, "k string, seq long, val string")
+    udf = spark.createDataFrame(up, "k string, seq long, val string")
+    want = {(r["k"], r["seq"], r["val"]) for r in
+            upsert_last_wins(edf, udf, ["k"], "seq").collect()}
+    t = TxnTable.create(spark, str(tmp_path / "t"),
+                        txn.add_bucket(edf, ["k"], 4), "bucket")
+    t.upsert(txn.add_bucket(udf, ["k"], 4), ["k"], "seq")
+    assert _rows(t.read()) == want
+
+
+def test_crash_consistency_and_vacuum(spark, tmp_path):
+    """A writer that lands data files but dies before the manifest
+    publish leaves the table unchanged; re-running the upsert converges
+    to the same state; vacuum reclaims the orphans."""
+    t = _mk(spark, tmp_path, [("a", 1, "x"), ("b", 1, "y")])
+    up = txn.add_bucket(
+        spark.createDataFrame([("a", 2, "X2")],
+                              "k string, seq long, val string"),
+        ["k"], 4)
+    # simulate the crash: data files land, no commit
+    merged = txn._merge_last_wins(
+        t.read(partitions=[str(r[0]) for r in
+                           up.select("bucket").distinct().collect()]),
+        up, ["k"], "seq")
+    orphans = t._write_data(merged)
+    assert orphans
+    assert t.version() == 0                      # table unchanged
+    assert _rows(t.read()) == {("a", 1, "x"), ("b", 1, "y")}
+    # re-run converges
+    t.upsert(up, ["k"], "seq")
+    assert _rows(t.read()) == {("a", 2, "X2"), ("b", 1, "y")}
+    # vacuum removes exactly the unreferenced files
+    gone = t.vacuum()
+    assert {f"data/{g}" for g in gone} == {o["path"] for o in orphans}
+    assert _rows(t.read()) == {("a", 2, "X2"), ("b", 1, "y")}
+    # staging left nothing behind
+    assert not os.path.exists(os.path.join(t.path, "_staging")) or \
+        not os.listdir(os.path.join(t.path, "_staging"))
+
+
+def test_commit_race_retries_against_winner(spark, tmp_path):
+    """Optimistic concurrency: if another writer publishes first, the
+    upsert re-merges against the WINNER's snapshot (its rows survive
+    when its seq is higher)."""
+    t = _mk(spark, tmp_path, [("a", 1, "x")])
+    # a competing writer wins version 1 out from under our upsert
+    orig_publish = t._publish
+    raced = {"done": False}
+
+    def racing_publish(version, files, schema, meta=None):
+        if not raced["done"]:
+            raced["done"] = True
+            winner = txn.add_bucket(
+                spark.createDataFrame([("a", 9, "WINNER")],
+                                      "k string, seq long, val string"),
+                ["k"], 4)
+            t2 = TxnTable(spark, t.path, "bucket")
+            t2.upsert(winner, ["k"], "seq")
+        return orig_publish(version, files, schema, meta)
+
+    t._publish = racing_publish
+    up = txn.add_bucket(
+        spark.createDataFrame([("a", 2, "loser"), ("b", 2, "fresh")],
+                              "k string, seq long, val string"),
+        ["k"], 4)
+    v = t.upsert(up, ["k"], "seq")
+    assert v == 2
+    got = _rows(t.read())
+    assert ("a", 9, "WINNER") in got             # winner's higher seq kept
+    assert ("b", 2, "fresh") in got
+
+
+def test_commit_conflict_exhausts_retries(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a", 1, "x")])
+
+    def always_conflict(version, files, schema, meta=None):
+        raise CommitConflict("simulated")
+
+    t._publish = always_conflict
+    up = txn.add_bucket(
+        spark.createDataFrame([("a", 2, "y")],
+                              "k string, seq long, val string"),
+        ["k"], 4)
+    with pytest.raises(CommitConflict, match="lost 2 commit races"):
+        t.upsert(up, ["k"], "seq", max_retries=2)
+
+
+def test_manifest_level_partition_pruning(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(f"k{i}", 1, "v") for i in range(40)])
+    snap = t.snapshot()
+    one = snap["files"][0]["partition"]
+    df = t.read(partitions=[one])
+    assert 0 < df.count() < 40
+    assert set(df.select("bucket").distinct().toPandas()["bucket"]
+               .astype(str)) == {one}
+    # schema survives an empty prune
+    assert t.read(partitions=["no-such"]).count() == 0
+
+
+def test_updates_must_carry_partition_column(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a", 1, "x")])
+    bare = spark.createDataFrame([("a", 2, "y")],
+                                 "k string, seq long, val string")
+    with pytest.raises(ValueError, match="partition column"):
+        t.upsert(bare, ["k"], "seq")
+
+
+def test_manifest_is_the_read_surface_not_the_directory(spark, tmp_path):
+    """A data file dropped into data/ by hand (or an orphan) is
+    invisible: readers open exactly the manifest's file list."""
+    t = _mk(spark, tmp_path, [("a", 1, "x")])
+    # hand-plant a rogue parquet file in data/
+    rogue = spark.createDataFrame([("zzz", 99, "rogue", 0)],
+                                  "k string, seq long, val string, "
+                                  "bucket bigint")
+    tmp = str(tmp_path / "rogue")
+    rogue.coalesce(1).write.parquet(tmp)
+    src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(tmp, src),
+              os.path.join(t.path, "data", "rogue.parquet"))
+    assert _rows(t.read()) == {("a", 1, "x")}
+    # and the manifest is versioned json with per-file partitions
+    snap = json.load(open(t._version_path(t.version())))
+    assert all({"path", "partition"} <= set(f) for f in snap["files"])
