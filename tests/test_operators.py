@@ -2949,3 +2949,23 @@ def test_incremental_dedup_commit_two_crawls(spark, tmp_path):
         "bucket")
     with pytest.raises(ValueError, match="n_buckets"):
         dedup.incremental_dedup_commit(crawl1, bare, crawl_seq=1)
+
+
+def test_functions_facade_exports_work(spark):
+    """VERDICT r09 #8: openapc_olap_spark.functions is the documented
+    one-import surface (README quick-start) — every __all__ export
+    resolves and the facade drives a real projection."""
+    from openapc_olap_spark import functions as OF
+
+    for name in OF.__all__:
+        assert callable(getattr(OF, name)), name
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox.", [3.0, 4.0])],
+        ["doc_id", "text", "v"])
+    row = df.select(
+        OF.token_count("text").alias("n"),
+        OF.fingerprint("text").alias("fp"),
+        OF.strip_ror_prefix(F.lit("https://ror.org/abc")).alias("ror"),
+        OF.norm("v").alias("nrm")).first()
+    assert row["n"] == 4 and row["ror"] == "abc"
+    assert len(row["fp"]) == 32 and abs(row["nrm"] - 5.0) < 1e-12

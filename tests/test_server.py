@@ -114,3 +114,44 @@ def test_empty_result_is_empty_list(app):
     """HOWTO.md:99 — a miss returns [] not an error."""
     _, _, body = call(app, "/cube/srv/facts", "cut=institution:Missing")
     assert json.loads(body) == []
+
+
+def test_live_socket_replays_howto_urls(app):
+    """VERDICT r09 #7: the one gap in the HTTP story was that serve()'s
+    socket path was never exercised — bind wsgiref on an ephemeral port
+    in a thread and replay HOWTO.md:37-89-shaped URLs through a real
+    HTTP client (urllib), asserting the same envelopes the WSGI-direct
+    tests see."""
+    import threading
+    import urllib.request
+    from wsgiref.simple_server import make_server
+
+    srv = make_server("127.0.0.1", 0, app)     # port 0 = ephemeral
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}", timeout=30) as r:
+                assert r.status == 200
+                assert r.headers["Content-Type"].startswith(
+                    "application/json")
+                return json.loads(r.read())
+
+        cubes = get("/cubes")                            # HOWTO.md:31
+        assert [c["name"] for c in cubes] == ["srv"]
+        model = get("/cube/srv/model")                   # HOWTO.md:95
+        assert {a["name"] for a in model["aggregates"]} >= {
+            "amount_sum", "num_items"}
+        facts = get("/cube/srv/facts?pagesize=2&page=1")  # HOWTO.md:42
+        assert len(facts) == 2
+        agg = get("/cube/srv/aggregate?drilldown=period"  # HOWTO.md:60
+                  "&cut=institution:Uni%20B")
+        cells = {c["period"]: c["amount_sum"] for c in agg["cells"]}
+        assert cells == {"2020": 300.0, "2021": 400.0}
+        assert agg["summary"]["amount_sum"] == 700.0
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
