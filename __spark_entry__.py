@@ -438,6 +438,9 @@ _CERT_FIRST = [
     # parameterized impls, so their source hashes changed (x35/x53/x59/x87
     # already rotate above; x89's only other dep, pca.py, is untouched)
     "x89_pca_block",
+    # new r10 gate (never certified): IVF-PQ ADC + exact re-rank
+    # (VERDICT r09 #4)
+    "x91_ivf_pq_ann",
 ]
 _CERT_PENDING: list[str] = []
 # Oldest-certified gates, rotated into the window's free slots for a free

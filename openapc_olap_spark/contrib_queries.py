@@ -4715,6 +4715,180 @@ _X87_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# X91: IVF-PQ approximate nearest neighbour (ADC + exact re-rank)
+# ---------------------------------------------------------------------------
+
+def _x91_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pq.ivf_pq_topk(method='both', dot metric)`` — VERDICT r09 #4:
+    every 20th vector retrieves its 5 nearest by IVF-PQ: coarse
+    assignment to the first-8 deterministic centroids, residual PQ
+    codes against the first-16 deterministic sub-centroid seeds
+    (m=8 x 8-dim subspaces), ADC candidate scoring over n_probe=2
+    lists, exact-dot re-rank of the top 15. Embeddings are quantized
+    to integer-valued doubles (floor(x*1000+0.5)) so every distance,
+    ADC score, and exact score is EXACT (< 2^53) — argmins, probe
+    sets, tie-breaks (score desc, dst asc) and the digest are bitwise
+    reproducible on both engines. method='both' runs the Arrow
+    LUT-gather kernel in-gate and asserts its post-top-rerank
+    candidate set identical to the expression path the oracle
+    replays. The per-residue rollup digests every (src, rank, dst,
+    score) edge; one wrong code, probe, candidate, or re-rank breaks
+    the hash."""
+    from openapc_olap_spark.operators import pq
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 1000 + F.lit(0.5))
+                     .cast("double"))
+    dq = emb.select("vec_id", qv.alias("embedding"))
+    g = pq.ivf_pq_topk(dq, dim=64, k=5, m=8, n_probe=2, rerank=15,
+                       queries=dq.filter(F.col("vec_id") % 20 == 0),
+                       method="both")
+    trip = F.concat_ws(":", F.col("src").cast("string"),
+                       F.col("rank").cast("string"),
+                       F.col("dst").cast("string"),
+                       F.col("score").cast("long").cast("string"))
+    return (g.groupBy((F.col("src") % 7).alias("grp"))
+            .agg(F.count(F.lit(1)).alias("n_edges"),
+                 F.sum("rank").cast("long").alias("rank_sum"),
+                 F.sum("score").cast("long").alias("score_sum"),
+                 F.md5(F.array_join(F.array_sort(
+                     F.collect_list(trip)), ",")).alias("digest")))
+
+
+def _x91_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path bench twin of x91: the Arrow LUT scorer alone
+    (VERDICT r09 #1 split)."""
+    from openapc_olap_spark.operators import pq
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 1000 + F.lit(0.5))
+                     .cast("double"))
+    dq = emb.select("vec_id", qv.alias("embedding"))
+    g = pq.ivf_pq_topk(dq, dim=64, k=5, m=8, n_probe=2, rerank=15,
+                       queries=dq.filter(F.col("vec_id") % 20 == 0),
+                       method="arrow")
+    trip = F.concat_ws(":", F.col("src").cast("string"),
+                       F.col("rank").cast("string"),
+                       F.col("dst").cast("string"),
+                       F.col("score").cast("long").cast("string"))
+    return (g.groupBy((F.col("src") % 7).alias("grp"))
+            .agg(F.count(F.lit(1)).alias("n_edges"),
+                 F.sum("rank").cast("long").alias("rank_sum"),
+                 F.sum("score").cast("long").alias("score_sum"),
+                 F.md5(F.array_join(F.array_sort(
+                     F.collect_list(trip)), ",")).alias("digest")))
+
+
+_X91_SQL = """
+    WITH e AS (
+      -- shared dirty-row prefilter + integer quantization (x87 shape)
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 1000 + 0.5)) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    -- coarse quantizer: the first 8 clean vectors by id
+    co AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS lid, v AS cv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+    -- every vector's list: squared-L2 argmin (ties -> smaller lid),
+    -- distances via exact dot decomposition vv - 2vc + cc
+    asg AS (
+      SELECT vec_id, v, lid, cv FROM (
+        SELECT e.vec_id, e.v, co.lid, co.cv,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, e.v)
+                          - 2 * list_dot_product(e.v, co.cv)
+                          + list_dot_product(co.cv, co.cv) ASC,
+                          co.lid ASC) AS rn
+        FROM e CROSS JOIN co) WHERE rn = 1),
+    resid AS (
+      SELECT vec_id, v, lid,
+             list_transform(generate_series(1, 64),
+                            j -> v[j] - cv[j]) AS r
+      FROM asg),
+    -- PQ sub-centroid seeds: residuals of the first 16 clean vectors
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r AS sr
+      FROM (SELECT vec_id, r FROM resid ORDER BY vec_id LIMIT 16)),
+    subspaces AS (SELECT unnest(generate_series(0, 7)) AS m),
+    -- residual PQ codes: per (vector, subspace) argmin over the 16
+    -- seed subvectors (ties -> smaller code)
+    codedet AS (
+      SELECT vec_id, m, code, scut FROM (
+        SELECT rv.vec_id, s.m, sd.code,
+               list_slice(sd.sr, s.m * 8 + 1, s.m * 8 + 8) AS scut,
+               row_number() OVER (
+                 PARTITION BY rv.vec_id, s.m
+                 ORDER BY list_dot_product(
+                            list_slice(rv.r, s.m * 8 + 1, s.m * 8 + 8),
+                            list_slice(rv.r, s.m * 8 + 1, s.m * 8 + 8))
+                          - 2 * list_dot_product(
+                            list_slice(rv.r, s.m * 8 + 1, s.m * 8 + 8),
+                            list_slice(sd.sr, s.m * 8 + 1, s.m * 8 + 8))
+                          + list_dot_product(
+                            list_slice(sd.sr, s.m * 8 + 1, s.m * 8 + 8),
+                            list_slice(sd.sr, s.m * 8 + 1, s.m * 8 + 8))
+                          ASC, sd.code ASC) AS rn
+        FROM resid rv CROSS JOIN subspaces s CROSS JOIN seeds sd)
+      WHERE rn = 1),
+    -- queries probe their n_probe=2 nearest lists
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0),
+    probes AS (
+      SELECT vec_id AS src, v AS qv, lid FROM (
+        SELECT q.vec_id, q.v, co.lid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, q.v)
+                          - 2 * list_dot_product(q.v, co.cv)
+                          + list_dot_product(co.cv, co.cv) ASC,
+                          co.lid ASC) AS rn
+        FROM q CROSS JOIN co) WHERE rn <= 2),
+    -- ADC: approx = dot(q, c_list) + sum_m dot(q_sub_m, seed_sub)
+    pairs AS (
+      SELECT p.src, p.qv, a.vec_id AS dst, a.lid
+      FROM probes p JOIN asg a ON a.lid = p.lid
+      WHERE a.vec_id != p.src),
+    approx AS (
+      SELECT pr.src, pr.qv, pr.dst,
+             list_dot_product(pr.qv, co.cv)
+             + sum(list_dot_product(
+                 list_slice(pr.qv, cd.m * 8 + 1, cd.m * 8 + 8),
+                 cd.scut)) AS approx
+      FROM pairs pr
+      JOIN co ON co.lid = pr.lid
+      JOIN codedet cd ON cd.vec_id = pr.dst
+      GROUP BY pr.src, pr.qv, pr.dst, co.cv),
+    -- top-rerank=15 candidates per query, exact-dot re-rank, top-5
+    cands AS (
+      SELECT src, qv, dst FROM (
+        SELECT src, qv, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY approx DESC, dst ASC) AS cr
+        FROM approx) WHERE cr <= 15),
+    rer AS (
+      SELECT c.src, c.dst, list_dot_product(c.qv, d.v) AS score
+      FROM cands c JOIN e d ON d.vec_id = c.dst),
+    top AS (
+      SELECT src, rank, dst, score FROM (
+        SELECT src, dst, score,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY score DESC, dst ASC) AS rank
+        FROM rer) WHERE rank <= 5)
+    SELECT (src % 7)::BIGINT AS grp, count(*) AS n_edges,
+           sum(rank)::BIGINT AS rank_sum, sum(score)::BIGINT AS score_sum,
+           md5(array_to_string(list_sort(list(
+             src::VARCHAR || ':' || rank::VARCHAR || ':' || dst::VARCHAR
+             || ':' || score::BIGINT::VARCHAR)), ',')) AS digest
+    FROM top GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # X88: unigram-LM (SentencePiece-style) tokenizer training
 # ---------------------------------------------------------------------------
 
@@ -5187,6 +5361,7 @@ QUERIES = {
     "x88_unigram_tokenizer": _x88_unigram_tokenizer,
     "x90_unigram_encode": _x90_unigram_encode,
     "x89_pca_block": _x89_pca_block,
+    "x91_ivf_pq_ann": _x91_ivf_pq_ann,
 }
 
 # Production-path bench twins (VERDICT r09 #1): the certifying gates above
@@ -5202,6 +5377,7 @@ BENCH_TWINS = {
     "x59_cluster_outliers": _x59_production,
     "x87_knn_graph": _x87_production,
     "x89_pca_block": _x89_production,
+    "x91_ivf_pq_ann": _x91_production,
 }
 
 ORACLES = {
@@ -5295,4 +5471,5 @@ ORACLES = {
     "x88_unigram_tokenizer": _X88_SQL,
     "x90_unigram_encode": _X90_SQL,
     "x89_pca_block": _X89_SQL,
+    "x91_ivf_pq_ann": _X91_SQL,
 }

@@ -1,0 +1,375 @@
+"""IVF-PQ approximate nearest neighbour: product-quantized candidate
+scoring with exact re-rank (SURVEY.md §2.9 X3 family; VERDICT r09 #4 —
+the scale rung past IVF-flat, whose probed lists still read full float
+vectors: at 1B x 768d the vector BYTES are the bottleneck, and PQ codes
+are m bytes/vector instead of 8*d).
+
+Pipeline (Jégou et al. 2011, "Product Quantization for Nearest
+Neighbor Search" — IVFADC):
+
+1. **Coarse quantizer**: every vector joins the IVF list of its
+   nearest coarse centroid (squared-L2 argmin, ties to the smaller
+   list id).
+2. **Residual PQ encode**: the residual r = v - c_list is split into
+   ``m`` subspaces of dim/m dims; each subspace is quantized to the
+   nearest of ``ksub`` sub-centroids — the vector is stored as m small
+   codes. The codes table is what candidate scoring READS; full
+   vectors are touched only by the re-rank.
+3. **ADC candidate scoring**: a query probing a list scores every
+   member as  dot(q, c_list) + sum_m dot(q_sub_m, pqc[m][code_m]) —
+   exact dot against the RECONSTRUCTED vector, computed from codes
+   alone (the classic asymmetric-distance lookup; the arrow kernel
+   materializes the per-query LUT Q_sub @ pqc[m]^T once per list).
+4. **Exact re-rank**: the top ``rerank`` candidates per query by
+   approximate score fetch their full vectors (an id equi-join — the
+   only full-vector read) and the final top-k is exact-dot ranked.
+
+Two scorers behind one output contract (src, rank, dst, score), rank
+1..k by (exact score desc, dst asc):
+
+- ``"expr"`` — oracle-replayable: assignment, codes, probe, ADC and
+  re-rank are all Catalyst expressions (built as single-parse SQL
+  strings — the unigram r10 lesson); DuckDB replays them with
+  list_dot_product / slices. On integer-quantized vectors
+  (floor(x*1000+0.5), the x87/x89 gate discipline) every distance and
+  score is an exact integer < 2^53, so argmins, ties, and digests are
+  bitwise reproducible on any engine in any order.
+- ``"arrow"`` — the production scorer: cogroup queries-probing-a-list
+  with the list's CODES, one LUT build + gather per list (numpy), per
+  list top-``rerank`` per query; the shared exact re-rank then runs on
+  the candidate sliver. The full-vector table never rides the probe
+  join.
+- ``"both"`` — runs both scorers, asserts the post-top-``rerank``
+  candidate sets identical (src, dst, approx), returns the expr frame
+  (the x87/x35 self-certification pattern).
+
+Deterministic "training" for certification: ``coarse=None`` /
+``pq_cents=None`` take the FIRST n_lists (resp. ksub) corpus vectors
+by id — the x17/x53 trick that lets a SQL oracle replicate training
+instead of assuming KMeans. Production passes centroids trained by
+operators/kmeans (coarse) and per-subspace variants thereof.
+
+Dirty rows are dropped by the shared ``pca.clean_vectors`` prefilter
+(one contract across the embedding-operator family, ADVICE r08).
+
+Scale notes (measured at sf10 in SCALING.md r10): candidate volume is
+n * list_size * n_probe like IVF-flat, but the probe join carries
+m-byte codes instead of d*8-byte vectors; re-rank reads rerank * |Q|
+full vectors. n_lists ~ n / target_list_size, rerank a small multiple
+of k (recall curve in tests/test_ann_recall.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from openapc_olap_spark.operators.pca import clean_vectors
+
+
+def _clean(df: DataFrame, dim: int, id_col: str,
+           vec_col: str) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return (df.filter(clean_vectors(v, dim))
+            .select(F.col(id_col).alias("id"), v.alias("v")))
+
+
+def _arr(vals: list[float]) -> str:
+    """SQL double-array literal (repr round-trips IEEE doubles
+    exactly)."""
+    return "array(" + ", ".join(f"CAST('{v!r}' AS DOUBLE)"
+                                for v in vals) + ")"
+
+
+def _arr2(tab: list[list[float]]) -> str:
+    return "array(" + ", ".join(_arr(v) for v in tab) + ")"
+
+
+def _arr3(tab: list[list[list[float]]]) -> str:
+    return "array(" + ", ".join(_arr2(t) for t in tab) + ")"
+
+
+def _ssq(vexpr: str, arr_sql: str) -> str:
+    return (f"aggregate(zip_with({vexpr}, {arr_sql}, "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (s, t) -> s + t)")
+
+
+def _dot(vexpr: str, other: str) -> str:
+    return (f"aggregate(zip_with({vexpr}, {other}, (x, y) -> x * y), "
+            f"0.0D, (s, t) -> s + t)")
+
+
+def first_n_vectors(corpus: DataFrame, n: int) -> list[list[float]]:
+    """The deterministic-training helper: the first ``n`` clean vectors
+    by id, as plain lists (the x17/x53 oracle-replicable centroid
+    choice)."""
+    return [[float(x) for x in r["v"]]
+            for r in corpus.orderBy("id").limit(n).collect()]
+
+
+def train_pq_cents(corpus_first: list[list[float]],
+                   coarse: list[list[float]],
+                   m: int) -> list[list[list[float]]]:
+    """Deterministic residual sub-centroids: assign each seed vector to
+    its coarse list (squared-L2 argmin, ties to the smaller id — pure
+    Python over <= ksub vectors, replayed by the oracle), take its
+    residual, and slice into ``m`` subspaces. Returns pqc[m][c] =
+    seed c's m-th residual subvector. Production would Lloyd-refine
+    per subspace (operators/kmeans) and pass the result in."""
+    dim = len(coarse[0])
+    dsub = dim // m
+    out: list[list[list[float]]] = [[] for _ in range(m)]
+    for v in corpus_first:
+        best = min(range(len(coarse)),
+                   key=lambda li: (sum((v[j] - coarse[li][j]) ** 2
+                                       for j in range(dim)), li))
+        r = [v[j] - coarse[best][j] for j in range(dim)]
+        for mm in range(m):
+            out[mm].append(r[mm * dsub:(mm + 1) * dsub])
+    return out
+
+
+def train_pq_cents_lloyd(df: DataFrame, coarse: list[list[float]],
+                         m: int, ksub: int = 16, n_iter: int = 3,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding"
+                         ) -> list[list[list[float]]]:
+    """Production PQ training: per subspace, Lloyd-refine ``ksub``
+    sub-centroids over the corpus residuals (operators/kmeans, seeded
+    with the deterministic first-``ksub`` residuals so refinement only
+    improves on the certifiable baseline). A driver loop at MODEL grain
+    — m kmeans runs of ksub x (dim/m) floats; at real scale train on a
+    sample and pass the result into :func:`ivf_pq_topk`. The recall
+    gain over the unrefined seeds is measured in
+    tests/test_ann_recall.py."""
+    from openapc_olap_spark.operators.kmeans import kmeans_fit
+
+    dim = len(coarse[0])
+    dsub = dim // m
+    corpus = _clean(df, dim, id_col, vec_col)
+    coarsetab = _arr2(coarse)
+    cands = "array(" + ", ".join(
+        f"named_struct('d', {_ssq('v', _arr(c))}, 'i', {li})"
+        for li, c in enumerate(coarse)) + ")"
+    resid = (corpus
+             .select("id", "v",
+                     F.expr(f"array_min({cands}).i").alias("list_id"))
+             .select("id", F.expr(
+                 f"zip_with(v, element_at({coarsetab}, list_id + 1), "
+                 f"(x, y) -> x - y)").alias("r")))
+    seeds = train_pq_cents(first_n_vectors(corpus, ksub), coarse, m)
+    out = []
+    for mm in range(m):
+        sub = resid.select(
+            "id", F.expr(f"slice(r, {mm * dsub + 1}, {dsub})")
+            .alias("rsub"))
+        out.append(kmeans_fit(sub, k=ksub, n_iter=n_iter,
+                              vec_col="rsub", id_col="id",
+                              init=seeds[mm], assign="arrow"))
+    return out
+
+
+def pq_codes(corpus: DataFrame, coarse: list[list[float]],
+             pq_cents: list[list[list[float]]]) -> DataFrame:
+    """(id, list_id, codes): coarse assignment + residual PQ codes for
+    every clean corpus vector — the m-byte-per-vector index the
+    candidate stage reads. ``corpus`` must be the (id, v) frame from
+    the shared clean prefilter."""
+    m, ksub = len(pq_cents), len(pq_cents[0])
+    dim = len(coarse[0])
+    dsub = dim // m
+    cands = "array(" + ", ".join(
+        f"named_struct('d', {_ssq('v', _arr(c))}, 'i', {li})"
+        for li, c in enumerate(coarse)) + ")"
+    assign = f"array_min({cands}).i"
+    coarsetab = _arr2(coarse)
+    resid = (f"zip_with(v, element_at({coarsetab}, list_id + 1), "
+             f"(x, y) -> x - y)")
+    code_exprs = []
+    for mm in range(m):
+        sub = f"slice(__r, {mm * dsub + 1}, {dsub})"
+        cc = "array(" + ", ".join(
+            f"named_struct('d', {_ssq(sub, _arr(pq_cents[mm][c]))}, "
+            f"'i', {c})" for c in range(ksub)) + ")"
+        code_exprs.append(f"array_min({cc}).i")
+    codes = "array(" + ", ".join(code_exprs) + ")"
+    return (corpus
+            .select("id", "v", F.expr(assign).alias("list_id"))
+            .select("id", "v", "list_id", F.expr(resid).alias("__r"))
+            .select("id", "list_id", F.expr(codes).alias("codes")))
+
+
+def _probe(coarse: list[list[float]], n_probe: int) -> str:
+    cands = "array(" + ", ".join(
+        f"named_struct('d', {_ssq('__qv', _arr(c))}, 'i', {li})"
+        for li, c in enumerate(coarse)) + ")"
+    return (f"transform(slice(array_sort({cands}), 1, {n_probe}), "
+            f"s -> s.i)")
+
+
+def _adc(coarse: list[list[float]],
+         pq_cents: list[list[list[float]]]) -> str:
+    """approx = dot(q, c_list) + sum_m dot(q_sub_m, pqc[m][code_m]) —
+    the asymmetric-distance score against the reconstructed vector."""
+    m, _ = len(pq_cents), len(pq_cents[0])
+    dim = len(coarse[0])
+    dsub = dim // m
+    coarse_dot = _dot("__qv", f"element_at({_arr2(coarse)}, list_id + 1)")
+    pqtab = _arr3(pq_cents)
+    sub_dot = (f"aggregate(sequence(1, {dsub}), 0.0D, (a, j) -> "
+               f"a + element_at(__qv, (mm - 1) * {dsub} + j) * "
+               f"element_at(element_at(element_at({pqtab}, mm), "
+               f"element_at(codes, mm) + 1), j))")
+    return (f"({coarse_dot}) + aggregate(sequence(1, {m}), 0.0D, "
+            f"(acc, mm) -> acc + ({sub_dot}))")
+
+
+def _arrow_candidates(probed: DataFrame, codes_df: DataFrame,
+                      coarse: list[list[float]],
+                      pq_cents: list[list[list[float]]],
+                      rerank: int) -> DataFrame:
+    """Per-list LUT scorer: cogroup queries probing a list with the
+    list's CODES, build LUT[m] = Q_sub_m @ pqc[m]^T once per
+    (list, query-batch), gather by code, emit per-list top-``rerank``
+    per query (the union over probed lists contains the global
+    top-rerank)."""
+    import numpy as np
+    import pandas as pd
+
+    from openapc_olap_spark.operators.knn import _row_topk_np
+
+    carr = np.array(coarse, dtype=np.float64)
+    parr = np.array(pq_cents, dtype=np.float64)     # m x ksub x dsub
+    m, _, dsub = parr.shape
+
+    def score_fn(key, qpdf, mpdf):
+        if not len(qpdf) or not len(mpdf):
+            return pd.DataFrame({"src": pd.Series(dtype="int64"),
+                                 "dst": pd.Series(dtype="int64"),
+                                 "approx": pd.Series(dtype="float64")})
+        lid = int(key[0])
+        Q = np.array(list(qpdf["__qv"]), dtype=np.float64)
+        qids = qpdf["src"].to_numpy(dtype=np.int64)
+        codes = np.array(list(mpdf["codes"]), dtype=np.int64)
+        mids = mpdf["id"].to_numpy(dtype=np.int64)
+        base = Q @ carr[lid]                         # nq
+        S = np.tile(base[:, None], (1, len(mids)))
+        for mm in range(m):
+            lut = Q[:, mm * dsub:(mm + 1) * dsub] @ parr[mm].T
+            S += lut[:, codes[:, mm]]
+        out_s, out_d, out_v = [], [], []
+        for i in range(len(qids)):
+            s = S[i].copy()
+            s[mids == qids[i]] = -np.inf             # self excluded
+            taken = 0
+            for j in _row_topk_np(s, mids, rerank):
+                if not np.isfinite(s[j]):
+                    continue
+                out_s.append(qids[i])
+                out_d.append(mids[j])
+                out_v.append(float(s[j]))
+                taken += 1
+                if taken == rerank:
+                    break
+        return pd.DataFrame({"src": pd.Series(out_s, dtype="int64"),
+                             "dst": pd.Series(out_d, dtype="int64"),
+                             "approx": pd.Series(out_v,
+                                                 dtype="float64")})
+
+    return (probed.groupBy("list_id")
+            .cogroup(codes_df.groupBy("list_id"))
+            .applyInPandas(score_fn,
+                           "src long, dst long, approx double"))
+
+
+def ivf_pq_topk(df: DataFrame, dim: int, k: int = 10, m: int = 8,
+                n_probe: int = 2, rerank: int | None = None,
+                coarse: list[list[float]] | None = None,
+                pq_cents: list[list[list[float]]] | None = None,
+                n_lists: int = 8, ksub: int = 16,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                queries: DataFrame | None = None,
+                method: str = "expr") -> DataFrame:
+    """IVF-PQ top-k (dot metric): PQ-coded ADC candidate generation
+    over the probed lists, exact-dot re-rank of the top ``rerank``
+    candidates per query (default 3*k). Output contract matches
+    knn.knn_graph: (src, rank, dst, score), rank 1..k by
+    (exact score desc, dst asc). See the module docstring for the
+    expr / arrow / both scorer semantics."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    if k < 1 or n_probe < 1:
+        raise ValueError("k and n_probe must be >= 1")
+    if method not in ("expr", "arrow", "both"):
+        raise ValueError(f"method must be 'expr', 'arrow' or 'both', "
+                         f"got {method!r}")
+    rerank = 3 * k if rerank is None else rerank
+    if rerank < k:
+        raise ValueError(f"rerank={rerank} must be >= k={k}")
+    corpus = _clean(df, dim, id_col, vec_col)
+    if coarse is None:
+        coarse = first_n_vectors(corpus, n_lists)
+    if pq_cents is None:
+        pq_cents = train_pq_cents(first_n_vectors(corpus, ksub),
+                                  coarse, m)
+    codes_df = pq_codes(corpus, coarse, pq_cents)
+    qf = corpus if queries is None else _clean(queries, dim, id_col,
+                                               vec_col)
+    probed = (qf.select(F.col("id").alias("src"),
+                        F.col("v").alias("__qv"))
+              .select("src", "__qv",
+                      F.explode(F.expr(_probe(coarse, n_probe)))
+                      .alias("list_id")))
+    wc = Window.partitionBy("src").orderBy(F.col("approx").desc(),
+                                           F.col("dst").asc())
+
+    def expr_cands() -> DataFrame:
+        pairs = (probed.join(codes_df, ["list_id"])
+                 .filter(F.col("src") != F.col("id"))
+                 .select("src", "__qv", "list_id",
+                         F.col("id").alias("dst"), "codes"))
+        return (pairs
+                .select("src", "__qv", "dst",
+                        F.expr(_adc(coarse, pq_cents)).alias("approx"))
+                .withColumn("__cr", F.row_number().over(wc))
+                .filter(F.col("__cr") <= rerank)
+                .select("src", "dst", "approx"))
+
+    def arrow_cands() -> DataFrame:
+        per_list = _arrow_candidates(probed, codes_df, coarse,
+                                     pq_cents, rerank)
+        return (per_list.withColumn("__cr", F.row_number().over(wc))
+                .filter(F.col("__cr") <= rerank)
+                .select("src", "dst", "approx"))
+
+    if method == "expr":
+        cands = expr_cands()
+    elif method == "arrow":
+        cands = arrow_cands()
+    else:
+        from openapc_olap_spark.operators.dedup import _materialized
+        ce = _materialized(expr_cands())
+        ca = arrow_cands()
+        diff = (ce.alias("e").join(
+                    ca.alias("a"),
+                    ["src", "dst", "approx"], "full")
+                .filter(F.col("e.src").isNull()
+                        | F.col("a.src").isNull())
+                .count())
+        if diff:
+            raise AssertionError(
+                f"ivf_pq expr/arrow candidate mismatch on {diff} "
+                f"row(s) — kernel bug, not data")
+        cands = ce
+    # shared exact re-rank: the ONLY full-vector read
+    qv = qf.select(F.col("id").alias("src"), F.col("v").alias("__qv"))
+    cv = corpus.select(F.col("id").alias("dst"),
+                       F.col("v").alias("__cv"))
+    exact = (cands.join(qv, ["src"]).join(cv, ["dst"])
+             .select("src", "dst",
+                     F.expr(_dot("__qv", "__cv")).alias("score")))
+    wk = Window.partitionBy("src").orderBy(F.col("score").desc(),
+                                           F.col("dst").asc())
+    return (exact.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("src", "rank", "dst", "score"))

@@ -204,6 +204,12 @@ _X_DEPS = {
                            f"{_OPS}/logreg.py",
                            f"{_OPS}/dedup.py"] + _MEMO,
     "x89_pca_block": [f"{_OPS}/pca.py", f"{_OPS}/logreg.py"],
+    # pq imports pca (clean prefilter) + knn (_row_topk_np); the Lloyd
+    # trainer pulls kmeans (-> similarity) — deps err broad
+    "x91_ivf_pq_ann": [f"{_OPS}/pq.py", f"{_OPS}/pca.py",
+                       f"{_OPS}/knn.py", f"{_OPS}/kmeans.py",
+                       f"{_OPS}/similarity.py", f"{_OPS}/dedup.py"]
+    + _MEMO,
 }
 DEPS.update(_X_DEPS)
 
