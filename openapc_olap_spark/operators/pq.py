@@ -142,42 +142,61 @@ def train_pq_cents_lloyd(df: DataFrame, coarse: list[list[float]],
     sample and pass the result into :func:`ivf_pq_topk`. The recall
     gain over the unrefined seeds is measured in
     tests/test_ann_recall.py."""
+    from openapc_olap_spark.operators.dedup import _materialized
     from openapc_olap_spark.operators.kmeans import kmeans_fit
+    from openapc_olap_spark.operators.similarity import ivf_assign
 
     dim = len(coarse[0])
     dsub = dim // m
     corpus = _clean(df, dim, id_col, vec_col)
     coarsetab = _arr2(coarse)
-    cands = "array(" + ", ".join(
-        f"named_struct('d', {_ssq('v', _arr(c))}, 'i', {li})"
-        for li, c in enumerate(coarse)) + ")"
-    resid = (corpus
-             .select("id", "v",
-                     F.expr(f"array_min({cands}).i").alias("list_id"))
-             .select("id", F.expr(
-                 f"zip_with(v, element_at({coarsetab}, list_id + 1), "
-                 f"(x, y) -> x - y)").alias("r")))
+    # arrow assignment + MATERIALIZED residuals: the m kmeans runs make
+    # m * n_iter passes over this frame, and an interpreted per-row
+    # argmin over hundreds of centroid structs re-executed per pass
+    # dominated the whole trainer (sf10 r10 profile: 159 s -> the fix)
+    resid = _materialized(
+        ivf_assign(corpus, coarse, vec_col="v", method="arrow")
+        .select("id", F.expr(
+            f"zip_with(v, element_at({coarsetab}, list_id + 1), "
+            f"(x, y) -> x - y)").alias("r")))
     seeds = train_pq_cents(first_n_vectors(corpus, ksub), coarse, m)
     out = []
-    for mm in range(m):
-        sub = resid.select(
-            "id", F.expr(f"slice(r, {mm * dsub + 1}, {dsub})")
-            .alias("rsub"))
-        out.append(kmeans_fit(sub, k=ksub, n_iter=n_iter,
-                              vec_col="rsub", id_col="id",
-                              init=seeds[mm], assign="arrow"))
+    try:
+        for mm in range(m):
+            sub = resid.select(
+                "id", F.expr(f"slice(r, {mm * dsub + 1}, {dsub})")
+                .alias("rsub"))
+            out.append(kmeans_fit(sub, k=ksub, n_iter=n_iter,
+                                  vec_col="rsub", id_col="id",
+                                  init=seeds[mm], assign="arrow"))
+    finally:
+        resid.unpersist()
     return out
 
 
 def pq_codes(corpus: DataFrame, coarse: list[list[float]],
-             pq_cents: list[list[list[float]]]) -> DataFrame:
+             pq_cents: list[list[list[float]]],
+             method: str = "expr") -> DataFrame:
     """(id, list_id, codes): coarse assignment + residual PQ codes for
     every clean corpus vector — the m-byte-per-vector index the
     candidate stage reads. ``corpus`` must be the (id, v) frame from
-    the shared clean prefilter."""
+    the shared clean prefilter.
+
+    ``method="expr"`` is the oracle-replayable Catalyst path — fine at
+    gate dials, but its per-row argmin over n_lists struct candidates
+    is interpreted HOF work: at production list counts (hundreds+) use
+    ``"arrow"``, one batched matmul argmin per Arrow batch. On
+    integer-quantized vectors both paths are bitwise identical:
+    distances are exact integers and np.argmin's first-occurrence tie
+    rule equals array_min's (d, i) struct order."""
     m, ksub = len(pq_cents), len(pq_cents[0])
     dim = len(coarse[0])
     dsub = dim // m
+    if method == "arrow":
+        return _pq_codes_arrow(corpus, coarse, pq_cents, dsub)
+    if method != "expr":
+        raise ValueError(f"method must be 'expr' or 'arrow', "
+                         f"got {method!r}")
     cands = "array(" + ", ".join(
         f"named_struct('d', {_ssq('v', _arr(c))}, 'i', {li})"
         for li, c in enumerate(coarse)) + ")"
@@ -197,6 +216,46 @@ def pq_codes(corpus: DataFrame, coarse: list[list[float]],
             .select("id", "v", F.expr(assign).alias("list_id"))
             .select("id", "v", "list_id", F.expr(resid).alias("__r"))
             .select("id", "list_id", F.expr(codes).alias("codes")))
+
+
+def _pq_codes_arrow(corpus: DataFrame, coarse: list[list[float]],
+                    pq_cents: list[list[list[float]]],
+                    dsub: int) -> DataFrame:
+    """Batched encode kernel: per Arrow batch, coarse argmin by one
+    V @ C^T matmul (||v-c||^2 = vv - 2vc + cc), residuals, then one
+    small matmul argmin per subspace."""
+    import numpy as np
+    import pandas as pd
+
+    carr = np.array(coarse, dtype=np.float64)
+    parr = np.array(pq_cents, dtype=np.float64)     # m x ksub x dsub
+    m = parr.shape[0]
+    cc = (carr * carr).sum(axis=1)
+    pp = (parr * parr).sum(axis=2)                  # m x ksub
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            d2 = cc[None, :] - 2.0 * (V @ carr.T)   # + vv omitted:
+            lid = np.argmin(d2, axis=1)             # constant per row
+            R = V - carr[lid]
+            codes = np.empty((len(V), m), dtype=np.int64)
+            for mm in range(m):
+                Rs = R[:, mm * dsub:(mm + 1) * dsub]
+                sd = pp[mm][None, :] - 2.0 * (Rs @ parr[mm].T)
+                codes[:, mm] = np.argmin(sd, axis=1)
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(dtype=np.int64),
+                "list_id": lid.astype(np.int32),
+                "codes": list(codes.astype(np.int32))})
+
+    # schema matches the expr path exactly (list_id/codes int) so the
+    # probe cogroup keys and element_at index types line up
+    return corpus.mapInPandas(kernel,
+                              "id long, list_id int, "
+                              "codes array<int>")
 
 
 def _probe(coarse: list[list[float]], n_probe: int) -> str:
@@ -289,7 +348,8 @@ def ivf_pq_topk(df: DataFrame, dim: int, k: int = 10, m: int = 8,
                 n_lists: int = 8, ksub: int = 16,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 queries: DataFrame | None = None,
-                method: str = "expr") -> DataFrame:
+                method: str = "expr",
+                encode_method: str = "expr") -> DataFrame:
     """IVF-PQ top-k (dot metric): PQ-coded ADC candidate generation
     over the probed lists, exact-dot re-rank of the top ``rerank``
     candidates per query (default 3*k). Output contract matches
@@ -312,7 +372,7 @@ def ivf_pq_topk(df: DataFrame, dim: int, k: int = 10, m: int = 8,
     if pq_cents is None:
         pq_cents = train_pq_cents(first_n_vectors(corpus, ksub),
                                   coarse, m)
-    codes_df = pq_codes(corpus, coarse, pq_cents)
+    codes_df = pq_codes(corpus, coarse, pq_cents, method=encode_method)
     qf = corpus if queries is None else _clean(queries, dim, id_col,
                                                vec_col)
     probed = (qf.select(F.col("id").alias("src"),

@@ -146,3 +146,26 @@ def test_ivf_pq_validation_and_dirty_rows(spark):
         pq.ivf_pq_topk(df, dim=8, k=5, m=4, rerank=3)
     with pytest.raises(ValueError, match="method"):
         pq.ivf_pq_topk(df, dim=8, k=2, m=4, method="bogus")
+
+
+def test_pq_codes_arrow_matches_expr(spark, emb):
+    """The batched encode kernel (production path at real list counts)
+    must produce bit-identical (list_id, codes) to the oracle-replay
+    expression path — exact integer distances + first-occurrence
+    argmin tie rule on both."""
+    from openapc_olap_spark.operators import pq
+
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 1000 + F.lit(0.5))
+                     .cast("double"))
+    dq = emb.select("vec_id", qv.alias("embedding")).limit(400)
+    corpus = pq._clean(dq, 64, "vec_id", "embedding")
+    coarse = pq.first_n_vectors(corpus, 8)
+    cents = pq.train_pq_cents(pq.first_n_vectors(corpus, 16), coarse, 8)
+    ex = {r["id"]: (r["list_id"], tuple(r["codes"])) for r in
+          pq.pq_codes(corpus, coarse, cents, method="expr").collect()}
+    ar = {r["id"]: (r["list_id"], tuple(r["codes"])) for r in
+          pq.pq_codes(corpus, coarse, cents, method="arrow").collect()}
+    assert ex == ar and len(ex) > 0
+    with pytest.raises(ValueError, match="method"):
+        pq.pq_codes(corpus, coarse, cents, method="bogus")
