@@ -709,10 +709,12 @@ def test_knn_ivf_blocks_on_equi_join(spark, sf_dir):
 
 
 def test_unigram_pivot_broadcasts_piece_table(spark, sf_dir):
-    """x88: the only joins in an EM round are the slot-substring
-    equi-join against the (tiny, broadcast) piece table and the pivot's
-    partial-aggregated groupBy — the word table never shuffles to meet
-    the model."""
+    """x88 (r10 shape): the model reaches the word table as a 1-row
+    BROADCAST map frame and every slot prob is a zero-shuffle
+    element_at projection — no equi-join + pivot re-aggregation of the
+    word table, no sort-merge, no cartesian (the crossJoin of a
+    broadcast 1-row frame plans as BroadcastNestedLoopJoin), and the
+    word frame never exchanges again past its vocab groupBy."""
     from openapc_olap_spark.operators import unigram
 
     spark.catalog.clearCache()
@@ -720,11 +722,13 @@ def test_unigram_pivot_broadcasts_piece_table(spark, sf_dir):
     words = unigram.word_vocab(docs, max_words=50)
     pieces = unigram.seed_pieces(words, seed_size=20)
     piv = unigram._attach_slot_probs(words, pieces, 8, 3)
-    assert plans.has_broadcast_join(piv)
-    assert plans.has_partial_aggregate(piv)
     p = plans.plan_of(piv)
+    assert "BroadcastNestedLoopJoin" in p       # the 1-row model frame
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+    # no pivot groupBy: the only aggregates are word_vocab's own
+    assert p.count("HashAggregate") == plans.plan_of(words).count(
+        "HashAggregate")
     # x90: the encoder maps the (broadcast) word->segmentation table
     # back onto the token stream — no sort-merge, no UDF, no cartesian
     enc = unigram.unigram_encode(docs.limit(50), pieces)
