@@ -438,9 +438,10 @@ _CERT_FIRST = [
     # parameterized impls, so their source hashes changed (x35/x53/x59/x87
     # already rotate above; x89's only other dep, pca.py, is untouched)
     "x89_pca_block",
-    # new r10 gate (never certified): IVF-PQ ADC + exact re-rank
-    # (VERDICT r09 #4)
-    "x91_ivf_pq_ann",
+    # new r10 gates (never certified): IVF-PQ ADC + exact re-rank
+    # (VERDICT r09 #4); streaming incremental dedup with exactly-once
+    # transactional effects (VERDICT r09 #5 x X6)
+    "x91_ivf_pq_ann", "x92_stream_dedup_commit",
 ]
 _CERT_PENDING: list[str] = []
 # Oldest-certified gates, rotated into the window's free slots for a free

@@ -233,6 +233,20 @@ class TxnTable:
             touched = {str(r[0]) for r in
                        updates.select(self.partition_col)
                        .distinct().collect()}
+            if not touched:
+                # empty batch (a heartbeat / fully-deduped micro-batch):
+                # re-publish the snapshot unchanged — the version still
+                # advances (one commit per batch), no write job runs
+                try:
+                    v = snap["version"] + 1
+                    self._publish(v, snap["files"],
+                                  StructType.fromJson(
+                                      json.loads(snap["schema"])),
+                                  snap.get("meta"))
+                    return v
+                except CommitConflict as e:
+                    last = e
+                    continue
             current = self.read(partitions=sorted(touched))
             merged = _merge_last_wins(current, updates, keys, seq_col)
             new_files = self._write_data(merged)

@@ -210,6 +210,10 @@ _X_DEPS = {
                        f"{_OPS}/knn.py", f"{_OPS}/kmeans.py",
                        f"{_OPS}/similarity.py", f"{_OPS}/dedup.py"]
     + _MEMO,
+    "x92_stream_dedup_commit": [f"{_P}/streaming/incremental.py",
+                                f"{_P}/sources/txn.py",
+                                f"{_OPS}/dedup.py", f"{_OPS}/bloom.py",
+                                f"{_OPS}/text.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

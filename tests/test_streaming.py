@@ -403,3 +403,57 @@ def test_x60_gate_restores_shuffle_partitions(spark):
     out = entrymod.queries()["x60_stream_stream_join"](spark, SF)
     assert out.count() >= 0
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_stream_dedup_commit_exactly_once_effects(spark, tmp_path):
+    """streaming/incremental.py: per-batch dedup against the
+    transactional fp store with BOTH effects as upserts — second
+    (duplicate) file contributes nothing, in-batch dups resolve to the
+    min id, and replaying the ENTIRE stream with a fresh checkpoint
+    (the at-least-once worst case) leaves both stores' contents
+    bitwise unchanged."""
+    from openapc_olap_spark.sources import txn
+    from openapc_olap_spark.streaming import incremental as inc
+
+    docs = [(1, "alpha text"), (2, "beta text"),
+            (3, "ALPHA text"),           # in-batch dup of 1 (normalized)
+            (9, "seen before")]          # historical dup
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.coalesce(1).write.parquet(src)
+    import glob
+    import shutil
+    part = glob.glob(f"{src}/part-*.parquet")[0]
+    shutil.copy(part, f"{src}/part-dup-copy.parquet")  # redelivery
+
+    hist = spark.createDataFrame([("seen before",)], "text string")
+    seen = (hist.select(inc.fingerprint("text").alias("fp"))
+            .withColumn("seq", F.lit(0).cast("long")))
+    fp_store = txn.TxnTable.create(
+        spark, str(tmp_path / "fps"), txn.add_bucket(seen, ["fp"], 4),
+        "bucket", meta={"n_buckets": 4})
+    empty_out = spark.createDataFrame(
+        [], "doc_id long, text string, seq long, bucket bigint")
+    out_store = txn.TxnTable.create(
+        spark, str(tmp_path / "out"), empty_out, "bucket",
+        meta={"n_buckets": 4})
+
+    def run(ckpt):
+        stream = inc.read_document_stream(spark, src)
+        inc.stream_dedup_commit(stream, fp_store, out_store,
+                                checkpoint=str(tmp_path / ckpt),
+                                bloom_bits=1 << 10)
+
+    run("ck1")
+    got = {(r["doc_id"], r["text"]) for r in
+           out_store.read().select("doc_id", "text").collect()}
+    assert got == {(1, "alpha text"), (2, "beta text")}
+    v_fp, v_out = fp_store.version(), out_store.version()
+    assert v_fp >= 2 and v_out >= 2          # one commit per batch
+    # full at-least-once replay: fresh checkpoint, same source
+    run("ck2")
+    got2 = {(r["doc_id"], r["text"]) for r in
+            out_store.read().select("doc_id", "text").collect()}
+    assert got2 == got
+    fps = {r["fp"] for r in fp_store.read().select("fp").collect()}
+    assert len(fps) == 3                     # alpha, beta, seen-before
