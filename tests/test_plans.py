@@ -736,3 +736,38 @@ def test_unigram_pivot_broadcasts_piece_table(spark, sf_dir):
     assert plans.has_broadcast_join(enc)
     assert "CartesianProduct" not in pe and "SortMergeJoin" not in pe
     assert "BatchEvalPython" not in pe and "MapInPandas" not in pe
+
+
+def test_ivf_pq_plan_shapes(spark, sf_dir):
+    """x91: PQ encode is a zero-shuffle projection (expr path) or one
+    MapInPandas (arrow path) — no exchange, no join; the arrow
+    candidate stage is a cogroup kernel; nothing in the pipeline plans
+    a cartesian product."""
+    from pyspark.sql import functions as F
+
+    from openapc_olap_spark.operators import pq
+
+    spark.catalog.clearCache()
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 1000 + F.lit(0.5))
+                     .cast("double"))
+    dq = emb.select("vec_id", qv.alias("embedding"))
+    corpus = pq._clean(dq, 64, "vec_id", "embedding")
+    coarse = pq.first_n_vectors(corpus, 8)
+    cents = pq.train_pq_cents(pq.first_n_vectors(corpus, 16), coarse, 8)
+    for enc in ("expr", "arrow"):
+        p = plans.plan_of(pq.pq_codes(corpus, coarse, cents, method=enc))
+        assert "Exchange" not in p, enc          # encode never shuffles
+        assert "Join" not in p, enc
+        if enc == "arrow":
+            assert "MapInPandas" in p
+    out = pq.ivf_pq_topk(dq, 64, k=5, m=8, n_probe=2, coarse=coarse,
+                         pq_cents=cents, method="arrow",
+                         encode_method="arrow")
+    p = plans.plan_of(out)
+    assert "FlatMapCoGroupsInPandas" in p        # per-list LUT kernel
+    assert "CartesianProduct" not in p
+    p2 = plans.plan_of(pq.ivf_pq_topk(dq, 64, k=5, m=8, n_probe=2,
+                                      coarse=coarse, pq_cents=cents))
+    assert "CartesianProduct" not in p2
