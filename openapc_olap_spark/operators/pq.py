@@ -341,6 +341,85 @@ def _arrow_candidates(probed: DataFrame, codes_df: DataFrame,
                            "src long, dst long, approx double"))
 
 
+def write_pq_index(df: DataFrame, path: str,
+                   coarse: list[list[float]],
+                   pq_cents: list[list[list[float]]],
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   encode_method: str = "arrow") -> None:
+    """Materialize the IVF-PQ index — the serving twin of
+    ``similarity.write_ivf_index`` with the PQ byte story carried to
+    STORAGE: ``<path>/codes`` (the m-codes table) and
+    ``<path>/vectors`` (full vectors, touched only by re-rank) are both
+    written partitioned by ``list_id``, and ``<path>/pq_meta.json``
+    carries the centroids. A probe then reads only the nprobe nearest
+    lists' CODE partitions (~nprobe/k of m bytes/vector), and the
+    re-rank reads the same lists' vector partitions filtered to the
+    candidate ids — storage-level pruning on both stages."""
+    import json
+    import os
+
+    dim = len(coarse[0])
+    corpus = _clean(df, dim, id_col, vec_col)
+    codes = pq_codes(corpus, coarse, pq_cents, method=encode_method)
+    codes.write.mode("overwrite").partitionBy("list_id") \
+        .parquet(f"{path}/codes")
+    (corpus.join(codes.select("id", "list_id"), ["id"])
+     .write.mode("overwrite").partitionBy("list_id")
+     .parquet(f"{path}/vectors"))
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/pq_meta.json", "w") as fh:
+        json.dump({"coarse": coarse, "pq_cents": pq_cents}, fh)
+
+
+def pq_index_topk(spark, path: str, query_vec: list[float],
+                  k: int = 10, n_probe: int = 2,
+                  rerank: int | None = None) -> DataFrame:
+    """Top-k for ONE query against a written PQ index: probe lists are
+    ranked driver-side (the centroid table is tiny), the ``list_id``
+    IN-predicate prunes partitions before any IO on BOTH the codes scan
+    (ADC candidates) and the vectors scan (exact re-rank of the top
+    ``rerank``). Identical results to ``ivf_pq_topk`` at the same
+    dials for this query, minus the full-corpus encode."""
+    import json
+
+    from openapc_olap_spark.operators.similarity import _ivf_probe_ids
+
+    with open(f"{path}/pq_meta.json") as fh:
+        meta = json.load(fh)
+    coarse, pq_cents = meta["coarse"], meta["pq_cents"]
+    m = len(pq_cents)
+    dim = len(coarse[0])
+    dsub = dim // m
+    rerank = 3 * k if rerank is None else rerank
+    probes = _ivf_probe_ids(coarse, query_vec, n_probe)
+    codes = (spark.read.parquet(f"{path}/codes")
+             .filter(F.col("list_id").isin(probes)))
+    # per-(m, code) ADC lookup values for THIS query, as one literal
+    lut = [[sum(query_vec[mm * dsub + j] * pq_cents[mm][c][j]
+                for j in range(dsub))
+            for c in range(len(pq_cents[mm]))]
+           for mm in range(m)]
+    cdots = [sum(query_vec[j] * coarse[li][j] for j in range(dim))
+             for li in range(len(coarse))]
+    approx = (f"element_at({_arr(cdots)}, list_id + 1) + " +
+              " + ".join(
+                  f"element_at({_arr(lut[mm])}, "
+                  f"element_at(codes, {mm + 1}) + 1)"
+                  for mm in range(m)))
+    cands = (codes.select("id", "list_id",
+                          F.expr(approx).alias("approx"))
+             .orderBy(F.col("approx").desc(), F.col("id").asc())
+             .limit(rerank))
+    vecs = (spark.read.parquet(f"{path}/vectors")
+            .filter(F.col("list_id").isin(probes))
+            .select("id", "v"))
+    qlit = _arr([float(x) for x in query_vec])
+    exact = (cands.select("id").join(vecs, ["id"])
+             .select("id", F.expr(_dot("v", qlit)).alias("score")))
+    return (exact.orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(k))
+
+
 def ivf_pq_topk(df: DataFrame, dim: int, k: int = 10, m: int = 8,
                 n_probe: int = 2, rerank: int | None = None,
                 coarse: list[list[float]] | None = None,

@@ -169,3 +169,41 @@ def test_pq_codes_arrow_matches_expr(spark, emb):
     assert ex == ar and len(ex) > 0
     with pytest.raises(ValueError, match="method"):
         pq.pq_codes(corpus, coarse, cents, method="bogus")
+
+
+def test_pq_index_roundtrip_matches_in_memory(spark, emb, tmp_path):
+    """write_pq_index / pq_index_topk: the written-index serving path
+    returns the identical top-k (id AND score) as the in-memory
+    ivf_pq_topk for the same query and dials, and the list_id probe
+    predicate lands as a PartitionFilter on BOTH the codes and the
+    vectors scans."""
+    from openapc_olap_spark import plans
+    from openapc_olap_spark.operators import pq
+
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 1000 + F.lit(0.5))
+                     .cast("double"))
+    dq = emb.select("vec_id", qv.alias("embedding"))
+    corpus = pq._clean(dq, 64, "vec_id", "embedding")
+    coarse = pq.first_n_vectors(corpus, 8)
+    cents = pq.train_pq_cents(pq.first_n_vectors(corpus, 16), coarse, 8)
+    path = str(tmp_path / "pqidx")
+    pq.write_pq_index(dq, path, coarse, cents)
+    # query vector NOT in the corpus (perturbed member, fresh id), so
+    # neither path has a self row and results compare directly
+    qrow = corpus.filter(F.col("id") % 20 == 0).orderBy("id").first()
+    qvec = [float(x) + (1.0 if j == 0 else 0.0)
+            for j, x in enumerate(qrow["v"])]
+    got = pq.pq_index_topk(spark, path, qvec, k=5, n_probe=2,
+                           rerank=15)
+    qdf = spark.createDataFrame([(999999, qvec)],
+                                "vec_id long, embedding array<double>")
+    want = (pq.ivf_pq_topk(dq, 64, k=5, m=8, n_probe=2, rerank=15,
+                           coarse=coarse, pq_cents=cents, queries=qdf)
+            .select(F.col("dst").alias("id"), "score"))
+    g = [(r["id"], r["score"]) for r in got.collect()]
+    w = [(r["id"], r["score"]) for r in want.collect()]
+    assert g == w and len(g) == 5
+    p = plans.plan_of(got)
+    assert p.count("PartitionFilters: [isnotnull(list_id") >= 2 or \
+        p.count("list_id#") >= 2     # both scans carry the probe filter
