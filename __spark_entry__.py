@@ -442,6 +442,9 @@ _CERT_FIRST = [
     # (VERDICT r09 #4); streaming incremental dedup with exactly-once
     # transactional effects (VERDICT r09 #5 x X6)
     "x91_ivf_pq_ann", "x92_stream_dedup_commit",
+    # incremental NEAR-dup against the transactional LSH index (the
+    # approximate sibling of x49/x92's exact store)
+    "x93_incremental_near_dup",
 ]
 _CERT_PENDING: list[str] = []
 # Oldest-certified gates, rotated into the window's free slots for a free

@@ -2645,6 +2645,160 @@ _X92_SQL = r"""
 
 
 # ---------------------------------------------------------------------------
+# X93: incremental NEAR-dup dedup against the transactional LSH index
+# ---------------------------------------------------------------------------
+
+def _x93_stores(spark: SparkSession, sf_dir: str, root: str):
+    """Build the historical band-index + shingle stores (docs with
+    doc_id % 5 == 0) at ``root`` — the x93 setup shared by the
+    certifying gate and the production twin."""
+    import shutil
+
+    from openapc_olap_spark.sources import txn
+
+    shutil.rmtree(root, ignore_errors=True)
+    # doc_id < 20000 bounds gate cost at high sf (the x27 precedent,
+    # mirrored in the oracle); production runs the full crawl
+    docs = _docs_split(spark, sf_dir).filter(F.col("doc_id") < 20000)
+    hist = docs.filter(F.col("doc_id") % 5 == 0)
+    hsets = hist.select(F.col("doc_id").alias("id"),
+                        dedup.shingles("text", 3).alias("sh"))
+    hband = (dedup._band_rows(hsets, 32, 16, 42)
+             .select("band", "bhash", F.col("id").alias("doc_id"))
+             .withColumn("seq", F.lit(0).cast("long")))
+    band_store = txn.TxnTable.create(
+        spark, f"{root}/band",
+        txn.add_bucket(hband, ["band", "bhash", "doc_id"], 8),
+        "bucket", meta={"n_buckets": 8})
+    hsh = (hsets.select(F.col("id").alias("doc_id"), "sh")
+           .withColumn("seq", F.lit(0).cast("long")))
+    sh_store = txn.TxnTable.create(
+        spark, f"{root}/sh", txn.add_bucket(hsh, ["doc_id"], 8),
+        "bucket", meta={"n_buckets": 8})
+    return band_store, sh_store, docs.filter(F.col("doc_id") % 5 != 0)
+
+
+def _x93_stats(kept: DataFrame) -> DataFrame:
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("doc_id").alias("first_id"),
+                 F.max("doc_id").alias("last_id"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
+def _x93_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup.incremental_near_dup_commit``: crawl-over-crawl NEAR-dup
+    dedup against the transactional LSH band index + shingle store.
+    Documents with doc_id % 5 == 0 are the stored history; the rest are
+    the crawl. Crawl docs within exact-Jaccard 0.5 of ANY stored doc
+    are dropped (candidates from the stored band index, verified
+    exactly against only the candidate old docs' stored shingle sets);
+    the remainder's in-batch near-dup groups resolve to min-id
+    survivors (connected components); survivors' band rows + shingle
+    sets commit back (one version per store). The oracle is the
+    SEMANTIC contract at honest pair grain: exact Jaccard crawl x hist
+    for the drop set, exact Jaccard + a recursive-CTE transitive
+    closure for the in-batch groups — so stored-index recall, the
+    verify, group resolution, AND the storage round-trip all sit under
+    the hash."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x93_{tag}"
+    band_store, sh_store, crawl = _x93_stores(spark, sf_dir, root)
+    kept = dedup.incremental_near_dup_commit(
+        crawl, band_store, sh_store, crawl_seq=1, threshold=0.5)
+    assert band_store.version() == 1 and sh_store.version() == 1, \
+        "expected exactly one commit per store"
+    return _x93_stats(kept)
+
+
+_X93_MEMO: dict = {}
+
+
+def _x93_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path bench twin of x93 (VERDICT r09 #1 split): the
+    historical stores are setup, built once per session/sf; the
+    measured path is one crawl's lookup + verify + group-resolve +
+    commits, after which both stores roll back to v0 (manifest unlinks
+    + vacuum, ms-level) so every run faces the identical snapshot and
+    returns identical values."""
+    import tempfile
+
+    from openapc_olap_spark.operators._memo import memoized
+
+    def build():
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x93t_{tag}"
+        return _x93_stores(spark, sf_dir, root)
+
+    band_store, sh_store, crawl = memoized(
+        _X93_MEMO, ("x93_stores", sf_dir), build)
+    kept = dedup.incremental_near_dup_commit(
+        crawl, band_store, sh_store, crawl_seq=1, threshold=0.5)
+    out = _x93_stats(kept)
+    out.collect()           # materialize through kept before rollback
+    for store in (band_store, sh_store):
+        for f in sorted(os.listdir(store._mdir())):
+            if f.startswith("v") and f.endswith(".json") \
+                    and int(f[1:9]) > 0:
+                os.remove(os.path.join(store._mdir(), f))
+        store.vacuum()
+    return out
+
+
+_X93_SQL = f"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents
+      WHERE doc_id < 20000),
+    sets AS (
+      SELECT doc_id, lang, {_SHINGLES_SQL} AS sh FROM s),
+    inv AS (
+      SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM sets),
+    -- drop set: crawl docs within exact Jaccard 0.5 of ANY stored doc
+    ch AS (
+      SELECT a.doc_id AS cid, b.doc_id AS hid,
+             any_value(a.sz) AS sa, any_value(b.sz) AS sb,
+             count(*) AS n
+      FROM inv a JOIN inv b ON a.g = b.g
+      WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+      GROUP BY 1, 2),
+    dropped AS (
+      SELECT DISTINCT cid FROM ch
+      WHERE n::DOUBLE / (sa + sb - n) >= 0.5),
+    rem AS (
+      SELECT doc_id FROM sets
+      WHERE doc_id % 5 <> 0
+        AND doc_id NOT IN (SELECT cid FROM dropped)),
+    ri AS (SELECT i.* FROM inv i JOIN rem r ON i.doc_id = r.doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.sz) AS sa, any_value(b.sz) AS sb,
+             count(*) AS n
+      FROM ri a JOIN ri b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    p AS (
+      SELECT id_a, id_b FROM inter
+      WHERE n::DOUBLE / (sa + sb - n) >= 0.5),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (
+      SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+    surv AS (
+      SELECT doc_id FROM rem
+      WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp))
+    SELECT d.lang, count(*) AS n_kept, min(d.doc_id) AS first_id,
+           max(d.doc_id) AS last_id, sum(d.doc_id)::BIGINT AS id_sum
+    FROM surv v JOIN sets d ON d.doc_id = v.doc_id
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # X50: streaming windowed count-min sketch (merge = exact corpus sketch)
 # ---------------------------------------------------------------------------
 
@@ -5522,6 +5676,7 @@ QUERIES = {
     "x89_pca_block": _x89_pca_block,
     "x91_ivf_pq_ann": _x91_ivf_pq_ann,
     "x92_stream_dedup_commit": _x92_stream_dedup_commit,
+    "x93_incremental_near_dup": _x93_incremental_near_dup,
 }
 
 # Production-path bench twins (VERDICT r09 #1): the certifying gates above
@@ -5539,6 +5694,7 @@ BENCH_TWINS = {
     "x89_pca_block": _x89_production,
     "x91_ivf_pq_ann": _x91_production,
     "x92_stream_dedup_commit": _x92_production,
+    "x93_incremental_near_dup": _x93_production,
 }
 
 ORACLES = {
@@ -5634,4 +5790,5 @@ ORACLES = {
     "x89_pca_block": _X89_SQL,
     "x91_ivf_pq_ann": _X91_SQL,
     "x92_stream_dedup_commit": _X92_SQL,
+    "x93_incremental_near_dup": _X93_SQL,
 }

@@ -220,17 +220,17 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                                      bucket_cap, materialize)
 
 
-def _lsh_candidates_from_sets(sets_df: DataFrame, num_perm: int, bands: int,
-                              seed: int, bucket_cap: int | None,
-                              materialize: bool) -> DataFrame:
-    """Candidates from a (id, sh) shingle-set frame (possibly cached)."""
+def _band_rows(sets_df: DataFrame, num_perm: int, bands: int,
+               seed: int) -> DataFrame:
+    """(id, band, bhash) LSH band keys from a (id, sh) shingle-set
+    frame — the rows an LSH index stores and a lookup joins on."""
     assert num_perm % bands == 0, "num_perm must be divisible by bands"
     rows_per_band = num_perm // bands
     sig = (sets_df
            .select("id", hashes_from_shingles("sh").alias("__bh"))
            .select("id", minhash_from_hashes("__bh", num_perm, seed)
                    .alias("sig")))
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -242,6 +242,13 @@ def _lsh_candidates_from_sets(sets_df: DataFrame, num_perm: int, bands: int,
                         lambda v: v.cast("string"))),
                 ).alias("bhash")))).alias("bk")
     ).select("id", "bk.band", "bk.bhash")
+
+
+def _lsh_candidates_from_sets(sets_df: DataFrame, num_perm: int, bands: int,
+                              seed: int, bucket_cap: int | None,
+                              materialize: bool) -> DataFrame:
+    """Candidates from a (id, sh) shingle-set frame (possibly cached)."""
+    banded = _band_rows(sets_df, num_perm, bands, seed)
     if materialize:
         # spread (conditionally) before caching: if the bucket self-join
         # broadcasts one side, its parallelism is the stream side's
@@ -890,4 +897,100 @@ def incremental_dedup_commit(new_df, store, crawl_seq: int,
              .distinct()
              .withColumn("seq", F.lit(crawl_seq).cast("long")))
     store.upsert(add_bucket(fresh, ["fp"], n_buckets), ["fp"], "seq")
+    return kept
+
+
+def incremental_near_dup_commit(new_df, band_store, shingle_store,
+                                crawl_seq: int,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                threshold: float = 0.8,
+                                num_perm: int = 32, bands: int = 16,
+                                shingle_n: int = 3, seed: int = 42,
+                                bucket_cap: int | None = None,
+                                method: str = "label"):
+    """Crawl-over-crawl NEAR-dup dedup against transactional stores —
+    the approximate sibling of :func:`incremental_dedup_commit` for the
+    "this crawl rewrote last crawl's pages with small edits" shape exact
+    fingerprints cannot catch. Two sources/txn.TxnTable stores:
+
+    - ``band_store``: the persistent LSH index — one (band, bhash,
+      doc_id) row per band key of every accepted doc, keyed on all
+      three (bucketed on them via add_bucket, meta.n_buckets);
+    - ``shingle_store``: (doc_id, sh) shingle sets, keyed on doc_id —
+      read ONLY for the candidate old docs an LSH lookup surfaces, so
+      exact verification never scans the historical corpus.
+
+    Contract (deterministic, SQL-replayable):
+
+    1. drop new docs whose exact shingle Jaccard against ANY stored doc
+       is >= ``threshold`` — candidates from the band-key equi-join
+       against the stored index, verified exactly against the stored
+       sets (the x03 LSH-candidates -> exact-verify discipline);
+    2. resolve near-dup GROUPS among the remaining new docs (the
+       in-batch pair graph -> connected components, ``method`` as in
+       :func:`connected_components`) to the min-id survivor;
+    3. commit the survivors' band rows and shingle sets as last-wins
+       upserts with seq ``crawl_seq`` — idempotent on at-least-once
+       replay (the incremental_dedup_commit discipline; land any
+       downstream document output BEFORE these commits).
+
+    Returns the surviving rows of ``new_df``, MATERIALIZED before the
+    commits. At 100 TB: the lookup join carries band keys (16 longs per
+    doc), the verify reads only candidate slivers from the id-bucketed
+    shingle store, and the commits rewrite only touched buckets.
+
+    Edge: documents too short to produce a shingle (fewer than
+    ``shingle_n`` tokens) have an empty set — Jaccard against anything
+    is 0, so they are invisible to near-dup matching in BOTH directions
+    (kept every crawl). Route short docs through the exact
+    :func:`incremental_dedup_commit` store instead."""
+    from openapc_olap_spark.sources.txn import add_bucket
+
+    n_band = band_store.snapshot().get("meta", {}).get("n_buckets")
+    n_sh = shingle_store.snapshot().get("meta", {}).get("n_buckets")
+    if not n_band or not n_sh:
+        raise ValueError(
+            "band_store/shingle_store manifests must carry "
+            "meta.n_buckets (create over add_bucket'ed frames)")
+    sets_df = _materialized(
+        new_df.select(F.col(id_col).alias("id"),
+                      shingles(text_col, shingle_n).alias("sh")))
+    newband = _band_rows(sets_df, num_perm, bands, seed)
+    old = band_store.read().select("band", "bhash",
+                                   F.col("doc_id").alias("__old"))
+    cands = (newband.join(old, ["band", "bhash"])
+             .select("id", "__old").distinct())
+    oldsh = (shingle_store.read()
+             .join(cands.select(F.col("__old").alias("doc_id"))
+                   .distinct(), ["doc_id"], "left_semi")
+             .select(F.col("doc_id").alias("__old"),
+                     F.col("sh").alias("__osh")))
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("__osh")))
+    union = F.size("sh") + F.size("__osh") - inter
+    dup_ids = (cands.join(sets_df, ["id"]).join(oldsh, ["__old"])
+               .filter(F.when(union > 0,
+                              inter.cast("double") / union)
+                       .otherwise(F.lit(0.0)) >= threshold)
+               .select("id").distinct())
+    rem = _materialized(new_df.join(
+        dup_ids.withColumnRenamed("id", id_col), [id_col], "left_anti"))
+    pairs = minhash_near_duplicates(rem, id_col, text_col, threshold,
+                                    num_perm, bands, shingle_n, seed,
+                                    bucket_cap)
+    kept = _materialized(
+        resolve_duplicates(rem, pairs, id_col=id_col, method=method)
+        .filter(F.col(id_col) == F.col("canon_id")).drop("canon_id"))
+    kid = kept.select(F.col(id_col).alias("id"))
+    ksets = (sets_df.join(kid, ["id"], "left_semi")
+             .select(F.col("id").alias("doc_id"), "sh")
+             .withColumn("seq", F.lit(crawl_seq).cast("long")))
+    shingle_store.upsert(add_bucket(ksets, ["doc_id"], n_sh),
+                         ["doc_id"], "seq")
+    kband = (newband.join(kid, ["id"], "left_semi")
+             .select("band", "bhash", F.col("id").alias("doc_id"))
+             .withColumn("seq", F.lit(crawl_seq).cast("long")))
+    band_store.upsert(
+        add_bucket(kband, ["band", "bhash", "doc_id"], n_band),
+        ["band", "bhash", "doc_id"], "seq")
     return kept

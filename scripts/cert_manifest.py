@@ -214,6 +214,9 @@ _X_DEPS = {
                                 f"{_P}/sources/txn.py",
                                 f"{_OPS}/dedup.py", f"{_OPS}/bloom.py",
                                 f"{_OPS}/text.py"] + _MEMO,
+    "x93_incremental_near_dup": [f"{_P}/sources/txn.py",
+                                 f"{_OPS}/dedup.py",
+                                 f"{_OPS}/text.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

@@ -2969,3 +2969,58 @@ def test_functions_facade_exports_work(spark):
         OF.norm("v").alias("nrm")).first()
     assert row["n"] == 4 and row["ror"] == "abc"
     assert len(row["fp"]) == 32 and abs(row["nrm"] - 5.0) < 1e-12
+
+
+def test_incremental_near_dup_commit_two_crawls(spark, tmp_path):
+    """Crawl-over-crawl NEAR-dup dedup against the transactional LSH
+    band index + shingle store: near-rewrites of stored docs are
+    dropped (not just byte-dups), in-batch near-dup groups resolve to
+    the min id, each crawl advances both stores once, and replaying a
+    crawl admits nothing (idempotence)."""
+    from openapc_olap_spark.sources import txn
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    edit = base.replace("tonight", "at dawn")      # near-dup of base
+    other = ("completely different content about spark catalyst "
+             "optimizer rules and adaptive query execution plans "
+             "with shuffle partition coalescing at runtime")
+    hist = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    hsets = (hist.select(F.col("doc_id").alias("id"),
+                         dedup.shingles("text", 3).alias("sh")))
+    hband = (dedup._band_rows(hsets, 32, 16, 42)
+             .select("band", "bhash", F.col("id").alias("doc_id"))
+             .withColumn("seq", F.lit(0).cast("long")))
+    band_store = txn.TxnTable.create(
+        spark, str(tmp_path / "band"),
+        txn.add_bucket(hband, ["band", "bhash", "doc_id"], 4),
+        "bucket", meta={"n_buckets": 4})
+    hsh = (hsets.select(F.col("id").alias("doc_id"), "sh")
+           .withColumn("seq", F.lit(0).cast("long")))
+    sh_store = txn.TxnTable.create(
+        spark, str(tmp_path / "sh"),
+        txn.add_bucket(hsh, ["doc_id"], 4),
+        "bucket", meta={"n_buckets": 4})
+
+    third = ("yet another unrelated document discussing parquet "
+             "row group statistics bloom filters and dictionary "
+             "encoding tradeoffs for very wide tables in practice")
+    crawl = spark.createDataFrame(
+        [(10, edit),                      # near-dup of stored doc 1
+         (11, other), (12, other + " !"),  # in-batch near-dup pair
+         (13, third)], ["doc_id", "text"])
+    kept = dedup.incremental_near_dup_commit(
+        crawl, band_store, sh_store, crawl_seq=1, threshold=0.5)
+    assert {r["doc_id"] for r in kept.collect()} == {11, 13}
+    assert band_store.version() == 1 and sh_store.version() == 1
+    # replay: everything now near-dups the stores
+    kept2 = dedup.incremental_near_dup_commit(
+        crawl, band_store, sh_store, crawl_seq=2, threshold=0.5)
+    assert kept2.count() == 0
+    assert sh_store.version() == 2
+    # store without bucket meta fails fast
+    bare = txn.TxnTable.create(
+        spark, str(tmp_path / "bare"),
+        txn.add_bucket(hsh, ["doc_id"], 4), "bucket")
+    with pytest.raises(ValueError, match="n_buckets"):
+        dedup.incremental_near_dup_commit(crawl, bare, sh_store, 1)
