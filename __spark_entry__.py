@@ -414,87 +414,85 @@ ORACLES: dict[str, str] = {
 # iteration) and the local twin-runner (scripts/oracle_check.py) always
 # cover the full set.
 _CERT_FIRST = [
-    # r10 touches dedup.py (_cc_star self-loop-singleton contract fix,
-    # ADVICE r09; incremental_dedup transactional upsert, VERDICT r09 #5):
-    # every gate executing through dedup.py rotates in
-    "x01_dedup_summary", "x02_ngram_jaccard", "x03_minhash_neardup",
-    "x04_simhash_neardup", "x06_lsh_neardup_embeddings",
-    "x14_ngram_jaccard_capped", "x18_lsh_neardup_capped",
-    "x35_duplicate_groups", "x49_incremental_dedup", "x53_semantic_dedup",
-    "x55_bpe_train", "x59_cluster_outliers", "x61_bpe_encode",
-    "x68_canonical_docs", "x80_pagerank", "x81_pmi_cooccurrence",
-    # r10 touches knn.py (dead cosine-norm removal, ADVICE r09) and adds
-    # dedup.py to x87's manifest deps (ADVICE r09)
-    "x87_knn_graph",
-    # r10 reshapes the x85 gate to aggregate grain (VERDICT r09 #2)
-    "x85_fuzzy_linkage",
-    # r10 touches unigram.py (multi-round EM+prune loop, VERDICT r09 #6)
-    "x88_unigram_tokenizer", "x90_unigram_encode",
-    # r10 touches sources/io.py + the e17 gate (partition-overwrite
-    # transactional upsert, VERDICT r09 #5)
-    "x51_orc_roundtrip", "e17_cache_upsert",
-    # r10 adds single-method bench twins (VERDICT r09 #1): the certifying
-    # gate callables of the dual-method family were refactored onto shared
-    # parameterized impls, so their source hashes changed (x35/x53/x59/x87
-    # already rotate above; x89's only other dep, pca.py, is untouched)
-    "x89_pca_block",
-    # new r10 gates (never certified): IVF-PQ ADC + exact re-rank
-    # (VERDICT r09 #4); streaming incremental dedup with exactly-once
-    # transactional effects (VERDICT r09 #5 x X6)
-    "x91_ivf_pq_ann", "x92_stream_dedup_commit",
-    # incremental NEAR-dup against the transactional LSH index (the
-    # approximate sibling of x49/x92's exact store)
-    "x93_incremental_near_dup",
+    # r11 touches query.py (A6 with_total_percentage: broadcast 1-row
+    # total replaces the empty-partition window, VERDICT r10 #3) — every
+    # gate executing through the query stack rotates in, q16/q17 also
+    # pick up the server.py aggregate-route params (VERDICT r10 #7)
+    "q01_facts_page", "q02_cut_point", "q03_cut_range", "q04_cut_set",
+    "q05_cut_negate", "q06_aggregate_summary", "q07_drilldown",
+    "q08_multi_drilldown", "q09_order_topk", "q10_pagination_cells",
+    "q11_envelope_rollup", "q12_point_lookup", "q13_fact_by_id",
+    "q14_members", "q15_total_percentage", "q16_cell_http",
+    "q17_model_http",
+    # r11 touches sources/txn.py (atomic fsync+link manifest publish per
+    # ADVICE r10; append/compact/checkpoint maintenance + vacuum grace
+    # window per VERDICT r10 #4) — every gate through the txn store
+    # rotates in; e18 rides the query stack
+    "e17_cache_upsert", "e18_partition_prune", "x49_incremental_dedup",
+    "x92_stream_dedup_commit", "x93_incremental_near_dup",
+    # r11 touches operators/pq.py (pq_index_topk exclude_id, ADVICE r10;
+    # incremental index upserts, VERDICT r10 #6) and
+    # streaming/incremental.py (fp_store n_buckets validation, ADVICE r10)
+    "x91_ivf_pq_ann",
+    # r11 re-pins streaming state sizing while chasing the sf1-only x60
+    # regression (VERDICT r10 #1); x60 is also in the stale r06 band
+    "x60_stream_stream_join",
+    # new r11 gate (never certified): incremental vector-index
+    # maintenance — commit K new vectors into the partitioned PQ index,
+    # serving must see them (VERDICT r10 #6)
+    "x94_pq_index_upsert",
 ]
 _CERT_PENDING: list[str] = []
 # Oldest-certified gates, rotated into the window's free slots for a free
-# freshness re-certification (VERDICT r09 #3: oldest remaining certs are
-# r04/r05 — the e/q HTTP gates and the x05–x25 band; x15/x19/x23/x24
-# spilled past the r09 window so they lead this one).
+# freshness re-certification (VERDICT r10 #2: the 32-gate r05/r06 band;
+# x60 rotates via _CERT_FIRST). 25 window slots remain after the head, so
+# the r05 band (19) + the first 6 of the r06 band certify this round; the
+# trailing 6 r06 gates (x63/x64/x66/x67/x69/x70) spill past the window —
+# still manifest-guarded — and lead the r12 refresh.
 _CERT_REFRESH = [
-    "x15_media_metadata", "x19_image_dims", "x23_wav_metadata",
-    "x24_audio_headers",
-    "e01_enrich_ror", "e02_publication_key", "e05_coverage_zerofill",
-    "e09_journal_id", "e14_annual_pubdates", "e15_hybrid_catalog",
-    "e20_json_cache", "q16_cell_http", "q17_model_http",
-    "x05_ann_topk", "x07_text_metrics", "x08_langid_distribution",
-    "x09_tumbling_daily", "x10_sliding_windows", "x11_session_stats",
-    "x12_props_json", "x13_salted_drilldown", "x16_quality_deciles",
-    "x17_ivf_ann", "x20_pii_redaction", "x21_repetition_deciles",
-    "x22_vocab_top", "x25_streaming_tumbling", "x26_streaming_dedup",
+    "x28_curation_funnel", "x29_sequence_packing", "x30_hash_split",
+    "x32_image_decode", "x33_stateful_sessions", "x34_wav_decode",
+    "x37_asof_join", "x38_interval_join", "x39_stratified_sample",
+    "x40_decontaminate", "x41_bloom_semi_join", "x42_topk_per_group",
+    "x43_deterministic_shuffle", "x44_cms_estimates",
+    "x45_tfidf_top_terms", "x46_quantize_embeddings",
+    "x47_chunk_documents", "x48_rebalance_mixture", "x50_streaming_cms",
+    "x52_pretraining_pipeline", "x54_unigram_logprob", "x56_domain_stats",
+    "x57_temperature_resample", "x58_bigram_logprob", "x62_quality_rules",
+    "x63_event_funnel", "x64_cohort_retention", "x66_line_dedup",
+    "x67_char_entropy", "x69_percentile_filter", "x70_rolling_features",
 ]
 _CERT_TAIL = [
     # previously hash-certified; implementing modules untouched since the
     # certifying round (enforced by test_entry_contract.py against
     # tests/cert_manifest.json; e-gate deps narrowed to their verified
     # import closures in scripts/cert_manifest.py)
-    "e03_deal_halving", "e04_union_combined", "e06_prune_semi",
-    "e07_priority_rank", "e08_melt_explode", "e10_colon_scrub",
-    "e11_doi_lookup", "e12_institution_report", "e13_ac_institutions",
-    "e16_springer_coverage", "e18_partition_prune", "e19_manifest_roundtrip",
-    "q01_facts_page", "q02_cut_point", "q03_cut_range", "q04_cut_set",
-    "q05_cut_negate", "q06_aggregate_summary", "q07_drilldown",
-    "q08_multi_drilldown", "q09_order_topk", "q10_pagination_cells",
-    "q11_envelope_rollup", "q12_point_lookup", "q13_fact_by_id",
-    "q14_members", "q15_total_percentage",
-    "x27_winnow_fingerprints", "x28_curation_funnel",
-    "x29_sequence_packing", "x30_hash_split", "x31_profile",
-    "x32_image_decode", "x33_stateful_sessions", "x34_wav_decode",
-    "x36_ivf_index", "x37_asof_join", "x38_interval_join",
-    "x39_stratified_sample", "x40_decontaminate", "x41_bloom_semi_join",
-    "x42_topk_per_group", "x43_deterministic_shuffle", "x44_cms_estimates",
-    "x45_tfidf_top_terms", "x46_quantize_embeddings", "x47_chunk_documents",
-    "x48_rebalance_mixture", "x50_streaming_cms",
-    "x52_pretraining_pipeline", "x54_unigram_logprob", "x56_domain_stats",
-    "x57_temperature_resample", "x58_bigram_logprob",
-    "x60_stream_stream_join", "x62_quality_rules", "x63_event_funnel",
-    "x64_cohort_retention", "x65_url_dedup", "x66_line_dedup",
-    "x67_char_entropy", "x69_percentile_filter", "x70_rolling_features",
-    "x71_size_sharding", "x72_kmeans_fit", "x73_dsir_weights",
-    "x74_span_dedup", "x75_sample_per_group", "x76_ccnet_buckets",
-    "x77_logreg_quality", "x78_curation_chain", "x79_bm25_topk",
-    "x82_hashed_features", "x83_zorder_layout", "x84_pca_projection",
-    "x86_weighted_sample",
+    "e01_enrich_ror", "e02_publication_key", "e03_deal_halving",
+    "e04_union_combined", "e05_coverage_zerofill", "e06_prune_semi",
+    "e07_priority_rank", "e08_melt_explode", "e09_journal_id",
+    "e10_colon_scrub", "e11_doi_lookup", "e12_institution_report",
+    "e13_ac_institutions", "e14_annual_pubdates", "e15_hybrid_catalog",
+    "e16_springer_coverage", "e19_manifest_roundtrip", "e20_json_cache",
+    "x01_dedup_summary", "x02_ngram_jaccard", "x03_minhash_neardup",
+    "x04_simhash_neardup", "x05_ann_topk", "x06_lsh_neardup_embeddings",
+    "x07_text_metrics", "x08_langid_distribution", "x09_tumbling_daily",
+    "x10_sliding_windows", "x11_session_stats", "x12_props_json",
+    "x13_salted_drilldown", "x14_ngram_jaccard_capped",
+    "x15_media_metadata", "x16_quality_deciles", "x17_ivf_ann",
+    "x18_lsh_neardup_capped", "x19_image_dims", "x20_pii_redaction",
+    "x21_repetition_deciles", "x22_vocab_top", "x23_wav_metadata",
+    "x24_audio_headers", "x25_streaming_tumbling", "x26_streaming_dedup",
+    "x27_winnow_fingerprints", "x31_profile", "x35_duplicate_groups",
+    "x36_ivf_index", "x51_orc_roundtrip", "x53_semantic_dedup",
+    "x55_bpe_train", "x59_cluster_outliers", "x61_bpe_encode",
+    "x65_url_dedup", "x68_canonical_docs", "x71_size_sharding",
+    "x72_kmeans_fit", "x73_dsir_weights", "x74_span_dedup",
+    "x75_sample_per_group", "x76_ccnet_buckets", "x77_logreg_quality",
+    "x78_curation_chain", "x79_bm25_topk", "x80_pagerank",
+    "x81_pmi_cooccurrence", "x82_hashed_features", "x83_zorder_layout",
+    "x84_pca_projection", "x85_fuzzy_linkage", "x86_weighted_sample",
+    "x87_knn_graph", "x88_unigram_tokenizer", "x89_pca_block",
+    "x90_unigram_encode",
 ]
 
 

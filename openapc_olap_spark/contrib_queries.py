@@ -2463,7 +2463,7 @@ def _x49_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         if f.startswith("v") and f.endswith(".json") \
                 and int(f[1:9]) > 0:
             os.remove(os.path.join(store._mdir(), f))
-    store.vacuum()
+    store.vacuum(grace_seconds=0)
     return (out.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_new"),
                  F.min("doc_id").alias("first_id"),
@@ -2743,7 +2743,7 @@ def _x93_production(spark: SparkSession, sf_dir: str) -> DataFrame:
             if f.startswith("v") and f.endswith(".json") \
                     and int(f[1:9]) > 0:
                 os.remove(os.path.join(store._mdir(), f))
-        store.vacuum()
+        store.vacuum(grace_seconds=0)
     return out
 
 
@@ -5202,6 +5202,248 @@ _X91_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# X94: incremental vector-index maintenance (transactional PQ index)
+# ---------------------------------------------------------------------------
+
+def _x94_setup(spark: SparkSession, sf_dir: str, root: str):
+    """Create the base transactional PQ index (vectors with
+    vec_id % 5 != 0; centroids fixed from the base corpus at creation
+    time) at ``root``; return the update batch (vec_id % 5 == 0) —
+    the x94 setup shared by the certifying gate and the production
+    twin."""
+    import shutil
+
+    from openapc_olap_spark.operators import pq
+
+    shutil.rmtree(root, ignore_errors=True)
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 1000 + F.lit(0.5))
+                     .cast("double"))
+    dq = emb.select("vec_id", qv.alias("embedding"))
+    base = dq.filter(F.col("vec_id") % 5 != 0)
+    bc = pq._clean(base, 64, "vec_id", "embedding")
+    coarse = pq.first_n_vectors(bc, 8)
+    cents = pq.train_pq_cents(pq.first_n_vectors(bc, 16), coarse, 8)
+    pq.create_pq_txn_index(spark, root, base, coarse, cents)
+    return dq, dq.filter(F.col("vec_id") % 5 == 0)
+
+
+def _x94_stats(spark: SparkSession, root: str, dq: DataFrame) -> DataFrame:
+    """The post-commit observable state, digested: per-list codes-store
+    contents (id, codes, seq — one wrong code, landing list, or replay
+    seq breaks the hash) plus the served top-5 for the query vector
+    vec_id=0, which IS one of the upserted vectors — serving must see
+    the commit."""
+    from openapc_olap_spark.operators import pq
+    from openapc_olap_spark.sources.txn import TxnTable
+    from pyspark.sql import Window
+
+    codes = TxnTable(spark, f"{root}/codes", "list_id").read()
+    code_rows = (
+        codes.groupBy(F.col("list_id").cast("long").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("id").alias("id_sum"),
+             F.md5(F.array_join(F.array_sort(F.collect_list(
+                 F.concat_ws(":", F.col("id").cast("string"),
+                             F.array_join(F.col("codes").cast(
+                                 "array<string>"), ","),
+                             F.col("seq").cast("string")))), ";"))
+             .alias("digest"))
+        .select(F.lit("codes").alias("section"), "key", "n_rows",
+                "id_sum", "digest"))
+    qvec = [float(x) for x in
+            dq.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = pq.pq_txn_topk(spark, root, qvec, k=5, n_probe=2, rerank=15,
+                         exclude_id=0)
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    top_rows = (top.select(
+        F.lit("topk").alias("section"),
+        F.row_number().over(w).cast("long").alias("key"),
+        F.lit(1).cast("long").alias("n_rows"),
+        F.col("id").alias("id_sum"),
+        F.md5(F.col("score").cast("long").cast("string"))
+        .alias("digest")))
+    return code_rows.unionByName(top_rows)
+
+
+def _x94_pq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pq.upsert_pq_txn_index`` — VERDICT r10 #6, incremental
+    vector-index maintenance: the ANN sibling of incremental dedup.
+    Vectors with vec_id % 5 != 0 are the stored index (centroids fixed
+    at creation); the rest commit as ONE partition-scoped upsert per
+    store (TxnTable.upsert_moving: only the touched list_id partitions
+    rewrite, a moved id's old list rewrites in the same commit), then
+    the SAME batch replays (crash-recovery semantics) — last-wins
+    merge must land the identical rows while the version advances.
+    The oracle re-derives every code from the raw table (x91's seed
+    CTEs restricted to the base corpus) and the served top-5 for
+    query vec_id=0 — an upserted vector, so serving provably sees the
+    commit. Integer-quantized doubles make every distance exact; one
+    wrong code, landing list, seq, candidate, or re-rank breaks the
+    digest."""
+    import tempfile
+
+    from openapc_olap_spark.operators import pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x94_{tag}"
+    dq, updates = _x94_setup(spark, sf_dir, root)
+    v1 = pq.upsert_pq_txn_index(spark, root, updates, seq=1)
+    v2 = pq.upsert_pq_txn_index(spark, root, updates, seq=1)  # replay
+    assert v1 == (1, 1) and v2 == (2, 2), (v1, v2)
+    return _x94_stats(spark, root, dq)
+
+
+_X94_MEMO: dict = {}
+
+
+def _x94_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path bench twin of x94 (the VERDICT r09 #1 split):
+    the recurring cost is ONE batch commit against an EXISTING index
+    plus the serving read — index creation is setup (memoized per
+    session/sf) and the store rolls back to v0 after the measured
+    commit (manifest unlinks + quiesced vacuum, ms-level) so every
+    run faces the identical snapshot."""
+    import tempfile
+
+    from openapc_olap_spark.operators import pq
+    from openapc_olap_spark.operators._memo import memoized
+    from openapc_olap_spark.sources.txn import TxnTable
+
+    def build():
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x94t_{tag}"
+        dq, updates = _x94_setup(spark, sf_dir, root)
+        return root, dq, updates
+
+    root, dq, updates = memoized(_X94_MEMO, ("x94_index", sf_dir), build)
+    pq.upsert_pq_txn_index(spark, root, updates, seq=1)
+    out = _x94_stats(spark, root, dq)
+    out.collect()            # materialize before the rollback
+    for sub in ("codes", "vectors"):
+        store = TxnTable(spark, f"{root}/{sub}", "list_id")
+        for f in sorted(os.listdir(store._mdir())):
+            if f.startswith("v") and f.endswith(".json") \
+                    and int(f[1:9]) > 0:
+                os.remove(os.path.join(store._mdir(), f))
+        store.vacuum(grace_seconds=0)
+    return out
+
+
+_X94_SQL = """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 1000 + 0.5)) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    base AS (SELECT * FROM e WHERE vec_id % 5 != 0),
+    -- coarse quantizer: first 8 clean BASE vectors (creation-time)
+    co AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS lid, v AS cv
+      FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 8)),
+    -- the post-commit index holds EVERY vector: assign all of e
+    asg AS (
+      SELECT vec_id, v, lid, cv FROM (
+        SELECT e.vec_id, e.v, co.lid, co.cv,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, e.v)
+                          - 2 * list_dot_product(e.v, co.cv)
+                          + list_dot_product(co.cv, co.cv) ASC,
+                          co.lid ASC) AS rn
+        FROM e CROSS JOIN co) WHERE rn = 1),
+    resid AS (
+      SELECT vec_id, v, lid,
+             list_transform(generate_series(1, 64),
+                            j -> v[j] - cv[j]) AS r
+      FROM asg),
+    -- PQ seeds: residuals of the first 16 clean BASE vectors
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r AS sr
+      FROM (SELECT vec_id, r FROM resid WHERE vec_id % 5 != 0
+            ORDER BY vec_id LIMIT 16)),
+    subspaces AS (SELECT unnest(generate_series(0, 7)) AS m),
+    codedet AS (
+      SELECT vec_id, m, code, scut FROM (
+        SELECT rv.vec_id, s.m, sd.code,
+               list_slice(sd.sr, s.m * 8 + 1, s.m * 8 + 8) AS scut,
+               row_number() OVER (
+                 PARTITION BY rv.vec_id, s.m
+                 ORDER BY list_dot_product(
+                            list_slice(rv.r, s.m * 8 + 1, s.m * 8 + 8),
+                            list_slice(rv.r, s.m * 8 + 1, s.m * 8 + 8))
+                          - 2 * list_dot_product(
+                            list_slice(rv.r, s.m * 8 + 1, s.m * 8 + 8),
+                            list_slice(sd.sr, s.m * 8 + 1, s.m * 8 + 8))
+                          + list_dot_product(
+                            list_slice(sd.sr, s.m * 8 + 1, s.m * 8 + 8),
+                            list_slice(sd.sr, s.m * 8 + 1, s.m * 8 + 8))
+                          ASC, sd.code ASC) AS rn
+        FROM resid rv CROSS JOIN subspaces s CROSS JOIN seeds sd)
+      WHERE rn = 1),
+    codevec AS (
+      SELECT vec_id, list(code ORDER BY m) AS codes
+      FROM codedet GROUP BY vec_id),
+    -- section 1: per-list codes-store contents; upserted rows carry
+    -- seq=1 (the replayed commit must not change them)
+    code_rows AS (
+      SELECT 'codes' AS section, a.lid::BIGINT AS key,
+             count(*) AS n_rows, sum(a.vec_id)::BIGINT AS id_sum,
+             md5(array_to_string(list_sort(list(
+               a.vec_id::VARCHAR || ':'
+               || array_to_string(cv2.codes, ',') || ':'
+               || (CASE WHEN a.vec_id % 5 = 0 THEN 1 ELSE 0 END))),
+               ';')) AS digest
+      FROM asg a JOIN codevec cv2 ON cv2.vec_id = a.vec_id
+      GROUP BY a.lid),
+    -- section 2: served top-5 for query vec_id=0 (an UPSERTED vector)
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    probes AS (
+      SELECT lid FROM (
+        SELECT co.lid,
+               row_number() OVER (
+                 ORDER BY list_dot_product(q.v, q.v)
+                          - 2 * list_dot_product(q.v, co.cv)
+                          + list_dot_product(co.cv, co.cv) ASC,
+                          co.lid ASC) AS rn
+        FROM q CROSS JOIN co) WHERE rn <= 2),
+    approx AS (
+      SELECT a.vec_id AS dst,
+             list_dot_product(q.v, co.cv)
+             + sum(list_dot_product(
+                 list_slice(q.v, cd.m * 8 + 1, cd.m * 8 + 8),
+                 cd.scut)) AS approx
+      FROM asg a
+      JOIN probes p ON p.lid = a.lid
+      JOIN co ON co.lid = a.lid
+      JOIN codedet cd ON cd.vec_id = a.vec_id
+      CROSS JOIN q
+      WHERE a.vec_id != 0
+      GROUP BY a.vec_id, q.v, co.cv),
+    cands AS (
+      SELECT dst FROM (
+        SELECT dst, row_number() OVER (
+                 ORDER BY approx DESC, dst ASC) AS cr
+        FROM approx) WHERE cr <= 15),
+    rer AS (
+      SELECT c.dst, list_dot_product(q.v, d.v) AS score
+      FROM cands c JOIN e d ON d.vec_id = c.dst CROSS JOIN q),
+    top_rows AS (
+      SELECT 'topk' AS section, rank::BIGINT AS key, 1::BIGINT AS n_rows,
+             dst::BIGINT AS id_sum,
+             md5(score::BIGINT::VARCHAR) AS digest
+      FROM (
+        SELECT dst, score,
+               row_number() OVER (ORDER BY score DESC, dst ASC) AS rank
+        FROM rer) WHERE rank <= 5)
+    SELECT * FROM code_rows UNION ALL SELECT * FROM top_rows
+"""
+
+
+# ---------------------------------------------------------------------------
 # X88: unigram-LM (SentencePiece-style) tokenizer training
 # ---------------------------------------------------------------------------
 
@@ -5677,6 +5919,7 @@ QUERIES = {
     "x91_ivf_pq_ann": _x91_ivf_pq_ann,
     "x92_stream_dedup_commit": _x92_stream_dedup_commit,
     "x93_incremental_near_dup": _x93_incremental_near_dup,
+    "x94_pq_index_upsert": _x94_pq_index_upsert,
 }
 
 # Production-path bench twins (VERDICT r09 #1): the certifying gates above
@@ -5695,6 +5938,7 @@ BENCH_TWINS = {
     "x91_ivf_pq_ann": _x91_production,
     "x92_stream_dedup_commit": _x92_production,
     "x93_incremental_near_dup": _x93_production,
+    "x94_pq_index_upsert": _x94_production,
 }
 
 ORACLES = {
@@ -5791,4 +6035,5 @@ ORACLES = {
     "x91_ivf_pq_ann": _X91_SQL,
     "x92_stream_dedup_commit": _X92_SQL,
     "x93_incremental_near_dup": _X93_SQL,
+    "x94_pq_index_upsert": _X94_SQL,
 }

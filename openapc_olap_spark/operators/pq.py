@@ -373,13 +373,16 @@ def write_pq_index(df: DataFrame, path: str,
 
 def pq_index_topk(spark, path: str, query_vec: list[float],
                   k: int = 10, n_probe: int = 2,
-                  rerank: int | None = None) -> DataFrame:
+                  rerank: int | None = None,
+                  exclude_id: int | None = None) -> DataFrame:
     """Top-k for ONE query against a written PQ index: probe lists are
     ranked driver-side (the centroid table is tiny), the ``list_id``
     IN-predicate prunes partitions before any IO on BOTH the codes scan
     (ADC candidates) and the vectors scan (exact re-rank of the top
-    ``rerank``). Identical results to ``ivf_pq_topk`` at the same
-    dials for this query, minus the full-corpus encode."""
+    ``rerank``). Results match ``ivf_pq_topk`` at the same dials for a
+    NON-corpus query vector; for a query that IS a corpus member the
+    served set includes the self row unless its id is passed as
+    ``exclude_id`` (ivf_pq_topk's batch path always drops src==dst)."""
     import json
 
     from openapc_olap_spark.operators.similarity import _ivf_probe_ids
@@ -394,6 +397,8 @@ def pq_index_topk(spark, path: str, query_vec: list[float],
     probes = _ivf_probe_ids(coarse, query_vec, n_probe)
     codes = (spark.read.parquet(f"{path}/codes")
              .filter(F.col("list_id").isin(probes)))
+    if exclude_id is not None:
+        codes = codes.filter(F.col("id") != F.lit(exclude_id))
     # per-(m, code) ADC lookup values for THIS query, as one literal
     lut = [[sum(query_vec[mm * dsub + j] * pq_cents[mm][c][j]
                 for j in range(dsub))
@@ -413,6 +418,126 @@ def pq_index_topk(spark, path: str, query_vec: list[float],
     vecs = (spark.read.parquet(f"{path}/vectors")
             .filter(F.col("list_id").isin(probes))
             .select("id", "v"))
+    qlit = _arr([float(x) for x in query_vec])
+    exact = (cands.select("id").join(vecs, ["id"])
+             .select("id", F.expr(_dot("v", qlit)).alias("score")))
+    return (exact.orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(k))
+
+
+def create_pq_txn_index(spark, path: str, df: DataFrame,
+                        coarse: list[list[float]],
+                        pq_cents: list[list[list[float]]],
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        encode_method: str = "arrow") -> None:
+    """Transactional twin of :func:`write_pq_index` (VERDICT r10 #6 —
+    the ANN sibling of incremental dedup): ``<path>/codes`` and
+    ``<path>/vectors`` are TxnTables partitioned by ``list_id``, so a
+    crawl's embedding batch lands as a partition-scoped commit
+    (:func:`upsert_pq_txn_index`) instead of a full index rewrite, and
+    serving (:func:`pq_txn_topk`) prunes at the MANIFEST level — the
+    probe opens exactly the probed lists' files, no directory listing.
+    Both tables carry a ``seq`` column (the crawl sequence) for
+    last-wins replay idempotence. Centroids are fixed at creation time
+    (pq_meta.json); maintenance re-encodes only the update batch
+    against them."""
+    import json
+    import os
+
+    from openapc_olap_spark.sources.txn import TxnTable
+
+    dim = len(coarse[0])
+    corpus = _clean(df, dim, id_col, vec_col)
+    codes = pq_codes(corpus, coarse, pq_cents, method=encode_method) \
+        .withColumn("seq", F.lit(0).cast("long"))
+    os.makedirs(path, exist_ok=True)
+    TxnTable.create(spark, f"{path}/codes", codes, "list_id",
+                    meta={"kind": "pq_codes"})
+    vecs = (corpus.join(codes.select("id", "list_id"), ["id"])
+            .withColumn("seq", F.lit(0).cast("long")))
+    TxnTable.create(spark, f"{path}/vectors", vecs, "list_id",
+                    meta={"kind": "pq_vectors"})
+    with open(f"{path}/pq_meta.json", "w") as fh:
+        json.dump({"coarse": coarse, "pq_cents": pq_cents}, fh)
+
+
+def upsert_pq_txn_index(spark, path: str, updates: DataFrame,
+                        seq: int, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        encode_method: str = "arrow") -> tuple[int, int]:
+    """Commit an embedding batch into a :func:`create_pq_txn_index`
+    index: ONLY the batch is re-encoded (the zero-shuffle pq_codes
+    path) against the creation-time centroids, then both stores take a
+    TxnTable.upsert_moving keyed on id — partition-scoped rewrites of
+    the touched lists plus any list a re-embedded id moved OUT of;
+    untouched lists' files re-link. Replay with the same ``seq`` is
+    idempotent (last-wins merge re-derives the identical rows).
+    Returns the (codes, vectors) new versions."""
+    import json
+
+    from openapc_olap_spark.sources.txn import TxnTable
+
+    with open(f"{path}/pq_meta.json") as fh:
+        meta = json.load(fh)
+    coarse, pq_cents = meta["coarse"], meta["pq_cents"]
+    dim = len(coarse[0])
+    batch = _clean(updates, dim, id_col, vec_col)
+    codes = pq_codes(batch, coarse, pq_cents, method=encode_method) \
+        .withColumn("seq", F.lit(seq).cast("long"))
+    ct = TxnTable(spark, f"{path}/codes", "list_id")
+    vc = ct.upsert_moving(codes, ["id"], "seq")
+    vecs = (batch.join(codes.select("id", "list_id"), ["id"])
+            .withColumn("seq", F.lit(seq).cast("long")))
+    vt = TxnTable(spark, f"{path}/vectors", "list_id")
+    vv = vt.upsert_moving(vecs, ["id"], "seq")
+    return vc, vv
+
+
+def pq_txn_topk(spark, path: str, query_vec: list[float],
+                k: int = 10, n_probe: int = 2,
+                rerank: int | None = None,
+                exclude_id: int | None = None) -> DataFrame:
+    """:func:`pq_index_topk` against the transactional index: the
+    probed lists prune at the MANIFEST level (TxnTable.read names the
+    exact files — no directory listing, no footer reads outside the
+    probed lists) on BOTH the codes scan and the re-rank's vector
+    scan. Same self-row semantics as pq_index_topk (pass
+    ``exclude_id`` for corpus-member queries)."""
+    import json
+
+    from openapc_olap_spark.operators.similarity import _ivf_probe_ids
+    from openapc_olap_spark.sources.txn import TxnTable
+
+    with open(f"{path}/pq_meta.json") as fh:
+        meta = json.load(fh)
+    coarse, pq_cents = meta["coarse"], meta["pq_cents"]
+    m = len(pq_cents)
+    dim = len(coarse[0])
+    dsub = dim // m
+    rerank = 3 * k if rerank is None else rerank
+    probes = _ivf_probe_ids(coarse, query_vec, n_probe)
+    codes = TxnTable(spark, f"{path}/codes", "list_id") \
+        .read(partitions=probes).select("id", "list_id", "codes")
+    if exclude_id is not None:
+        codes = codes.filter(F.col("id") != F.lit(exclude_id))
+    lut = [[sum(query_vec[mm * dsub + j] * pq_cents[mm][c][j]
+                for j in range(dsub))
+            for c in range(len(pq_cents[mm]))]
+           for mm in range(m)]
+    cdots = [sum(query_vec[j] * coarse[li][j] for j in range(dim))
+             for li in range(len(coarse))]
+    approx = (f"element_at({_arr(cdots)}, list_id + 1) + " +
+              " + ".join(
+                  f"element_at({_arr(lut[mm])}, "
+                  f"element_at(codes, {mm + 1}) + 1)"
+                  for mm in range(m)))
+    cands = (codes.select("id", "list_id",
+                          F.expr(approx).alias("approx"))
+             .orderBy(F.col("approx").desc(), F.col("id").asc())
+             .limit(rerank))
+    vecs = TxnTable(spark, f"{path}/vectors", "list_id") \
+        .read(partitions=probes).select("id", "v")
     qlit = _arr([float(x) for x in query_vec])
     exact = (cands.select("id").join(vecs, ["id"])
              .select("id", F.expr(_dot("v", qlit)).alias("score")))

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from openapc_olap_spark.cuts import Cut, cuts_to_predicate, parse_cuts
@@ -225,7 +225,18 @@ class QueryEngine:
     def with_total_percentage(self, spec: QuerySpec, aggregate: str,
                               out_col: str = "total_percentage") -> DataFrame:
         """The treemap client's derived metric (YAML_STATIC_PART_APC:23-27):
-        each cell's share of the result-set total, as a percentage (A6)."""
+        each cell's share of the result-set total, as a percentage (A6).
+
+        The grand total is a 1-row re-aggregation of the cells frame
+        broadcast-joined back onto it — NOT an empty-partition window
+        (``Window.partitionBy()``), which would funnel every group of a
+        10^8-cell drilldown through one task. The cells plan is computed
+        twice (once per branch); for the sub-second API grain that beats
+        a persist round-trip, and at 100 TB the duplicated branch is the
+        already-aggregated group frame, not the fact scan."""
         cells = self.cells(spec)
-        total = F.sum(F.col(aggregate)).over(Window.partitionBy())
-        return cells.withColumn(out_col, F.col(aggregate) / total * 100.0)
+        total = cells.agg(F.sum(F.col(aggregate)).alias("__total__"))
+        return (cells.join(F.broadcast(total))
+                .withColumn(out_col,
+                            F.col(aggregate) / F.col("__total__") * 100.0)
+                .drop("__total__"))

@@ -38,6 +38,16 @@ Upsert merge semantics are per-key last-wins on an explicit sequence
 column — union + groupBy(keys) + max(struct(seq, payload)), one
 map-side-combined shuffle over ONLY the touched partitions' rows.
 
+Maintenance lifecycle (round 11): :meth:`TxnTable.append` is the
+O(batch) insert-only path (no bucket read-back — one small file per
+touched partition per commit); :meth:`TxnTable.compact` folds a fat
+partition's files back to one under the same snapshot semantics;
+:meth:`TxnTable.checkpoint` retires old manifest versions; and
+:meth:`TxnTable.vacuum` (grace-windowed so it cannot race an
+in-flight writer's already-landed files) reclaims unreferenced data
+files. Together they bound both read amplification (files/bucket)
+and metadata growth (manifests) for a commit-every-hour workload.
+
 The upsert contract requires the partition value to be a FUNCTION OF
 THE KEY (else a key's superseded row could hide in an untouched
 partition): use :func:`add_bucket` (pmod(xxhash64(keys), n)) unless the
@@ -49,6 +59,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -188,22 +199,31 @@ class TxnTable:
 
     def _publish(self, version: int, files: list[dict],
                  schema, meta: dict | None = None) -> None:
-        """Atomically publish ``version`` (exclusive create — EEXIST
-        means another writer won; raise CommitConflict)."""
+        """Atomically publish ``version``: the payload is written and
+        fsynced to a hidden temp file first, then linked into place —
+        the version file either does not exist or is complete, so a
+        crash mid-write can never leave a partial highest manifest that
+        poisons every later snapshot(). os.link is
+        create-WITH-CONTENT-or-EEXIST; EEXIST means another writer won
+        the version slot (CommitConflict)."""
         payload = json.dumps({
             "version": version,
             "schema": json.dumps(schema.jsonValue()),
             "meta": meta or {},
             "files": files,
         }, indent=1)
+        tmp = os.path.join(self._mdir(), f".tmp-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fd = os.open(self._version_path(version),
-                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, self._version_path(version))
         except FileExistsError as e:
             raise CommitConflict(
                 f"version {version} already committed") from e
-        with os.fdopen(fd, "w") as fh:
-            fh.write(payload)
+        finally:
+            os.unlink(tmp)
 
     def overwrite(self, df: DataFrame) -> int:
         """Full-snapshot replace (the bulk-load path); returns the new
@@ -213,6 +233,37 @@ class TxnTable:
         v = snap["version"] + 1
         self._publish(v, files, df.schema, snap.get("meta"))
         return v
+
+    def append(self, rows: DataFrame, max_retries: int = 5) -> int:
+        """Blind row-append: land ``rows``'s files and publish a
+        manifest referencing ALL existing files plus the new ones —
+        cost is O(batch), no partition read-back or rewrite. The
+        insert-only fast path for workloads whose keys are known-new
+        (or whose readers dedup anyway, e.g. a fingerprint set probed
+        via semi-join): each commit adds one small file per touched
+        partition, and :meth:`compact` periodically folds a fat
+        partition back to one file. Use :meth:`upsert` when per-key
+        last-wins semantics must hold at READ time."""
+        if self.partition_col not in rows.columns:
+            raise ValueError(
+                f"rows must carry the partition column "
+                f"{self.partition_col!r} (add_bucket derives it)")
+        last: Exception | None = None
+        new_files = self._write_data(rows)
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            try:
+                v = snap["version"] + 1
+                self._publish(v, snap["files"] + new_files, rows.schema,
+                              snap.get("meta"))
+                return v
+            except CommitConflict as e:
+                # append commutes with any concurrent commit: just
+                # re-read the winner's file list and retry the publish —
+                # our data files are already landed and stay valid
+                last = e
+        raise CommitConflict(
+            f"append lost {max_retries} commit races") from last
 
     def upsert(self, updates: DataFrame, keys: list[str],
                seq_col: str, max_retries: int = 5) -> int:
@@ -264,9 +315,136 @@ class TxnTable:
         raise CommitConflict(
             f"upsert lost {max_retries} commit races") from last
 
-    def vacuum(self) -> list[str]:
+    def upsert_moving(self, updates: DataFrame, keys: list[str],
+                      seq_col: str, max_retries: int = 5) -> int:
+        """Upsert for tables whose partition value is NOT a function of
+        the keys (e.g. a vector index partitioned by list_id, keyed by
+        vector id: re-embedding an id can move it to another list).
+        The touched set is the updates' partitions PLUS every current
+        partition holding an updated key — found by a column-pruned
+        (keys + partition) scan of the snapshot semi-joined to the
+        batch — so a moved key's stale row is rewritten out of its old
+        partition in the same commit. Merge is replace-by-key: current
+        rows whose key appears in the batch are dropped (left-anti),
+        then per-key last-wins collapses the batch itself on
+        ``seq_col``. Same optimistic-concurrency semantics as upsert.
+        Returns the new version."""
+        if self.partition_col not in updates.columns:
+            raise ValueError(
+                f"updates must carry the partition column "
+                f"{self.partition_col!r}")
+        last: Exception | None = None
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            batch_parts = {str(r[0]) for r in
+                           updates.select(self.partition_col)
+                           .distinct().collect()}
+            old_parts = {str(r[0]) for r in
+                         self.read().select(*keys, self.partition_col)
+                         .join(updates.select(*keys).distinct(), keys,
+                               "left_semi")
+                         .select(self.partition_col)
+                         .distinct().collect()}
+            touched = batch_parts | old_parts
+            if not touched:
+                try:
+                    v = snap["version"] + 1
+                    self._publish(v, snap["files"],
+                                  StructType.fromJson(
+                                      json.loads(snap["schema"])),
+                                  snap.get("meta"))
+                    return v
+                except CommitConflict as e:
+                    last = e
+                    continue
+            current = self.read(partitions=sorted(touched))
+            survivors = current.join(updates.select(*keys).distinct(),
+                                     keys, "left_anti")
+            batch_best = _merge_last_wins(
+                updates.limit(0), updates, keys, seq_col)
+            merged = survivors.unionByName(
+                batch_best.select(*survivors.columns))
+            new_files = self._write_data(merged)
+            keep = [f for f in snap["files"]
+                    if f["partition"] not in touched]
+            try:
+                v = snap["version"] + 1
+                self._publish(v, keep + new_files, merged.schema,
+                              snap.get("meta"))
+                return v
+            except CommitConflict as e:
+                last = e
+        raise CommitConflict(
+            f"upsert_moving lost {max_retries} commit races") from last
+
+    def compact(self, partitions: list | None = None,
+                max_retries: int = 5) -> int:
+        """Rewrite every partition that holds more than one data file
+        down to one file, publishing the result as a normal new
+        snapshot version (same optimistic-concurrency semantics as
+        upsert — readers see either the old file set or the new one,
+        never a mix). ``partitions`` restricts the sweep. Returns the
+        new version, or the current one if nothing needed compaction.
+
+        This is the maintenance half of the upsert story: a
+        crawl-every-hour workload appends one small file per touched
+        bucket per commit; compact() folds a bucket's N files back to
+        one so read amplification stays O(buckets), not O(commits).
+        The superseded files become orphans for vacuum()."""
+        last: Exception | None = None
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            counts: dict[str, int] = {}
+            for f in snap["files"]:
+                counts[f["partition"]] = counts.get(f["partition"], 0) + 1
+            want = None if partitions is None else {str(p)
+                                                    for p in partitions}
+            fat = {p for p, n in counts.items()
+                   if n > 1 and (want is None or p in want)}
+            if not fat:
+                return snap["version"]
+            rows = self.read(partitions=sorted(fat))
+            # one output file per partition value: coalesce happens via
+            # the repartition(_PV) in _write_data (one task per value)
+            new_files = self._write_data(rows)
+            keep = [f for f in snap["files"] if f["partition"] not in fat]
+            try:
+                v = snap["version"] + 1
+                self._publish(v, keep + new_files, rows.schema,
+                              snap.get("meta"))
+                return v
+            except CommitConflict as e:
+                last = e
+        raise CommitConflict(
+            f"compact lost {max_retries} commit races") from last
+
+    def checkpoint(self, retain_versions: int = 1) -> list[str]:
+        """Manifest retention: delete all but the newest
+        ``retain_versions`` manifest files (>=1). Time travel to the
+        dropped versions is gone; any data file only they referenced
+        becomes an orphan for vacuum(). Returns the deleted manifest
+        names. Like vacuum, requires no in-flight writer older than the
+        retained horizon (a retrying upsert re-reads snapshot() each
+        attempt, so the running store is safe)."""
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
+        names = sorted(f for f in os.listdir(self._mdir())
+                       if f.startswith("v") and f.endswith(".json"))
+        drop = names[:-retain_versions]
+        for f in drop:
+            os.remove(os.path.join(self._mdir(), f))
+        return drop
+
+    def vacuum(self, grace_seconds: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO manifest version (crash /
-        lost-race orphans). Returns the deleted names."""
+        lost-race / post-checkpoint orphans). Returns the deleted names.
+
+        ``grace_seconds`` protects in-flight writers: a concurrent
+        upsert renames its data files into data/ BEFORE publishing the
+        manifest that references them, so a zero-grace vacuum racing
+        that window could delete files the imminent winning commit
+        needs. Files younger than the grace period are skipped; pass 0
+        only on a quiesced table (no in-flight writers)."""
         referenced: set[str] = set()
         for f in os.listdir(self._mdir()):
             if f.startswith("v") and f.endswith(".json"):
@@ -274,9 +452,15 @@ class TxnTable:
                     referenced.update(e["path"]
                                       for e in json.load(fh)["files"])
         gone = []
+        now = time.time()
         ddir = os.path.join(self.path, _DATA_DIR)
         for f in sorted(os.listdir(ddir)):
-            if f"{_DATA_DIR}/{f}" not in referenced:
-                os.remove(os.path.join(ddir, f))
-                gone.append(f)
+            full = os.path.join(ddir, f)
+            if f"{_DATA_DIR}/{f}" in referenced:
+                continue
+            if grace_seconds > 0 and \
+                    now - os.path.getmtime(full) < grace_seconds:
+                continue
+            os.remove(full)
+            gone.append(f)
         return gone

@@ -63,6 +63,12 @@ def stream_dedup_commit(stream_df: DataFrame, fp_store: TxnTable,
     n_out = out_store.snapshot().get("meta", {}).get("n_buckets")
     if not n_out:
         raise ValueError("out_store manifest carries no meta.n_buckets")
+    # validate BOTH stores before the query starts: a missing fp-store
+    # bucket count would null the bucket column and strand superseded
+    # fingerprints in partitions the last-wins upsert never rewrites
+    n_fp = fp_store.snapshot().get("meta", {}).get("n_buckets")
+    if not n_fp:
+        raise ValueError("fp_store manifest carries no meta.n_buckets")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         seen = fp_store.read().select("fp")
@@ -81,7 +87,6 @@ def stream_dedup_commit(stream_df: DataFrame, fp_store: TxnTable,
         # docstring) — the reverse order loses the batch on replay
         out_store.upsert(add_bucket(kept, [id_col], n_out),
                          [id_col], "seq")
-        n_fp = fp_store.snapshot().get("meta", {}).get("n_buckets")
         fps = (kept.select(fingerprint(text_col).alias("fp"))
                .distinct()
                .withColumn("seq", F.lit(batch_id).cast("long")))

@@ -217,6 +217,13 @@ _X_DEPS = {
     "x93_incremental_near_dup": [f"{_P}/sources/txn.py",
                                  f"{_OPS}/dedup.py",
                                  f"{_OPS}/text.py"] + _MEMO,
+    # x94 drives the transactional PQ index (pq.py + sources/txn.py);
+    # pq's import closure matches x91's (pca clean prefilter, knn
+    # _row_topk_np, kmeans->similarity via the Lloyd trainer)
+    "x94_pq_index_upsert": [f"{_OPS}/pq.py", f"{_OPS}/pca.py",
+                            f"{_OPS}/knn.py", f"{_OPS}/kmeans.py",
+                            f"{_OPS}/similarity.py",
+                            f"{_P}/sources/txn.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

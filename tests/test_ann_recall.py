@@ -207,3 +207,75 @@ def test_pq_index_roundtrip_matches_in_memory(spark, emb, tmp_path):
     p = plans.plan_of(got)
     assert p.count("PartitionFilters: [isnotnull(list_id") >= 2 or \
         p.count("list_id#") >= 2     # both scans carry the probe filter
+
+
+def _to_768d(df):
+    """Synthesize a 768-d corpus from the 64-d testdata (VERDICT r10
+    #5): concatenate 12 circularly-shifted copies of each vector —
+    each block is an orthogonal transform of the base, so neighbor
+    structure carries over while the byte geometry (6 KB/vector) is
+    the production-embedding shape the PQ story targets."""
+    blocks = [F.expr(f"concat(slice(embedding, {s + 1}, {64 - s}), "
+                     f"slice(embedding, 1, {s}))")
+              for s in range(0, 60, 5)]          # 12 x 64 = 768
+    return df.select("vec_id",
+                     F.concat(*blocks).alias("embedding"))
+
+
+def test_ivf_pq_768d_end_to_end(spark, emb, tmp_path):
+    """The 768-d rung (VERDICT r10 #5): the block encode kernel, ADC
+    scorer and exact re-rank run end-to-end at production
+    dimensionality (m=96 x 8-dim subspaces, 96 B codes vs 6 KB
+    vectors); the exactness anchor (full probes + corpus-wide re-rank
+    == brute force) holds; and the transactional index round-trips an
+    upsert at 768d with the served top-k matching the in-memory path."""
+    from openapc_olap_spark.operators import knn, pq
+
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 1000 + F.lit(0.5))
+                     .cast("double"))
+    dq = _to_768d(emb.select("vec_id", qv.alias("embedding"))
+                  .limit(200))
+    assert dq.select(F.size("embedding")).first()[0] == 768
+    n = dq.count()
+    queries = dq.filter(F.col("vec_id") % 50 == 0)
+    exact = {(r["src"], r["dst"]) for r in
+             knn.knn_graph(dq, dim=768, k=5, queries=queries,
+                           metric="dot", method="arrow").collect()}
+
+    def recall(n_probe, rerank):
+        got = {(r["src"], r["dst"]) for r in
+               pq.ivf_pq_topk(dq, 768, k=5, m=96, n_probe=n_probe,
+                              rerank=rerank, queries=queries,
+                              method="arrow",
+                              encode_method="arrow").collect()}
+        return len(got & exact) / len(exact)
+
+    # exactness anchor: the pipeline degenerates to brute force
+    assert recall(8, n) == 1.0
+    r15 = recall(2, 15)
+    assert 0.0 <= r15 <= recall(2, 60) <= 1.0     # re-rank curve
+    # transactional index at 768d: base (4/5) + upsert (1/5), serving
+    # must see an upserted vector's true neighbors
+    corpus = pq._clean(dq, 768, "vec_id", "embedding")
+    coarse = pq.first_n_vectors(corpus, 8)
+    cents = pq.train_pq_cents(pq.first_n_vectors(corpus, 16),
+                              coarse, 96)
+    path = str(tmp_path / "pq768")
+    pq.create_pq_txn_index(spark, path,
+                           dq.filter(F.col("vec_id") % 5 != 0),
+                           coarse, cents)
+    pq.upsert_pq_txn_index(spark, path,
+                           dq.filter(F.col("vec_id") % 5 == 0), seq=1)
+    qvec = [float(x) for x in
+            dq.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = {r["id"] for r in
+           pq.pq_txn_topk(spark, path, qvec, k=5, n_probe=2,
+                          rerank=15, exclude_id=0).collect()}
+    want = {r["dst"] for r in
+            pq.ivf_pq_topk(dq, 768, k=5, m=96, n_probe=2, rerank=15,
+                           coarse=coarse, pq_cents=cents,
+                           queries=dq.filter(F.col("vec_id") == 0),
+                           method="arrow",
+                           encode_method="arrow").collect()}
+    assert got == want and len(got) == 5

@@ -771,3 +771,20 @@ def test_ivf_pq_plan_shapes(spark, sf_dir):
     p2 = plans.plan_of(pq.ivf_pq_topk(dq, 64, k=5, m=8, n_probe=2,
                                       coarse=coarse, pq_cents=cents))
     assert "CartesianProduct" not in p2
+
+
+def test_total_percentage_no_single_partition_exchange(engine):
+    """A6 (VERDICT r10 #3): the grand total joins back as a broadcast of
+    a 1-row aggregate — no empty-partition window funneling the whole
+    cells frame through one task (``Exchange SinglePartition`` feeding a
+    Window operator). The only SinglePartition exchange allowed is the
+    one inside the 1-row total aggregation itself (upstream of the
+    broadcast, over already-aggregated group rows)."""
+    df = engine.with_total_percentage(
+        QuerySpec.from_params("lineitem", drilldown="l_returnflag"),
+        "price_amount_sum")
+    p = plans.plan_of(df)
+    assert "Window" not in p
+    # keyless 1-row cross join plans as BroadcastNestedLoopJoin — the
+    # broadcast side is the single total row, so "nested loop" is O(cells)
+    assert "BroadcastNestedLoopJoin" in p and "BroadcastExchange" in p

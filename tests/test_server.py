@@ -83,6 +83,16 @@ def test_aggregate_envelope(app):
     env2 = json.loads(body2)
     assert env2 == env
     assert "__acc__" not in json.dumps(env2)
+    # pagination + approx_total compose (VERDICT r10 #7): cells are the
+    # requested page while total_cell_count stays the FULL cardinality —
+    # the 10^8-group-safe contract (500-cap pages + HLL total)
+    _, _, body3 = call(app, "/cube/srv/aggregate",
+                       "drilldown=period&order=period&page=1&pagesize=2"
+                       "&approx_total=1")
+    env3 = json.loads(body3)
+    assert [c["period"] for c in env3["cells"]] == ["2021"]
+    assert env3["total_cell_count"] == 3
+    assert env3["summary"] == env["summary"]
 
 
 def test_members_fact_cell_and_errors(app):

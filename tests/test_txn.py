@@ -96,7 +96,7 @@ def test_crash_consistency_and_vacuum(spark, tmp_path):
     t.upsert(up, ["k"], "seq")
     assert _rows(t.read()) == {("a", 2, "X2"), ("b", 1, "y")}
     # vacuum removes exactly the unreferenced files
-    gone = t.vacuum()
+    gone = t.vacuum(grace_seconds=0)
     assert {f"data/{g}" for g in gone} == {o["path"] for o in orphans}
     assert _rows(t.read()) == {("a", 2, "X2"), ("b", 1, "y")}
     # staging left nothing behind
@@ -188,3 +188,146 @@ def test_manifest_is_the_read_surface_not_the_directory(spark, tmp_path):
     # and the manifest is versioned json with per-file partitions
     snap = json.load(open(t._version_path(t.version())))
     assert all({"path", "partition"} <= set(f) for f in snap["files"])
+
+
+def test_publish_is_atomic_no_partial_manifest(spark, tmp_path):
+    """ADVICE r10: the version file is linked into place fully written
+    and fsynced — at no point can a reader observe a partial highest
+    manifest. Losing a version race leaves no temp debris, and
+    snapshot() never sees .tmp-* files."""
+    t = _mk(spark, tmp_path, [("a", 1, "x")])
+    up = txn.add_bucket(
+        spark.createDataFrame([("a", 2, "x2")],
+                              "k string, seq long, val string"), ["k"], 4)
+    t.upsert(up, ["k"], "seq")
+    mdir = t._mdir()
+    assert not [f for f in os.listdir(mdir) if f.startswith(".tmp")]
+    # every committed manifest parses completely (no partial writes)
+    for f in os.listdir(mdir):
+        with open(os.path.join(mdir, f)) as fh:
+            doc = json.load(fh)
+        assert {"version", "schema", "files"} <= doc.keys()
+    # losing the slot raises CommitConflict AND cleans its temp file
+    with pytest.raises(CommitConflict):
+        t._publish(1, [], t.read().schema, {})
+    assert not [f for f in os.listdir(mdir) if f.startswith(".tmp")]
+
+
+def test_compact_folds_partition_files_and_preserves_rows(spark, tmp_path):
+    """VERDICT r10 #4: N appends leave a bucket holding N small files
+    (append is the O(batch) insert-only path — no bucket read-back);
+    compact() rewrites fat partitions to one file each via a normal
+    manifest swap — rows identical, untouched single-file partitions
+    re-linked, superseded files reclaimed by vacuum."""
+    t = _mk(spark, tmp_path, [(f"k{i}", 0, f"v{i}") for i in range(12)])
+    for s in (1, 2, 3):
+        up = txn.add_bucket(
+            spark.createDataFrame([(f"n{i}s{s}", s, f"v{i}s{s}")
+                                   for i in range(0, 12, 3)],
+                                  "k string, seq long, val string"),
+            ["k"], 4)
+        t.append(up)
+    before_rows = _rows(t.read())
+    snap = t.snapshot()
+    per = {}
+    for f in snap["files"]:
+        per[f["partition"]] = per.get(f["partition"], 0) + 1
+    assert max(per.values()) > 1          # something to compact
+    v = t.compact()
+    assert v == snap["version"] + 1
+    assert _rows(t.read()) == before_rows
+    per2 = {}
+    for f in t.snapshot()["files"]:
+        per2[f["partition"]] = per2.get(f["partition"], 0) + 1
+    assert per2 and max(per2.values()) == 1
+    # idempotent: nothing fat left -> version unchanged
+    assert t.compact() == v
+    # superseded files stay referenced by the OLD manifest versions
+    # (time travel); checkpoint drops those, then vacuum reclaims
+    assert t.vacuum(grace_seconds=0) == []
+    t.checkpoint(retain_versions=1)
+    gone = t.vacuum(grace_seconds=0)
+    assert gone
+    assert _rows(t.read()) == before_rows
+
+
+def test_vacuum_grace_protects_young_orphans(spark, tmp_path):
+    """ADVICE r10: files an in-flight writer just renamed into data/
+    are indistinguishable from orphans until its manifest publishes —
+    the grace period keeps vacuum from deleting them mid-commit."""
+    t = _mk(spark, tmp_path, [("a", 1, "x")])
+    up = txn.add_bucket(
+        spark.createDataFrame([("a", 2, "x2")],
+                              "k string, seq long, val string"), ["k"], 4)
+    merged = txn._merge_last_wins(t.read(), up, ["k"], "seq")
+    orphans = t._write_data(merged)           # landed, not yet published
+    assert orphans
+    assert t.vacuum(grace_seconds=3600) == []          # protected
+    assert t.vacuum(grace_seconds=0) == sorted(
+        o["path"].split("/", 1)[1] for o in orphans)   # quiesced sweep
+
+
+def test_checkpoint_retains_newest_manifests(spark, tmp_path):
+    """Manifest retention: checkpoint(n) drops all but the newest n
+    versions; reads stay on the head; files only the dropped versions
+    referenced become vacuumable orphans."""
+    t = _mk(spark, tmp_path, [(f"k{i}", 0, f"v{i}") for i in range(8)])
+    for s in (1, 2):
+        up = txn.add_bucket(
+            spark.createDataFrame([(f"k{i}", s, f"w{s}")
+                                   for i in range(0, 8, 2)],
+                                  "k string, seq long, val string"),
+            ["k"], 4)
+        t.upsert(up, ["k"], "seq")
+    head = t.version()
+    rows = _rows(t.read())
+    dropped = t.checkpoint(retain_versions=1)
+    assert len(dropped) == head              # v0..v(head-1) gone
+    assert t.version() == head and _rows(t.read()) == rows
+    gone = t.vacuum(grace_seconds=0)         # old-version-only files
+    assert gone and _rows(t.read()) == rows
+    with pytest.raises(ValueError):
+        t.checkpoint(retain_versions=0)
+
+
+def test_upsert_moving_rewrites_old_partition_of_moved_key(spark, tmp_path):
+    """upsert_moving (VERDICT r10 #6): partition NOT a function of the
+    key (a vector index's list_id). A key whose partition value CHANGES
+    must be rewritten out of its old partition in the same commit, and
+    only the touched partitions' files may change."""
+    rows = [("a", 0, "p0"), ("b", 0, "p0"), ("c", 0, "p1"),
+            ("d", 0, "p2"), ("e", 0, "p3")]
+    df = spark.createDataFrame(rows, "k string, seq long, part string")
+    t = TxnTable.create(spark, str(tmp_path / "m"), df, "part")
+    before = {f["path"]: f["partition"] for f in t.snapshot()["files"]}
+    # key 'a' MOVES p0 -> p1; key 'f' is new in p1
+    up = spark.createDataFrame([("a", 1, "p1"), ("f", 1, "p1")],
+                               "k string, seq long, part string")
+    t.upsert_moving(up, ["k"], "seq")
+    got = {(r["k"], r["seq"], r["part"]) for r in t.read().collect()}
+    assert got == {("a", 1, "p1"), ("b", 0, "p0"), ("c", 0, "p1"),
+                   ("d", 0, "p2"), ("e", 0, "p3"), ("f", 1, "p1")}
+    # no stale 'a' row hiding in p0
+    assert {(r["k"]) for r in t.read(partitions=["p0"]).collect()} \
+        == {"b"}
+    # partition-scoped writes: p2/p3 files re-linked byte-identical
+    after = {f["path"]: f["partition"] for f in t.snapshot()["files"]}
+    untouched_before = {p for p, pv in before.items() if pv in ("p2", "p3")}
+    untouched_after = {p for p, pv in after.items() if pv in ("p2", "p3")}
+    assert untouched_before == untouched_after
+    changed = {pv for p, pv in after.items() if p not in before}
+    assert changed <= {"p0", "p1"}
+    # replay idempotence: same batch, same seq -> same rows
+    v = t.version()
+    t.upsert_moving(up, ["k"], "seq")
+    assert t.version() == v + 1
+    assert {(r["k"], r["seq"], r["part"])
+            for r in t.read().collect()} == got
+
+
+def test_upsert_moving_requires_partition_column(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a", 1, "x")])
+    up = spark.createDataFrame([("a", 2, "y")],
+                               "k string, seq long, val string")
+    with pytest.raises(ValueError, match="partition column"):
+        t.upsert_moving(up, ["k"], "seq")
