@@ -437,17 +437,19 @@ _CERT_FIRST = [
     # r11 re-pins streaming state sizing while chasing the sf1-only x60
     # regression (VERDICT r10 #1); x60 is also in the stale r06 band
     "x60_stream_stream_join",
-    # new r11 gate (never certified): incremental vector-index
+    # new r11 gates (never certified): incremental vector-index
     # maintenance — commit K new vectors into the partitioned PQ index,
-    # serving must see them (VERDICT r10 #6)
-    "x94_pq_index_upsert",
+    # serving must see them (VERDICT r10 #6) — and its streaming
+    # sibling (stream -> per-batch transactional index commits,
+    # at-least-once replay idempotent)
+    "x94_pq_index_upsert", "x95_stream_vector_index",
 ]
 _CERT_PENDING: list[str] = []
 # Oldest-certified gates, rotated into the window's free slots for a free
 # freshness re-certification (VERDICT r10 #2: the 32-gate r05/r06 band;
-# x60 rotates via _CERT_FIRST). 25 window slots remain after the head, so
-# the r05 band (19) + the first 6 of the r06 band certify this round; the
-# trailing 6 r06 gates (x63/x64/x66/x67/x69/x70) spill past the window —
+# x60 rotates via _CERT_FIRST). 24 window slots remain after the head, so
+# the r05 band (19) + the first 5 of the r06 band certify this round; the
+# trailing 7 r06 gates (x62–x64/x66/x67/x69/x70) spill past the window —
 # still manifest-guarded — and lead the r12 refresh.
 _CERT_REFRESH = [
     "x28_curation_funnel", "x29_sequence_packing", "x30_hash_split",

@@ -224,6 +224,12 @@ _X_DEPS = {
                             f"{_OPS}/knn.py", f"{_OPS}/kmeans.py",
                             f"{_OPS}/similarity.py",
                             f"{_P}/sources/txn.py"] + _MEMO,
+    # x95 = x94's closure + the streaming driver module
+    "x95_stream_vector_index": [f"{_P}/streaming/vectors.py",
+                                f"{_OPS}/pq.py", f"{_OPS}/pca.py",
+                                f"{_OPS}/knn.py", f"{_OPS}/kmeans.py",
+                                f"{_OPS}/similarity.py",
+                                f"{_P}/sources/txn.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

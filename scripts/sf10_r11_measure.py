@@ -121,6 +121,36 @@ def _run_pq768(spark, F, t, par):
         timed("IVF-flat 768d (n_probe=8, same lists)", run_flat)
     except Exception as e:
         print(f"ivf-flat comparison skipped: {e}", flush=True)
+
+    # recall-recovery curve: Lloyd-refined sub-centroids (the
+    # production trainer) + wider exact re-rank — seed-residual
+    # centroids accumulate quantization noise over m=96 subspaces on
+    # near-random data, so the dial that matters is cents quality
+    # and re-rank breadth, not probe count
+    def run_lloyd_train():
+        return pq.train_pq_cents_lloyd(
+            emb.sample(0.05, seed=7), coarse, m=m, ksub=ksub, n_iter=2)
+
+    t0 = time.perf_counter()
+    lloyd = run_lloyd_train()
+    print(f"lloyd pq cents (5% sample, 2 iters, m={m}): "
+          f"{time.perf_counter() - t0:.1f} s", flush=True)
+
+    def run_pq_dials(cents_used, rr, label):
+        def go():
+            got = {(r["src"], r["dst"]) for r in
+                   pq.ivf_pq_topk(emb, 768, k=5, m=m, n_probe=8,
+                                  rerank=rr, coarse=coarse,
+                                  pq_cents=cents_used, queries=queries,
+                                  method="arrow",
+                                  encode_method="arrow").collect()}
+            return (f"{len(got)} edges, recall@5 "
+                    f"{len(got & exact) / len(exact):.3f}")
+        timed(label, go)
+
+    run_pq_dials(lloyd, 50, "IVF-PQ 768d lloyd cents, rerank=50")
+    run_pq_dials(lloyd, 200, "IVF-PQ 768d lloyd cents, rerank=200")
+    run_pq_dials(cents, 200, "IVF-PQ 768d seed cents, rerank=200")
     shutil.rmtree(base, ignore_errors=True)
 
 

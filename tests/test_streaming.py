@@ -457,3 +457,72 @@ def test_stream_dedup_commit_exactly_once_effects(spark, tmp_path):
     assert got2 == got
     fps = {r["fp"] for r in fp_store.read().select("fp").collect()}
     assert len(fps) == 3                     # alpha, beta, seen-before
+
+
+def test_stream_vector_index_commit_replay_idempotent(spark, tmp_path):
+    """streaming.vectors (round 11): per-batch transactional PQ-index
+    commits. Two micro-batches (redelivered file) must leave the codes
+    store CONTENT at the single-commit state (content-keyed last-wins),
+    advance one version per batch per store, and a full at-least-once
+    replay (fresh checkpoint) must change nothing; a served query must
+    see the streamed vectors."""
+    from pyspark.sql import functions as F
+
+    from openapc_olap_spark.operators import pq
+    from openapc_olap_spark.sources.txn import TxnTable
+    from openapc_olap_spark.streaming import vectors as sv
+
+    def vec(i):
+        return [float((i * 7 + j) % 11 - 5) for j in range(8)]
+
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(16)],
+        "vec_id long, embedding array<double>")
+    corpus = pq._clean(base, 8, "vec_id", "embedding")
+    coarse = pq.first_n_vectors(corpus, 4)
+    cents = pq.train_pq_cents(pq.first_n_vectors(corpus, 4), coarse, 4)
+    idx = str(tmp_path / "idx")
+    pq.create_pq_txn_index(spark, idx, base, coarse, cents)
+
+    new = spark.createDataFrame(
+        [(i, vec(i)) for i in range(16, 24)],
+        "vec_id long, embedding array<double>")
+    src = str(tmp_path / "src")
+    import os
+    import shutil
+    new.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    part = [f for f in os.listdir(str(tmp_path / "stage"))
+            if f.endswith(".parquet")][0]
+    os.makedirs(src)
+    for i in range(2):                       # redelivered copy
+        shutil.copy(str(tmp_path / "stage" / part),
+                    f"{src}/part-{i:03d}.parquet")
+
+    def run(ck):
+        sv.stream_vector_index_commit(
+            sv.read_vector_stream(spark, src), idx,
+            checkpoint=str(tmp_path / ck))
+
+    run("ck1")
+    ct = TxnTable(spark, f"{idx}/codes", "list_id")
+    vt = TxnTable(spark, f"{idx}/vectors", "list_id")
+    assert ct.version() == 2 and vt.version() == 2   # one commit/batch
+    got = {(r["id"], r["seq"]) for r in
+           ct.read().select("id", "seq").collect()}
+    assert {i for i, _ in got} == set(range(24))
+    # streamed rows carry the REPLAY batch's seq (last-wins), base seq 0
+    assert all(s == (1 if i >= 16 else 0) for i, s in got)
+    # full replay: fresh checkpoint, content unchanged
+    run("ck2")
+    assert {(r["id"], r["seq"]) for r in
+            ct.read().select("id", "seq").collect()} == got
+    # serving sees a streamed vector's neighbors
+    top = pq.pq_txn_topk(spark, idx, vec(20), k=3, n_probe=4,
+                         rerank=24, exclude_id=20)
+    assert len(top.collect()) == 3
+    # the index must exist before the stream starts
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        sv.stream_vector_index_commit(
+            sv.read_vector_stream(spark, src),
+            str(tmp_path / "nope"), checkpoint=str(tmp_path / "ck3"))
