@@ -122,9 +122,19 @@ class TxnTable:
     def _version_path(self, v: int) -> str:
         return os.path.join(self._mdir(), f"v{v:08d}.json")
 
-    def snapshot(self) -> dict:
-        """The highest committed manifest: {"version", "schema",
-        "files": [{"path", "partition"}...]}."""
+    def snapshot(self, version: int | None = None) -> dict:
+        """A committed manifest: {"version", "schema",
+        "files": [{"path", "partition"}...]}. Default is the highest
+        committed version; pass ``version`` for time travel to any
+        still-retained snapshot (checkpoint() retires old ones)."""
+        if version is not None:
+            p = self._version_path(version)
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"version {version} not found under {self._mdir()} "
+                    f"(never committed, or retired by checkpoint())")
+            with open(p) as fh:
+                return json.load(fh)
         versions = [int(f[1:9]) for f in os.listdir(self._mdir())
                     if f.startswith("v") and f.endswith(".json")]
         if not versions:
@@ -153,11 +163,13 @@ class TxnTable:
         t._publish(0, files, df.schema, meta or {})
         return t
 
-    def read(self, partitions: list | None = None) -> DataFrame:
-        """The current snapshot as a DataFrame. ``partitions`` prunes at
+    def read(self, partitions: list | None = None,
+             version: int | None = None) -> DataFrame:
+        """A snapshot as a DataFrame (default: current; ``version``
+        time-travels to a retained older one). ``partitions`` prunes at
         the MANIFEST (file-list) level — no directory listing, only the
         named files are opened."""
-        snap = self.snapshot()
+        snap = self.snapshot(version)
         files = snap["files"]
         if partitions is not None:
             want = {str(p) for p in partitions}

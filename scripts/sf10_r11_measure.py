@@ -154,6 +154,58 @@ def _run_pq768(spark, F, t, par):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def _run_pq768_lloyd(spark, F, t, par):
+    """The recall-recovery half of the 768-d story alone (the first
+    full run OOM'd at the default 8g heap after Lloyd training — run
+    this section with SPARK_GRAFT_DRIVER_MEM=48g): Lloyd-refined
+    sub-centroids + wider exact re-rank vs the seed-residual cents."""
+    from openapc_olap_spark.operators import knn, pq
+
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 1000 + F.lit(0.5))
+                     .cast("double"))
+    blocks = [F.expr(f"concat(slice(embedding, {s + 1}, {64 - s}), "
+                     f"slice(embedding, 1, {s}))")
+              for s in range(0, 60, 5)]
+    emb = (t["embeddings"].select("vec_id", qv.alias("embedding"))
+           .select("vec_id", F.concat(*blocks).alias("embedding"))
+           .repartition(par).cache())
+    emb.count()
+    corpus = pq._clean(emb, 768, "vec_id", "embedding")
+    n_lists, m, ksub = 512, 96, 16
+    coarse = pq.first_n_vectors(corpus, n_lists)
+    cents = pq.train_pq_cents(pq.first_n_vectors(corpus, ksub),
+                              coarse, m)
+    queries = emb.filter(F.col("vec_id") % 997 == 0)
+    exact = {(r["src"], r["dst"]) for r in
+             knn.knn_graph_ivf(emb, dim=768, k=5, n_probe=n_lists,
+                               centroids=coarse, queries=queries,
+                               metric="dot", assign_method="arrow",
+                               score_method="arrow").collect()}
+
+    t0 = time.perf_counter()
+    lloyd = pq.train_pq_cents_lloyd(
+        emb.sample(0.05, seed=7), coarse, m=m, ksub=ksub, n_iter=1)
+    print(f"lloyd pq cents (5% sample, 1 iter, m={m}): "
+          f"{time.perf_counter() - t0:.1f} s", flush=True)
+
+    def run_pq_dials(cents_used, rr, label):
+        def go():
+            got = {(r["src"], r["dst"]) for r in
+                   pq.ivf_pq_topk(emb, 768, k=5, m=m, n_probe=8,
+                                  rerank=rr, coarse=coarse,
+                                  pq_cents=cents_used, queries=queries,
+                                  method="arrow",
+                                  encode_method="arrow").collect()}
+            return (f"{len(got)} edges, recall@5 "
+                    f"{len(got & exact) / len(exact):.3f}")
+        timed(label, go)
+
+    run_pq_dials(lloyd, 50, "IVF-PQ 768d lloyd cents, rerank=50")
+    run_pq_dials(lloyd, 200, "IVF-PQ 768d lloyd cents, rerank=200")
+    run_pq_dials(cents, 200, "IVF-PQ 768d seed cents, rerank=200")
+
+
 def _run_txn(spark, F, t, par):
     import shutil
     import tempfile
@@ -239,6 +291,8 @@ def main():
     par = 32
     if "pq768" in sections:
         _run_pq768(spark, F, t, par)
+    if "pq768lloyd" in sections:
+        _run_pq768_lloyd(spark, F, t, par)
     if "txn" in sections:
         _run_txn(spark, F, t, par)
     spark.stop()

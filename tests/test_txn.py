@@ -331,3 +331,23 @@ def test_upsert_moving_requires_partition_column(spark, tmp_path):
                                "k string, seq long, val string")
     with pytest.raises(ValueError, match="partition column"):
         t.upsert_moving(up, ["k"], "seq")
+
+
+def test_time_travel_read(spark, tmp_path):
+    """snapshot(version)/read(version=N): any retained version is
+    readable as-of; checkpoint() retires old versions and time travel
+    to them then raises."""
+    t = _mk(spark, tmp_path, [("a", 1, "x")])
+    up = txn.add_bucket(
+        spark.createDataFrame([("a", 2, "x2"), ("b", 2, "y")],
+                              "k string, seq long, val string"),
+        ["k"], 4)
+    t.upsert(up, ["k"], "seq")
+    assert _rows(t.read(version=0)) == {("a", 1, "x")}
+    assert _rows(t.read(version=1)) == {("a", 2, "x2"), ("b", 2, "y")}
+    assert _rows(t.read()) == _rows(t.read(version=1))
+    with pytest.raises(FileNotFoundError, match="never committed"):
+        t.read(version=7)
+    t.checkpoint(retain_versions=1)
+    with pytest.raises(FileNotFoundError, match="retired"):
+        t.read(version=0)
