@@ -579,6 +579,20 @@ def ivf_pq_topk(df: DataFrame, dim: int, k: int = 10, m: int = 8,
     codes_df = pq_codes(corpus, coarse, pq_cents, method=encode_method)
     qf = corpus if queries is None else _clean(queries, dim, id_col,
                                                vec_col)
+    return _topk_from_codes(codes_df, corpus, qf, coarse, pq_cents,
+                            k, n_probe, rerank, method)
+
+
+def _topk_from_codes(codes_df: DataFrame, corpus: DataFrame,
+                     qf: DataFrame, coarse: list[list[float]],
+                     pq_cents: list[list[list[float]]],
+                     k: int, n_probe: int, rerank: int,
+                     method: str) -> DataFrame:
+    """The shared IVF-PQ serving core: ADC candidates over probed
+    lists from an (id, list_id, codes) frame, exact-dot re-rank
+    against the (id, v) corpus frame. Called by ivf_pq_topk (codes
+    freshly encoded) and pq_txn_topk_batch (codes read from the
+    transactional index — no re-encode)."""
     probed = (qf.select(F.col("id").alias("src"),
                         F.col("v").alias("__qv"))
               .select("src", "__qv",
@@ -637,3 +651,38 @@ def ivf_pq_topk(df: DataFrame, dim: int, k: int = 10, m: int = 8,
     return (exact.withColumn("rank", F.row_number().over(wk))
             .filter(F.col("rank") <= k)
             .select("src", "rank", "dst", "score"))
+
+
+def pq_txn_topk_batch(spark, path: str, queries: DataFrame,
+                      k: int = 10, n_probe: int = 2,
+                      rerank: int | None = None,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      method: str = "arrow") -> DataFrame:
+    """Batch top-k against the TRANSACTIONAL index: the stored codes
+    serve the ADC stage directly (no corpus re-encode — the point of
+    maintaining the index), the stored vectors serve only the re-rank
+    sliver. Output contract matches ivf_pq_topk: (src, rank, dst,
+    score), self rows dropped when a query id equals a corpus id. For
+    a LARGE query batch every list is probed by someone, so the codes
+    store is read whole (one manifest-driven scan of m-byte codes);
+    single-query lookups should use :func:`pq_txn_topk`, which prunes
+    the manifest to the probed lists."""
+    import json
+
+    from openapc_olap_spark.sources.txn import TxnTable
+
+    with open(f"{path}/pq_meta.json") as fh:
+        meta = json.load(fh)
+    coarse, pq_cents = meta["coarse"], meta["pq_cents"]
+    dim = len(coarse[0])
+    rerank = 3 * k if rerank is None else rerank
+    if rerank < k:
+        raise ValueError(f"rerank={rerank} must be >= k={k}")
+    codes_df = TxnTable(spark, f"{path}/codes", "list_id") \
+        .read().select("id", "list_id", "codes")
+    corpus = TxnTable(spark, f"{path}/vectors", "list_id") \
+        .read().select("id", "v")
+    qf = _clean(queries, dim, id_col, vec_col)
+    return _topk_from_codes(codes_df, corpus, qf, coarse, pq_cents,
+                            k, n_probe, rerank, method)

@@ -348,16 +348,18 @@ class TxnTable:
         last: Exception | None = None
         for _ in range(max_retries):
             snap = self.snapshot()
-            batch_parts = {str(r[0]) for r in
-                           updates.select(self.partition_col)
-                           .distinct().collect()}
-            old_parts = {str(r[0]) for r in
-                         self.read().select(*keys, self.partition_col)
+            # ONE job finds both halves of the touched set: the batch's
+            # partitions plus every current partition holding an updated
+            # key (column-pruned key scan semi-joined to the batch)
+            old_parts = (self.read()
+                         .select(*keys, self.partition_col)
                          .join(updates.select(*keys).distinct(), keys,
                                "left_semi")
-                         .select(self.partition_col)
-                         .distinct().collect()}
-            touched = batch_parts | old_parts
+                         .select(self.partition_col))
+            touched = {str(r[0]) for r in
+                       updates.select(self.partition_col)
+                       .unionByName(old_parts)
+                       .distinct().collect()}
             if not touched:
                 try:
                     v = snap["version"] + 1

@@ -279,3 +279,37 @@ def test_ivf_pq_768d_end_to_end(spark, emb, tmp_path):
                            method="arrow",
                            encode_method="arrow").collect()}
     assert got == want and len(got) == 5
+
+
+def test_pq_txn_topk_batch_matches_in_memory(spark, emb, tmp_path):
+    """pq_txn_topk_batch: batch serving from the STORED codes (no
+    corpus re-encode) returns the identical (src, rank, dst, score)
+    set as the in-memory ivf_pq_topk at the same dials — after an
+    upsert, so the served index is the maintained one."""
+    from openapc_olap_spark.operators import pq
+
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 1000 + F.lit(0.5))
+                     .cast("double"))
+    dq = emb.select("vec_id", qv.alias("embedding"))
+    corpus = pq._clean(dq, 64, "vec_id", "embedding")
+    base = dq.filter(F.col("vec_id") % 5 != 0)
+    bc = pq._clean(base, 64, "vec_id", "embedding")
+    coarse = pq.first_n_vectors(bc, 8)
+    cents = pq.train_pq_cents(pq.first_n_vectors(bc, 16), coarse, 8)
+    path = str(tmp_path / "pqb")
+    pq.create_pq_txn_index(spark, path, base, coarse, cents)
+    pq.upsert_pq_txn_index(spark, path,
+                           dq.filter(F.col("vec_id") % 5 == 0), seq=1)
+    queries = dq.filter(F.col("vec_id") % 20 == 0)
+    got = {(r["src"], r["rank"], r["dst"], r["score"]) for r in
+           pq.pq_txn_topk_batch(spark, path, queries, k=5, n_probe=2,
+                                rerank=15, method="arrow").collect()}
+    want = {(r["src"], r["rank"], r["dst"], r["score"]) for r in
+            pq.ivf_pq_topk(dq, 64, k=5, m=8, n_probe=2, rerank=15,
+                           coarse=coarse, pq_cents=cents,
+                           queries=queries, method="arrow",
+                           encode_method="arrow").collect()}
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError, match="rerank"):
+        pq.pq_txn_topk_batch(spark, path, queries, k=5, rerank=3)
