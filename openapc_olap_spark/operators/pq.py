@@ -425,6 +425,79 @@ def pq_index_topk(spark, path: str, query_vec: list[float],
             .limit(k))
 
 
+def train_pq_rotation(df: DataFrame, dim: int, m: int,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> list[list[float]]:
+    """OPQ-style rotation by eigenvalue allocation (the parametric
+    variant of Ge et al. 2013, "Optimized Product Quantization"): PCA
+    eigenbasis + greedy balanced assignment of eigen-directions to the
+    ``m`` subspaces by descending eigenvalue on log-variance load — so
+    every subspace carries comparable energy and no single subspace's
+    quantizer is asked to encode most of the signal. Returns R as d
+    rows (output dim i = dot(R[i], v)); R is orthogonal, so
+    dot(Rq, Rv) == dot(q, v) — rotating corpus AND queries leaves
+    exact scores, ranks, and the re-rank untouched while ADC
+    quantization error drops wherever variance was unevenly spread
+    (measured at 768d in SCALING.md r11). Train on a sample at real
+    scale; persist alongside pq_meta.json."""
+    import math
+
+    from openapc_olap_spark.operators.pca import (covariance_matrix,
+                                                  principal_components)
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    cov, _mean, _n = covariance_matrix(df, dim, vec_col=vec_col,
+                                       id_col=id_col)
+    comps, eigs = principal_components(cov, dim)
+    dsub = dim // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    load = [0.0] * m
+    for ci, ev in enumerate(eigs):          # descending eigenvalue
+        free = [b for b in range(m) if len(buckets[b]) < dsub]
+        b = min(free, key=lambda x: (load[x], x))
+        buckets[b].append(ci)
+        load[b] += math.log(max(ev, 1e-12))
+    return [comps[ci] for b in buckets for ci in b]
+
+
+def apply_rotation(df: DataFrame, rotation: list[list[float]],
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   method: str = "arrow") -> DataFrame:
+    """(id_col, vec_col) with vec_col replaced by R @ v. ``"arrow"``
+    is one V @ R^T matmul per batch (production); ``"expr"`` is
+    pca.project's dimension-ascending expression folds
+    (oracle-replayable at gate dims)."""
+    dim = len(rotation)
+    if method == "expr":
+        from openapc_olap_spark.operators.pca import project
+        return (project(df, rotation, mean=None, vec_col=vec_col,
+                        out_col="__rot")
+                .select(id_col, F.col("__rot").alias(vec_col)))
+    if method != "arrow":
+        raise ValueError(f"method must be 'expr' or 'arrow', "
+                         f"got {method!r}")
+    import numpy as np
+    import pandas as pd
+
+    R = np.asarray(rotation, dtype=np.float64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            out = V @ R.T
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                vec_col: list(out)})
+
+    cleaned = _clean(df, dim, id_col, vec_col) \
+        .select(F.col("id").alias(id_col), F.col("v").alias(vec_col))
+    return cleaned.mapInPandas(
+        kernel, f"{id_col} long, {vec_col} array<double>")
+
+
 def create_pq_txn_index(spark, path: str, df: DataFrame,
                         coarse: list[list[float]],
                         pq_cents: list[list[list[float]]],

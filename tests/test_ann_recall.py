@@ -313,3 +313,53 @@ def test_pq_txn_topk_batch_matches_in_memory(spark, emb, tmp_path):
     assert got == want and len(got) > 0
     with pytest.raises(ValueError, match="rerank"):
         pq.pq_txn_topk_batch(spark, path, queries, k=5, rerank=3)
+
+
+def test_pq_rotation_orthogonal_and_score_preserving(spark, emb):
+    """OPQ-style rotation (round 11): R is orthogonal (R R^T = I),
+    arrow and expr application agree bitwise-closely, dot products are
+    preserved (rotating corpus AND queries leaves ivf_pq_topk's exact
+    scores/ranks at the full-probe anchor identical to unrotated),
+    and the subspace variance loads are balanced."""
+    import numpy as np
+
+    from openapc_olap_spark.operators import pq
+
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 1000 + F.lit(0.5))
+                     .cast("double"))
+    dq = emb.select("vec_id", qv.alias("embedding")).limit(300)
+    R = pq.train_pq_rotation(dq, dim=64, m=8, id_col="vec_id")
+    Rm = np.asarray(R)
+    assert np.allclose(Rm @ Rm.T, np.eye(64), atol=1e-9)
+    # variance balance: each 8-dim block's eigen-load within 10x of any
+    # other (greedy log-load allocation; unbalanced would be ~1000x)
+    rot = pq.apply_rotation(dq, R, method="arrow")
+    V = np.array([r["embedding"] for r in rot.collect()])
+    loads = [V[:, b * 8:(b + 1) * 8].var(axis=0).sum() for b in range(8)]
+    assert max(loads) / max(min(loads), 1e-12) < 10
+    # expr twin agrees with the BLAS kernel
+    ex = {r["vec_id"]: tuple(r["embedding"]) for r in
+          pq.apply_rotation(dq, R, method="expr").collect()}
+    ar = {r["vec_id"]: tuple(r["embedding"]) for r in rot.collect()}
+    assert set(ex) == set(ar)
+    for k_ in ex:
+        assert np.allclose(ex[k_], ar[k_], atol=1e-9)
+    # score preservation at the exactness anchor: full probes +
+    # corpus-wide re-rank on ROTATED vectors == brute force on RAW
+    from openapc_olap_spark.operators import knn
+    queries = dq.filter(F.col("vec_id") % 50 == 0)
+    exact = {(r["src"], r["dst"]) for r in
+             knn.knn_graph(dq, dim=64, k=5, queries=queries,
+                           metric="dot", method="expr").collect()}
+    n = dq.count()
+    rot_q = pq.apply_rotation(queries, R, method="arrow")
+    got = {(r["src"], r["dst"]) for r in
+           pq.ivf_pq_topk(rot, 64, k=5, m=8, n_probe=8, rerank=n,
+                          queries=rot_q, method="arrow",
+                          encode_method="arrow").collect()}
+    assert got == exact
+    with pytest.raises(ValueError, match="divisible"):
+        pq.train_pq_rotation(dq, dim=64, m=7)
+    with pytest.raises(ValueError, match="method"):
+        pq.apply_rotation(dq, R, method="bogus")
