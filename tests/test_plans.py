@@ -788,3 +788,45 @@ def test_total_percentage_no_single_partition_exchange(engine):
     # keyless 1-row cross join plans as BroadcastNestedLoopJoin — the
     # broadcast side is the single total row, so "nested loop" is O(cells)
     assert "BroadcastNestedLoopJoin" in p and "BroadcastExchange" in p
+
+
+def test_pq_txn_serving_reads_only_probed_lists(spark, sf_dir, tmp_path):
+    """x94 serving (VERDICT r10 #6 'plan-asserted partition-scoped'):
+    pq_txn_topk's codes scan opens EXACTLY the probed lists' manifest
+    files — the FileScan's InMemoryFileIndex path count equals the
+    probed lists' file count, not the table's."""
+    import os
+
+    from openapc_olap_spark.operators import pq
+    from openapc_olap_spark.sources.txn import TxnTable
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 1000 + F.lit(0.5))
+                     .cast("double"))
+    dq = emb.select("vec_id", qv.alias("embedding"))
+    corpus = pq._clean(dq, 64, "vec_id", "embedding")
+    coarse = pq.first_n_vectors(corpus, 8)
+    cents = pq.train_pq_cents(pq.first_n_vectors(corpus, 16), coarse, 8)
+    path = str(tmp_path / "pqplan")
+    pq.create_pq_txn_index(spark, path, dq, coarse, cents)
+    ct = TxnTable(spark, f"{path}/codes", "list_id")
+    snap = ct.snapshot()
+    n_all = len(snap["files"])
+    qvec = [float(x) for x in corpus.filter(F.col("id") == 1)
+            .first()["v"]]
+    from openapc_olap_spark.operators.similarity import _ivf_probe_ids
+    probes = _ivf_probe_ids(coarse, qvec, 2)
+    n_probed = len([f for f in snap["files"]
+                    if f["partition"] in {str(p) for p in probes}])
+    assert 0 < n_probed < n_all
+    top = pq.pq_txn_topk(spark, path, qvec, k=5, n_probe=2, rerank=15,
+                         exclude_id=1)
+    p = plans.plan_of(top)
+    import re
+    counts = [int(x) for x in
+              re.findall(r"InMemoryFileIndex\((\d+) paths?\)", p)]
+    assert counts, "expected FileScan InMemoryFileIndex nodes"
+    # both scans (codes + vectors) are pruned to the probed lists
+    assert all(c <= n_probed for c in counts), (counts, n_probed, n_all)
+    assert top.count() == 5
