@@ -90,11 +90,16 @@ def add_bucket(df: DataFrame, keys: list[str], n_buckets: int,
 
 
 def _merge_last_wins(existing: DataFrame, updates: DataFrame,
-                     keys: list[str], seq_col: str) -> DataFrame:
+                     keys: list[str], seq_col: str,
+                     allow_schema_merge: bool = False) -> DataFrame:
     """union -> groupBy(keys) -> max(struct(seq, payload...)) — the
     engine's T15 merge shape (etl/coverage.upsert_last_wins), local so
-    the storage layer does not import the ETL layer."""
-    combined = existing.unionByName(updates)
+    the storage layer does not import the ETL layer.
+    ``allow_schema_merge`` widens the union by name: columns present
+    on only one side become NULL on the other (schema EVOLUTION —
+    add/drop columns; type changes are not supported)."""
+    combined = existing.unionByName(
+        updates, allowMissingColumns=allow_schema_merge)
     payload = [c for c in combined.columns if c not in keys]
     if seq_col not in payload:
         raise ValueError(f"{seq_col!r} must be a non-key column")
@@ -278,14 +283,22 @@ class TxnTable:
             f"append lost {max_retries} commit races") from last
 
     def upsert(self, updates: DataFrame, keys: list[str],
-               seq_col: str, max_retries: int = 5) -> int:
+               seq_col: str, max_retries: int = 5,
+               allow_schema_merge: bool = False) -> int:
         """Partition-overwrite-by-filter upsert: merge ``updates`` into
         the table with per-key last-wins on ``seq_col``, rewriting ONLY
         the partitions the batch touches. Requires the partition value
         to be a function of the keys (see module docstring /
         :func:`add_bucket`). Optimistic: on a concurrent commit, the
         whole merge re-runs against the fresh snapshot. Returns the new
-        version."""
+        version.
+
+        ``allow_schema_merge=True`` permits the batch to ADD (or omit)
+        payload columns: the published manifest schema widens to the
+        union, touched partitions rewrite with the new schema, and
+        re-linked untouched files read missing columns as NULL (the
+        explicit-schema parquet read fills them) — schema evolution
+        without a table rewrite. Type changes are not supported."""
         if self.partition_col not in updates.columns:
             raise ValueError(
                 f"updates must carry the partition column "
@@ -311,7 +324,8 @@ class TxnTable:
                     last = e
                     continue
             current = self.read(partitions=sorted(touched))
-            merged = _merge_last_wins(current, updates, keys, seq_col)
+            merged = _merge_last_wins(current, updates, keys, seq_col,
+                                      allow_schema_merge)
             new_files = self._write_data(merged)
             keep = [f for f in snap["files"]
                     if f["partition"] not in touched]

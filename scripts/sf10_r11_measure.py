@@ -260,6 +260,64 @@ def _run_pq768_rot(spark, F, t, par):
     run(200)
 
 
+def _run_pq768_aniso(spark, F, t, par):
+    """Rotation on ANISOTROPIC 768d data — the distribution real
+    embeddings actually have: block s of the lifted corpus is scaled
+    by round(0.72^s * block), so a few directions carry most energy.
+    Measures IVF-PQ recall with vs without the OPQ rotation at
+    identical dials; theory says the rotation's variance re-allocation
+    should now matter. SPARK_GRAFT_DRIVER_MEM=48g."""
+    from openapc_olap_spark.operators import knn, pq
+
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 1000 + F.lit(0.5))
+                     .cast("double"))
+    blocks = [F.expr(
+        f"transform(concat(slice(embedding, {s + 1}, {64 - s}), "
+        f"slice(embedding, 1, {s})), "
+        f"x -> CAST(floor(x * {0.72 ** s!r} + 0.5d) AS DOUBLE))")
+        for s in range(0, 60, 5)]
+    raw = (t["embeddings"].select("vec_id", qv.alias("embedding"))
+           .select("vec_id", F.concat(*blocks).alias("embedding"))
+           .repartition(par).cache())
+    raw.count()
+    n_lists, m, ksub = 512, 96, 16
+
+    def curve(emb, tag):
+        corpus = pq._clean(emb, 768, "vec_id", "embedding")
+        coarse = pq.first_n_vectors(corpus, n_lists)
+        cents = pq.train_pq_cents(pq.first_n_vectors(corpus, ksub),
+                                  coarse, m)
+        queries = emb.filter(F.col("vec_id") % 997 == 0)
+        exact = {(r["src"], r["dst"]) for r in
+                 knn.knn_graph_ivf(emb, dim=768, k=5, n_probe=n_lists,
+                                   centroids=coarse, queries=queries,
+                                   metric="dot",
+                                   assign_method="arrow",
+                                   score_method="arrow").collect()}
+        for rr in (50, 200):
+            def go(rr=rr):
+                got = {(r["src"], r["dst"]) for r in
+                       pq.ivf_pq_topk(emb, 768, k=5, m=m, n_probe=8,
+                                      rerank=rr, coarse=coarse,
+                                      pq_cents=cents, queries=queries,
+                                      method="arrow",
+                                      encode_method="arrow").collect()}
+                return (f"recall@5 "
+                        f"{len(got & exact) / len(exact):.3f}")
+            timed(f"aniso {tag}, rerank={rr}", go)
+
+    curve(raw, "UNROTATED seed cents")
+    t0 = time.perf_counter()
+    R = pq.train_pq_rotation(raw.sample(0.1, seed=11), dim=768, m=96)
+    print(f"rotation train: {time.perf_counter() - t0:.1f} s",
+          flush=True)
+    rot = pq.apply_rotation(raw, R, method="arrow") \
+        .repartition(par).cache()
+    rot.count()
+    curve(rot, "ROTATED seed cents")
+
+
 def _run_txn(spark, F, t, par):
     import shutil
     import tempfile
@@ -349,6 +407,8 @@ def main():
         _run_pq768_lloyd(spark, F, t, par)
     if "pq768rot" in sections:
         _run_pq768_rot(spark, F, t, par)
+    if "pq768aniso" in sections:
+        _run_pq768_aniso(spark, F, t, par)
     if "txn" in sections:
         _run_txn(spark, F, t, par)
     spark.stop()

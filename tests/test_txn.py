@@ -351,3 +351,28 @@ def test_time_travel_read(spark, tmp_path):
     t.checkpoint(retain_versions=1)
     with pytest.raises(FileNotFoundError, match="retired"):
         t.read(version=0)
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    """allow_schema_merge: a batch may ADD a payload column — the
+    manifest schema widens, touched partitions rewrite with it, and
+    re-linked old files read the new column as NULL. Strict mode still
+    rejects the mismatch."""
+    t = _mk(spark, tmp_path, [(f"k{i}", 0, f"v{i}") for i in range(8)])
+    up = txn.add_bucket(
+        spark.createDataFrame(
+            [("k0", 1, "V0", 0.9), ("zz", 1, "Z", 0.5)],
+            "k string, seq long, val string, quality double"),
+        ["k"], 4)
+    with pytest.raises(Exception):
+        t.upsert(up, ["k"], "seq")              # strict: schema mismatch
+    v = t.upsert(up, ["k"], "seq", allow_schema_merge=True)
+    got = {(r["k"], r["seq"], r["val"], r["quality"]) for r in
+           t.read().collect()}
+    assert ("k0", 1, "V0", 0.9) in got and ("zz", 1, "Z", 0.5) in got
+    # untouched keys read the NEW column as NULL from re-linked files
+    assert ("k1", 0, "v1", None) in got
+    assert len(got) == 9
+    assert "quality" in t.read().columns
+    # time travel still reads the old schema
+    assert "quality" not in t.read(version=v - 1).columns
