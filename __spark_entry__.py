@@ -443,14 +443,24 @@ _CERT_FIRST = [
     # sibling (stream -> per-batch transactional index commits,
     # at-least-once replay idempotent)
     "x94_pq_index_upsert", "x95_stream_vector_index",
+    # new r11 gates (second half): the TxnTable DML/incremental-read
+    # surface — copy-on-write predicate delete, zone-map data skipping
+    # from manifest-carried footer stats, and exact row-level
+    # change-data-feed between snapshot versions
+    "x96_txn_delete", "x97_txn_skipping", "x98_txn_changes",
+    # new r11 gates: WordPiece tokenizer (likelihood-scored merge
+    # training + greedy longest-match encode), completing the
+    # BPE / unigram-LM / WordPiece tokenizer family
+    "x99_wordpiece_train", "x100_wordpiece_encode",
 ]
 _CERT_PENDING: list[str] = []
 # Oldest-certified gates, rotated into the window's free slots for a free
 # freshness re-certification (VERDICT r10 #2: the 32-gate r05/r06 band;
-# x60 rotates via _CERT_FIRST). 24 window slots remain after the head, so
-# the r05 band (19) + the first 5 of the r06 band certify this round; the
-# trailing 7 r06 gates (x62–x64/x66/x67/x69/x70) spill past the window —
-# still manifest-guarded — and lead the r12 refresh.
+# x60 rotates via _CERT_FIRST). With the five new r11 gates the head
+# holds 30 slots, so the first 20 refresh entries (through x52) certify
+# this round; the trailing 11 (x54/x56–x58/x62–x64/x66/x67/x69/x70)
+# spill past the window — still manifest-guarded — and lead the r12
+# refresh.
 _CERT_REFRESH = [
     "x28_curation_funnel", "x29_sequence_packing", "x30_hash_split",
     "x32_image_decode", "x33_stateful_sessions", "x34_wav_decode",

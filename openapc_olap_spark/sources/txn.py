@@ -48,6 +48,29 @@ in-flight writer's already-landed files) reclaims unreferenced data
 files. Together they bound both read amplification (files/bucket)
 and metadata growth (manifests) for a commit-every-hour workload.
 
+DML + incremental-read surface (round 11, second half):
+
+- :meth:`TxnTable.delete` — predicate delete as copy-on-write: only
+  the partitions holding matching rows rewrite (survivors kept,
+  SQL DELETE null semantics — a NULL predicate row survives); every
+  other file re-links untouched.
+- **Per-file column stats / data skipping** — every manifest entry
+  carries ``rows`` plus min/max/null-count per primitive column,
+  harvested from the parquet FOOTER the file already has (no extra
+  scan job). :meth:`TxnTable.read` accepts ``between={col: (lo,
+  hi)}``: files whose [min, max] cannot intersect the bound are never
+  opened, and the residual row filter is applied to the survivors —
+  zone-map pruning on top of partition pruning, so a time-range query
+  over a bucket-partitioned table still reads only the files that can
+  match.
+- :meth:`TxnTable.read_changes` — change-data-feed between two
+  retained versions. With ``keys`` it emits exact row-level changes
+  (``_change_type`` in insert / update_postimage / delete) computed
+  only over the partitions whose file set changed; without keys it
+  returns the rows of newly-added files (exact for append-only
+  commits). This is what lets a downstream incremental pipeline
+  consume a table without re-scanning it.
+
 The upsert contract requires the partition value to be a FUNCTION OF
 THE KEY (else a key's superseded row could hide in an untouched
 partition): use :func:`add_bucket` (pmod(xxhash64(keys), n)) unless the
@@ -76,6 +99,96 @@ _PV = "__pv"
 
 class CommitConflict(Exception):
     """Another writer published the version this commit targeted."""
+
+
+def _stat_key(v):
+    """Normalize a stat / bound value into a JSON-storable form that
+    compares consistently on both sides of the skip test: datetimes and
+    dates become space-separated ISO strings (lexically order-preserving,
+    prefix-comparable against second-precision bounds), numbers and
+    strings pass through, anything else is None (=> no stats kept, file
+    never skipped on that column)."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
+def _file_stats(path: str) -> dict:
+    """Harvest {rows, stats: {col: {min, max, nulls}}} from the parquet
+    FOOTER (row-group statistics the writer already emitted) — a
+    metadata read, no data scan. Columns whose stats are absent or
+    non-primitive are simply omitted (readers treat missing stats as
+    'cannot skip'). parquet-mr/arrow truncate long binary min/max
+    CONSERVATIVELY (max is rounded up), so footer bounds stay safe for
+    skipping."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    agg: dict[str, dict] = {}
+    bad: set[str] = set()    # any row group without min/max poisons the col
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in bad:   # nested leaf / poisoned
+                continue
+            st = col.statistics
+            lo = _stat_key(st.min) if st is not None and st.has_min_max \
+                else None
+            hi = _stat_key(st.max) if st is not None and st.has_min_max \
+                else None
+            if lo is None or hi is None:
+                bad.add(name)
+                agg.pop(name, None)
+                continue
+            nulls = st.null_count if st.has_null_count else None
+            cur = agg.get(name)
+            if cur is None:
+                agg[name] = {"min": lo, "max": hi, "nulls": nulls}
+            else:
+                cur["min"] = min(cur["min"], lo)
+                cur["max"] = max(cur["max"], hi)
+                if nulls is None or cur["nulls"] is None:
+                    cur["nulls"] = None
+                else:
+                    cur["nulls"] += nulls
+    return {"rows": md.num_rows, "stats": agg}
+
+
+def _file_can_match(entry: dict, between: dict) -> bool:
+    """Zone-map test: False only when the entry's footer stats PROVE no
+    row can satisfy every (col, (lo, hi)) bound. Missing stats, type
+    mismatches, or open ends keep the file (conservative)."""
+    stats = entry.get("stats") or {}
+    for col, (lo, hi) in between.items():
+        st = stats.get(col)
+        if st is None:
+            continue
+        lo_k, hi_k = _stat_key(lo), _stat_key(hi)
+        for bound, fmin_fmax, side in ((lo_k, st["max"], "lo"),
+                                       (hi_k, st["min"], "hi")):
+            if bound is None:
+                continue
+            both_num = (isinstance(bound, (int, float))
+                        and isinstance(fmin_fmax, (int, float)))
+            both_str = (isinstance(bound, str)
+                        and isinstance(fmin_fmax, str))
+            if not (both_num or both_str):
+                continue
+            if side == "lo" and fmin_fmax < bound:
+                return False            # file max < lower bound
+            if side == "hi" and fmin_fmax > bound:
+                return False            # file min > upper bound
+    return True
 
 
 def add_bucket(df: DataFrame, keys: list[str], n_buckets: int,
@@ -169,21 +282,51 @@ class TxnTable:
         return t
 
     def read(self, partitions: list | None = None,
-             version: int | None = None) -> DataFrame:
+             version: int | None = None,
+             between: dict | None = None) -> DataFrame:
         """A snapshot as a DataFrame (default: current; ``version``
         time-travels to a retained older one). ``partitions`` prunes at
         the MANIFEST (file-list) level — no directory listing, only the
-        named files are opened."""
+        named files are opened.
+
+        ``between={col: (lo, hi)}`` is zone-map data skipping: files
+        whose footer min/max (carried in the manifest) prove no row can
+        satisfy every bound are never opened, and the residual
+        ``col >= lo AND col <= hi`` filters (open ends allowed via
+        None) apply to the survivors — the result is EXACTLY the
+        bounded rows, with IO proportional to the files that can match
+        rather than the snapshot. Timestamp bounds: pass datetimes or
+        'YYYY-MM-DD HH:MM:SS' strings (stats normalize to
+        space-separated ISO, so lexical compare is order-true)."""
         snap = self.snapshot(version)
         files = snap["files"]
         if partitions is not None:
             want = {str(p) for p in partitions}
             files = [f for f in files if f["partition"] in want]
+        if between:
+            files = [f for f in files if _file_can_match(f, between)]
         schema = StructType.fromJson(json.loads(snap["schema"]))
         if not files:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.path, f["path"]) for f in files])
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f["path"]) for f in files])
+        if between:
+            for col, (lo, hi) in between.items():
+                if lo is not None:
+                    df = df.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
+    def pruned_file_count(self, between: dict,
+                          version: int | None = None) -> tuple[int, int]:
+        """(files that survive ``between`` skipping, total files) for
+        the snapshot — the observability hook plan tests and capacity
+        math use."""
+        snap = self.snapshot(version)
+        keep = [f for f in snap["files"] if _file_can_match(f, between)]
+        return len(keep), len(snap["files"])
 
     # -- writes ------------------------------------------------------------
 
@@ -207,10 +350,15 @@ class TxnTable:
                     continue
                 name = f"{txn}-{k}.parquet"
                 k += 1
-                os.rename(os.path.join(staging, d, f),
-                          os.path.join(self.path, _DATA_DIR, name))
+                dest = os.path.join(self.path, _DATA_DIR, name)
+                os.rename(os.path.join(staging, d, f), dest)
                 entries.append({"path": f"{_DATA_DIR}/{name}",
-                                "partition": pv})
+                                "partition": pv,
+                                # zone-map stats from the footer the file
+                                # already carries — a metadata read, no
+                                # scan job (on a cluster this rides the
+                                # write task; here the driver commits)
+                                **_file_stats(dest)})
         shutil.rmtree(staging, ignore_errors=True)
         return entries
 
@@ -404,6 +552,106 @@ class TxnTable:
                 last = e
         raise CommitConflict(
             f"upsert_moving lost {max_retries} commit races") from last
+
+    def delete(self, predicate, max_retries: int = 5) -> int:
+        """Copy-on-write predicate delete: drop every row where
+        ``predicate`` (a SQL string or Column) evaluates TRUE — SQL
+        DELETE semantics, so rows where it is NULL survive. Only the
+        partitions that HOLD matching rows rewrite (their survivors are
+        re-landed; a fully-deleted partition just drops out of the
+        manifest); every other file re-links untouched. No key/bucket
+        requirement — deletes never strand stale rows the way upserts
+        can. Same optimistic-concurrency loop as upsert. Returns the
+        new version (the current one when nothing matched — a no-match
+        delete is a no-op, not an empty commit)."""
+        cond = F.expr(predicate) if isinstance(predicate, str) \
+            else predicate
+        hit = F.coalesce(cond, F.lit(False))
+        last: Exception | None = None
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            touched = {str(r[0]) for r in
+                       self.read().filter(hit)
+                       .select(self.partition_col).distinct().collect()}
+            if not touched:
+                return snap["version"]
+            survivors = (self.read(partitions=sorted(touched))
+                         .filter(~hit))
+            new_files = self._write_data(survivors)
+            keep = [f for f in snap["files"]
+                    if f["partition"] not in touched]
+            try:
+                v = snap["version"] + 1
+                self._publish(v, keep + new_files,
+                              StructType.fromJson(
+                                  json.loads(snap["schema"])),
+                              snap.get("meta"))
+                return v
+            except CommitConflict as e:
+                last = e
+        raise CommitConflict(
+            f"delete lost {max_retries} commit races") from last
+
+    def read_changes(self, v_from: int, v_to: int,
+                     keys: list[str] | None = None) -> DataFrame:
+        """Change-data-feed between two retained snapshot versions
+        (``v_from`` exclusive as a state, i.e. 'changes that turn
+        v_from into v_to').
+
+        With ``keys``: exact row-level changes, as the table rows plus
+        a ``_change_type`` column — ``insert`` (key absent at v_from),
+        ``update_postimage`` (key present, row changed; the NEW row),
+        ``delete`` (key absent at v_to; the OLD row). Computed ONLY
+        over the partitions whose file set differs between the two
+        manifests — the diff never scans the unchanged bulk of the
+        table, so its cost follows the commits, not the table size.
+
+        Without ``keys``: the rows of files ADDED between the versions
+        (exact for append-only commits; for rewrite commits it
+        includes the rewritten partitions' carried-over rows — use
+        keys when last-wins grain matters).
+
+        Requires both versions to still be retained (checkpoint()
+        drops old ones) and an unchanged schema between them."""
+        a, b = self.snapshot(v_from), self.snapshot(v_to)
+
+        def shape(s):
+            st = StructType.fromJson(json.loads(s["schema"]))
+            return [(f.name, f.dataType.simpleString()) for f in st]
+
+        if shape(a) != shape(b):    # nullability drift is fine; names/
+            raise ValueError(       # types changing is evolution
+                "read_changes across a schema-evolution boundary is "
+                "not supported; read both versions and diff by name")
+        paths_a = {f["path"] for f in a["files"]}
+        paths_b = {f["path"] for f in b["files"]}
+        added = [f for f in b["files"] if f["path"] not in paths_a]
+        schema = StructType.fromJson(json.loads(a["schema"]))
+        if keys is None:
+            if not added:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f["path"]) for f in added])
+        removed = [f for f in a["files"] if f["path"] not in paths_b]
+        parts = sorted({f["partition"] for f in added} |
+                       {f["partition"] for f in removed})
+        old = self.read(partitions=parts, version=v_from)
+        new = self.read(partitions=parts, version=v_to)
+        # row-level delta, scoped to the changed partitions: exceptAll
+        # isolates modified/added (post) and modified/removed (pre)
+        # rows; the key semi/anti splits them into the three classes
+        changed_new = new.exceptAll(old)
+        changed_old = old.exceptAll(new)
+        old_keys = old.select(*keys).distinct()
+        new_keys = new.select(*keys).distinct()
+        ct = "_change_type"
+        inserts = (changed_new.join(old_keys, keys, "left_anti")
+                   .withColumn(ct, F.lit("insert")))
+        updates = (changed_new.join(old_keys, keys, "left_semi")
+                   .withColumn(ct, F.lit("update_postimage")))
+        deletes = (changed_old.join(new_keys, keys, "left_anti")
+                   .withColumn(ct, F.lit("delete")))
+        return inserts.unionByName(updates).unionByName(deletes)
 
     def compact(self, partitions: list | None = None,
                 max_retries: int = 5) -> int:

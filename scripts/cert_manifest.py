@@ -230,6 +230,16 @@ _X_DEPS = {
                                 f"{_OPS}/knn.py", f"{_OPS}/kmeans.py",
                                 f"{_OPS}/similarity.py",
                                 f"{_P}/sources/txn.py"] + _MEMO,
+    # r11 second half: the TxnTable DML/incremental-read gates drive
+    # the storage layer alone (no operator modules)
+    "x96_txn_delete": [f"{_P}/sources/txn.py"] + _MEMO,
+    "x97_txn_skipping": [f"{_P}/sources/txn.py"] + _MEMO,
+    "x98_txn_changes": [f"{_P}/sources/txn.py"] + _MEMO,
+    # WordPiece reuses bpe's corpus/pair aggregations + text.tokens
+    "x99_wordpiece_train": [f"{_OPS}/wordpiece.py", f"{_OPS}/bpe.py",
+                            f"{_OPS}/text.py"],
+    "x100_wordpiece_encode": [f"{_OPS}/wordpiece.py", f"{_OPS}/bpe.py",
+                              f"{_OPS}/text.py"],
 }
 DEPS.update(_X_DEPS)
 

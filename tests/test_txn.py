@@ -376,3 +376,131 @@ def test_upsert_schema_evolution(spark, tmp_path):
     assert "quality" in t.read().columns
     # time travel still reads the old schema
     assert "quality" not in t.read(version=v - 1).columns
+
+
+def test_delete_cow_scope_and_sql_null_semantics(spark, tmp_path):
+    """delete(): predicate-TRUE rows go, FALSE and NULL rows survive
+    (SQL DELETE semantics); only partitions holding matching rows
+    rewrite, the rest re-link byte-identical; a no-match delete is a
+    no-op (version unchanged)."""
+    df = spark.createDataFrame(
+        [("p1", "a", 1), ("p1", "b", None), ("p2", "c", 9),
+         ("p3", "d", 3)],
+        "part string, k string, score int")
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, "part")
+    v = t.delete("score < 2")          # hits p1 only; NULL survives
+    assert v == 1
+    got = {(r["part"], r["k"]) for r in t.read().collect()}
+    assert got == {("p1", "b"), ("p2", "c"), ("p3", "d")}
+    f0 = {f["path"]: f["partition"] for f in t.snapshot(0)["files"]}
+    f1 = {f["path"]: f["partition"] for f in t.snapshot(1)["files"]}
+    relinked = {p for p, pv in f1.items() if p in f0}
+    assert {f1[p] for p in relinked} == {"p2", "p3"}
+    assert t.delete("score > 100") == 1          # no match -> no-op
+    # fully-deleted partition drops out of the manifest entirely
+    assert t.delete("part = 'p2'") == 2
+    assert {f["partition"] for f in t.snapshot()["files"]} == {"p1", "p3"}
+
+
+def test_manifest_entries_carry_footer_stats(spark, tmp_path):
+    """Every manifest entry carries rows + per-column footer min/max
+    (+null count) harvested at write time — no scan job."""
+    df = spark.createDataFrame(
+        [("p1", "a", 1), ("p1", "z", 5), ("p2", None, 9),
+         ("p2", "m", None)],
+        "part string, k string, score int")
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, "part")
+    by_pv = {f["partition"]: f for f in t.snapshot()["files"]}
+    e1 = by_pv["p1"]
+    assert e1["rows"] == 2
+    assert e1["stats"]["k"] == {"min": "a", "max": "z", "nulls": 0}
+    assert e1["stats"]["score"] == {"min": 1, "max": 5, "nulls": 0}
+    e2 = by_pv["p2"]
+    assert e2["stats"]["k"] == {"min": "m", "max": "m", "nulls": 1}
+    assert e2["stats"]["score"] == {"min": 9, "max": 9, "nulls": 1}
+
+
+def test_between_read_skips_files_and_bounds_rows(spark, tmp_path):
+    """read(between=...): zone-map skipping opens only files whose
+    [min, max] can intersect the bound, the residual filter applies to
+    survivors, and the result equals a plain filter over the table.
+    Open ends and multi-column bounds compose."""
+    rows = [(f"p{i // 10}", i, float(i) / 7) for i in range(50)]
+    df = spark.createDataFrame(rows, "part string, seqno int, x double")
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, "part")
+    kept, total = t.pruned_file_count({"seqno": (13, 27)})
+    assert (kept, total) == (2, 5)          # p1 [10,19], p2 [20,29]
+    got = {r["seqno"] for r in t.read(between={"seqno": (13, 27)})
+           .collect()}
+    assert got == set(range(13, 28))
+    # open lower end + second column bound
+    got2 = {r["seqno"] for r in
+            t.read(between={"seqno": (None, 8),
+                            "x": (0.5, None)}).collect()}
+    assert got2 == {i for i in range(0, 9) if i / 7 >= 0.5}
+    k3, _ = t.pruned_file_count({"seqno": (None, 8)})
+    assert k3 == 1
+
+
+def test_between_missing_stats_or_type_mismatch_is_conservative(
+        spark, tmp_path):
+    """A bound on a column with no usable stats (or mismatched types)
+    must keep every file — skipping is an optimization, never a
+    filter."""
+    df = spark.createDataFrame(
+        [("p1", "a", 1), ("p2", "b", 2)],
+        "part string, k string, score int")
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, "part")
+    assert t.pruned_file_count({"nosuch": (0, 9)})[0] == 2
+    # string bound against a numeric column: incomparable -> keep
+    assert t.pruned_file_count({"score": ("a", "z")})[0] == 2
+    assert {r["k"] for r in
+            t.read(between={"k": ("a", "z")}).collect()} == {"a", "b"}
+
+
+def test_read_changes_keyed_nets_commits_into_classes(spark, tmp_path):
+    """read_changes(v0, v2, keys): insert / update_postimage / delete
+    classes net across commits — an inserted-then-deleted key yields
+    nothing, an updated row reports its NEW image, a deleted row its
+    OLD image, and carried-over rows in rewritten partitions never
+    leak."""
+    t = _mk(spark, tmp_path,
+            [("a", 0, "va"), ("b", 0, "vb"), ("c", 0, "vc"),
+             ("d", 0, "vd")])
+    up = txn.add_bucket(
+        spark.createDataFrame(
+            [("a", 1, "VA"), ("e", 1, "ve"), ("f", 1, "vf")],
+            "k string, seq long, val string"), ["k"], 4)
+    t.upsert(up, ["k"], "seq")                     # v1
+    t.delete("k IN ('b', 'f')")                    # v2
+    ch = {(r["k"], r["_change_type"], r["seq"], r["val"]) for r in
+          t.read_changes(0, 2, keys=["k"]).collect()}
+    assert ch == {("a", "update_postimage", 1, "VA"),
+                  ("e", "insert", 1, "ve"),
+                  ("b", "delete", 0, "vb")}        # f nets to nothing
+    # single-commit feeds compose the same way
+    ch01 = {(r["k"], r["_change_type"]) for r in
+            t.read_changes(0, 1, keys=["k"]).collect()}
+    assert ch01 == {("a", "update_postimage"), ("e", "insert"),
+                    ("f", "insert")}
+
+
+def test_read_changes_filegrain_and_schema_boundary(spark, tmp_path):
+    """Without keys, read_changes returns the rows of files ADDED
+    between the versions (exact for append-only); across a schema
+    evolution it refuses."""
+    t = _mk(spark, tmp_path, [("a", 0, "va")])
+    rows = txn.add_bucket(
+        spark.createDataFrame([("x", 1, "vx"), ("y", 1, "vy")],
+                              "k string, seq long, val string"),
+        ["k"], 4)
+    t.append(rows)
+    assert _rows(t.read_changes(0, 1)) == {("x", 1, "vx"),
+                                           ("y", 1, "vy")}
+    up = txn.add_bucket(
+        spark.createDataFrame([("z", 2, "vz", 1.0)],
+                              "k string, seq long, val string, q double"),
+        ["k"], 4)
+    t.upsert(up, ["k"], "seq", allow_schema_merge=True)
+    with pytest.raises(ValueError, match="schema-evolution boundary"):
+        t.read_changes(0, 2, keys=["k"])
