@@ -830,3 +830,52 @@ def test_pq_txn_serving_reads_only_probed_lists(spark, sf_dir, tmp_path):
     # both scans (codes + vectors) are pruned to the probed lists
     assert all(c <= n_probed for c in counts), (counts, n_probed, n_all)
     assert top.count() == 5
+
+
+def test_wordpiece_encode_plan_shapes(spark, sf_dir):
+    """x99/x100: segment_words is ZERO-shuffle — the vocab reaches the
+    distinct-word frame as a 1-row broadcast map (BroadcastNestedLoop,
+    never cartesian/sort-merge) and the greedy fold is a pure
+    projection (no Python); wordpiece_encode adds exactly the
+    broadcast word->pieces join plus the per-doc reassembly aggregate,
+    still with no sort-merge and no UDF anywhere."""
+    from openapc_olap_spark import plans as p_
+    from openapc_olap_spark.operators import wordpiece as wp
+
+    spark.catalog.clearCache()
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    words = (docs.select(F.explode(
+        wp.text.tokens("text")).alias("word")).distinct())
+    seg = wp.segment_words(words, ["a", "##b", "ab"], word_cap=6,
+                           max_piece=4)
+    ps = p_.plan_of(seg)
+    assert "BroadcastNestedLoopJoin" in ps      # the 1-row vocab map
+    assert "CartesianProduct" not in ps and "SortMergeJoin" not in ps
+    assert "BatchEvalPython" not in ps and "MapInPandas" not in ps
+    # beyond the word-distinct's own shuffle, segmentation adds none
+    # (the vocab map's BroadcastExchange is not a shuffle)
+    assert (p_.plan_of(seg).count("Exchange hashpartitioning")
+            == p_.plan_of(words).count("Exchange hashpartitioning"))
+    enc = wp.wordpiece_encode(docs, ["a", "##b", "ab"], word_cap=6,
+                              max_piece=4)
+    pe = p_.plan_of(enc)
+    assert p_.has_broadcast_join(enc)           # word -> pieces join
+    assert "CartesianProduct" not in pe and "SortMergeJoin" not in pe
+    assert "BatchEvalPython" not in pe and "MapInPandas" not in pe
+
+
+def test_txn_between_read_opens_only_matching_files(spark, tmp_path):
+    """x97: the zone-map read's scan relation holds EXACTLY the files
+    whose footer stats can intersect the bound — data skipping happens
+    at the manifest, before Spark ever lists a file."""
+    from openapc_olap_spark.sources.txn import TxnTable
+
+    rows = [(f"p{i // 10}", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "part string, seqno int")
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, "part")
+    bounded = t.read(between={"seqno": (13, 27)})
+    files = bounded.inputFiles()
+    want = {e["path"].split("/")[-1] for e in t.snapshot()["files"]
+            if e["stats"]["seqno"]["max"] >= 13
+            and e["stats"]["seqno"]["min"] <= 27}
+    assert {f.split("/")[-1] for f in files} == want and len(want) == 2
