@@ -553,7 +553,8 @@ class TxnTable:
         raise CommitConflict(
             f"upsert_moving lost {max_retries} commit races") from last
 
-    def delete(self, predicate, max_retries: int = 5) -> int:
+    def delete(self, predicate, between: dict | None = None,
+               max_retries: int = 5) -> int:
         """Copy-on-write predicate delete: drop every row where
         ``predicate`` (a SQL string or Column) evaluates TRUE — SQL
         DELETE semantics, so rows where it is NULL survive. Only the
@@ -563,7 +564,17 @@ class TxnTable:
         requirement — deletes never strand stale rows the way upserts
         can. Same optimistic-concurrency loop as upsert. Returns the
         new version (the current one when nothing matched — a no-match
-        delete is a no-op, not an empty commit)."""
+        delete is a no-op, not an empty commit).
+
+        ``between={col: (lo, hi)}`` is a zone-map DISCOVERY hint for
+        the touched-partition scan: it must be IMPLIED by the predicate
+        (every predicate-TRUE row satisfies it — e.g. the predicate's
+        own range constraint restated), and then the scan that finds
+        matching partitions opens only files whose footer stats can
+        intersect it, instead of the predicate columns of the whole
+        table. The rewrite itself always reads the touched partitions
+        in full, so correctness never depends on the hint being tight —
+        only the discovery cost does."""
         cond = F.expr(predicate) if isinstance(predicate, str) \
             else predicate
         hit = F.coalesce(cond, F.lit(False))
@@ -571,7 +582,7 @@ class TxnTable:
         for _ in range(max_retries):
             snap = self.snapshot()
             touched = {str(r[0]) for r in
-                       self.read().filter(hit)
+                       self.read(between=between).filter(hit)
                        .select(self.partition_col).distinct().collect()}
             if not touched:
                 return snap["version"]

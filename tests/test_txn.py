@@ -504,3 +504,23 @@ def test_read_changes_filegrain_and_schema_boundary(spark, tmp_path):
     t.upsert(up, ["k"], "seq", allow_schema_merge=True)
     with pytest.raises(ValueError, match="schema-evolution boundary"):
         t.read_changes(0, 2, keys=["k"])
+
+
+def test_delete_between_hint_prunes_discovery_only(spark, tmp_path):
+    """delete(between=...): the zone-map hint bounds the touched-scan
+    IO but never the rewrite — the result is identical to the unhinted
+    delete, including survivors in the touched partition that the hint
+    range excludes."""
+    rows = [(f"p{i // 10}", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "part string, seqno int")
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, "part")
+    v = t.delete("seqno >= 33 AND seqno <= 35",
+                 between={"seqno": (33, 35)})
+    assert v == 1
+    got = {r["seqno"] for r in t.read().collect()}
+    assert got == set(range(50)) - {33, 34, 35}
+    # only p3 rewrote; p3's hint-excluded rows (30-32, 36-39) survived
+    s0 = {f["path"] for f in t.snapshot(0)["files"]}
+    changed = {f["partition"] for f in t.snapshot(1)["files"]
+               if f["path"] not in s0}
+    assert changed == {"p3"}
