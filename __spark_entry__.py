@@ -452,13 +452,17 @@ _CERT_FIRST = [
     # training + greedy longest-match encode), completing the
     # BPE / unigram-LM / WordPiece tokenizer family
     "x99_wordpiece_train", "x100_wordpiece_encode",
+    # new r11 gate: OPTIMIZE ZORDER on the transactional store — layout
+    # rewrite whose bounded z-sorted files make the manifest zone maps
+    # tight on multiple columns at once (skipping within partitions)
+    "x101_txn_zorder",
 ]
 _CERT_PENDING: list[str] = []
 # Oldest-certified gates, rotated into the window's free slots for a free
 # freshness re-certification (VERDICT r10 #2: the 32-gate r05/r06 band;
-# x60 rotates via _CERT_FIRST). With the five new r11 gates the head
-# holds 30 slots, so the first 20 refresh entries (through x52) certify
-# this round; the trailing 11 (x54/x56–x58/x62–x64/x66/x67/x69/x70)
+# x60 rotates via _CERT_FIRST). With the six new r11 gates the head
+# holds 31 slots, so the first 19 refresh entries (through x50) certify
+# this round; the trailing 12 (x52/x54/x56–x58/x62–x64/x66/x67/x69/x70)
 # spill past the window — still manifest-guarded — and lead the r12
 # refresh.
 _CERT_REFRESH = [

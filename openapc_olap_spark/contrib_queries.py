@@ -5851,6 +5851,96 @@ _X98_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# X101: OPTIMIZE ZORDER on the transactional store (layout -> skipping)
+# ---------------------------------------------------------------------------
+
+_x101_between = {"user_id": (10, 60), "value": (50.0, 200.0)}
+
+
+def _x101_store(spark: SparkSession, sf_dir: str, root: str):
+    """Events bucketed by event_id hash (4 buckets — partition value
+    deliberately UNCORRELATED with the query columns) then
+    zorder-compacted on (user_id, value) into ~32 bounded files."""
+    import shutil
+
+    from openapc_olap_spark.operators import zorder
+    from openapc_olap_spark.sources import txn
+
+    shutil.rmtree(root, ignore_errors=True)
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    n = ev.count()
+    store = txn.TxnTable.create(
+        spark, root, txn.add_bucket(ev, ["event_id"], 4), "bucket")
+    v = zorder.zorder_compact(store, ["user_id", "value"],
+                              max_rows_per_file=max(n // 32, 1))
+    assert v == 1, v
+    return store
+
+
+def _x101_stats(store) -> DataFrame:
+    bounded = store.read(between=_x101_between)
+    return (bounded.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("value_sum"),
+                 F.min("event_id").alias("first_id"),
+                 F.max("event_id").alias("last_id")))
+
+
+def _x101_txn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``zorder.zorder_compact`` — OPTIMIZE ZORDER for the
+    transactional store: the selected partitions rewrite Morton-sorted
+    on (user_id, value) and split into bounded files, so every file's
+    manifest zone map is tight on BOTH columns and a two-column
+    ``read(between=...)`` skips files WITHIN partitions — on a
+    bucket layout where partition pruning cannot see either predicate.
+    The gate asserts files were actually skipped and hashes the exact
+    bounded result (zone-map pruning must stay an optimization, never
+    a filter) against the plain DuckDB predicate."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x101_{tag}"
+    store = _x101_store(spark, sf_dir, root)
+    kept, total = store.pruned_file_count(_x101_between)
+    assert kept < total, (kept, total)
+    return _x101_stats(store)
+
+
+_X101_MEMO: dict = {}
+
+
+def _x101_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of x101: the recurring cost is the bounded READ
+    against the z-ordered layout; create + zorder_compact are the
+    amortized layout rewrite (memoized setup). Read-only — no
+    rollback."""
+    import tempfile
+
+    from openapc_olap_spark.operators._memo import memoized
+
+    def build():
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x101t_{tag}"
+        return _x101_store(spark, sf_dir, root)
+
+    store = memoized(_X101_MEMO, ("x101_store", sf_dir), build)
+    return _x101_stats(store)
+
+
+_X101_SQL = f"""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS value_sum,
+           min(event_id) AS first_id, max(event_id) AS last_id
+    FROM events
+    WHERE user_id >= {_x101_between["user_id"][0]}
+      AND user_id <= {_x101_between["user_id"][1]}
+      AND value >= {_x101_between["value"][0]}
+      AND value <= {_x101_between["value"][1]}
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # X99/X100: WordPiece tokenizer (likelihood-scored merges + greedy encode)
 # ---------------------------------------------------------------------------
 
@@ -6505,6 +6595,7 @@ QUERIES = {
     "x98_txn_changes": _x98_txn_changes,
     "x99_wordpiece_train": _x99_wordpiece_train,
     "x100_wordpiece_encode": _x100_wordpiece_encode,
+    "x101_txn_zorder": _x101_txn_zorder,
 }
 
 # Production-path bench twins (VERDICT r09 #1): the certifying gates above
@@ -6528,6 +6619,7 @@ BENCH_TWINS = {
     "x96_txn_delete": _x96_production,
     "x97_txn_skipping": _x97_production,
     "x98_txn_changes": _x98_production,
+    "x101_txn_zorder": _x101_production,
 }
 
 ORACLES = {
@@ -6631,4 +6723,5 @@ ORACLES = {
     "x98_txn_changes": _X98_SQL,
     "x99_wordpiece_train": _X99_SQL,
     "x100_wordpiece_encode": _X100_SQL,
+    "x101_txn_zorder": _X101_SQL,
 }

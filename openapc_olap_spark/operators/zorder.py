@@ -96,6 +96,33 @@ def cluster_by_zorder(df: DataFrame, cols: list[str], bits: int = 8,
             .sortWithinPartitions(z_col))
 
 
+def zorder_compact(table, cols: list[str], max_rows_per_file: int,
+                   bits: int = 8, partitions: list | None = None,
+                   bounds: list[tuple[float, float]] | None = None,
+                   max_retries: int = 5) -> int:
+    """OPTIMIZE ZORDER for a transactional table
+    (sources/txn.TxnTable): rewrite the selected partitions with rows
+    Morton-sorted on ``cols`` and split into
+    ``max_rows_per_file``-bounded files, under compact()'s snapshot
+    semantics. Each rewritten file then covers a contiguous z-range,
+    so its manifest-carried footer min/max is TIGHT on every clustered
+    column at once and ``table.read(between=...)`` skips files WITHIN
+    partitions — multi-column data skipping on layouts (bucket tables)
+    where partition pruning can't see the predicate.
+
+    Cost shape: one bounds aggregate (2*ncols scalars to the driver),
+    then the selected partitions' rows through one hash exchange +
+    in-partition sort (the z expression is a pure integer projection).
+    Orthogonal to the partition scheme; commits race-safe like any
+    other compact. Returns the new version."""
+    if bounds is None:
+        bounds = column_bounds(table.read(partitions=partitions), cols)
+    zexpr = zorder_value(cols, bounds, bits)
+    return table.compact(partitions=partitions, max_retries=max_retries,
+                         order_by=[zexpr],
+                         max_rows_per_file=max_rows_per_file)
+
+
 def write_zordered(df: DataFrame, path: str, cols: list[str],
                    bits: int = 8, num_files: int | None = None,
                    bounds: list[tuple[float, float]] | None = None,

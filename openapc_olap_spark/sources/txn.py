@@ -330,15 +330,30 @@ class TxnTable:
 
     # -- writes ------------------------------------------------------------
 
-    def _write_data(self, df: DataFrame) -> list[dict]:
+    def _write_data(self, df: DataFrame, order_by: list | None = None,
+                    max_rows_per_file: int | None = None) -> list[dict]:
         """Land ``df``'s rows as immutable files under data/, one
         partition value per file, via a staging dir + rename. Returns
-        manifest entries; nothing is visible until _publish."""
+        manifest entries; nothing is visible until _publish.
+
+        ``order_by`` (Column expressions) sorts rows WITHIN each
+        partition before the write and ``max_rows_per_file`` splits a
+        partition's sorted stream into consecutive bounded files — so
+        each file covers a contiguous slice of the sort order and its
+        footer min/max (hence the manifest zone maps) are TIGHT on the
+        ordering columns. This is the layout half of data skipping;
+        see compact()/zorder_compact."""
         txn = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, _STAGING_DIR, txn)
-        (df.withColumn(_PV, F.col(self.partition_col).cast("string"))
-         .repartition(_PV)
-         .write.partitionBy(_PV).mode("overwrite").parquet(staging))
+        out = (df.withColumn(_PV, F.col(self.partition_col)
+                             .cast("string"))
+               .repartition(_PV))
+        if order_by:
+            out = out.sortWithinPartitions(F.col(_PV), *order_by)
+        w = out.write.partitionBy(_PV).mode("overwrite")
+        if max_rows_per_file:
+            w = w.option("maxRecordsPerFile", int(max_rows_per_file))
+        w.parquet(staging)
         entries: list[dict] = []
         k = 0
         for d in sorted(os.listdir(staging)):
@@ -665,7 +680,8 @@ class TxnTable:
         return inserts.unionByName(updates).unionByName(deletes)
 
     def compact(self, partitions: list | None = None,
-                max_retries: int = 5) -> int:
+                max_retries: int = 5, order_by: list | None = None,
+                max_rows_per_file: int | None = None) -> int:
         """Rewrite every partition that holds more than one data file
         down to one file, publishing the result as a normal new
         snapshot version (same optimistic-concurrency semantics as
@@ -677,7 +693,23 @@ class TxnTable:
         crawl-every-hour workload appends one small file per touched
         bucket per commit; compact() folds a bucket's N files back to
         one so read amplification stays O(buckets), not O(commits).
-        The superseded files become orphans for vacuum()."""
+        The superseded files become orphans for vacuum().
+
+        ``order_by`` turns compaction into a LAYOUT rewrite (the
+        OPTIMIZE ZORDER shape — operators/zorder.zorder_compact builds
+        the Morton expression): every selected partition rewrites
+        (single-file ones too — re-clustering is the point) with rows
+        sorted by the expressions and split into
+        ``max_rows_per_file``-bounded files, so each file's
+        manifest-carried min/max is tight on the ordering columns and
+        read(between=...) skips WITHIN partitions. Requires
+        max_rows_per_file (one file per partition has the same stats
+        envelope the partition already had)."""
+        if order_by and not max_rows_per_file:
+            raise ValueError(
+                "order_by compaction needs max_rows_per_file: a single "
+                "file per partition has the partition's stats envelope "
+                "regardless of row order")
         last: Exception | None = None
         for _ in range(max_retries):
             snap = self.snapshot()
@@ -687,13 +719,16 @@ class TxnTable:
             want = None if partitions is None else {str(p)
                                                     for p in partitions}
             fat = {p for p, n in counts.items()
-                   if n > 1 and (want is None or p in want)}
+                   if (n > 1 or order_by)
+                   and (want is None or p in want)}
             if not fat:
                 return snap["version"]
             rows = self.read(partitions=sorted(fat))
-            # one output file per partition value: coalesce happens via
-            # the repartition(_PV) in _write_data (one task per value)
-            new_files = self._write_data(rows)
+            # one output file per partition value (coalesced via the
+            # repartition(_PV) in _write_data) — unless an order_by
+            # layout rewrite splits the sorted stream into bounded files
+            new_files = self._write_data(rows, order_by=order_by,
+                                         max_rows_per_file=max_rows_per_file)
             keep = [f for f in snap["files"] if f["partition"] not in fat]
             try:
                 v = snap["version"] + 1

@@ -240,6 +240,8 @@ _X_DEPS = {
                             f"{_OPS}/text.py"],
     "x100_wordpiece_encode": [f"{_OPS}/wordpiece.py", f"{_OPS}/bpe.py",
                               f"{_OPS}/text.py"],
+    "x101_txn_zorder": [f"{_OPS}/zorder.py",
+                        f"{_P}/sources/txn.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

@@ -524,3 +524,33 @@ def test_delete_between_hint_prunes_discovery_only(spark, tmp_path):
     changed = {f["partition"] for f in t.snapshot(1)["files"]
                if f["path"] not in s0}
     assert changed == {"p3"}
+
+
+def test_zorder_compact_tightens_zone_maps(spark, tmp_path):
+    """zorder_compact: the layout rewrite splits every partition into
+    bounded z-sorted files whose manifest stats are tight on BOTH
+    clustered columns, so a two-column between-read skips files inside
+    partitions that partition pruning can't see; results stay exactly
+    the plain filter's."""
+    from openapc_olap_spark.operators.zorder import zorder_compact
+
+    rows = [(i % 2, i % 100, float((i * 37) % 100), i)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "bucket int, a int, b double, id int")
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, "bucket")
+    with pytest.raises(ValueError, match="max_rows_per_file"):
+        t.compact(order_by=["a"])
+    v = zorder_compact(t, ["a", "b"], max_rows_per_file=125)
+    assert v == 1
+    snap = t.snapshot()
+    per_part = {}
+    for f in snap["files"]:
+        per_part.setdefault(f["partition"], []).append(f)
+    assert all(len(fs) > 1 for fs in per_part.values())
+    bounds = {"a": (10, 30), "b": (20.0, 40.0)}
+    kept, total = t.pruned_file_count(bounds)
+    assert kept < total, (kept, total)
+    got = {r["id"] for r in t.read(between=bounds).collect()}
+    want = {i for i in range(2000)
+            if 10 <= i % 100 <= 30 and 20.0 <= (i * 37) % 100 <= 40.0}
+    assert got == want
