@@ -102,33 +102,41 @@ def sec_delete(spark, sf_dir, scratch):
 
 
 def sec_cdf(spark, sf_dir, scratch):
+    """Two shapes: a 1001-key batch sprays ~all of 64 hash buckets
+    (diff degrades to table width — inherent to uniform keys over few
+    buckets), while a ~50-key batch against 256 buckets touches <50
+    partitions and the diff reads only that sliver. The locality claim
+    is 'cost follows the touched partitions', so both are reported."""
     orders = (load_tables(spark, sf_dir, ["orders"])["orders"]
               .withColumn("seq", F.lit(0).cast("long")))
-    root = os.path.join(scratch, "cdf")
-    shutil.rmtree(root, ignore_errors=True)
-    t = txn.TxnTable.create(
-        spark, root, txn.add_bucket(orders, ["o_orderkey"], 64),
-        "bucket", meta={"n_buckets": 64})
     n = orders.count()
-    batch = txn.add_bucket(
-        orders.drop("bucket").filter(F.col("o_orderkey") % 1498 == 1)
-        .withColumn("seq", F.lit(1).cast("long"))
-        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0),
-        ["o_orderkey"], 64)
-    print(f"cdf: table rows {n}, batch rows {batch.count()}")
-    timed("cdf: upsert commit", lambda: t.upsert(
-        batch, keys=["o_orderkey"], seq_col="seq"))
-    timed("cdf: delete commit", lambda: t.delete(
-        "o_orderkey % 9991 = 3"))
-    a = {f["path"] for f in t.snapshot(0)["files"]}
-    b = {f["path"] for f in t.snapshot(2)["files"]}
-    parts = {f["partition"] for f in t.snapshot(2)["files"]
-             if f["path"] not in a} | \
-            {f["partition"] for f in t.snapshot(0)["files"]
-             if f["path"] not in b}
-    timed(f"cdf: read_changes(0,2,keys) over {len(parts)}/64 partitions",
-          lambda: t.read_changes(0, 2, keys=["o_orderkey"])
-          .groupBy("_change_type").count().collect())
+    for tag, nb, mod in (("wide", 64, 1498), ("narrow", 256, 29989)):
+        root = os.path.join(scratch, f"cdf_{tag}")
+        shutil.rmtree(root, ignore_errors=True)
+        t = txn.TxnTable.create(
+            spark, root, txn.add_bucket(orders, ["o_orderkey"], nb),
+            "bucket", meta={"n_buckets": nb})
+        batch = txn.add_bucket(
+            orders.filter(F.col("o_orderkey") % mod == 1)
+            .withColumn("seq", F.lit(1).cast("long"))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1.0),
+            ["o_orderkey"], nb)
+        print(f"cdf[{tag}]: table rows {n}, batch rows {batch.count()}, "
+              f"{nb} buckets")
+        timed(f"cdf[{tag}]: upsert commit", lambda: t.upsert(
+            batch, keys=["o_orderkey"], seq_col="seq"))
+        timed(f"cdf[{tag}]: delete commit", lambda: t.delete(
+            f"o_orderkey % {mod * 7} = 3"))
+        a = {f["path"] for f in t.snapshot(0)["files"]}
+        b = {f["path"] for f in t.snapshot(2)["files"]}
+        parts = {f["partition"] for f in t.snapshot(2)["files"]
+                 if f["path"] not in a} | \
+                {f["partition"] for f in t.snapshot(0)["files"]
+                 if f["path"] not in b}
+        timed(f"cdf[{tag}]: read_changes(0,2,keys) over "
+              f"{len(parts)}/{nb} partitions",
+              lambda: t.read_changes(0, 2, keys=["o_orderkey"])
+              .groupBy("_change_type").count().collect())
 
 
 def sec_wp(spark, sf_dir):
