@@ -456,15 +456,19 @@ _CERT_FIRST = [
     # rewrite whose bounded z-sorted files make the manifest zone maps
     # tight on multiple columns at once (skipping within partitions)
     "x101_txn_zorder",
+    # new r11 gate: the commit log as a Structured-Streaming source
+    # (Spark 4 Python DataSource API) — exactly-once per-version
+    # micro-batches, offsets are manifest versions
+    "x102_txn_stream_changes",
 ]
 _CERT_PENDING: list[str] = []
 # Oldest-certified gates, rotated into the window's free slots for a free
 # freshness re-certification (VERDICT r10 #2: the 32-gate r05/r06 band;
-# x60 rotates via _CERT_FIRST). With the six new r11 gates the head
-# holds 31 slots, so the first 19 refresh entries (through x50) certify
-# this round; the trailing 12 (x52/x54/x56–x58/x62–x64/x66/x67/x69/x70)
-# spill past the window — still manifest-guarded — and lead the r12
-# refresh.
+# x60 rotates via _CERT_FIRST). With the seven new r11 gates the head
+# holds 32 slots, so the first 18 refresh entries (through x48) certify
+# this round; the trailing 13 (x50/x52/x54/x56–x58/x62–x64/x66/x67/
+# x69/x70) spill past the window — still manifest-guarded — and lead
+# the r12 refresh.
 _CERT_REFRESH = [
     "x28_curation_funnel", "x29_sequence_packing", "x30_hash_split",
     "x32_image_decode", "x33_stateful_sessions", "x34_wav_decode",

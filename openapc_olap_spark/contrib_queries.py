@@ -5941,6 +5941,107 @@ _X101_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# X102: streaming change-feed source over the TxnTable commit log
+# ---------------------------------------------------------------------------
+
+def _x102_store(spark: SparkSession, sf_dir: str, root: str):
+    """Base customer store (c_custkey % 3 == 0, bounded) at v0, then
+    two append commits (% 3 == 1 at v1, % 3 == 2 at v2) — the exact
+    row-grain change history the stream must replay."""
+    import shutil
+
+    from openapc_olap_spark.sources import txn
+
+    shutil.rmtree(root, ignore_errors=True)
+    cust = (load_tables(spark, sf_dir, ["customer"])["customer"]
+            .filter(F.col("c_custkey") < 30000)
+            .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    t = txn.TxnTable.create(
+        spark, root,
+        txn.add_bucket(cust.filter(F.col("c_custkey") % 3 == 0),
+                       ["c_custkey"], 4),
+        "bucket", meta={"n_buckets": 4})
+    for m in (1, 2):
+        t.append(txn.add_bucket(
+            cust.filter(F.col("c_custkey") % 3 == m), ["c_custkey"], 4))
+    return t
+
+
+def _x102_stats(spark: SparkSession, t, name: str) -> DataFrame:
+    from openapc_olap_spark import streaming
+    from openapc_olap_spark.sources.txn_stream import TxnChangesDataSource
+
+    spark.dataSource.register(TxnChangesDataSource)
+    stream = (spark.readStream.format("txn_changes")
+              .option("path", t.path).load())
+    streaming.run_to_memory(stream, name, output_mode="append")
+    out = spark.table(name)
+    return (out.groupBy(F.col("_commit_version").alias("commit_version"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("c_custkey").alias("key_sum"),
+                 F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+                 F.countDistinct("c_mktsegment").alias("n_segments")))
+
+
+def _x102_txn_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sources/txn_stream.TxnChangesDataSource`` — the TxnTable
+    commit log as a Structured-Streaming SOURCE (Spark 4 Python
+    DataSource API): every committed version is one exactly-once
+    micro-batch of the rows its commit added (offsets ARE manifest
+    versions; one Arrow-reading input partition per added file), so a
+    downstream pipeline consumes the table incrementally instead of
+    rescanning it. The gate streams two append commits availableNow
+    and hashes the per-version row sets — v0 (history) excluded, each
+    batch attributed to its exact commit — against the raw-table
+    derivation."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x102_{tag}"
+    t = _x102_store(spark, sf_dir, root)
+    return _x102_stats(spark, t,
+                       "x102_changes_" + tag.replace(".", "_"))
+
+
+_X102_MEMO: dict = {}
+
+
+def _x102_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of x102: store creation + commits are memoized
+    setup; the measured path is one availableNow drain of the commit
+    log (a fresh subscriber replaying the feed)."""
+    import tempfile
+
+    from openapc_olap_spark.operators._memo import memoized
+
+    def build():
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x102t_{tag}"
+        return _x102_store(spark, sf_dir, root)
+
+    t = memoized(_X102_MEMO, ("x102_store", sf_dir), build)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return _x102_stats(spark, t,
+                       "x102t_changes_" + tag.replace(".", "_"))
+
+
+_X102_SQL = """
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE c_custkey < 30000)
+    SELECT 1::BIGINT AS commit_version, count(*) AS n_rows,
+           sum(c_custkey)::BIGINT AS key_sum,
+           round(sum(c_acctbal), 2) AS acctbal_sum,
+           count(DISTINCT c_mktsegment) AS n_segments
+    FROM cust WHERE c_custkey % 3 = 1
+    UNION ALL
+    SELECT 2::BIGINT, count(*), sum(c_custkey)::BIGINT,
+           round(sum(c_acctbal), 2), count(DISTINCT c_mktsegment)
+    FROM cust WHERE c_custkey % 3 = 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # X99/X100: WordPiece tokenizer (likelihood-scored merges + greedy encode)
 # ---------------------------------------------------------------------------
 
@@ -6642,6 +6743,7 @@ QUERIES = {
     "x99_wordpiece_train": _x99_wordpiece_train,
     "x100_wordpiece_encode": _x100_wordpiece_encode,
     "x101_txn_zorder": _x101_txn_zorder,
+    "x102_txn_stream_changes": _x102_txn_stream_changes,
 }
 
 # Production-path bench twins (VERDICT r09 #1): the certifying gates above
@@ -6668,6 +6770,7 @@ BENCH_TWINS = {
     "x99_wordpiece_train": _x99_production,
     "x100_wordpiece_encode": _x100_production,
     "x101_txn_zorder": _x101_production,
+    "x102_txn_stream_changes": _x102_production,
 }
 
 ORACLES = {
@@ -6772,4 +6875,5 @@ ORACLES = {
     "x99_wordpiece_train": _X99_SQL,
     "x100_wordpiece_encode": _X100_SQL,
     "x101_txn_zorder": _X101_SQL,
+    "x102_txn_stream_changes": _X102_SQL,
 }

@@ -1,0 +1,162 @@
+"""Structured-Streaming source over a TxnTable's commit log (Spark 4
+Python DataSource API): every snapshot version becomes one exactly-once
+micro-batch of the rows its commit ADDED, tagged ``_commit_version``.
+
+This is the streaming half of :meth:`TxnTable.read_changes` — a
+downstream pipeline subscribes to a transactional table and receives
+new data incrementally instead of rescanning it:
+
+    spark.dataSource.register(TxnChangesDataSource)
+    df = (spark.readStream.format("txn_changes")
+          .option("path", root).load())
+
+Semantics (file grain, the read_changes(keys=None) contract):
+
+- **Offsets are manifest versions.** ``initialOffset`` starts after
+  ``startVersion`` (default 0 — the base snapshot is history, not
+  change); ``latestOffset`` is the highest committed manifest. A batch
+  (a, b] emits, for each version v in a+1..b, the rows of files
+  present in v's manifest but not v-1's. For append() commits that is
+  EXACTLY the appended rows; for upsert/delete commits it is the
+  rewritten partitions' contents (post-image at partition grain) —
+  key-grain diffs stay the batch API's job.
+- **Exactly-once.** Offsets are durable integers checkpointed by the
+  engine; a restarted query resumes from the committed version and
+  the manifest's immutable files make every replay byte-identical.
+  Requires the manifests in the consumed range to still be retained
+  (checkpoint() the TABLE only past your slowest consumer).
+- **Distributed + Arrow.** ``partitions()`` is one InputPartition per
+  added file, so a commit that touched K files reads with K-way
+  parallelism; workers stream pyarrow record batches straight from
+  the parquet footprint (no driver funnel, no Python row loop).
+
+Reference: the x92/x95 foreachBatch drivers push INTO the store; this
+source is the complementary read side, making TxnTable a streaming
+queue with database semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StructField, StructType
+
+_MANIFEST_DIR = "_manifest"
+VERSION_COL = "_commit_version"
+
+
+def _mdir(path: str) -> str:
+    return os.path.join(path, _MANIFEST_DIR)
+
+
+def _versions(path: str) -> list[int]:
+    return sorted(int(f[1:9]) for f in os.listdir(_mdir(path))
+                  if f.startswith("v") and f.endswith(".json"))
+
+
+def _manifest(path: str, v: int) -> dict:
+    with open(os.path.join(_mdir(path), f"v{v:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def _table_schema(path: str) -> StructType:
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed manifest under {path}")
+    return StructType.fromJson(json.loads(_manifest(path, vs[-1])["schema"]))
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file_path: str, version: int):
+        self.file_path = file_path
+        self.version = version
+
+
+class TxnChangesStreamReader(DataSourceStreamReader):
+    """One micro-batch per committed version range; one input partition
+    per added data file."""
+
+    def __init__(self, path: str, schema: StructType, start_version: int):
+        self.path = path
+        self.schema_ = schema
+        self.start_version = start_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        vs = _versions(self.path)
+        return {"version": vs[-1] if vs else self.start_version}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        a, b = start["version"], end["version"]
+        out: list[InputPartition] = []
+        prev_paths: set[str] | None = None
+        for v in range(a, b + 1):
+            m = _manifest(self.path, v)
+            paths = {f["path"] for f in m["files"]}
+            if prev_paths is not None and v > a:
+                for p in sorted(paths - prev_paths):
+                    out.append(_FilePartition(
+                        os.path.join(self.path, p), v))
+            prev_paths = paths
+        if not out:
+            # the engine requires >= 1 partition per planned batch; an
+            # empty range (e.g. empty-batch version bumps) emits one
+            # marker partition that reads zero rows
+            out.append(_FilePartition("", b))
+        return out
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not partition.file_path:
+            return iter(())
+
+        def gen():
+            pf = pq.ParquetFile(partition.file_path)
+            names = [f.name for f in self.schema_.fields
+                     if f.name != VERSION_COL]
+            for batch in pf.iter_batches(columns=names):
+                # project to declared order + attach the version column
+                arrays = [batch.column(n) for n in names]
+                arrays.append(pa.array([partition.version] * batch.num_rows,
+                                       type=pa.int64()))
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=names + [VERSION_COL])
+
+        return gen()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class TxnChangesDataSource(DataSource):
+    """``format("txn_changes")``: options ``path`` (table root,
+    required) and ``startVersion`` (consume changes AFTER this version;
+    default 0)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txn_changes"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("txn_changes requires option 'path'")
+        base = _table_schema(path)
+        return StructType(list(base.fields)
+                          + [StructField(VERSION_COL, LongType(), False)])
+
+    def streamReader(self, schema: StructType) -> TxnChangesStreamReader:
+        path = self.options.get("path")
+        start = int(self.options.get("startversion",
+                                     self.options.get("startVersion", 0)))
+        return TxnChangesStreamReader(path, schema, start)

@@ -242,6 +242,9 @@ _X_DEPS = {
                               f"{_OPS}/text.py"],
     "x101_txn_zorder": [f"{_OPS}/zorder.py",
                         f"{_P}/sources/txn.py"] + _MEMO,
+    "x102_txn_stream_changes": [f"{_P}/sources/txn_stream.py",
+                                f"{_P}/sources/txn.py",
+                                f"{_P}/streaming/__init__.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

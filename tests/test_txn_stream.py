@@ -1,0 +1,130 @@
+"""Streaming change-feed source over the TxnTable commit log
+(sources/txn_stream.py): per-version micro-batches, exactly-once
+restarts, file-grain semantics."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from openapc_olap_spark import streaming
+from openapc_olap_spark.sources import txn
+from openapc_olap_spark.sources.txn import TxnTable
+from openapc_olap_spark.sources.txn_stream import TxnChangesDataSource
+
+
+def _register(spark):
+    spark.dataSource.register(TxnChangesDataSource)
+
+
+def _mk(spark, tmp_path, rows):
+    df = txn.add_bucket(
+        spark.createDataFrame(rows, "k string, seq long, val string"),
+        ["k"], 4)
+    return TxnTable.create(spark, str(tmp_path / "t"), df, "bucket")
+
+
+def _stream(spark, t, **opts):
+    r = spark.readStream.format("txn_changes").option("path", t.path)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_appends_arrive_per_version_tagged(spark, tmp_path):
+    _register(spark)
+    t = _mk(spark, tmp_path, [("a", 0, "va")])
+    t.append(txn.add_bucket(
+        spark.createDataFrame([("b", 1, "vb"), ("c", 1, "vc")],
+                              "k string, seq long, val string"), ["k"], 4))
+    t.append(txn.add_bucket(
+        spark.createDataFrame([("d", 2, "vd")],
+                              "k string, seq long, val string"), ["k"], 4))
+    streaming.run_to_memory(_stream(spark, t), "txs_appends",
+                            output_mode="append")
+    got = {(r["k"], r["_commit_version"]) for r in
+           spark.table("txs_appends").collect()}
+    # v0 (the base snapshot) is history, not change
+    assert got == {("b", 1), ("c", 1), ("d", 2)}
+
+
+def test_start_version_skips_consumed_history(spark, tmp_path):
+    _register(spark)
+    t = _mk(spark, tmp_path, [("a", 0, "va")])
+    t.append(txn.add_bucket(
+        spark.createDataFrame([("b", 1, "vb")],
+                              "k string, seq long, val string"), ["k"], 4))
+    t.append(txn.add_bucket(
+        spark.createDataFrame([("c", 2, "vc")],
+                              "k string, seq long, val string"), ["k"], 4))
+    streaming.run_to_memory(_stream(spark, t, startVersion=1),
+                            "txs_skip", output_mode="append")
+    got = {r["k"] for r in spark.table("txs_skip").collect()}
+    assert got == {"c"}
+
+
+def test_exactly_once_across_restart(spark, tmp_path):
+    """A restarted query resumes from the checkpointed version: rows
+    consumed before the stop are not re-emitted, rows committed while
+    the query was down arrive exactly once."""
+    _register(spark)
+    t = _mk(spark, tmp_path, [("a", 0, "va")])
+    t.append(txn.add_bucket(
+        spark.createDataFrame([("b", 1, "vb")],
+                              "k string, seq long, val string"), ["k"], 4))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming.write_stream_parquet(_stream(spark, t), out, ckpt)
+    q.awaitTermination()
+    first = {(r["k"], r["_commit_version"]) for r in
+             spark.read.parquet(out).collect()}
+    assert first == {("b", 1)}
+    t.append(txn.add_bucket(
+        spark.createDataFrame([("c", 2, "vc")],
+                              "k string, seq long, val string"), ["k"], 4))
+    q = streaming.write_stream_parquet(_stream(spark, t), out, ckpt)
+    q.awaitTermination()
+    got = sorted((r["k"], r["_commit_version"]) for r in
+                 spark.read.parquet(out).collect())
+    assert got == [("b", 1), ("c", 2)]        # no duplicates, no gaps
+
+
+def test_upsert_commit_emits_rewritten_partitions(spark, tmp_path):
+    """File-grain contract: an upsert's batch emits the rewritten
+    partitions' full post-image rows (carried rows included), exactly
+    the read_changes(keys=None) semantics."""
+    _register(spark)
+    t = _mk(spark, tmp_path, [("a", 0, "va"), ("b", 0, "vb")])
+    up = txn.add_bucket(
+        spark.createDataFrame([("a", 1, "VA")],
+                              "k string, seq long, val string"), ["k"], 4)
+    t.upsert(up, ["k"], "seq")
+    streaming.run_to_memory(_stream(spark, t), "txs_upsert",
+                            output_mode="append")
+    got = {(r["k"], r["seq"]) for r in spark.table("txs_upsert").collect()}
+    want = {(r["k"], r["seq"]) for r in
+            t.read_changes(0, 1).select("k", "seq").collect()}
+    assert got == want and ("a", 1) in got
+
+
+def test_empty_commit_version_bump_yields_zero_rows(spark, tmp_path):
+    """An empty-batch upsert bumps the version with no new files; the
+    stream must advance past it without rows or errors (the marker
+    partition path)."""
+    _register(spark)
+    t = _mk(spark, tmp_path, [("a", 0, "va")])
+    empty = txn.add_bucket(
+        spark.createDataFrame([], "k string, seq long, val string"),
+        ["k"], 4)
+    assert t.upsert(empty, ["k"], "seq") == 1
+    streaming.run_to_memory(_stream(spark, t), "txs_empty",
+                            output_mode="append")
+    assert spark.table("txs_empty").count() == 0
+
+
+def test_schema_includes_version_column(spark, tmp_path):
+    _register(spark)
+    t = _mk(spark, tmp_path, [("a", 0, "va")])
+    df = _stream(spark, t)
+    assert df.schema.fieldNames()[-1] == "_commit_version"
+    assert set(df.schema.fieldNames()) == {"k", "seq", "val", "bucket",
+                                           "_commit_version"}
