@@ -460,15 +460,18 @@ _CERT_FIRST = [
     # (Spark 4 Python DataSource API) — exactly-once per-version
     # micro-batches, offsets are manifest versions
     "x102_txn_stream_changes",
+    # new r11 gate: MERGE INTO — update / conditional delete / insert
+    # in one partition-scoped commit, delete condition over both sides
+    "x103_txn_merge",
 ]
 _CERT_PENDING: list[str] = []
 # Oldest-certified gates, rotated into the window's free slots for a free
 # freshness re-certification (VERDICT r10 #2: the 32-gate r05/r06 band;
-# x60 rotates via _CERT_FIRST). With the seven new r11 gates the head
-# holds 32 slots, so the first 18 refresh entries (through x48) certify
-# this round; the trailing 13 (x50/x52/x54/x56–x58/x62–x64/x66/x67/
-# x69/x70) spill past the window — still manifest-guarded — and lead
-# the r12 refresh.
+# x60 rotates via _CERT_FIRST). With the eight new r11 gates the head
+# holds 33 slots, so the first 17 refresh entries (through x47) certify
+# this round; the trailing 14 (x48/x50/x52/x54/x56–x58/x62–x64/x66/
+# x67/x69/x70) spill past the window — still manifest-guarded — and
+# lead the r12 refresh.
 _CERT_REFRESH = [
     "x28_curation_funnel", "x29_sequence_packing", "x30_hash_split",
     "x32_image_decode", "x33_stateful_sessions", "x34_wav_decode",

@@ -5941,6 +5941,125 @@ _X101_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# X103: MERGE INTO (update / conditional delete / insert, one commit)
+# ---------------------------------------------------------------------------
+
+_x103_del = "t.o_totalprice < 50000 AND s.o_orderstatus = 'F'"
+
+
+def _x103_store(spark: SparkSession, sf_dir: str, root: str):
+    """Orders base (o_orderkey % 3 != 1, bounded, bucketed) plus the
+    merge source: inserts (% 3 == 1), updates (% 6 == 0, price+1000),
+    both at seq 1."""
+    import shutil
+
+    from openapc_olap_spark.sources import txn
+
+    shutil.rmtree(root, ignore_errors=True)
+    o = (load_tables(spark, sf_dir, ["orders"])["orders"]
+         .filter(F.col("o_orderkey") < 60000)
+         .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                 "o_orderpriority"))
+    base = (o.filter(F.col("o_orderkey") % 3 != 1)
+            .withColumn("seq", F.lit(0).cast("long")))
+    store = txn.TxnTable.create(
+        spark, root, txn.add_bucket(base, ["o_orderkey"], 8),
+        "bucket", meta={"n_buckets": 8})
+    ins = o.filter(F.col("o_orderkey") % 3 == 1)
+    upd = (o.filter(F.col("o_orderkey") % 6 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 1000))
+    src = txn.add_bucket(
+        ins.unionByName(upd).withColumn("seq", F.lit(1).cast("long")),
+        ["o_orderkey"], 8)
+    return store, src
+
+
+def _x103_stats(store) -> DataFrame:
+    return (store.read().groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                 F.sum("o_orderkey").alias("key_sum"),
+                 F.sum("seq").alias("seq_sum")))
+
+
+def _x103_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TxnTable.merge`` — MERGE INTO as one partition-scoped commit:
+    WHEN MATCHED AND (t.price < 50000 AND s.status = 'F') THEN DELETE,
+    WHEN MATCHED THEN UPDATE (source row, +1000 price), WHEN NOT
+    MATCHED THEN INSERT. The delete condition reads BOTH sides of the
+    match (target's pre-image price, source's status) — the full MERGE
+    surface, not an upsert+delete composition. One wrong clause
+    routing, lost untouched row, or mis-evaluated pair condition
+    breaks the hash against the oracle's set derivation."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x103_{tag}"
+    store, src = _x103_store(spark, sf_dir, root)
+    v = store.merge(src, keys=["o_orderkey"], seq_col="seq",
+                    matched_delete=_x103_del)
+    assert v == 1, v
+    return _x103_stats(store)
+
+
+_X103_MEMO: dict = {}
+
+
+def _x103_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of x103: base-store creation is memoized setup;
+    the measured path is one merge commit + the re-read, with rollback
+    to v0 so every run faces the identical snapshot."""
+    import tempfile
+
+    from openapc_olap_spark.operators._memo import memoized
+
+    def build():
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x103t_{tag}"
+        return _x103_store(spark, sf_dir, root)
+
+    store, src = memoized(_X103_MEMO, ("x103_store", sf_dir), build)
+    store.merge(src, keys=["o_orderkey"], seq_col="seq",
+                matched_delete=_x103_del)
+    out = _x103_stats(store)
+    out.collect()            # materialize before the rollback
+    for f in sorted(os.listdir(store._mdir())):
+        if f.startswith("v") and f.endswith(".json") and int(f[1:9]) > 0:
+            os.remove(os.path.join(store._mdir(), f))
+    store.vacuum(grace_seconds=0)
+    return out
+
+
+_X103_SQL = """
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey < 60000),
+    base AS (
+      SELECT *, 0::BIGINT AS seq FROM o WHERE o_orderkey % 3 <> 1),
+    upd AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 1000
+               AS o_totalprice, o_orderpriority, 1::BIGINT AS seq
+      FROM o WHERE o_orderkey % 6 = 0),
+    final AS (
+      -- untouched: base keys absent from the source (matched keys are
+      -- exactly the % 6 == 0 ones; inserts are % 3 == 1, disjoint)
+      SELECT * FROM base WHERE o_orderkey % 6 <> 0
+      UNION ALL
+      -- matched, not deleted -> UPDATE takes the source row
+      SELECT u.* FROM upd u JOIN base t USING (o_orderkey)
+      WHERE NOT (t.o_totalprice < 50000 AND u.o_orderstatus = 'F')
+      UNION ALL
+      -- not matched -> INSERT
+      SELECT *, 1::BIGINT FROM o WHERE o_orderkey % 3 = 1)
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           sum(o_orderkey)::BIGINT AS key_sum,
+           sum(seq)::BIGINT AS seq_sum
+    FROM final GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # X102: streaming change-feed source over the TxnTable commit log
 # ---------------------------------------------------------------------------
 
@@ -6744,6 +6863,7 @@ QUERIES = {
     "x100_wordpiece_encode": _x100_wordpiece_encode,
     "x101_txn_zorder": _x101_txn_zorder,
     "x102_txn_stream_changes": _x102_txn_stream_changes,
+    "x103_txn_merge": _x103_txn_merge,
 }
 
 # Production-path bench twins (VERDICT r09 #1): the certifying gates above
@@ -6771,6 +6891,7 @@ BENCH_TWINS = {
     "x100_wordpiece_encode": _x100_production,
     "x101_txn_zorder": _x101_production,
     "x102_txn_stream_changes": _x102_production,
+    "x103_txn_merge": _x103_production,
 }
 
 ORACLES = {
@@ -6876,4 +6997,5 @@ ORACLES = {
     "x100_wordpiece_encode": _X100_SQL,
     "x101_txn_zorder": _X101_SQL,
     "x102_txn_stream_changes": _X102_SQL,
+    "x103_txn_merge": _X103_SQL,
 }

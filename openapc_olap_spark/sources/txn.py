@@ -568,6 +568,90 @@ class TxnTable:
         raise CommitConflict(
             f"upsert_moving lost {max_retries} commit races") from last
 
+    def merge(self, source: DataFrame, keys: list[str], seq_col: str,
+              matched_update: bool = True,
+              matched_delete=None,
+              insert_unmatched: bool = True,
+              max_retries: int = 5) -> int:
+        """MERGE INTO — the three-clause lakehouse DML primitive in ONE
+        partition-scoped commit: for each source row keyed into the
+        table, WHEN MATCHED [AND ``matched_delete`` over ``t.*``/
+        ``s.*``] THEN DELETE, WHEN MATCHED THEN UPDATE (take the source
+        row; disable with matched_update=False), WHEN NOT MATCHED THEN
+        INSERT (disable with insert_unmatched=False). Target rows whose
+        key is absent from the source are untouched, and only the
+        source's partitions rewrite — the same partition-is-a-
+        function-of-the-key contract as upsert (add_bucket), which is
+        what makes the single-commit rewrite complete.
+
+        ``matched_delete`` is a SQL string (or Column) over the aliased
+        pair — e.g. ``"s.o_orderstatus = 'F' AND t.o_totalprice <
+        100000"`` — evaluated only on matched pairs, NULL = false (SQL
+        DELETE semantics). The source collapses per-key last-wins on
+        ``seq_col`` first, so a batch may carry multiple versions of a
+        key. One optimistic commit; returns the new version.
+
+        Cost shape: one column-pruned read of the touched partitions,
+        one full-outer join at their grain (both sides hash on the
+        keys), one write — identical exchange count to upsert; the
+        clauses are pure row-local projections on the joined frame."""
+        if self.partition_col not in source.columns:
+            raise ValueError(
+                f"source must carry the partition column "
+                f"{self.partition_col!r} (add_bucket derives it)")
+        dcond = (F.expr(matched_delete)
+                 if isinstance(matched_delete, str) else matched_delete)
+        last: Exception | None = None
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            touched = {str(r[0]) for r in
+                       source.select(self.partition_col)
+                       .distinct().collect()}
+            if not touched:
+                try:
+                    v = snap["version"] + 1
+                    self._publish(v, snap["files"],
+                                  StructType.fromJson(
+                                      json.loads(snap["schema"])),
+                                  snap.get("meta"))
+                    return v
+                except CommitConflict as e:
+                    last = e
+                    continue
+            cur = self.read(partitions=sorted(touched))
+            cols = cur.columns
+            srcb = _merge_last_wins(source.limit(0), source, keys,
+                                    seq_col).select(*cols)
+            tm = cur.withColumn("__t", F.lit(1)).alias("t")
+            sm = srcb.withColumn("__s", F.lit(1)).alias("s")
+            on = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                  for k in keys]
+            j = tm.join(sm, on, "full_outer")
+            t_here = F.col("t.__t").isNotNull()
+            s_here = F.col("s.__s").isNotNull()
+            both = t_here & s_here
+            drop_matched = (both & F.coalesce(dcond, F.lit(False))
+                            if dcond is not None else F.lit(False))
+            drop_insert = (s_here & ~t_here &
+                           F.lit(not insert_unmatched))
+            use_source = s_here & (~t_here | F.lit(matched_update))
+            merged = (j.filter(~(drop_matched | drop_insert))
+                      .select(*[F.when(use_source, F.col(f"s.{c}"))
+                                .otherwise(F.col(f"t.{c}")).alias(c)
+                                for c in cols]))
+            new_files = self._write_data(merged)
+            keep = [f for f in snap["files"]
+                    if f["partition"] not in touched]
+            try:
+                v = snap["version"] + 1
+                self._publish(v, keep + new_files, merged.schema,
+                              snap.get("meta"))
+                return v
+            except CommitConflict as e:
+                last = e
+        raise CommitConflict(
+            f"merge lost {max_retries} commit races") from last
+
     def delete(self, predicate, between: dict | None = None,
                max_retries: int = 5) -> int:
         """Copy-on-write predicate delete: drop every row where

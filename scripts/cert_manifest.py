@@ -245,6 +245,7 @@ _X_DEPS = {
     "x102_txn_stream_changes": [f"{_P}/sources/txn_stream.py",
                                 f"{_P}/sources/txn.py",
                                 f"{_P}/streaming/__init__.py"] + _MEMO,
+    "x103_txn_merge": [f"{_P}/sources/txn.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

@@ -554,3 +554,47 @@ def test_zorder_compact_tightens_zone_maps(spark, tmp_path):
     want = {i for i in range(2000)
             if 10 <= i % 100 <= 30 and 20.0 <= (i * 37) % 100 <= 40.0}
     assert got == want
+
+
+def test_merge_three_clause_semantics(spark, tmp_path):
+    """merge(): WHEN MATCHED AND cond THEN DELETE / WHEN MATCHED THEN
+    UPDATE / WHEN NOT MATCHED THEN INSERT, one commit — untouched keys
+    keep their rows, the delete condition sees BOTH sides, the source
+    collapses last-wins before applying."""
+    t = _mk(spark, tmp_path,
+            [("a", 0, "va"), ("b", 0, "vb"), ("c", 0, "DROP"),
+             ("d", 0, "vd")])
+    src = txn.add_bucket(
+        spark.createDataFrame(
+            [("a", 1, "A1"), ("a", 2, "A2"),      # last-wins inside batch
+             ("c", 1, "anything"),                # t.val = DROP -> delete
+             ("e", 1, "ve")],                     # new key -> insert
+            "k string, seq long, val string"), ["k"], 4)
+    v = t.merge(src, ["k"], "seq", matched_delete="t.val = 'DROP'")
+    assert v == 1
+    assert _rows(t.read()) == {("a", 2, "A2"), ("b", 0, "vb"),
+                               ("d", 0, "vd"), ("e", 1, "ve")}
+
+
+def test_merge_clause_toggles(spark, tmp_path):
+    """matched_update=False leaves matched targets alone;
+    insert_unmatched=False drops source-only keys."""
+    t = _mk(spark, tmp_path, [("a", 0, "va"), ("b", 0, "vb")])
+    src = txn.add_bucket(
+        spark.createDataFrame([("a", 5, "NEW"), ("z", 5, "vz")],
+                              "k string, seq long, val string"), ["k"], 4)
+    t.merge(src, ["k"], "seq", matched_update=False,
+            insert_unmatched=False,
+            matched_delete="s.val = 'nomatch'")
+    assert _rows(t.read()) == {("a", 0, "va"), ("b", 0, "vb")}
+    t.merge(src, ["k"], "seq")          # defaults: update + insert
+    assert _rows(t.read()) == {("a", 5, "NEW"), ("b", 0, "vb"),
+                               ("z", 5, "vz")}
+
+
+def test_merge_requires_partition_column(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a", 0, "va")])
+    bare = spark.createDataFrame([("a", 1, "x")],
+                                 "k string, seq long, val string")
+    with pytest.raises(ValueError, match="partition column"):
+        t.merge(bare, ["k"], "seq")
