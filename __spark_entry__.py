@@ -468,10 +468,10 @@ _CERT_PENDING: list[str] = []
 # Oldest-certified gates, rotated into the window's free slots for a free
 # freshness re-certification (VERDICT r10 #2: the 32-gate r05/r06 band;
 # x60 rotates via _CERT_FIRST). With the eight new r11 gates the head
-# holds 33 slots, so the first 17 refresh entries (through x47) certify
-# this round; the trailing 14 (x48/x50/x52/x54/x56–x58/x62–x64/x66/
-# x67/x69/x70) spill past the window — still manifest-guarded — and
-# lead the r12 refresh.
+# holds 34 slots, so the first 16 refresh entries (through x46) certify
+# this round; the trailing 15 (x47/x48/x50/x52/x54/x56–x58/x62–x64/
+# x66/x67/x69/x70) spill past the window — still manifest-guarded —
+# and lead the r12 refresh.
 _CERT_REFRESH = [
     "x28_curation_funnel", "x29_sequence_packing", "x30_hash_split",
     "x32_image_decode", "x33_stateful_sessions", "x34_wav_decode",
