@@ -463,15 +463,18 @@ _CERT_FIRST = [
     # new r11 gate: MERGE INTO — update / conditional delete / insert
     # in one partition-scoped commit, delete condition over both sides
     "x103_txn_merge",
+    # new r11 gate: interpolated Kneser-Ney bigram LM scoring on a
+    # train/score split (the CCNet-style perplexity quality filter)
+    "x104_kn_logprob",
 ]
 _CERT_PENDING: list[str] = []
 # Oldest-certified gates, rotated into the window's free slots for a free
 # freshness re-certification (VERDICT r10 #2: the 32-gate r05/r06 band;
-# x60 rotates via _CERT_FIRST). With the eight new r11 gates the head
-# holds 34 slots, so the first 16 refresh entries (through x46) certify
-# this round; the trailing 15 (x47/x48/x50/x52/x54/x56–x58/x62–x64/
-# x66/x67/x69/x70) spill past the window — still manifest-guarded —
-# and lead the r12 refresh.
+# x60 rotates via _CERT_FIRST). With the nine new r11 gates the head
+# holds 35 slots, so the first 15 refresh entries (through x45) certify
+# this round; the trailing 16 (x46/x47/x48/x50/x52/x54/x56–x58/
+# x62–x64/x66/x67/x69/x70) spill past the window — still
+# manifest-guarded — and lead the r12 refresh.
 _CERT_REFRESH = [
     "x28_curation_funnel", "x29_sequence_packing", "x30_hash_split",
     "x32_image_decode", "x33_stateful_sessions", "x34_wav_decode",

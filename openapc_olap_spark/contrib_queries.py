@@ -3325,6 +3325,74 @@ _X58_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# X104: interpolated Kneser-Ney bigram LM scoring (train/score split)
+# ---------------------------------------------------------------------------
+
+def _x104_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lm.doc_mean_kn_logprob`` — the CCNet-style KenLM-perplexity
+    quality filter's smoothing done right: interpolated Kneser-Ney
+    (absolute discount 0.75, add-1-floored continuation distribution),
+    TRAINED on the even-id documents and scoring the odd-id ones, so
+    unseen bigrams exercise the discount+continuation interpolation
+    against real held-out text. Distinct-neighbor counts N1+, the
+    bigram-type total, discounting, interpolation weights, and the
+    bigram-sorted deterministic fold all sit under the hash."""
+    from openapc_olap_spark.operators import lm
+
+    docs = _docs_split(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    bg = lm.bigram_counts(train)
+    ug = lm.unigram_counts(train)
+    scored = lm.doc_mean_kn_logprob(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        bigram_model=bg, unigram_model=ug, round_to=6)
+    return scored.select("doc_id", "n_bigrams", "mean_logprob")
+
+
+_X104_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tr AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+    uni AS (
+      SELECT token, count(*) AS c FROM
+        (SELECT unnest(toks) AS token FROM tr) GROUP BY 1),
+    v AS (SELECT count(*) AS v FROM uni),
+    bgm AS (
+      SELECT split_part(bg, ' ', 1) AS prev,
+             split_part(bg, ' ', 2) AS token, count(*) AS c FROM
+        (SELECT unnest({_X58_BG_SQL}) AS bg FROM tr) GROUP BY 1, 2),
+    tt AS (SELECT count(*) AS t FROM bgm),
+    ctx AS (
+      SELECT prev, sum(c)::BIGINT AS c1, count(*) AS n1f
+      FROM bgm GROUP BY 1),
+    cont AS (SELECT token, count(*) AS n1b FROM bgm GROUP BY 1),
+    per AS (
+      SELECT doc_id, split_part(bg, ' ', 1) AS prev,
+             split_part(bg, ' ', 2) AS token, count(*) AS n FROM
+        (SELECT doc_id, unnest({_X58_BG_SQL}) AS bg FROM s
+         WHERE doc_id % 2 = 1) GROUP BY 1, 2, 3),
+    contrib AS (
+      SELECT p.doc_id, p.prev || ' ' || p.token AS bg, p.n,
+             p.n * ln(CASE WHEN x.c1 IS NOT NULL THEN
+                 greatest(coalesce(b.c, 0) - 0.75, 0.0) / x.c1
+                 + 0.75 * x.n1f / x.c1
+                   * ((coalesce(co.n1b, 0) + 1.0)
+                      / (tt.t + 1.0 * (v.v + 1)))
+               ELSE (coalesce(co.n1b, 0) + 1.0)
+                    / (tt.t + 1.0 * (v.v + 1)) END) AS contrib
+      FROM per p
+      LEFT JOIN bgm b ON b.prev = p.prev AND b.token = p.token
+      LEFT JOIN ctx x ON x.prev = p.prev
+      LEFT JOIN cont co ON co.token = p.token
+      CROSS JOIN tt CROSS JOIN v)
+    SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+           round(list_reduce(list(contrib ORDER BY bg), (a, b) -> a + b)
+                 / sum(n), 6) AS mean_logprob
+    FROM contrib GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # X59: embedding cluster-outlier filter (centroid-cosine z-cut)
 # ---------------------------------------------------------------------------
 
@@ -6864,6 +6932,7 @@ QUERIES = {
     "x101_txn_zorder": _x101_txn_zorder,
     "x102_txn_stream_changes": _x102_txn_stream_changes,
     "x103_txn_merge": _x103_txn_merge,
+    "x104_kn_logprob": _x104_kn_logprob,
 }
 
 # Production-path bench twins (VERDICT r09 #1): the certifying gates above
@@ -6998,4 +7067,5 @@ ORACLES = {
     "x101_txn_zorder": _X101_SQL,
     "x102_txn_stream_changes": _X102_SQL,
     "x103_txn_merge": _X103_SQL,
+    "x104_kn_logprob": _X104_SQL,
 }

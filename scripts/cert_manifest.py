@@ -246,6 +246,9 @@ _X_DEPS = {
                                 f"{_P}/sources/txn.py",
                                 f"{_P}/streaming/__init__.py"] + _MEMO,
     "x103_txn_merge": [f"{_P}/sources/txn.py"] + _MEMO,
+    # lm imports text; the default-model path materializes via dedup
+    "x104_kn_logprob": [f"{_OPS}/lm.py", f"{_OPS}/text.py",
+                        f"{_OPS}/dedup.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

@@ -3024,3 +3024,51 @@ def test_incremental_near_dup_commit_two_crawls(spark, tmp_path):
         txn.add_bucket(hsh, ["doc_id"], 4), "bucket")
     with pytest.raises(ValueError, match="n_buckets"):
         dedup.incremental_near_dup_commit(crawl, bare, sh_store, 1)
+
+
+def test_kn_bigram_logprob_backoff_and_discount(spark):
+    """Interpolated Kneser-Ney: training-corpus bigrams score above the
+    continuation floor, fully-OOV documents hit exactly the add-1
+    continuation floor ln(k / (T + k(V+1))), and a seen-context/unseen-
+    bigram pair lands strictly between."""
+    import math
+
+    from openapc_olap_spark.operators import lm
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the cat")],
+        "doc_id long, text string")
+    bg = lm.bigram_counts(train)
+    ug = lm.unigram_counts(train)
+    score = spark.createDataFrame(
+        [(10, "the cat sat"),        # all seen
+         (11, "zz qq zz"),           # fully OOV
+         (12, "the mat")],           # seen context, unseen bigram
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           lm.doc_mean_kn_logprob(score, bg, ug).collect()}
+    t_types, vocab = bg.count(), ug.count()        # 7 bigrams, 6 words
+    floor = math.log(1.0 / (t_types + (vocab + 1)))
+    assert abs(got[11]["mean_logprob"] - floor) < 1e-12
+    assert got[10]["mean_logprob"] > got[12]["mean_logprob"] > floor
+    assert got[10]["n_bigrams"] == 2 and got[12]["n_bigrams"] == 1
+
+
+def test_kn_continuation_beats_raw_frequency(spark):
+    """The KN signature: a token frequent only in ONE context gets a
+    lower continuation probability than a token following many distinct
+    contexts — add-k cannot express this."""
+    from openapc_olap_spark.operators import lm
+
+    # 'x' follows only 'san' (4 times); 'y' follows 4 distinct contexts
+    train = spark.createDataFrame(
+        [(1, "san x san x san x san x a y b y c y d y")],
+        "doc_id long, text string")
+    bg = lm.bigram_counts(train)
+    ug = lm.unigram_counts(train)
+    score = spark.createDataFrame(
+        [(10, "q x"), (11, "q y")],   # unseen context 'q' -> pure Pcont
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_logprob"] for r in
+           lm.doc_mean_kn_logprob(score, bg, ug).collect()}
+    assert got[11] > got[10]
