@@ -414,111 +414,82 @@ ORACLES: dict[str, str] = {
 # iteration) and the local twin-runner (scripts/oracle_check.py) always
 # cover the full set.
 _CERT_FIRST = [
-    # r11 touches query.py (A6 with_total_percentage: broadcast 1-row
-    # total replaces the empty-partition window, VERDICT r10 #3) — every
-    # gate executing through the query stack rotates in, q16/q17 also
-    # pick up the server.py aggregate-route params (VERDICT r10 #7)
+    # r12 touches operators/wordpiece.py (VERDICT r11 #1: the
+    # word->pieces join no longer force-broadcasts the distinct-word
+    # segmentation frame — Heaps'-law vocabulary-sized at 100 TB; the
+    # strategy is AQE-decided by default, mirroring bpe_encode's
+    # broadcast_vocab contract) — both WordPiece gates rotate in
+    "x99_wordpiece_train", "x100_wordpiece_encode",
+    # r12 touches sources/txn.py (VERDICT r11 #4: executor-side footer
+    # stats harvest; #5: schema-evolution-aware read_changes; #6:
+    # rebucket; ADVICE r11: delete-hint pruning-only discovery, empty-
+    # source merge no-op) — every gate through the txn store rotates in
+    "e17_cache_upsert", "x49_incremental_dedup",
+    "x92_stream_dedup_commit", "x93_incremental_near_dup",
+    "x94_pq_index_upsert", "x95_stream_vector_index",
+    "x96_txn_delete", "x97_txn_skipping", "x98_txn_changes",
+    "x101_txn_zorder", "x102_txn_stream_changes", "x103_txn_merge",
+]
+_CERT_PENDING: list[str] = []
+# Freshness re-certification (VERDICT r10 #2 / r11 #2): the window's free
+# slots re-run the OLDEST standing certs. The 16-gate r05/r06 band that
+# spilled past the r11 window leads, then the three gates the r11
+# additive-change loophole re-stamped without rotation (x83 via zorder.py,
+# x76/x78 via lm.py — VERDICT r11 "What's wrong" #2), then the r08 band.
+# Entries past the 50-slot window spill to manifest-guarded positions and
+# lead the r13 refresh.
+_CERT_REFRESH = [
+    "x46_quantize_embeddings", "x47_chunk_documents",
+    "x48_rebalance_mixture", "x50_streaming_cms",
+    "x52_pretraining_pipeline", "x54_unigram_logprob", "x56_domain_stats",
+    "x57_temperature_resample", "x58_bigram_logprob", "x62_quality_rules",
+    "x63_event_funnel", "x64_cohort_retention", "x66_line_dedup",
+    "x67_char_entropy", "x69_percentile_filter", "x70_rolling_features",
+    "x83_zorder_layout", "x76_ccnet_buckets", "x78_curation_chain",
+    "x21_repetition_deciles", "x22_vocab_top", "x25_streaming_tumbling",
+    "x26_streaming_dedup", "x27_winnow_fingerprints", "x31_profile",
+    "x36_ivf_index", "x65_url_dedup", "x71_size_sharding",
+    "x72_kmeans_fit", "x73_dsir_weights", "x74_span_dedup",
+    "x75_sample_per_group", "x77_logreg_quality", "x79_bm25_topk",
+    "x82_hashed_features", "x86_weighted_sample",
+]
+_CERT_TAIL = [
+    # previously hash-certified; implementing modules untouched since the
+    # certifying round (enforced by test_entry_contract.py against
+    # tests/cert_manifest.json, and by scripts/cert_manifest.py itself,
+    # which refuses to re-stamp a guarded gate whose code or engine deps
+    # drifted — the r11 additive-change loophole is closed at the tool)
     "q01_facts_page", "q02_cut_point", "q03_cut_range", "q04_cut_set",
     "q05_cut_negate", "q06_aggregate_summary", "q07_drilldown",
     "q08_multi_drilldown", "q09_order_topk", "q10_pagination_cells",
     "q11_envelope_rollup", "q12_point_lookup", "q13_fact_by_id",
     "q14_members", "q15_total_percentage", "q16_cell_http",
-    "q17_model_http",
-    # r11 touches sources/txn.py (atomic fsync+link manifest publish per
-    # ADVICE r10; append/compact/checkpoint maintenance + vacuum grace
-    # window per VERDICT r10 #4) — every gate through the txn store
-    # rotates in; e18 rides the query stack
-    "e17_cache_upsert", "e18_partition_prune", "x49_incremental_dedup",
-    "x92_stream_dedup_commit", "x93_incremental_near_dup",
-    # r11 touches operators/pq.py (pq_index_topk exclude_id, ADVICE r10;
-    # incremental index upserts, VERDICT r10 #6) and
-    # streaming/incremental.py (fp_store n_buckets validation, ADVICE r10)
-    "x91_ivf_pq_ann",
-    # r11 re-pins streaming state sizing while chasing the sf1-only x60
-    # regression (VERDICT r10 #1); x60 is also in the stale r06 band
-    "x60_stream_stream_join",
-    # new r11 gates (never certified): incremental vector-index
-    # maintenance — commit K new vectors into the partitioned PQ index,
-    # serving must see them (VERDICT r10 #6) — and its streaming
-    # sibling (stream -> per-batch transactional index commits,
-    # at-least-once replay idempotent)
-    "x94_pq_index_upsert", "x95_stream_vector_index",
-    # new r11 gates (second half): the TxnTable DML/incremental-read
-    # surface — copy-on-write predicate delete, zone-map data skipping
-    # from manifest-carried footer stats, and exact row-level
-    # change-data-feed between snapshot versions
-    "x96_txn_delete", "x97_txn_skipping", "x98_txn_changes",
-    # new r11 gates: WordPiece tokenizer (likelihood-scored merge
-    # training + greedy longest-match encode), completing the
-    # BPE / unigram-LM / WordPiece tokenizer family
-    "x99_wordpiece_train", "x100_wordpiece_encode",
-    # new r11 gate: OPTIMIZE ZORDER on the transactional store — layout
-    # rewrite whose bounded z-sorted files make the manifest zone maps
-    # tight on multiple columns at once (skipping within partitions)
-    "x101_txn_zorder",
-    # new r11 gate: the commit log as a Structured-Streaming source
-    # (Spark 4 Python DataSource API) — exactly-once per-version
-    # micro-batches, offsets are manifest versions
-    "x102_txn_stream_changes",
-    # new r11 gate: MERGE INTO — update / conditional delete / insert
-    # in one partition-scoped commit, delete condition over both sides
-    "x103_txn_merge",
-    # new r11 gate: interpolated Kneser-Ney bigram LM scoring on a
-    # train/score split (the CCNet-style perplexity quality filter)
-    "x104_kn_logprob",
-]
-_CERT_PENDING: list[str] = []
-# Oldest-certified gates, rotated into the window's free slots for a free
-# freshness re-certification (VERDICT r10 #2: the 32-gate r05/r06 band;
-# x60 rotates via _CERT_FIRST). With the nine new r11 gates the head
-# holds 35 slots, so the first 15 refresh entries (through x45) certify
-# this round; the trailing 16 (x46/x47/x48/x50/x52/x54/x56–x58/
-# x62–x64/x66/x67/x69/x70) spill past the window — still
-# manifest-guarded — and lead the r12 refresh.
-_CERT_REFRESH = [
-    "x28_curation_funnel", "x29_sequence_packing", "x30_hash_split",
-    "x32_image_decode", "x33_stateful_sessions", "x34_wav_decode",
-    "x37_asof_join", "x38_interval_join", "x39_stratified_sample",
-    "x40_decontaminate", "x41_bloom_semi_join", "x42_topk_per_group",
+    "q17_model_http", "e01_enrich_ror", "e02_publication_key",
+    "e03_deal_halving", "e04_union_combined", "e05_coverage_zerofill",
+    "e06_prune_semi", "e07_priority_rank", "e08_melt_explode",
+    "e09_journal_id", "e10_colon_scrub", "e11_doi_lookup",
+    "e12_institution_report", "e13_ac_institutions", "e14_annual_pubdates",
+    "e15_hybrid_catalog", "e16_springer_coverage", "e18_partition_prune",
+    "e19_manifest_roundtrip", "e20_json_cache", "x01_dedup_summary",
+    "x02_ngram_jaccard", "x03_minhash_neardup", "x04_simhash_neardup",
+    "x05_ann_topk", "x06_lsh_neardup_embeddings", "x07_text_metrics",
+    "x08_langid_distribution", "x09_tumbling_daily", "x10_sliding_windows",
+    "x11_session_stats", "x12_props_json", "x13_salted_drilldown",
+    "x14_ngram_jaccard_capped", "x15_media_metadata",
+    "x16_quality_deciles", "x17_ivf_ann", "x18_lsh_neardup_capped",
+    "x19_image_dims", "x20_pii_redaction", "x23_wav_metadata",
+    "x24_audio_headers", "x28_curation_funnel", "x29_sequence_packing",
+    "x30_hash_split", "x32_image_decode", "x33_stateful_sessions",
+    "x34_wav_decode", "x35_duplicate_groups", "x37_asof_join",
+    "x38_interval_join", "x39_stratified_sample", "x40_decontaminate",
+    "x41_bloom_semi_join", "x42_topk_per_group",
     "x43_deterministic_shuffle", "x44_cms_estimates",
-    "x45_tfidf_top_terms", "x46_quantize_embeddings",
-    "x47_chunk_documents", "x48_rebalance_mixture", "x50_streaming_cms",
-    "x52_pretraining_pipeline", "x54_unigram_logprob", "x56_domain_stats",
-    "x57_temperature_resample", "x58_bigram_logprob", "x62_quality_rules",
-    "x63_event_funnel", "x64_cohort_retention", "x66_line_dedup",
-    "x67_char_entropy", "x69_percentile_filter", "x70_rolling_features",
-]
-_CERT_TAIL = [
-    # previously hash-certified; implementing modules untouched since the
-    # certifying round (enforced by test_entry_contract.py against
-    # tests/cert_manifest.json; e-gate deps narrowed to their verified
-    # import closures in scripts/cert_manifest.py)
-    "e01_enrich_ror", "e02_publication_key", "e03_deal_halving",
-    "e04_union_combined", "e05_coverage_zerofill", "e06_prune_semi",
-    "e07_priority_rank", "e08_melt_explode", "e09_journal_id",
-    "e10_colon_scrub", "e11_doi_lookup", "e12_institution_report",
-    "e13_ac_institutions", "e14_annual_pubdates", "e15_hybrid_catalog",
-    "e16_springer_coverage", "e19_manifest_roundtrip", "e20_json_cache",
-    "x01_dedup_summary", "x02_ngram_jaccard", "x03_minhash_neardup",
-    "x04_simhash_neardup", "x05_ann_topk", "x06_lsh_neardup_embeddings",
-    "x07_text_metrics", "x08_langid_distribution", "x09_tumbling_daily",
-    "x10_sliding_windows", "x11_session_stats", "x12_props_json",
-    "x13_salted_drilldown", "x14_ngram_jaccard_capped",
-    "x15_media_metadata", "x16_quality_deciles", "x17_ivf_ann",
-    "x18_lsh_neardup_capped", "x19_image_dims", "x20_pii_redaction",
-    "x21_repetition_deciles", "x22_vocab_top", "x23_wav_metadata",
-    "x24_audio_headers", "x25_streaming_tumbling", "x26_streaming_dedup",
-    "x27_winnow_fingerprints", "x31_profile", "x35_duplicate_groups",
-    "x36_ivf_index", "x51_orc_roundtrip", "x53_semantic_dedup",
-    "x55_bpe_train", "x59_cluster_outliers", "x61_bpe_encode",
-    "x65_url_dedup", "x68_canonical_docs", "x71_size_sharding",
-    "x72_kmeans_fit", "x73_dsir_weights", "x74_span_dedup",
-    "x75_sample_per_group", "x76_ccnet_buckets", "x77_logreg_quality",
-    "x78_curation_chain", "x79_bm25_topk", "x80_pagerank",
-    "x81_pmi_cooccurrence", "x82_hashed_features", "x83_zorder_layout",
-    "x84_pca_projection", "x85_fuzzy_linkage", "x86_weighted_sample",
+    "x45_tfidf_top_terms", "x51_orc_roundtrip", "x53_semantic_dedup",
+    "x55_bpe_train", "x59_cluster_outliers", "x60_stream_stream_join",
+    "x61_bpe_encode", "x68_canonical_docs", "x80_pagerank",
+    "x81_pmi_cooccurrence", "x84_pca_projection", "x85_fuzzy_linkage",
     "x87_knn_graph", "x88_unigram_tokenizer", "x89_pca_block",
-    "x90_unigram_encode",
+    "x90_unigram_encode", "x91_ivf_pq_ann", "x104_kn_logprob",
 ]
 
 

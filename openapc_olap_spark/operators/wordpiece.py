@@ -23,7 +23,8 @@ O(vocab), independent of corpus size.
 Encoding runs at DISTINCT-WORD grain: each word is segmented once by a
 constant-size runtime fold (greedy longest-match per step, vocabulary
 membership via a 1-row broadcast map — the unigram.py literal-map
-contract), then broadcast-joined back onto (doc, position) and
+contract), then joined back onto (doc, position) — AQE-decided
+strategy, never a forced broadcast (bpe_encode's contract) — and
 reassembled with a position-sorted fold. Unknown characters (or words
 longer than ``word_cap``) yield the conventional single ``[UNK]``.
 """
@@ -205,21 +206,29 @@ def segment_words(words: DataFrame, tokens: list[str],
 
 def wordpiece_encode(df: DataFrame, tokens: list[str],
                      id_col: str = "doc_id", text_col: str = "text",
-                     word_cap: int = 16,
-                     max_piece: int = 8) -> DataFrame:
+                     word_cap: int = 16, max_piece: int = 8,
+                     broadcast_vocab: bool | None = None) -> DataFrame:
     """Encode documents with a trained WordPiece vocabulary:
     (id_col, wp_tokens array<string>, n_wp_tokens). Distinct words
-    segment ONCE (segment_words), broadcast-join back onto the
-    (doc, position) exploded frame, and a position-sorted fold
-    reassembles each document — the bpe.bpe_encode shape, so the
-    corpus-side cost is one explode + one aggregate regardless of
-    vocabulary iteration count."""
+    segment ONCE (segment_words), join back onto the (doc, position)
+    exploded frame, and a position-sorted fold reassembles each
+    document — the bpe.bpe_encode shape, so the corpus-side cost is
+    one explode + one aggregate regardless of vocabulary size.
+
+    The word->pieces join carries NO forced broadcast hint by default
+    (the bpe_encode contract, lm._hinted): a 100 TB corpus's
+    distinct-word frame is vocabulary-sized by Heaps' law — hundreds
+    of millions of rows of noisy tokens — and a forced hint would OOM
+    the driver/executors. Catalyst/AQE still broadcasts a frame that
+    actually fits; ``broadcast_vocab=True`` forces the hint for
+    known-small word sets, ``False`` forces a shuffle hash join."""
     toks = text.tokens(text_col)
     per = (df.select(F.col(id_col),
                      F.posexplode(toks).alias("__pos", "word")))
     seg = segment_words(per.select("word").distinct(), tokens,
                         word_cap, max_piece)
-    joined = per.join(F.broadcast(seg), ["word"])
+    from openapc_olap_spark.operators.lm import _hinted
+    joined = per.join(_hinted(seg, broadcast_vocab), ["word"])
     ordered = F.flatten(F.transform(
         F.array_sort(F.collect_list(F.struct("__pos", "pieces"))),
         lambda s: s["pieces"]))

@@ -14,7 +14,10 @@ prose:
   Spark/SQL pairs).
 - ``python scripts/cert_manifest.py`` rewrites ``tests/cert_manifest.json``
   — run it ONLY when the _CERT_TAIL set has just been (re)verified, i.e.
-  after rotating every touched query into _CERT_FIRST.
+  after rotating every touched query into _CERT_FIRST. Since r12 the
+  rule is mechanical, not prose: regeneration REFUSES (SystemExit) when
+  any still-guarded gate's hashes drifted from the committed manifest
+  (rotation_violations), closing the r11 additive-change loophole.
 - ``tests/test_entry_contract.py`` fails if any _CERT_TAIL query's hashes
   differ from the committed manifest, forcing the rotation.
 
@@ -315,8 +318,54 @@ def build_manifest() -> dict:
     return out
 
 
+def rotation_violations(new: dict, old: dict) -> list[str]:
+    """VERDICT r11 'What's wrong' #2 — the additive-change loophole: a
+    commit that changes an engine module WITHOUT rotating its dependent
+    tail gates used to be able to silently re-stamp the manifest (the
+    r11 instances: lm.py +91/-0 re-stamped x54/x58/x76/x78, zorder.py
+    +27/-0 re-stamped x83). Regeneration now refuses: any guarded gate
+    (_CERT_TAIL or _CERT_REFRESH) whose callable source, oracle SQL,
+    shared constants, or ANY engine-module dependency hash differs from
+    the COMMITTED manifest must first rotate into _CERT_FIRST — even
+    when the diff is provably additive. There is deliberately no
+    override flag; the escape hatch IS the rotation."""
+    import sys
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+    guarded = set(entry._CERT_TAIL) | set(entry._CERT_REFRESH)
+    out = []
+    for name, rec in sorted(new["queries"].items()):
+        if name not in guarded:
+            continue
+        orec = old.get("queries", {}).get(name)
+        if orec is None:
+            out.append(f"{name}: guarded but absent from the committed "
+                       f"manifest — new gates start in _CERT_FIRST")
+            continue
+        for field in ("src", "oracle", "consts"):
+            if rec[field] != orec[field]:
+                out.append(f"{name}: {field} changed — rotate into "
+                           f"_CERT_FIRST before regenerating")
+        for mod in rec["deps"]:
+            omods = old.get("modules", {})
+            if mod in omods and new["modules"][mod] != omods[mod]:
+                out.append(f"{name}: engine module {mod} changed — "
+                           f"rotate into _CERT_FIRST before regenerating")
+    return out
+
+
 def main() -> None:
     manifest = build_manifest()
+    old = {}
+    if os.path.exists(MANIFEST_PATH):
+        with open(MANIFEST_PATH) as f:
+            old = json.load(f)
+    bad = rotation_violations(manifest, old)
+    if bad:
+        raise SystemExit(
+            "cert_manifest: REFUSING to re-stamp guarded gates whose code "
+            "or dependencies drifted (rotate them into _CERT_FIRST "
+            "first):\n" + "\n".join(f"  {b}" for b in bad))
     with open(MANIFEST_PATH, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
         f.write("\n")

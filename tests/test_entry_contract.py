@@ -135,6 +135,40 @@ def test_cert_tail_code_unchanged_since_manifest():
         "regenerated) when their code changes:\n" + "\n".join(problems))
 
 
+def test_cert_manifest_regen_refuses_unrotated_drift():
+    """VERDICT r11 #2 (the additive-change loophole, closed): regenerating
+    the manifest while a guarded gate's engine dep / source / oracle hash
+    drifted must refuse — rotation into _CERT_FIRST is the only path. The
+    violation detector is exercised against synthetic drift of each class;
+    a clean rebuild against the committed manifest reports none."""
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "cert_manifest", os.path.join(_ROOT, "scripts", "cert_manifest.py"))
+    cm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cm)
+    with open(os.path.join(_ROOT, "tests", "cert_manifest.json")) as f:
+        committed = json.load(f)
+    fresh = cm.build_manifest()
+    assert cm.rotation_violations(fresh, committed) == []
+    guarded = entrymod._CERT_TAIL[0]
+    # class 1: an engine-module dep drifts (the r11 lm.py/zorder.py shape)
+    drift = json.loads(json.dumps(committed))
+    mod = fresh["queries"][guarded]["deps"][0]
+    drift["modules"][mod] = "0" * 64
+    bad = cm.rotation_violations(fresh, drift)
+    assert any(guarded in b and mod in b for b in bad)
+    # class 2: the gate callable's own source drifts
+    drift = json.loads(json.dumps(committed))
+    drift["queries"][guarded]["src"] = "0" * 64
+    assert any(guarded in b and "src" in b
+               for b in cm.rotation_violations(fresh, drift))
+    # class 3: a guarded gate with no committed record at all
+    drift = json.loads(json.dumps(committed))
+    del drift["queries"][guarded]
+    assert any(guarded in b for b in cm.rotation_violations(fresh, drift))
+
+
 def test_cert_manifest_covers_every_gate():
     """Every declared gate has a manifest record and a dependency mapping,
     so a future tail rotation can never silently lack coverage."""
