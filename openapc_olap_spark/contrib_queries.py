@@ -5388,7 +5388,10 @@ def _x94_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     root, dq, updates = memoized(_X94_MEMO, ("x94_index", sf_dir), build)
     pq.upsert_pq_txn_index(spark, root, updates, seq=1)
     out = _x94_stats(spark, root, dq)
-    out.collect()            # materialize before the rollback
+    # pin the result LOCALLY before the rollback vacuums the files the
+    # lazy plan reads (ADVICE r11: relying on shuffle-stage reuse for a
+    # post-vacuum re-collect is fragile)
+    rows = out.collect()
     for sub in ("codes", "vectors"):
         store = TxnTable(spark, f"{root}/{sub}", "list_id")
         for f in sorted(os.listdir(store._mdir())):
@@ -5396,7 +5399,7 @@ def _x94_production(spark: SparkSession, sf_dir: str) -> DataFrame:
                     and int(f[1:9]) > 0:
                 os.remove(os.path.join(store._mdir(), f))
         store.vacuum(grace_seconds=0)
-    return out
+    return spark.createDataFrame(rows, out.schema)
 
 
 _X94_SQL = """
@@ -5680,12 +5683,15 @@ def _x96_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = memoized(_X96_MEMO, ("x96_store", sf_dir), build)
     store.delete(_x96_pred)
     out = _x96_stats(store)
-    out.collect()            # materialize before the rollback
+    # pin the result LOCALLY before the rollback vacuums the files the
+    # lazy plan reads (ADVICE r11: relying on shuffle-stage reuse for a
+    # post-vacuum re-collect is fragile)
+    rows = out.collect()
     for f in sorted(os.listdir(store._mdir())):
         if f.startswith("v") and f.endswith(".json") and int(f[1:9]) > 0:
             os.remove(os.path.join(store._mdir(), f))
     store.vacuum(grace_seconds=0)
-    return out
+    return spark.createDataFrame(rows, out.schema)
 
 
 _X96_SQL = f"""
@@ -5873,12 +5879,15 @@ def _x98_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.upsert(batch, keys=["c_custkey"], seq_col="seq")
     store.delete(_x98_del)
     out = _x98_stats(store)
-    out.collect()            # materialize before the rollback
+    # pin the result LOCALLY before the rollback vacuums the files the
+    # lazy plan reads (ADVICE r11: relying on shuffle-stage reuse for a
+    # post-vacuum re-collect is fragile)
+    rows = out.collect()
     for f in sorted(os.listdir(store._mdir())):
         if f.startswith("v") and f.endswith(".json") and int(f[1:9]) > 0:
             os.remove(os.path.join(store._mdir(), f))
     store.vacuum(grace_seconds=0)
-    return out
+    return spark.createDataFrame(rows, out.schema)
 
 
 _X98_SQL = f"""
@@ -6090,12 +6099,15 @@ def _x103_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.merge(src, keys=["o_orderkey"], seq_col="seq",
                 matched_delete=_x103_del)
     out = _x103_stats(store)
-    out.collect()            # materialize before the rollback
+    # pin the result LOCALLY before the rollback vacuums the files the
+    # lazy plan reads (ADVICE r11: relying on shuffle-stage reuse for a
+    # post-vacuum re-collect is fragile)
+    rows = out.collect()
     for f in sorted(os.listdir(store._mdir())):
         if f.startswith("v") and f.endswith(".json") and int(f[1:9]) > 0:
             os.remove(os.path.join(store._mdir(), f))
     store.vacuum(grace_seconds=0)
-    return out
+    return spark.createDataFrame(rows, out.schema)
 
 
 _X103_SQL = """

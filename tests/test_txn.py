@@ -487,8 +487,10 @@ def test_read_changes_keyed_nets_commits_into_classes(spark, tmp_path):
 
 def test_read_changes_filegrain_and_schema_boundary(spark, tmp_path):
     """Without keys, read_changes returns the rows of files ADDED
-    between the versions (exact for append-only); across a schema
-    evolution it refuses."""
+    between the versions (exact for append-only); across a column-ADD
+    evolution the feed survives (VERDICT r11 #3) — both sides align to
+    the union-by-name schema with the missing column NULL on the old
+    side."""
     t = _mk(spark, tmp_path, [("a", 0, "va")])
     rows = txn.add_bucket(
         spark.createDataFrame([("x", 1, "vx"), ("y", 1, "vy")],
@@ -502,8 +504,50 @@ def test_read_changes_filegrain_and_schema_boundary(spark, tmp_path):
                               "k string, seq long, val string, q double"),
         ["k"], 4)
     t.upsert(up, ["k"], "seq", allow_schema_merge=True)
-    with pytest.raises(ValueError, match="schema-evolution boundary"):
-        t.read_changes(0, 2, keys=["k"])
+    ch = t.read_changes(0, 2, keys=["k"])
+    assert set(ch.columns) == {"k", "seq", "val", "bucket", "q",
+                               "_change_type"}
+    got = {(r["k"], r["seq"], r["val"], r["q"], r["_change_type"])
+           for r in ch.collect()}
+    # the feed nets both commits: x/y/z all insert; z carries q, the
+    # pre-evolution inserts read q as NULL; 'a' is untouched (no row)
+    assert got == {("x", 1, "vx", None, "insert"),
+                   ("y", 1, "vy", None, "insert"),
+                   ("z", 2, "vz", 1.0, "insert")}
+
+
+def test_read_changes_evolution_update_and_type_change(spark, tmp_path):
+    """Keyed CDF across the boundary classifies an UPDATED pre-evolution
+    key correctly (postimage carries the new column), and a TYPE change
+    on a common column still refuses."""
+    t = _mk(spark, tmp_path, [("a", 0, "va"), ("b", 0, "vb")])
+    up = txn.add_bucket(
+        spark.createDataFrame([("a", 1, "NEW", 7.5)],
+                              "k string, seq long, val string, q double"),
+        ["k"], 4)
+    t.upsert(up, ["k"], "seq", allow_schema_merge=True)
+    ch = t.read_changes(0, 1, keys=["k"])
+    got = {(r["k"], r["seq"], r["val"], r["q"], r["_change_type"])
+           for r in ch.collect()}
+    # 'b' shares a's bucket era only if hashed together; whatever the
+    # bucket layout, b is value-unchanged so it must NOT appear
+    assert got == {("a", 1, "NEW", 7.5, "update_postimage")}
+    # type change: publish a manifest whose schema retypes q
+    import copy
+
+    from pyspark.sql.types import StructType
+
+    snap = copy.deepcopy(t.snapshot())
+    sch = json.loads(snap["schema"])
+    for f in sch["fields"]:
+        if f["name"] == "q":
+            f["type"] = "string"
+    t._publish(2, snap["files"], StructType.fromJson(sch),
+               snap.get("meta"))
+    # v0 has no q at all, so 0->2 is add-evolution (fine); 1->2 retypes
+    # the COMMON column q, which must refuse
+    with pytest.raises(ValueError, match="TYPE change"):
+        t.read_changes(1, 2, keys=["k"])
 
 
 def test_delete_between_hint_prunes_discovery_only(spark, tmp_path):
@@ -598,3 +642,162 @@ def test_merge_requires_partition_column(spark, tmp_path):
                                  "k string, seq long, val string")
     with pytest.raises(ValueError, match="partition column"):
         t.merge(bare, ["k"], "seq")
+
+
+def test_merge_empty_source_is_noop(spark, tmp_path):
+    """ADVICE r11: merge() with a source that touches no partition is a
+    no-op returning the current version — matching delete()'s no-match
+    contract — instead of publishing an empty marker commit that
+    pollutes retention and wakes streaming consumers."""
+    t = _mk(spark, tmp_path, [("a", 1, "x")])
+    empty = txn.add_bucket(
+        spark.createDataFrame([], "k string, seq long, val string"),
+        ["k"], 4)
+    assert t.merge(empty, ["k"], "seq") == 0
+    assert t.version() == 0
+
+
+def test_stats_harvest_distributed_matches_serial(spark, tmp_path,
+                                                  monkeypatch):
+    """VERDICT r11 #4: a wide commit harvests footer stats through a
+    Spark job instead of a serial driver loop; the manifest entries are
+    byte-identical either way. Forcing the threshold to 0 routes a
+    normal commit through the distributed path."""
+    rows = [(f"p{i % 7}", i, float(i)) for i in range(600)]
+    df = spark.createDataFrame(rows, "part string, seqno int, v double")
+
+    monkeypatch.setattr(txn, "_DRIVER_STATS_MAX", 0)
+    t = TxnTable.create(spark, str(tmp_path / "dist"), df, "part")
+    monkeypatch.setattr(txn, "_DRIVER_STATS_MAX", 10_000)
+    s = TxnTable.create(spark, str(tmp_path / "ser"), df, "part")
+
+    def key(snap):
+        return sorted((f["partition"], f["rows"],
+                       json.dumps(f["stats"], sort_keys=True))
+                      for f in snap["files"])
+
+    assert key(t.snapshot()) == key(s.snapshot())
+    # and the distributed path really produced per-file zone maps
+    assert all(f["stats"]["seqno"]["min"] is not None
+               for f in t.snapshot()["files"])
+
+
+def test_rebucket_single_commit(spark, tmp_path):
+    """rebucket(n_new) with no bound migrates the whole table in ONE
+    snapshot commit: same rows, meta n_buckets flips, every file tagged
+    with the new spec, partition values consistent with the new hash."""
+    rows = [(f"k{i}", 1, f"v{i}") for i in range(40)]
+    df = txn.add_bucket(
+        spark.createDataFrame(rows, "k string, seq long, val string"),
+        ["k"], 4)
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, "bucket",
+                        meta={"n_buckets": 4})
+    v = t.rebucket(16, keys=["k"])
+    assert v == 1 and not t.in_rebucket()
+    assert t.snapshot()["meta"]["n_buckets"] == 16
+    assert _rows(t.read()) == {(f"k{i}", 1, f"v{i}") for i in range(40)}
+    from pyspark.sql import functions as F
+    bad = (t.read()
+           .filter(F.col("bucket")
+                   != F.pmod(F.xxhash64("k"), F.lit(16))).count())
+    assert bad == 0
+    # post-completion: a NORMAL upsert under the new spec works
+    up = txn.add_bucket(
+        spark.createDataFrame([("k3", 2, "NEW")],
+                              "k string, seq long, val string"),
+        ["k"], 16)
+    t.upsert(up, ["k"], "seq")
+    assert ("k3", 2, "NEW") in _rows(t.read())
+    assert ("k3", 1, "v3") not in _rows(t.read())
+
+
+def test_rebucket_incremental_reads_and_upserts_mid_transition(
+        spark, tmp_path):
+    """The scale path (VERDICT r11 #6): buckets_per_commit bounds each
+    commit's rewrite volume, and MID-transition the table stays live —
+    full reads exact, value-pruned reads conservatively include
+    un-migrated files (a key's row is found through its NEW bucket even
+    while it still sits in an old-spec file), and upsert both stays
+    correct (stale copies rewritten out of old-spec files) and advances
+    the migration."""
+    from pyspark.sql import functions as F
+
+    rows = [(f"k{i}", 1, f"v{i}") for i in range(60)]
+    df = txn.add_bucket(
+        spark.createDataFrame(rows, "k string, seq long, val string"),
+        ["k"], 3)
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, "bucket",
+                        meta={"n_buckets": 3})
+    t.rebucket(8, keys=["k"], buckets_per_commit=1)
+    assert t.in_rebucket()
+    # full read exact mid-transition
+    assert _rows(t.read()) == set(rows)
+    # a still-un-migrated key is found via its NEW bucket value
+    unmig = [f for f in t.snapshot()["files"] if f.get("nb") != 8]
+    assert unmig, "expected un-migrated files after one bounded commit"
+    old_parts = {f["partition"] for f in unmig}
+    probe = next(r["k"] for r in t.read().collect()
+                 if str(r["bucket"]) in old_parts)
+    new_b = spark.createDataFrame([(probe,)], "k string").select(
+        F.pmod(F.xxhash64("k"), F.lit(8)).alias("b")).first()["b"]
+    got = {r["k"] for r in t.read(partitions=[new_b]).collect()}
+    assert probe in got
+    # upsert mid-transition: update an un-migrated key + insert a new one
+    up = txn.add_bucket(
+        spark.createDataFrame([(probe, 2, "UPD"), ("zz", 2, "ins")],
+                              "k string, seq long, val string"),
+        ["k"], 8)
+    t.upsert(up, ["k"], "seq")
+    want = (set(rows) - {(probe, 1, f"v{probe[1:]}")}) | \
+        {(probe, 2, "UPD"), ("zz", 2, "ins")}
+    assert _rows(t.read()) == want
+    # the old copy is truly gone from the old-spec file (single-copy
+    # invariant): every occurrence of probe is the seq-2 row
+    assert [r["seq"] for r in
+            t.read().filter(F.col("k") == probe).collect()] == [2]
+    # drive the migration to completion
+    for _ in range(32):
+        before = t.version()
+        t.rebucket(8)
+        if not t.in_rebucket():
+            break
+        assert t.version() > before
+    assert not t.in_rebucket()
+    assert t.snapshot()["meta"]["n_buckets"] == 8
+    assert _rows(t.read()) == want
+    bad = (t.read()
+           .filter(F.col("bucket")
+                   != F.pmod(F.xxhash64("k"), F.lit(8))).count())
+    assert bad == 0
+
+
+def test_rebucket_guards_other_dml(spark, tmp_path):
+    """Mid-transition, partition-value arithmetic is ambiguous across
+    the two live specs: append/delete/merge/compact/upsert_moving/
+    overwrite/read_changes refuse with a pointed error; a different
+    rebucket target refuses; starting without keys/n_old refuses."""
+    rows = [(f"k{i}", 1, f"v{i}") for i in range(30)]
+    df = txn.add_bucket(
+        spark.createDataFrame(rows, "k string, seq long, val string"),
+        ["k"], 3)
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, "bucket")
+    with pytest.raises(ValueError, match="needs keys and n_old"):
+        t.rebucket(8)
+    t.rebucket(8, keys=["k"], n_old=3, buckets_per_commit=1)
+    assert t.in_rebucket()
+    batch = txn.add_bucket(
+        spark.createDataFrame([("q", 1, "x")],
+                              "k string, seq long, val string"),
+        ["k"], 8)
+    for op in (lambda: t.append(batch),
+               lambda: t.delete("val = 'v1'"),
+               lambda: t.merge(batch, ["k"], "seq"),
+               lambda: t.compact(),
+               lambda: t.upsert_moving(batch, ["k"], "seq"),
+               lambda: t.overwrite(batch)):
+        with pytest.raises(ValueError, match="rebucket transition"):
+            op()
+    with pytest.raises(ValueError, match="rebucket transition"):
+        t.read_changes(0, t.version(), keys=["k"])
+    with pytest.raises(ValueError, match="already in progress"):
+        t.rebucket(12)
