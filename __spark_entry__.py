@@ -429,6 +429,10 @@ _CERT_FIRST = [
     "x94_pq_index_upsert", "x95_stream_vector_index",
     "x96_txn_delete", "x97_txn_skipping", "x98_txn_changes",
     "x101_txn_zorder", "x102_txn_stream_changes", "x103_txn_merge",
+    # new r12 gates (never certified): change-data-feed across a
+    # schema-evolution boundary (VERDICT r11 #5) and the incremental
+    # rebucket migration with a live mid-transition upsert (#6)
+    "x105_txn_evolve_changes", "x106_txn_rebucket",
 ]
 _CERT_PENDING: list[str] = []
 # Freshness re-certification (VERDICT r10 #2 / r11 #2): the window's free

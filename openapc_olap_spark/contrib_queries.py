@@ -6840,6 +6840,292 @@ _X89_SQL = f"""
 """
 
 
+
+# ---------------------------------------------------------------------------
+# X105: change-data-feed ACROSS a schema-evolution boundary
+# ---------------------------------------------------------------------------
+
+_x105_del = "c_mktsegment = 'BUILDING' AND tier IS NULL"
+
+
+def _x105_store(spark: SparkSession, sf_dir: str, root: str):
+    """Customer store (c_custkey < 30000, bucketed by key) at ``root``
+    as v0; returns (store, batch) where the EVOLVED batch adds a
+    ``tier`` column: the % 3 == 1 keys insert at tier 'gold', the
+    % 6 == 0 keys update (+500 acctbal) at tier 'silver', seq 1."""
+    import shutil
+
+    from openapc_olap_spark.sources import txn
+
+    shutil.rmtree(root, ignore_errors=True)
+    cust = (load_tables(spark, sf_dir, ["customer"])["customer"]
+            .filter(F.col("c_custkey") < 30000)
+            .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    base = (cust.filter(F.col("c_custkey") % 3 != 1)
+            .withColumn("seq", F.lit(0).cast("long")))
+    store = txn.TxnTable.create(
+        spark, root, txn.add_bucket(base, ["c_custkey"], 8),
+        "bucket", meta={"n_buckets": 8})
+    inserts = (cust.filter(F.col("c_custkey") % 3 == 1)
+               .withColumn("tier", F.lit("gold")))
+    updates = (cust.filter(F.col("c_custkey") % 6 == 0)
+               .withColumn("c_acctbal", F.col("c_acctbal") + 500)
+               .withColumn("tier", F.lit("silver")))
+    batch = txn.add_bucket(
+        inserts.unionByName(updates)
+        .withColumn("seq", F.lit(1).cast("long")),
+        ["c_custkey"], 8)
+    return store, batch
+
+
+def _x105_stats(store) -> DataFrame:
+    ch = store.read_changes(0, 2, keys=["c_custkey"])
+    return (ch.groupBy(F.col("_change_type").alias("change_type"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("c_custkey").alias("key_sum"),
+                 F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+                 F.count("tier").alias("tier_n"),
+                 F.sum("seq").alias("seq_sum")))
+
+
+def _x105_txn_evolve_changes(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """``TxnTable.read_changes`` across a SCHEMA-EVOLUTION boundary
+    (VERDICT r11 #5): v0 -> upsert(allow_schema_merge, adds ``tier``)
+    -> delete(pre-evolution BUILDING rows) -> v2; the keyed feed
+    aligns both versions to the union-by-name schema (v0 rows read
+    ``tier`` as NULL — exactly how the evolved table reads its own
+    pre-evolution files) and nets the commits into the three change
+    classes: inserts carry 'gold', postimages 'silver', delete
+    pre-images a NULL tier. The gate also pins that the boundary is
+    real (the schemas differ by the evolved column)."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x105_{tag}"
+    store, batch = _x105_store(spark, sf_dir, root)
+    v1 = store.upsert(batch, keys=["c_custkey"], seq_col="seq",
+                      allow_schema_merge=True)
+    v2 = store.delete(_x105_del)
+    assert (v1, v2) == (1, 2), (v1, v2)
+    import json as _json
+    cols0 = {f["name"] for f in
+             _json.loads(store.snapshot(0)["schema"])["fields"]}
+    cols2 = {f["name"] for f in
+             _json.loads(store.snapshot(2)["schema"])["fields"]}
+    assert cols2 - cols0 == {"tier"}, "expected a real evolution boundary"
+    return _x105_stats(store)
+
+
+_X105_MEMO: dict = {}
+
+
+def _x105_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of x105: base-store creation is memoized setup;
+    the measured path is the evolving upsert + delete + the
+    boundary-crossing change-feed read, then rollback to v0."""
+    import tempfile
+
+    from openapc_olap_spark.operators._memo import memoized
+
+    def build():
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x105t_{tag}"
+        return _x105_store(spark, sf_dir, root)
+
+    store, batch = memoized(_X105_MEMO, ("x105_store", sf_dir), build)
+    store.upsert(batch, keys=["c_custkey"], seq_col="seq",
+                 allow_schema_merge=True)
+    store.delete(_x105_del)
+    out = _x105_stats(store)
+    # pin the result LOCALLY before the rollback vacuums the files the
+    # lazy plan reads (ADVICE r11)
+    rows = out.collect()
+    for f in sorted(os.listdir(store._mdir())):
+        if f.startswith("v") and f.endswith(".json") and int(f[1:9]) > 0:
+            os.remove(os.path.join(store._mdir(), f))
+    store.vacuum(grace_seconds=0)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_X105_SQL = f"""
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE c_custkey < 30000),
+    base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, 0::BIGINT AS seq,
+             NULL::VARCHAR AS tier
+      FROM cust WHERE c_custkey % 3 <> 1),
+    batch AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, 1::BIGINT, 'gold'
+      FROM cust WHERE c_custkey % 3 = 1
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal + 500, 1::BIGINT,
+             'silver'
+      FROM cust WHERE c_custkey % 6 = 0),
+    v1 AS (
+      SELECT * FROM base
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+      UNION ALL SELECT * FROM batch),
+    v2 AS (SELECT * FROM v1 WHERE NOT ({_x105_del})),
+    changes AS (
+      SELECT 'insert' AS change_type, c_custkey, c_acctbal, seq, tier
+      FROM v2 WHERE c_custkey NOT IN (SELECT c_custkey FROM base)
+      UNION ALL
+      SELECT 'update_postimage', n.c_custkey, n.c_acctbal, n.seq, n.tier
+      FROM v2 n JOIN base o USING (c_custkey)
+      WHERE (n.c_mktsegment, n.c_acctbal, n.seq, n.tier)
+            IS DISTINCT FROM
+            (o.c_mktsegment, o.c_acctbal, o.seq, o.tier)
+      UNION ALL
+      SELECT 'delete', c_custkey, c_acctbal, seq, tier
+      FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM v2))
+    SELECT change_type, count(*) AS n_rows,
+           sum(c_custkey)::BIGINT AS key_sum,
+           round(sum(c_acctbal), 2) AS acctbal_sum,
+           count(tier)::BIGINT AS tier_n,
+           sum(seq)::BIGINT AS seq_sum
+    FROM changes GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# X106: incremental REBUCKET with a live mid-transition upsert
+# ---------------------------------------------------------------------------
+
+
+def _x106_store(spark: SparkSession, sf_dir: str, root: str):
+    """Customer store (c_custkey < 30000) bucketed 4-wide at ``root``
+    as v0; returns (store, batch) where the batch (bucketed under the
+    16-wide TARGET spec) inserts the % 3 == 1 keys and updates the
+    % 6 == 0 keys (+1000 acctbal) at seq 1."""
+    import shutil
+
+    from openapc_olap_spark.sources import txn
+
+    shutil.rmtree(root, ignore_errors=True)
+    cust = (load_tables(spark, sf_dir, ["customer"])["customer"]
+            .filter(F.col("c_custkey") < 30000)
+            .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    base = (cust.filter(F.col("c_custkey") % 3 != 1)
+            .withColumn("seq", F.lit(0).cast("long")))
+    store = txn.TxnTable.create(
+        spark, root, txn.add_bucket(base, ["c_custkey"], 4),
+        "bucket", meta={"n_buckets": 4})
+    inserts = cust.filter(F.col("c_custkey") % 3 == 1)
+    updates = (cust.filter(F.col("c_custkey") % 6 == 0)
+               .withColumn("c_acctbal", F.col("c_acctbal") + 1000))
+    batch = txn.add_bucket(
+        inserts.unionByName(updates)
+        .withColumn("seq", F.lit(1).cast("long")),
+        ["c_custkey"], 16)
+    return store, batch
+
+
+def _x106_run(store, batch) -> None:
+    """One bounded migration commit, a LIVE upsert mid-transition,
+    then drive the migration to completion."""
+    store.rebucket(16, keys=["c_custkey"], buckets_per_commit=1)
+    assert store.in_rebucket(), "one bounded commit cannot finish 4 buckets"
+    store.upsert(batch, keys=["c_custkey"], seq_col="seq")
+    for _ in range(32):
+        store.rebucket(16)
+        if not store.in_rebucket():
+            break
+    assert not store.in_rebucket()
+
+
+def _x106_stats(store) -> DataFrame:
+    return (store.read().groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("c_custkey").alias("key_sum"),
+                 F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+                 F.sum("seq").alias("seq_sum")))
+
+
+def _x106_txn_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TxnTable.rebucket`` — growing a key-bucketed store 4 -> 16
+    buckets commit-by-commit (VERDICT r11 #6) while the table stays
+    LIVE: after one bounded migration commit an upsert lands
+    mid-transition (it re-buckets under the new spec, rewrites the
+    batch keys' old buckets so no stale copy survives, and advances
+    the migration), then the remaining buckets migrate to completion.
+    The gate pins the physical contract — transition meta flips to
+    n_buckets=16, every file carries the new spec tag, and the data's
+    bucket column equals pmod(xxhash64(key), 16) everywhere — and
+    hashes the logical one (the final last-wins state, which must be
+    bucketing-invariant)."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x106_{tag}"
+    store, batch = _x106_store(spark, sf_dir, root)
+    _x106_run(store, batch)
+    snap = store.snapshot()
+    assert snap["meta"]["n_buckets"] == 16
+    assert all(f.get("nb") == 16 for f in snap["files"])
+    bad = (store.read()
+           .filter(F.col("bucket")
+                   != F.pmod(F.xxhash64("c_custkey"), F.lit(16)))
+           .count())
+    assert bad == 0, f"{bad} rows carry a stale bucket value"
+    return _x106_stats(store)
+
+
+_X106_MEMO: dict = {}
+
+
+def _x106_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of x106: store creation is memoized setup; the
+    measured path is the bounded migration + live upsert + completion
+    sweep, then rollback to v0."""
+    import tempfile
+
+    from openapc_olap_spark.operators._memo import memoized
+
+    def build():
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x106t_{tag}"
+        return _x106_store(spark, sf_dir, root)
+
+    store, batch = memoized(_X106_MEMO, ("x106_store", sf_dir), build)
+    _x106_run(store, batch)
+    out = _x106_stats(store)
+    # pin the result LOCALLY before the rollback vacuums the files the
+    # lazy plan reads (ADVICE r11)
+    rows = out.collect()
+    for f in sorted(os.listdir(store._mdir())):
+        if f.startswith("v") and f.endswith(".json") and int(f[1:9]) > 0:
+            os.remove(os.path.join(store._mdir(), f))
+    store.vacuum(grace_seconds=0)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_X106_SQL = """
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE c_custkey < 30000),
+    base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, 0::BIGINT AS seq
+      FROM cust WHERE c_custkey % 3 <> 1),
+    batch AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, 1::BIGINT AS seq
+      FROM cust WHERE c_custkey % 3 = 1
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal + 1000, 1::BIGINT
+      FROM cust WHERE c_custkey % 6 = 0),
+    final AS (
+      SELECT * FROM base
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+      UNION ALL SELECT * FROM batch)
+    SELECT c_mktsegment, count(*) AS n_rows,
+           sum(c_custkey)::BIGINT AS key_sum,
+           round(sum(c_acctbal), 2) AS acctbal_sum,
+           sum(seq)::BIGINT AS seq_sum
+    FROM final GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -6945,6 +7231,8 @@ QUERIES = {
     "x102_txn_stream_changes": _x102_txn_stream_changes,
     "x103_txn_merge": _x103_txn_merge,
     "x104_kn_logprob": _x104_kn_logprob,
+    "x105_txn_evolve_changes": _x105_txn_evolve_changes,
+    "x106_txn_rebucket": _x106_txn_rebucket,
 }
 
 # Production-path bench twins (VERDICT r09 #1): the certifying gates above
@@ -6973,6 +7261,8 @@ BENCH_TWINS = {
     "x101_txn_zorder": _x101_production,
     "x102_txn_stream_changes": _x102_production,
     "x103_txn_merge": _x103_production,
+    "x105_txn_evolve_changes": _x105_production,
+    "x106_txn_rebucket": _x106_production,
 }
 
 ORACLES = {
@@ -7080,4 +7370,6 @@ ORACLES = {
     "x102_txn_stream_changes": _X102_SQL,
     "x103_txn_merge": _X103_SQL,
     "x104_kn_logprob": _X104_SQL,
+    "x105_txn_evolve_changes": _X105_SQL,
+    "x106_txn_rebucket": _X106_SQL,
 }

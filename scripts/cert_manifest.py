@@ -252,6 +252,10 @@ _X_DEPS = {
     # lm imports text; the default-model path materializes via dedup
     "x104_kn_logprob": [f"{_OPS}/lm.py", f"{_OPS}/text.py",
                         f"{_OPS}/dedup.py"] + _MEMO,
+    # r12: evolution-crossing CDF and incremental rebucket drive the
+    # storage layer alone
+    "x105_txn_evolve_changes": [f"{_P}/sources/txn.py"] + _MEMO,
+    "x106_txn_rebucket": [f"{_P}/sources/txn.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 
