@@ -89,7 +89,7 @@ def main() -> None:
     total = round(sum(t for t in per_query.values() if t > 0), 4)
     twinned = sorted(set(per_query) & set(BENCH_TWINS))
     qset = "full" if not wanted else f"subset({len(per_query)})"
-    print(json.dumps({
+    record = {
         "metric": ("sum of per-query median wall-clock (warm), "
                    + ("full declared query set" if not wanted
                       else f"SUBSET of {len(per_query)} queries")),
@@ -106,7 +106,23 @@ def main() -> None:
             "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         },
-    }))
+    }
+    line = json.dumps(record)
+    print(line)
+    # The driver keeps only the LAST ~2000 bytes of stdout (VERDICT r11
+    # "What's wrong" #3): when the full record outgrows that window, a
+    # compact trailer line — total + the slowest queries only, always
+    # under the window — follows it, so the captured tail always ENDS
+    # with one parseable contract-shaped JSON line. The committed
+    # BENCH_sf*_r{N}.json artifacts carry the full per-query map.
+    if len(line) > 1800:
+        slow = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:20])
+        compact = dict(record)
+        compact["queries"] = {k: round(v, 3) for k, v in slow.items()}
+        compact["queries_omitted"] = len(per_query) - len(slow)
+        compact["note"] = ("trailer: full per-query map in the line "
+                           "above / committed BENCH artifact")
+        print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

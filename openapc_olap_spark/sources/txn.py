@@ -92,6 +92,8 @@ from pyspark.sql.types import StructType
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
 _STAGING_DIR = "_staging"
+# advisory latest-version pointer inside _manifest/ (see snapshot())
+_HINT = "_latest.hint"
 # partitionBy column (a copy of the partition value — Spark drops the
 # partitionBy column from the data files, the original stays inside)
 _PV = "__pv"
@@ -272,7 +274,18 @@ class TxnTable:
         """A committed manifest: {"version", "schema",
         "files": [{"path", "partition"}...]}. Default is the highest
         committed version; pass ``version`` for time travel to any
-        still-retained snapshot (checkpoint() retires old ones)."""
+        still-retained snapshot (checkpoint() retires old ones).
+
+        Latest-version resolution is O(commits since the last hint),
+        not O(all versions): every publish best-effort overwrites an
+        ADVISORY ``_latest.hint``, and the reader probes FORWARD from
+        it (version numbers are gap-free, so the first missing
+        manifest bounds the search). The hint is never trusted blindly
+        — a missing/stale/corrupt hint falls back to the full listing
+        — so correctness never depends on the non-atomic hint write,
+        but a million-commit table on object storage resolves its
+        snapshot with a handful of existence probes instead of a
+        directory listing."""
         if version is not None:
             p = self._version_path(version)
             if not os.path.exists(p):
@@ -281,13 +294,47 @@ class TxnTable:
                     f"(never committed, or retired by checkpoint())")
             with open(p) as fh:
                 return json.load(fh)
-        versions = [int(f[1:9]) for f in os.listdir(self._mdir())
-                    if f.startswith("v") and f.endswith(".json")]
-        if not versions:
-            raise FileNotFoundError(
-                f"no committed manifest under {self._mdir()}")
-        with open(self._version_path(max(versions))) as fh:
+        v = self._hinted_latest()
+        if v is None:
+            versions = [int(f[1:9]) for f in os.listdir(self._mdir())
+                        if f.startswith("v") and f.endswith(".json")]
+            if not versions:
+                raise FileNotFoundError(
+                    f"no committed manifest under {self._mdir()}")
+            v = max(versions)
+            self._write_hint(v)     # repair for the next reader
+        with open(self._version_path(v)) as fh:
             return json.load(fh)
+
+    def _hint_path(self) -> str:
+        return os.path.join(self._mdir(), _HINT)
+
+    def _hinted_latest(self) -> int | None:
+        """The highest committed version reachable by probing forward
+        from the advisory hint; None when the hint is absent, unreadable,
+        or points at a retired manifest (fallback: full listing)."""
+        try:
+            with open(self._hint_path()) as fh:
+                v = int(fh.read().strip())
+        except (OSError, ValueError):
+            return None
+        if not os.path.exists(self._version_path(v)):
+            return None             # hint predates a checkpoint()
+        while os.path.exists(self._version_path(v + 1)):
+            v += 1
+        return v
+
+    def _write_hint(self, v: int) -> None:
+        """Best-effort advisory write (plain overwrite — two racing
+        writers can interleave, and a crash can skip it entirely; the
+        forward probe / listing fallback absorbs both)."""
+        try:
+            tmp = self._hint_path() + f".{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                fh.write(str(v))
+            os.replace(tmp, self._hint_path())
+        except OSError:
+            pass
 
     def version(self) -> int:
         return self.snapshot()["version"]
@@ -481,6 +528,7 @@ class TxnTable:
                 f"version {version} already committed") from e
         finally:
             os.unlink(tmp)
+        self._write_hint(version)
 
     def overwrite(self, df: DataFrame) -> int:
         """Full-snapshot replace (the bulk-load path); returns the new

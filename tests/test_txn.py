@@ -202,8 +202,11 @@ def test_publish_is_atomic_no_partial_manifest(spark, tmp_path):
     t.upsert(up, ["k"], "seq")
     mdir = t._mdir()
     assert not [f for f in os.listdir(mdir) if f.startswith(".tmp")]
-    # every committed manifest parses completely (no partial writes)
+    # every committed manifest parses completely (no partial writes);
+    # the advisory _latest.hint is not a manifest
     for f in os.listdir(mdir):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
         with open(os.path.join(mdir, f)) as fh:
             doc = json.load(fh)
         assert {"version", "schema", "files"} <= doc.keys()
@@ -801,3 +804,37 @@ def test_rebucket_guards_other_dml(spark, tmp_path):
         t.read_changes(0, t.version(), keys=["k"])
     with pytest.raises(ValueError, match="already in progress"):
         t.rebucket(12)
+
+
+def test_snapshot_latest_hint_fast_path_and_fallbacks(spark, tmp_path):
+    """snapshot() resolves the latest version via the advisory
+    _latest.hint + forward probe (O(commits since hint), not
+    O(versions) listing). The hint is never load-bearing: stale,
+    missing, corrupt, or checkpoint-retired hints all fall back and
+    self-repair."""
+    t = _mk(spark, tmp_path, [("a", 1, "x")])
+    hint = t._hint_path()
+    assert open(hint).read() == "0"
+    up = txn.add_bucket(
+        spark.createDataFrame([("b", 2, "y")],
+                              "k string, seq long, val string"),
+        ["k"], 4)
+    t.upsert(up, ["k"], "seq")
+    assert open(hint).read() == "1"
+    # stale hint -> forward probe finds the newer version
+    with open(hint, "w") as fh:
+        fh.write("0")
+    assert t.version() == 1
+    # missing hint -> listing fallback, then self-repair
+    os.remove(hint)
+    assert t.version() == 1
+    assert open(hint).read() == "1"
+    # corrupt hint -> fallback
+    with open(hint, "w") as fh:
+        fh.write("not-a-number")
+    assert t.version() == 1
+    # hint pointing at a checkpoint-retired version -> fallback
+    with open(hint, "w") as fh:
+        fh.write("0")
+    t.checkpoint(retain_versions=1)   # retires v0
+    assert t.version() == 1
