@@ -433,6 +433,10 @@ _CERT_FIRST = [
     # schema-evolution boundary (VERDICT r11 #5) and the incremental
     # rebucket migration with a live mid-transition upsert (#6)
     "x105_txn_evolve_changes", "x106_txn_rebucket",
+    # new r12 gate: the commit-log stream composed into an exact keyed
+    # per-commit change feed (KeyedChanges; the r11-lead CDF-keys-grain
+    # streaming candidate)
+    "x107_stream_keyed_cdf",
 ]
 _CERT_PENDING: list[str] = []
 # Freshness re-certification (VERDICT r10 #2 / r11 #2): the window's free

@@ -7126,6 +7126,159 @@ _X106_SQL = """
 """
 
 
+
+# ---------------------------------------------------------------------------
+# X107: keyed change-data-feed over the commit-log STREAM
+# ---------------------------------------------------------------------------
+
+_x107_del = "c_acctbal < 1000"
+
+
+def _x107_store(spark: SparkSession, sf_dir: str, root: str):
+    """Customer base store at v0, then the two DML commits whose keyed
+    CDF the stream must replay: v1 upsert (% 3 == 1 inserts,
+    % 6 == 0 updates at +500), v2 predicate delete (acctbal < 1000,
+    evaluated on the POST-upsert state)."""
+    import shutil
+
+    from openapc_olap_spark.sources import txn
+
+    shutil.rmtree(root, ignore_errors=True)
+    cust = (load_tables(spark, sf_dir, ["customer"])["customer"]
+            .filter(F.col("c_custkey") < 30000)
+            .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    base = (cust.filter(F.col("c_custkey") % 3 != 1)
+            .withColumn("seq", F.lit(0).cast("long")))
+    store = txn.TxnTable.create(
+        spark, root, txn.add_bucket(base, ["c_custkey"], 8),
+        "bucket", meta={"n_buckets": 8})
+    inserts = cust.filter(F.col("c_custkey") % 3 == 1)
+    updates = (cust.filter(F.col("c_custkey") % 6 == 0)
+               .withColumn("c_acctbal", F.col("c_acctbal") + 500))
+    batch = txn.add_bucket(
+        inserts.unionByName(updates)
+        .withColumn("seq", F.lit(1).cast("long")),
+        ["c_custkey"], 8)
+    assert store.upsert(batch, keys=["c_custkey"], seq_col="seq") == 1
+    assert store.delete(_x107_del) == 2
+    return store
+
+
+def _x107_stats(spark: SparkSession, store) -> DataFrame:
+    """Drain the commit log availableNow, turning each micro-batch into
+    the exact per-commit keyed CDF via KeyedChanges, aggregating
+    IN SPARK per (commit_version, change_type) — only the partial
+    aggregates cross to the driver, and a final re-aggregation makes
+    the result independent of how availableNow split the versions."""
+    from openapc_olap_spark.sources.txn_stream import (
+        KeyedChanges,
+        TxnChangesDataSource,
+    )
+
+    spark.dataSource.register(TxnChangesDataSource)
+    kc = KeyedChanges(spark, store.path, keys=["c_custkey"])
+    partials: list = []
+
+    def sink(bdf, _bid):
+        ch = kc(bdf)
+        partials.extend(
+            ch.groupBy(F.col("_commit_version").alias("commit_version"),
+                       F.col("_change_type").alias("change_type"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("c_custkey").alias("key_sum"),
+                 F.sum("c_acctbal").alias("acctbal_raw"),
+                 F.sum("seq").alias("seq_sum")).collect())
+
+    stream = (spark.readStream.format("txn_changes")
+              .option("path", store.path).load())
+    q = (stream.writeStream.foreachBatch(sink)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    pdf = spark.createDataFrame(
+        partials, "commit_version long, change_type string, "
+        "n_rows long, key_sum long, acctbal_raw double, seq_sum long")
+    return (pdf.groupBy("commit_version", "change_type")
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.sum("key_sum").alias("key_sum"),
+                 F.round(F.sum("acctbal_raw"), 2).alias("acctbal_sum"),
+                 F.sum("seq_sum").alias("seq_sum")))
+
+
+def _x107_stream_keyed_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``txn_stream.KeyedChanges`` — the file-grain commit-log stream
+    composed with ``TxnTable.read_changes`` into an EXACT per-commit
+    keyed change feed (round 12): each consumed version yields its
+    row-level insert / update_postimage / delete classes, tagged
+    ``_commit_version``, with the diff cost following the commits.
+    The gate drains an upsert + a predicate delete and hashes the
+    per-(version, class) aggregates; one misattributed version, leaked
+    carried-over row, or wrong image breaks the hash."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x107_{tag}"
+    store = _x107_store(spark, sf_dir, root)
+    return _x107_stats(spark, store)
+
+
+_X107_MEMO: dict = {}
+
+
+def _x107_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of x107: store + commits are memoized setup; the
+    measured path is one fresh subscriber's availableNow drain through
+    the keyed-CDF composition."""
+    import tempfile
+
+    from openapc_olap_spark.operators._memo import memoized
+
+    def build():
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x107t_{tag}"
+        return _x107_store(spark, sf_dir, root)
+
+    store = memoized(_X107_MEMO, ("x107_store", sf_dir), build)
+    return _x107_stats(spark, store)
+
+
+_X107_SQL = f"""
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE c_custkey < 30000),
+    base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, 0::BIGINT AS seq
+      FROM cust WHERE c_custkey % 3 <> 1),
+    batch AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, 1::BIGINT AS seq
+      FROM cust WHERE c_custkey % 3 = 1
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal + 500, 1::BIGINT
+      FROM cust WHERE c_custkey % 6 = 0),
+    v1 AS (
+      SELECT * FROM base
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+      UNION ALL SELECT * FROM batch),
+    changes AS (
+      SELECT 1::BIGINT AS commit_version, 'insert' AS change_type,
+             c_custkey, c_acctbal, seq
+      FROM batch WHERE c_custkey NOT IN (SELECT c_custkey FROM base)
+      UNION ALL
+      SELECT 1::BIGINT, 'update_postimage', n.c_custkey, n.c_acctbal,
+             n.seq
+      FROM batch n JOIN base o USING (c_custkey)
+      WHERE (n.c_mktsegment, n.c_acctbal, n.seq) IS DISTINCT FROM
+            (o.c_mktsegment, o.c_acctbal, o.seq)
+      UNION ALL
+      SELECT 2::BIGINT, 'delete', c_custkey, c_acctbal, seq
+      FROM v1 WHERE {_x107_del})
+    SELECT commit_version, change_type, count(*) AS n_rows,
+           sum(c_custkey)::BIGINT AS key_sum,
+           round(sum(c_acctbal), 2) AS acctbal_sum,
+           sum(seq)::BIGINT AS seq_sum
+    FROM changes GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -7233,6 +7386,7 @@ QUERIES = {
     "x104_kn_logprob": _x104_kn_logprob,
     "x105_txn_evolve_changes": _x105_txn_evolve_changes,
     "x106_txn_rebucket": _x106_txn_rebucket,
+    "x107_stream_keyed_cdf": _x107_stream_keyed_cdf,
 }
 
 # Production-path bench twins (VERDICT r09 #1): the certifying gates above
@@ -7263,6 +7417,7 @@ BENCH_TWINS = {
     "x103_txn_merge": _x103_production,
     "x105_txn_evolve_changes": _x105_production,
     "x106_txn_rebucket": _x106_production,
+    "x107_stream_keyed_cdf": _x107_production,
 }
 
 ORACLES = {
@@ -7372,4 +7527,5 @@ ORACLES = {
     "x104_kn_logprob": _X104_SQL,
     "x105_txn_evolve_changes": _X105_SQL,
     "x106_txn_rebucket": _X106_SQL,
+    "x107_stream_keyed_cdf": _X107_SQL,
 }

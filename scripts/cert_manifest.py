@@ -256,6 +256,8 @@ _X_DEPS = {
     # storage layer alone
     "x105_txn_evolve_changes": [f"{_P}/sources/txn.py"] + _MEMO,
     "x106_txn_rebucket": [f"{_P}/sources/txn.py"] + _MEMO,
+    "x107_stream_keyed_cdf": [f"{_P}/sources/txn_stream.py",
+                              f"{_P}/sources/txn.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

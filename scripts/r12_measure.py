@@ -207,6 +207,98 @@ def _run_aniso3(spark, F, t, par):
         corpus.unpersist()
 
 
+def _distortion(spark, F, emb, tag, m, ksub, n_lists, lloyd_iter=0):
+    """Relative PQ reconstruction distortion
+    E||v - v_hat||^2 / E||v - v_bar||^2 on a ~4k sample (the objective
+    OPQ optimizes, Ge et al. 2013). Prints one line per cents flavor."""
+    import numpy as np
+
+    from openapc_olap_spark.operators import pq
+
+    corpus = pq._clean(emb, 768, "vec_id", "embedding").cache()
+    coarse = pq.first_n_vectors(corpus, n_lists)
+    flavors = [("seed", pq.train_pq_cents(
+        pq.first_n_vectors(corpus, ksub), coarse, m))]
+    if lloyd_iter:
+        t0 = time.perf_counter()
+        flavors.append(("lloyd", pq.train_pq_cents_lloyd(
+            emb.sample(0.05, seed=7), coarse, m, ksub=ksub,
+            n_iter=lloyd_iter)))
+        print(f"  lloyd train: {time.perf_counter() - t0:.0f} s",
+              flush=True)
+    sample = corpus.filter(F.col("id") % 53 == 0).cache()
+    rows = {r["id"]: np.array(r["v"]) for r in sample.collect()}
+    vbar = np.mean(np.stack(list(rows.values())), axis=0)
+    base = float(np.mean([np.sum((v - vbar) ** 2)
+                          for v in rows.values()]))
+    carr = np.array(coarse)
+    dsub = 768 // m
+    for cl, cents in flavors:
+        codes = pq.pq_codes(sample, coarse, cents,
+                            method="arrow").collect()
+        cent = np.array(cents)
+        errs = []
+        for r in codes:
+            v = rows[r["id"]]
+            recon = carr[r["list_id"]].copy()
+            for s_, c_ in enumerate(r["codes"]):
+                recon[s_ * dsub:(s_ + 1) * dsub] += cent[s_][c_]
+            errs.append(float(np.sum((v - recon) ** 2)))
+        print(f"{tag} {cl} cents (m={m}, ksub={ksub}): relative "
+              f"distortion {np.mean(errs) / base:.4f} (n={len(errs)})",
+              flush=True)
+    sample.unpersist()
+    corpus.unpersist()
+
+
+def _run_aniso4(spark, F, t, par):
+    """The corpus shape rotation actually exploits: LOW-RANK anisotropy
+    (real embeddings concentrate energy in ~100 directions MIXED across
+    all coordinates; aniso2/3's full-rank uniform base gives a 4-bit
+    subspace quantizer nothing to capture, allocated well or badly).
+    v = Q[:, :96] @ diag(0.92^j) @ z with Q a fixed orthogonal 768x768
+    and z 96 iid pseudo-random latents per vector — effective rank 96,
+    dense in coordinates. The PCA rotation re-concentrates the energy;
+    the eigenvalue allocation balances it across subspaces; distortion
+    (and any downstream recall) should finally separate rotated from
+    unrotated."""
+    import numpy as np
+    import pandas as pd
+
+    from openapc_olap_spark.operators import pq
+
+    r_eff = 96
+    rng = np.random.default_rng(7)
+    q_, _ = np.linalg.qr(rng.standard_normal((768, 768)))
+    A = (q_[:, :r_eff] * (0.92 ** np.arange(r_eff))).astype(np.float64)
+    z = F.expr(
+        f"transform(sequence(0, {r_eff - 1}), j -> "
+        f"CAST(pmod(xxhash64(vec_id * {r_eff} + j), 2001) - 1000 "
+        f"AS DOUBLE) / 1000.0)")
+    lat = (t["embeddings"].select("vec_id", z.alias("z"))
+           .repartition(par))
+    bA = lat.sparkSession.sparkContext.broadcast(A)
+
+    def mk(it):
+        for pdf in it:
+            Z = np.stack(pdf["z"].to_numpy())          # n x r
+            V = Z @ bA.value.T                          # n x 768
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "embedding": list(V)})
+
+    raw = (lat.mapInPandas(
+        mk, "vec_id long, embedding array<double>")
+        .repartition(par).cache())
+    raw.count()
+    R = pq.train_pq_rotation(raw.sample(0.1, seed=11), dim=768, m=24)
+    rot = (pq.apply_rotation(raw, R, method="arrow")
+           .repartition(par).cache())
+    rot.count()
+    for tag, emb in (("aniso4 UNROTATED", raw), ("aniso4 ROTATED", rot)):
+        _distortion(spark, F, emb, tag, m=24, ksub=16, n_lists=512,
+                    lloyd_iter=1)
+
+
 def _run_aniso2(spark, F, t, par):
     """OPQ rotation validated where the theory says it bites
     (VERDICT r11 #7). The r11 'aniso' corpus scaled whole 64-d blocks,
@@ -296,7 +388,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     par = 32
     tables = ["documents", "lineitem"]
-    if "aniso2" in sections or "aniso3" in sections:
+    if any(x in sections for x in ("aniso2", "aniso3", "aniso4")):
         tables.append("embeddings")
     t = load_tables(spark, sf_dir, tables)
     if "rebucket" in sections:
@@ -307,6 +399,8 @@ def main():
         _run_aniso2(spark, F, t, par)
     if "aniso3" in sections:
         _run_aniso3(spark, F, t, par)
+    if "aniso4" in sections:
+        _run_aniso4(spark, F, t, par)
     spark.stop()
 
 

@@ -166,3 +166,56 @@ def test_processing_time_trigger_follows_live_commits(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination()
+
+
+def test_keyed_changes_foreachbatch_exact_per_commit(spark, tmp_path):
+    """KeyedChanges (round 12): the file-grain stream composed with
+    TxnTable.read_changes yields the EXACT per-commit keyed CDF —
+    including a delete-only commit that ADDED no files (its version
+    emits no stream rows; the chained frontier still diffs it)."""
+    from pyspark.sql import functions as F
+
+    from openapc_olap_spark.sources.txn_stream import KeyedChanges
+
+    _register(spark)
+    rows = [("a", 0, "va"), ("b", 0, "vb"), ("x", 0, "vx"),
+            ("y", 0, "vy")]
+    df = (spark.createDataFrame(rows, "k string, seq long, val string")
+          .withColumn("part", F.substring("k", 1, 1).isin("x", "y")
+                      .cast("string")))
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, "part")
+    # v1: upsert updates a, inserts g (part is a function of k)
+    up = (spark.createDataFrame([("a", 1, "A1"), ("g", 1, "vg")],
+                                "k string, seq long, val string")
+          .withColumn("part", F.substring("k", 1, 1).isin("x", "y")
+                      .cast("string")))
+    assert t.upsert(up, ["k"], "seq") == 1
+    # v2: delete wipes the whole 'true' partition -> NO files added
+    assert t.delete("part = 'true'") == 2
+    added = [f for f in t.snapshot(2)["files"]
+             if f["path"] not in {g["path"]
+                                  for g in t.snapshot(1)["files"]}]
+    assert added == [], "v2 must be a drop-only commit"
+    # v3: append lands a fresh row
+    t.append(spark.createDataFrame([("h", 3, "vh", "false")],
+                                   "k string, seq long, val string, "
+                                   "part string"))
+
+    kc = KeyedChanges(spark, t.path, keys=["k"])
+    got: list = []
+    q = (_stream(spark, t).writeStream
+         .foreachBatch(lambda bdf, bid: got.extend(kc(bdf).collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    by = {(r["_commit_version"], r["_change_type"], r["k"])
+          for r in got}
+    assert by == {(1, "update_postimage", "a"), (1, "insert", "g"),
+                  (2, "delete", "x"), (2, "delete", "y"),
+                  (3, "insert", "h")}, by
+    # frontier chained past the drain: a re-call with no new versions
+    # yields an empty, correctly-shaped frame
+    empty = kc(spark.createDataFrame(
+        [], "k string, seq long, val string, part string, "
+            "_commit_version long"))
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
