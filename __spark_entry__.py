@@ -437,6 +437,11 @@ _CERT_FIRST = [
     # per-commit change feed (KeyedChanges; the r11-lead CDF-keys-grain
     # streaming candidate)
     "x107_stream_keyed_cdf",
+    # r12 touches operators/pq.py (train_pq_rotation layer-wise greedy:
+    # the r11 allocation anti-balanced on <1 eigenvalues and collapsed
+    # a low-rank corpus's signal into subspace 0) — x91 rotates in
+    # (x94/x95, pq.py's other dependents, are already in the head)
+    "x91_ivf_pq_ann",
 ]
 _CERT_PENDING: list[str] = []
 # Freshness re-certification (VERDICT r10 #2 / r11 #2): the window's free
@@ -497,7 +502,7 @@ _CERT_TAIL = [
     "x61_bpe_encode", "x68_canonical_docs", "x80_pagerank",
     "x81_pmi_cooccurrence", "x84_pca_projection", "x85_fuzzy_linkage",
     "x87_knn_graph", "x88_unigram_tokenizer", "x89_pca_block",
-    "x90_unigram_encode", "x91_ivf_pq_ann", "x104_kn_logprob",
+    "x90_unigram_encode", "x104_kn_logprob",
 ]
 
 

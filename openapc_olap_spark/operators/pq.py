@@ -453,9 +453,19 @@ def train_pq_rotation(df: DataFrame, dim: int, m: int,
     dsub = dim // m
     buckets: list[list[int]] = [[] for _ in range(m)]
     load = [0.0] * m
+    # Layer-wise greedy (round 12 fix): candidates are ONLY the free
+    # buckets with the minimum fill count, largest remaining eigenvalue
+    # to the lightest of them. Comparing equal-count buckets makes the
+    # allocation SCALE-INVARIANT; the r11 version compared buckets of
+    # unequal fill, and for eigenvalues < 1 (log < 0) the bucket that
+    # had just received a direction became the lightest and swallowed
+    # everything — all the signal of a low-rank corpus collapsed into
+    # subspace 0 (anti-balanced, measured in SCALING.md r12).
     for ci, ev in enumerate(eigs):          # descending eigenvalue
         free = [b for b in range(m) if len(buckets[b]) < dsub]
-        b = min(free, key=lambda x: (load[x], x))
+        lowest = min(len(buckets[b]) for b in free)
+        layer = [b for b in free if len(buckets[b]) == lowest]
+        b = min(layer, key=lambda x: (load[x], x))
         buckets[b].append(ci)
         load[b] += math.log(max(ev, 1e-12))
     return [comps[ci] for b in buckets for ci in b]

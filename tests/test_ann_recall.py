@@ -363,3 +363,32 @@ def test_pq_rotation_orthogonal_and_score_preserving(spark, emb):
         pq.train_pq_rotation(dq, dim=64, m=7)
     with pytest.raises(ValueError, match="method"):
         pq.apply_rotation(dq, R, method="bogus")
+
+
+def test_pq_rotation_balances_low_rank_anisotropy(spark):
+    """r12 regression (SCALING.md r12): on a LOW-RANK anisotropic
+    corpus (v = Q[:, :4] @ diag(0.5^j) @ z at dim 16, m=4 — the shape
+    real embeddings have) the r11 greedy collapsed ALL signal
+    directions into subspace 0: log-eigenvalues < 0 made the bucket
+    that just received a direction the lightest, so it swallowed every
+    next one (scale-dependent anti-balancing). The layer-wise greedy
+    compares only equal-fill buckets (scale-invariant) and spreads the
+    four signal directions one per subspace."""
+    import numpy as np
+
+    from openapc_olap_spark.operators import pq
+
+    rng = np.random.default_rng(7)
+    q_, _ = np.linalg.qr(rng.standard_normal((16, 16)))
+    A = q_[:, :4] * (0.5 ** np.arange(4))
+    Z = rng.standard_normal((400, 4))
+    V = Z @ A.T
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>")
+    R = pq.train_pq_rotation(df, dim=16, m=4)
+    rot = pq.apply_rotation(df, R, method="arrow")
+    W = np.stack([np.array(r["embedding"]) for r in rot.collect()])
+    loads = [W[:, b * 4:(b + 1) * 4].var(axis=0).sum() for b in range(4)]
+    assert all(ld > 1e-6 for ld in loads), loads       # none starved
+    assert max(loads) < 0.9 * sum(loads), loads        # none hoards
