@@ -207,7 +207,8 @@ def _run_aniso3(spark, F, t, par):
         corpus.unpersist()
 
 
-def _distortion(spark, F, emb, tag, m, ksub, n_lists, lloyd_iter=0):
+def _distortion(spark, F, emb, tag, m, ksub, n_lists, lloyd_iter=0,
+                coarse=None):
     """Relative PQ reconstruction distortion
     E||v - v_hat||^2 / E||v - v_bar||^2 on a ~4k sample (the objective
     OPQ optimizes, Ge et al. 2013). Prints one line per cents flavor."""
@@ -216,7 +217,8 @@ def _distortion(spark, F, emb, tag, m, ksub, n_lists, lloyd_iter=0):
     from openapc_olap_spark.operators import pq
 
     corpus = pq._clean(emb, 768, "vec_id", "embedding").cache()
-    coarse = pq.first_n_vectors(corpus, n_lists)
+    if coarse is None:
+        coarse = pq.first_n_vectors(corpus, n_lists)
     flavors = [("seed", pq.train_pq_cents(
         pq.first_n_vectors(corpus, ksub), coarse, m))]
     if lloyd_iter:
@@ -297,6 +299,88 @@ def _run_aniso4(spark, F, t, par):
     for tag, emb in (("aniso4 UNROTATED", raw), ("aniso4 ROTATED", rot)):
         _distortion(spark, F, emb, tag, m=24, ksub=16, n_lists=512,
                     lloyd_iter=1)
+
+
+def _run_aniso5(spark, F, t, par):
+    """PURE-PQ distortion on the low-rank corpus — the coarse IVF
+    stage's error is rotation-INVARIANT (rotating everything rotates
+    all distances identically) and dominated aniso4's totals, hiding
+    the PQ-stage effect. One zero-vector list (residual = the vector)
+    and m=96 isolate the allocation: rotated, the 96 signal directions
+    land ONE per 8-dim subspace (16 centroids on an effectively 1-d
+    distribution — near-lossless with Lloyd); unrotated, every
+    subspace is 8 dense projections of all 96 latents (16 centroids in
+    effective dim 8 — little capture). This is the configuration where
+    the fixed layer-wise allocation must show its lift through our
+    operators end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    from openapc_olap_spark.operators import pq
+
+    r_eff = 96
+    rng = np.random.default_rng(7)
+    q_, _ = np.linalg.qr(rng.standard_normal((768, 768)))
+    A = (q_[:, :r_eff] * (0.92 ** np.arange(r_eff))).astype(np.float64)
+    z = F.expr(
+        f"transform(sequence(0, {r_eff - 1}), j -> "
+        f"CAST(pmod(xxhash64(vec_id * {r_eff} + j), 2001) - 1000 "
+        f"AS DOUBLE) / 1000.0)")
+    lat = (t["embeddings"].select("vec_id", z.alias("z"))
+           .repartition(par))
+    bA = lat.sparkSession.sparkContext.broadcast(A)
+
+    def mk(it):
+        for pdf in it:
+            Z = np.stack(pdf["z"].to_numpy())
+            V = Z @ bA.value.T
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "embedding": list(V)})
+
+    raw = (lat.mapInPandas(
+        mk, "vec_id long, embedding array<double>")
+        .repartition(par).cache())
+    raw.count()
+    R = pq.train_pq_rotation(raw.sample(0.1, seed=11), dim=768, m=96)
+    rot = (pq.apply_rotation(raw, R, method="arrow")
+           .repartition(par).cache())
+    rot.count()
+    one_list = [[0.0] * 768]
+    for tag, emb in (("aniso5 UNROTATED", raw), ("aniso5 ROTATED", rot)):
+        _distortion(spark, F, emb, tag, m=96, ksub=16, n_lists=1,
+                    lloyd_iter=1, coarse=one_list)
+    # recall through the SAME configuration: one list (pure ADC
+    # ordering over the whole corpus), exact rerank of the top-50
+    # candidates; ground truth is orthogonal-invariant, computed once
+    from openapc_olap_spark.operators import knn
+
+    queries = raw.filter(F.col("vec_id") % 997 == 0)
+    corpus0 = pq._clean(raw, 768, "vec_id", "embedding")
+    coarse512 = pq.first_n_vectors(corpus0, 512)
+    t0 = time.perf_counter()
+    exact = {(r["src"], r["dst"]) for r in
+             knn.knn_graph_ivf(raw, dim=768, k=5, n_probe=512,
+                               centroids=coarse512, queries=queries,
+                               metric="dot", assign_method="arrow",
+                               score_method="arrow").collect()}
+    print(f"aniso5 exact GT (all-lists probe): "
+          f"{time.perf_counter() - t0:.1f} s", flush=True)
+    for tag, emb in (("aniso5 UNROTATED", raw), ("aniso5 ROTATED", rot)):
+        corpus = pq._clean(emb, 768, "vec_id", "embedding")
+        cents = pq.train_pq_cents(pq.first_n_vectors(corpus, 16),
+                                  one_list, 96)
+        qs = emb.filter(F.col("vec_id") % 997 == 0)
+        for rr in (50,):
+            t0 = time.perf_counter()
+            got = {(r["src"], r["dst"]) for r in
+                   pq.ivf_pq_topk(emb, 768, k=5, m=96, n_probe=1,
+                                  rerank=rr, coarse=one_list,
+                                  pq_cents=cents, queries=qs,
+                                  method="arrow",
+                                  encode_method="arrow").collect()}
+            print(f"{tag} seed cents recall@5 (1 list, rerank={rr}): "
+                  f"{len(got & exact) / len(exact):.3f} "
+                  f"({time.perf_counter() - t0:.1f} s)", flush=True)
 
 
 def _run_aniso2(spark, F, t, par):
@@ -388,7 +472,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     par = 32
     tables = ["documents", "lineitem"]
-    if any(x in sections for x in ("aniso2", "aniso3", "aniso4")):
+    if any(x in sections for x in ("aniso2", "aniso3", "aniso4",
+                                   "aniso5")):
         tables.append("embeddings")
     t = load_tables(spark, sf_dir, tables)
     if "rebucket" in sections:
@@ -401,6 +486,8 @@ def main():
         _run_aniso3(spark, F, t, par)
     if "aniso4" in sections:
         _run_aniso4(spark, F, t, par)
+    if "aniso5" in sections:
+        _run_aniso5(spark, F, t, par)
     spark.stop()
 
 
