@@ -11,9 +11,18 @@
   each — the serial loop's cost grows linearly in files, the
   distributed one stays one short task wave.
 
+- OPQ rotation validation chain (VERDICT r11 #7): aniso2 (recall,
+  stride-permuted full-rank corpus), aniso3 (IVF+PQ distortion, same),
+  aniso4 (IVF+PQ distortion, low-rank corpus), aniso5 (PURE-PQ
+  distortion + 1-list ADC recall, low-rank corpus — the configuration
+  that isolates the allocation and shows the 25-54x / 0.64->1.00
+  lift). Run aniso* against .scale/sf10 with
+  SPARK_GRAFT_DRIVER_MEM=48g; results in SCALING.md round 12.
+
 Usage:
     python scripts/r12_measure.py [sf_dir] [sections...]
-    sections: any of rebucket harvest (default: all)
+    sections: any of rebucket harvest aniso2 aniso3 aniso4 aniso5
+    (default: rebucket harvest)
 """
 
 from __future__ import annotations
