@@ -472,6 +472,74 @@ def _run_aniso2(spark, F, t, par):
               f"{t_lloyd:.1f} s", flush=True)
 
 
+def _run_aniso6(spark, F, t, par):
+    """Production-dial recall on the low-rank corpus: full IVF-PQ
+    (512 lists, n_probe=8, m=96, Lloyd cents, rerank 50) rotated vs
+    unrotated — the aniso5 1-list result shown through the whole
+    serving pipeline, coarse stage included."""
+    import numpy as np
+    import pandas as pd
+
+    from openapc_olap_spark.operators import knn, pq
+
+    r_eff = 96
+    rng = np.random.default_rng(7)
+    q_, _ = np.linalg.qr(rng.standard_normal((768, 768)))
+    A = (q_[:, :r_eff] * (0.92 ** np.arange(r_eff))).astype(np.float64)
+    z = F.expr(
+        f"transform(sequence(0, {r_eff - 1}), j -> "
+        f"CAST(pmod(xxhash64(vec_id * {r_eff} + j), 2001) - 1000 "
+        f"AS DOUBLE) / 1000.0)")
+    lat = (t["embeddings"].select("vec_id", z.alias("z"))
+           .repartition(par))
+    bA = lat.sparkSession.sparkContext.broadcast(A)
+
+    def mk(it):
+        for pdf in it:
+            Z = np.stack(pdf["z"].to_numpy())
+            V = Z @ bA.value.T
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "embedding": list(V)})
+
+    raw = (lat.mapInPandas(
+        mk, "vec_id long, embedding array<double>")
+        .repartition(par).cache())
+    raw.count()
+    R = pq.train_pq_rotation(raw.sample(0.1, seed=11), dim=768, m=96)
+    rot = (pq.apply_rotation(raw, R, method="arrow")
+           .repartition(par).cache())
+    rot.count()
+    corpus0 = pq._clean(raw, 768, "vec_id", "embedding")
+    coarse0 = pq.first_n_vectors(corpus0, 512)
+    queries = raw.filter(F.col("vec_id") % 997 == 0)
+    t0 = time.perf_counter()
+    exact = {(r["src"], r["dst"]) for r in
+             knn.knn_graph_ivf(raw, dim=768, k=5, n_probe=512,
+                               centroids=coarse0, queries=queries,
+                               metric="dot", assign_method="arrow",
+                               score_method="arrow").collect()}
+    print(f"aniso6 exact GT: {time.perf_counter() - t0:.1f} s",
+          flush=True)
+    for tag, emb in (("aniso6 UNROTATED", raw), ("aniso6 ROTATED", rot)):
+        corpus = pq._clean(emb, 768, "vec_id", "embedding")
+        co = pq.first_n_vectors(corpus, 512)
+        qs = emb.filter(F.col("vec_id") % 997 == 0)
+        t0 = time.perf_counter()
+        lloyd = pq.train_pq_cents_lloyd(emb.sample(0.05, seed=7), co,
+                                        96, ksub=16, n_iter=1)
+        t_tr = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        got = {(r["src"], r["dst"]) for r in
+               pq.ivf_pq_topk(emb, 768, k=5, m=96, n_probe=8,
+                              rerank=50, coarse=co, pq_cents=lloyd,
+                              queries=qs, method="arrow",
+                              encode_method="arrow").collect()}
+        print(f"{tag} lloyd cents recall@5 (512 lists, probe 8, "
+              f"rerank 50): {len(got & exact) / len(exact):.3f} "
+              f"({time.perf_counter() - t0:.1f} s; lloyd {t_tr:.0f} s)",
+              flush=True)
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -482,7 +550,7 @@ def main():
     par = 32
     tables = ["documents", "lineitem"]
     if any(x in sections for x in ("aniso2", "aniso3", "aniso4",
-                                   "aniso5")):
+                                   "aniso5", "aniso6")):
         tables.append("embeddings")
     t = load_tables(spark, sf_dir, tables)
     if "rebucket" in sections:
@@ -497,6 +565,8 @@ def main():
         _run_aniso4(spark, F, t, par)
     if "aniso5" in sections:
         _run_aniso5(spark, F, t, par)
+    if "aniso6" in sections:
+        _run_aniso6(spark, F, t, par)
     spark.stop()
 
 
