@@ -16,12 +16,14 @@
   aniso4 (IVF+PQ distortion, low-rank corpus), aniso5 (PURE-PQ
   distortion + 1-list ADC recall, low-rank corpus — the configuration
   that isolates the allocation and shows the 25-54x / 0.64->1.00
-  lift). Run aniso* against .scale/sf10 with
-  SPARK_GRAFT_DRIVER_MEM=48g; results in SCALING.md round 12.
+  lift), aniso6 (full-pipeline recall at 512 lists / 8 probes —
+  coarse-ceiling-limited both variants, the stage-decomposition coda).
+  Run aniso* against .scale/sf10 with SPARK_GRAFT_DRIVER_MEM=48g;
+  results in SCALING.md round 12.
 
 Usage:
     python scripts/r12_measure.py [sf_dir] [sections...]
-    sections: any of rebucket harvest aniso2 aniso3 aniso4 aniso5
+    sections: any of rebucket harvest aniso2 aniso3 aniso4 aniso5 aniso6
     (default: rebucket harvest)
 """
 
