@@ -414,95 +414,88 @@ ORACLES: dict[str, str] = {
 # iteration) and the local twin-runner (scripts/oracle_check.py) always
 # cover the full set.
 _CERT_FIRST = [
-    # r12 touches operators/wordpiece.py (VERDICT r11 #1: the
-    # word->pieces join no longer force-broadcasts the distinct-word
-    # segmentation frame — Heaps'-law vocabulary-sized at 100 TB; the
-    # strategy is AQE-decided by default, mirroring bpe_encode's
-    # broadcast_vocab contract) — both WordPiece gates rotate in
-    "x99_wordpiece_train", "x100_wordpiece_encode",
-    # r12 touches sources/txn.py (VERDICT r11 #4: executor-side footer
-    # stats harvest; #5: schema-evolution-aware read_changes; #6:
-    # rebucket; ADVICE r11: delete-hint pruning-only discovery, empty-
-    # source merge no-op) — every gate through the txn store rotates in
+    # r13 touches sources/txn.py (ADVICE r12: mid-rebucket residual read
+    # filter so value-pruned reads stay exact during a live transition;
+    # append retry-loop _no_transition recheck; VERDICT r12 #5: manifest
+    # checkpoint files for O(1) snapshot loads) and sources/txn_stream.py
+    # (ADVICE r12: replay-safe KeyedChanges frontier keyed on batch_id;
+    # VERDICT r12 #4: managed run_keyed_cdf driver) — every gate through
+    # the txn store or its commit-log stream rotates in
     "e17_cache_upsert", "x49_incremental_dedup",
     "x92_stream_dedup_commit", "x93_incremental_near_dup",
     "x94_pq_index_upsert", "x95_stream_vector_index",
     "x96_txn_delete", "x97_txn_skipping", "x98_txn_changes",
     "x101_txn_zorder", "x102_txn_stream_changes", "x103_txn_merge",
-    # new r12 gates (never certified): change-data-feed across a
-    # schema-evolution boundary (VERDICT r11 #5) and the incremental
-    # rebucket migration with a live mid-transition upsert (#6)
     "x105_txn_evolve_changes", "x106_txn_rebucket",
-    # new r12 gate: the commit-log stream composed into an exact keyed
-    # per-commit change feed (KeyedChanges; the r11-lead CDF-keys-grain
-    # streaming candidate)
     "x107_stream_keyed_cdf",
-    # r12 touches operators/pq.py (train_pq_rotation layer-wise greedy:
-    # the r11 allocation anti-balanced on <1 eigenvalues and collapsed
-    # a low-rank corpus's signal into subspace 0) — x91 rotates in
-    # (x94/x95, pq.py's other dependents, are already in the head)
-    "x91_ivf_pq_ann",
+    # new r13 gates (never certified): trained char-n-gram NB language
+    # identification (VERDICT r12 #3) and the managed keyed-CDF driver
+    # across a restart boundary (VERDICT r12 #4 + ADVICE r12)
+    "x108_langid_confusion", "x109_keyed_cdf_managed",
 ]
 _CERT_PENDING: list[str] = []
-# Freshness re-certification (VERDICT r10 #2 / r11 #2): the window's free
-# slots re-run the OLDEST standing certs. The 16-gate r05/r06 band that
-# spilled past the r11 window leads, then the three gates the r11
-# additive-change loophole re-stamped without rotation (x83 via zorder.py,
-# x76/x78 via lm.py — VERDICT r11 "What's wrong" #2), then the r08 band.
+# Freshness re-certification (VERDICT r10 #2 / r12 #1): the window's free
+# slots re-run the OLDEST standing certs. The r08 band (x77/x79/x82/x86)
+# and the 12-gate r09 band lead — after this round no gate's newest driver
+# cert is older than r10 — then the oldest r10 certs fill the remainder.
 # Entries past the 50-slot window spill to manifest-guarded positions and
-# lead the r13 refresh.
+# lead the r14 refresh.
 _CERT_REFRESH = [
-    "x46_quantize_embeddings", "x47_chunk_documents",
-    "x48_rebalance_mixture", "x50_streaming_cms",
-    "x52_pretraining_pipeline", "x54_unigram_logprob", "x56_domain_stats",
-    "x57_temperature_resample", "x58_bigram_logprob", "x62_quality_rules",
-    "x63_event_funnel", "x64_cohort_retention", "x66_line_dedup",
-    "x67_char_entropy", "x69_percentile_filter", "x70_rolling_features",
-    "x83_zorder_layout", "x76_ccnet_buckets", "x78_curation_chain",
-    "x21_repetition_deciles", "x22_vocab_top", "x25_streaming_tumbling",
-    "x26_streaming_dedup", "x27_winnow_fingerprints", "x31_profile",
-    "x36_ivf_index", "x65_url_dedup", "x71_size_sharding",
-    "x72_kmeans_fit", "x73_dsir_weights", "x74_span_dedup",
-    "x75_sample_per_group", "x77_logreg_quality", "x79_bm25_topk",
-    "x82_hashed_features", "x86_weighted_sample",
+    "x77_logreg_quality", "x79_bm25_topk", "x82_hashed_features",
+    "x86_weighted_sample", "e03_deal_halving", "e04_union_combined",
+    "e06_prune_semi", "e07_priority_rank", "e08_melt_explode",
+    "e10_colon_scrub", "e11_doi_lookup", "e12_institution_report",
+    "e13_ac_institutions", "e16_springer_coverage",
+    "e19_manifest_roundtrip", "x84_pca_projection",
+    "e01_enrich_ror", "e02_publication_key", "e05_coverage_zerofill",
+    "e09_journal_id", "e14_annual_pubdates", "e15_hybrid_catalog",
+    "e20_json_cache", "x01_dedup_summary", "x02_ngram_jaccard",
+    "x03_minhash_neardup", "x04_simhash_neardup", "x05_ann_topk",
+    "x06_lsh_neardup_embeddings", "x07_text_metrics",
+    "x08_langid_distribution", "x09_tumbling_daily", "x10_sliding_windows",
+    "x11_session_stats", "x12_props_json", "x13_salted_drilldown",
 ]
 _CERT_TAIL = [
     # previously hash-certified; implementing modules untouched since the
     # certifying round (enforced by test_entry_contract.py against
     # tests/cert_manifest.json, and by scripts/cert_manifest.py itself,
     # which refuses to re-stamp a guarded gate whose code or engine deps
-    # drifted — the r11 additive-change loophole is closed at the tool)
-    "q01_facts_page", "q02_cut_point", "q03_cut_range", "q04_cut_set",
-    "q05_cut_negate", "q06_aggregate_summary", "q07_drilldown",
-    "q08_multi_drilldown", "q09_order_topk", "q10_pagination_cells",
-    "q11_envelope_rollup", "q12_point_lookup", "q13_fact_by_id",
-    "q14_members", "q15_total_percentage", "q16_cell_http",
-    "q17_model_http", "e01_enrich_ror", "e02_publication_key",
-    "e03_deal_halving", "e04_union_combined", "e05_coverage_zerofill",
-    "e06_prune_semi", "e07_priority_rank", "e08_melt_explode",
-    "e09_journal_id", "e10_colon_scrub", "e11_doi_lookup",
-    "e12_institution_report", "e13_ac_institutions", "e14_annual_pubdates",
-    "e15_hybrid_catalog", "e16_springer_coverage", "e18_partition_prune",
-    "e19_manifest_roundtrip", "e20_json_cache", "x01_dedup_summary",
-    "x02_ngram_jaccard", "x03_minhash_neardup", "x04_simhash_neardup",
-    "x05_ann_topk", "x06_lsh_neardup_embeddings", "x07_text_metrics",
-    "x08_langid_distribution", "x09_tumbling_daily", "x10_sliding_windows",
-    "x11_session_stats", "x12_props_json", "x13_salted_drilldown",
+    # drifted — including, since r13, a drifted or partially-uncommitted
+    # deps LIST)
+    "e18_partition_prune", "q01_facts_page", "q02_cut_point",
+    "q03_cut_range", "q04_cut_set", "q05_cut_negate",
+    "q06_aggregate_summary", "q07_drilldown", "q08_multi_drilldown",
+    "q09_order_topk", "q10_pagination_cells", "q11_envelope_rollup",
+    "q12_point_lookup", "q13_fact_by_id", "q14_members",
+    "q15_total_percentage", "q16_cell_http", "q17_model_http",
+    "x100_wordpiece_encode", "x104_kn_logprob",
     "x14_ngram_jaccard_capped", "x15_media_metadata",
     "x16_quality_deciles", "x17_ivf_ann", "x18_lsh_neardup_capped",
-    "x19_image_dims", "x20_pii_redaction", "x23_wav_metadata",
-    "x24_audio_headers", "x28_curation_funnel", "x29_sequence_packing",
-    "x30_hash_split", "x32_image_decode", "x33_stateful_sessions",
-    "x34_wav_decode", "x35_duplicate_groups", "x37_asof_join",
+    "x19_image_dims", "x20_pii_redaction", "x21_repetition_deciles",
+    "x22_vocab_top", "x23_wav_metadata", "x24_audio_headers",
+    "x25_streaming_tumbling", "x26_streaming_dedup",
+    "x27_winnow_fingerprints", "x28_curation_funnel",
+    "x29_sequence_packing", "x30_hash_split", "x31_profile",
+    "x32_image_decode", "x33_stateful_sessions", "x34_wav_decode",
+    "x35_duplicate_groups", "x36_ivf_index", "x37_asof_join",
     "x38_interval_join", "x39_stratified_sample", "x40_decontaminate",
     "x41_bloom_semi_join", "x42_topk_per_group",
     "x43_deterministic_shuffle", "x44_cms_estimates",
-    "x45_tfidf_top_terms", "x51_orc_roundtrip", "x53_semantic_dedup",
-    "x55_bpe_train", "x59_cluster_outliers", "x60_stream_stream_join",
-    "x61_bpe_encode", "x68_canonical_docs", "x80_pagerank",
-    "x81_pmi_cooccurrence", "x84_pca_projection", "x85_fuzzy_linkage",
-    "x87_knn_graph", "x88_unigram_tokenizer", "x89_pca_block",
-    "x90_unigram_encode", "x104_kn_logprob",
+    "x45_tfidf_top_terms", "x46_quantize_embeddings",
+    "x47_chunk_documents", "x48_rebalance_mixture", "x50_streaming_cms",
+    "x51_orc_roundtrip", "x52_pretraining_pipeline", "x53_semantic_dedup",
+    "x54_unigram_logprob", "x55_bpe_train", "x56_domain_stats",
+    "x57_temperature_resample", "x58_bigram_logprob",
+    "x59_cluster_outliers", "x60_stream_stream_join", "x61_bpe_encode",
+    "x62_quality_rules", "x63_event_funnel", "x64_cohort_retention",
+    "x65_url_dedup", "x66_line_dedup", "x67_char_entropy",
+    "x68_canonical_docs", "x69_percentile_filter", "x70_rolling_features",
+    "x71_size_sharding", "x72_kmeans_fit", "x73_dsir_weights",
+    "x74_span_dedup", "x75_sample_per_group", "x76_ccnet_buckets",
+    "x78_curation_chain", "x80_pagerank", "x81_pmi_cooccurrence",
+    "x83_zorder_layout", "x85_fuzzy_linkage", "x87_knn_graph",
+    "x88_unigram_tokenizer", "x89_pca_block", "x90_unigram_encode",
+    "x91_ivf_pq_ann", "x99_wordpiece_train"
 ]
 
 

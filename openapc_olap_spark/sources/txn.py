@@ -94,6 +94,12 @@ _DATA_DIR = "data"
 _STAGING_DIR = "_staging"
 # advisory latest-version pointer inside _manifest/ (see snapshot())
 _HINT = "_latest.hint"
+_CKPT = "_checkpoint.json"
+# compacted-snapshot cadence: _publish refreshes _checkpoint.json every
+# this-many commits (meta key "ckpt_every" overrides per table) — the
+# lakehouse _last_checkpoint convention, sized so latest-version
+# resolution without a hint probes at most this many versions forward
+CHECKPOINT_EVERY = 64
 # partitionBy column (a copy of the partition value — Spark drops the
 # partitionBy column from the data files, the original stays inside)
 _PV = "__pv"
@@ -303,6 +309,13 @@ class TxnTable:
                 return json.load(fh)
         v = self._hinted_latest()
         if v is None:
+            # durable fallback BEFORE the O(versions) listing: the
+            # compacted snapshot file (VERDICT r12 #5) is written
+            # atomically every ckpt_every commits, so even a table with
+            # 10^5 retained manifests and no usable hint resolves its
+            # latest version with one read + a bounded forward probe
+            v = self._ckpt_latest()
+        if v is None:
             versions = [int(f[1:9]) for f in os.listdir(self._mdir())
                         if f.startswith("v") and f.endswith(".json")]
             if not versions:
@@ -346,6 +359,82 @@ class TxnTable:
     def version(self) -> int:
         return self.snapshot()["version"]
 
+    # -- compacted snapshot (manifest-of-manifests) ----------------------
+
+    def _ckpt_path(self) -> str:
+        return os.path.join(self._mdir(), _CKPT)
+
+    def _read_ckpt(self) -> dict | None:
+        """The compacted snapshot file, or None when absent/corrupt —
+        never load-bearing: every consumer falls back to the manifest
+        listing."""
+        try:
+            with open(self._ckpt_path()) as fh:
+                ck = json.load(fh)
+            ck["version"] = int(ck["version"])
+            if not isinstance(ck["referenced"], list):
+                raise TypeError
+            return ck
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
+
+    def _ckpt_latest(self) -> int | None:
+        """Highest committed version reachable from the compacted
+        snapshot: its recorded version + the gap-free forward probe
+        (bounded by commits since the last checkpoint refresh, i.e.
+        ckpt_every). None when the file is absent, corrupt, or points
+        at a retention-retired manifest."""
+        ck = self._read_ckpt()
+        if ck is None:
+            return None
+        v = ck["version"]
+        if not os.path.exists(self._version_path(v)):
+            return None
+        while os.path.exists(self._version_path(v + 1)):
+            v += 1
+        self._write_hint(v)         # repair the advisory hint too
+        return v
+
+    def write_checkpoint(self) -> dict:
+        """Refresh the compacted snapshot (the lakehouse
+        ``_last_checkpoint`` convention, VERDICT r12 #5): one atomically
+        replaced JSON recording the latest committed version and the
+        UNION of data paths referenced by every retained manifest, so
+
+        - ``snapshot()`` resolves the latest version in O(1) reads plus
+          a <= ckpt_every forward probe — no directory listing, even
+          hint-less on a 10^5-commit table;
+        - ``vacuum()`` reads only manifests NEWER than the checkpoint
+          instead of every retained version file.
+
+        Concurrent refreshes last-win a complete file (os.replace); a
+        stale checkpoint is always SAFE — its referenced set is a
+        superset for any later vacuum (orphans linger until the next
+        refresh, nothing live is ever deleted), and its version only
+        lengthens the forward probe. _publish refreshes it every
+        ``ckpt_every`` commits (meta override; default
+        ``CHECKPOINT_EVERY``) and checkpoint() re-tightens it after
+        retention."""
+        names = sorted(f for f in os.listdir(self._mdir())
+                       if f.startswith("v") and f.endswith(".json"))
+        if not names:
+            raise FileNotFoundError(
+                f"no committed manifest under {self._mdir()}")
+        referenced: set[str] = set()
+        for f in names:
+            with open(os.path.join(self._mdir(), f)) as fh:
+                referenced.update(e["path"]
+                                  for e in json.load(fh)["files"])
+        ck = {"version": int(names[-1][1:9]),
+              "referenced": sorted(referenced)}
+        tmp = self._ckpt_path() + f".{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(ck, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._ckpt_path())
+        return ck
+
     # -- creation / read -------------------------------------------------
 
     @classmethod
@@ -382,13 +471,34 @@ class TxnTable:
         space-separated ISO, so lexical compare is order-true)."""
         snap = self.snapshot(version)
         files = snap["files"]
+        residual = None
         if partitions is not None:
             want = {str(p) for p in partitions}
             files = [f for f in files if f["partition"] in want]
-            files += self._unmigrated(snap, want)
+            rb = self._rebucket_info(snap)
+            if rb:
+                # ADVICE r12: mid-rebucket, a value-pruned read must open
+                # every un-migrated file (a key's old bucket differs from
+                # its new one) — but those files hold whole OLD-spec
+                # buckets, so without a row-level residual the caller
+                # would receive phantom rows from buckets it did not
+                # request, carrying stale old-spec partition values. The
+                # manifest carries rb["keys"]/rb["to"]: recompute the
+                # NEW-spec bucket per row, keep only requested buckets,
+                # and stamp the partition column with the new-spec value
+                # so the result is bit-identical before/after migration.
+                files += self._unmigrated(snap, want)
+                bucket = F.pmod(
+                    F.xxhash64(*[F.col(k) for k in rb["keys"]]),
+                    F.lit(int(rb["to"])))
+                residual = (bucket, [int(p) for p in want])
         if between:
             files = [f for f in files if _file_can_match(f, between)]
         df = self._read_entries(snap, files)
+        if residual is not None:
+            bucket, want_ints = residual
+            df = (df.filter(bucket.isin(want_ints))
+                    .withColumn(self.partition_col, bucket))
         if between:
             for col, (lo, hi) in between.items():
                 if lo is not None:
@@ -416,8 +526,10 @@ class TxnTable:
         """During a rebucket transition, files still under the OLD
         bucketing spec cannot be pruned by new-spec partition values
         (a key's old bucket differs from its new one), so value-pruned
-        reads conservatively include every un-migrated file. Outside a
-        transition this is empty — pruning is exact."""
+        reads open every un-migrated file; read() then applies the
+        row-level new-spec residual so the RESULT stays exact (ADVICE
+        r12). Outside a transition this is empty — file pruning alone
+        is exact."""
         rb = (snap.get("meta") or {}).get("rebucket")
         if not rb:
             return []
@@ -536,6 +648,12 @@ class TxnTable:
         finally:
             os.unlink(tmp)
         self._write_hint(version)
+        every = int((meta or {}).get("ckpt_every", CHECKPOINT_EVERY))
+        if every > 0 and version > 0 and version % every == 0:
+            try:
+                self.write_checkpoint()   # best-effort, never fails a commit
+            except OSError:
+                pass
 
     def overwrite(self, df: DataFrame) -> int:
         """Full-snapshot replace (the bulk-load path); returns the new
@@ -566,6 +684,14 @@ class TxnTable:
         new_files = self._write_data(rows)
         for _ in range(max_retries):
             snap = self.snapshot()
+            # ADVICE r12: a rebucket may start between the pre-write
+            # check and this commit attempt; committing would publish
+            # untagged files into a mid-transition manifest, where
+            # _upsert_mid_rebucket matches them against OLD-spec buckets
+            # and a stale copy of an upserted key could survive. Fail
+            # the append instead (the landed files become vacuum-able
+            # orphans, same as a lost commit race).
+            self._no_transition(snap, "append")
             try:
                 v = snap["version"] + 1
                 self._publish(v, snap["files"] + new_files, rows.schema,
@@ -1161,6 +1287,15 @@ class TxnTable:
         drop = names[:-retain_versions]
         for f in drop:
             os.remove(os.path.join(self._mdir(), f))
+        if drop:
+            try:
+                # re-tighten the compacted snapshot: the retired
+                # manifests' exclusive references become vacuum-able
+                # immediately instead of lingering until the next
+                # cadence refresh
+                self.write_checkpoint()
+            except OSError:
+                pass
         return drop
 
     def vacuum(self, grace_seconds: float = 3600.0) -> list[str]:
@@ -1174,8 +1309,17 @@ class TxnTable:
         needs. Files younger than the grace period are skipped; pass 0
         only on a quiesced table (no in-flight writers)."""
         referenced: set[str] = set()
+        ck = self._read_ckpt()
+        ck_v = ck["version"] if ck is not None else -1
+        if ck is not None:
+            # compacted-snapshot fast path: the checkpoint's union
+            # covers every manifest <= its version (a stale one is a
+            # conservative superset — see write_checkpoint), so only
+            # NEWER manifests need reading
+            referenced.update(ck["referenced"])
         for f in os.listdir(self._mdir()):
-            if f.startswith("v") and f.endswith(".json"):
+            if (f.startswith("v") and f.endswith(".json")
+                    and int(f[1:9]) > ck_v):
                 with open(os.path.join(self._mdir(), f)) as fh:
                     referenced.update(e["path"]
                                       for e in json.load(fh)["files"])

