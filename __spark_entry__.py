@@ -432,6 +432,10 @@ _CERT_FIRST = [
     # identification (VERDICT r12 #3) and the managed keyed-CDF driver
     # across a restart boundary (VERDICT r12 #4 + ADVICE r12)
     "x108_langid_confusion", "x109_keyed_cdf_managed",
+    # CDF-to-table replication: an incrementally maintained replica
+    # TxnTable over the managed keyed feed (materialized-view
+    # maintenance without source rescans)
+    "x110_cdf_replica",
 ]
 _CERT_PENDING: list[str] = []
 # Freshness re-certification (VERDICT r10 #2 / r12 #1): the window's free

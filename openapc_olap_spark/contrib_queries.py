@@ -7550,6 +7550,138 @@ _X109_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X110: CDF-to-table replication (incremental materialized replica)
+# ---------------------------------------------------------------------------
+
+def _x110_cdf_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``txn_stream.replicate_keyed_cdf`` — a second TxnTable maintained
+    as an exact replica of the source's current state by applying the
+    managed keyed CDF (upsert postimages + version-guarded merge
+    deletes), never rescanning the source. Seeded at v0, replicated
+    through v1 upsert + v2 predicate delete, then a v3 upsert lands
+    after the first run stopped and a resumed run (same checkpoint)
+    applies exactly it. The gate hashes the replica's final state per
+    market segment INCLUDING the per-row applied-version watermark sum
+    (cv_sum) — a duplicate apply, resurrection through a replayed
+    delete, missed trailing delete, or wrong provenance breaks it."""
+    import shutil
+    import tempfile
+
+    from openapc_olap_spark.sources import txn
+    from openapc_olap_spark.sources.txn_stream import (
+        VERSION_COL,
+        replicate_keyed_cdf,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x110_{tag}"
+    drt = f"{tempfile.gettempdir()}/openapc_gate_tmp/x110r_{tag}"
+    ckpt = root + "_ckpt"
+    shutil.rmtree(drt, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    store = _x107_store(spark, sf_dir, root)
+    seed = store.read(version=0).withColumn(
+        VERSION_COL, F.lit(0).cast("long"))
+    dst = txn.TxnTable.create(spark, drt, seed, "bucket",
+                              meta={"n_buckets": 8})
+    q = replicate_keyed_cdf(spark, store.path, ["c_custkey"], dst,
+                            checkpoint_dir=ckpt, n_buckets=8)
+    q.awaitTermination()
+    _x109_v3(spark, sf_dir, store)
+    q = replicate_keyed_cdf(spark, store.path, ["c_custkey"], dst,
+                            checkpoint_dir=ckpt, n_buckets=8)
+    q.awaitTermination()
+    return (dst.read().groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("c_custkey").alias("key_sum"),
+                 F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+                 F.sum("seq").alias("seq_sum"),
+                 F.sum(VERSION_COL).alias("cv_sum")))
+
+
+_X110_MEMO: dict = {}
+
+
+def _x110_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of x110: the source store + its three commits
+    are memoized setup; the measured path is one fresh replica's full
+    bootstrap-and-catch-up (seed from v0 + one managed drain applying
+    v1..v3) — the recurring cost of standing up a derived table."""
+    import shutil
+    import tempfile
+
+    from openapc_olap_spark.operators._memo import memoized
+    from openapc_olap_spark.sources import txn
+    from openapc_olap_spark.sources.txn_stream import (
+        VERSION_COL,
+        replicate_keyed_cdf,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build():
+        root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x110t_{tag}"
+        store = _x107_store(spark, sf_dir, root)
+        _x109_v3(spark, sf_dir, store)
+        return store
+
+    store = memoized(_X110_MEMO, ("x110_store", sf_dir), build)
+    drt = f"{tempfile.gettempdir()}/openapc_gate_tmp/x110tr_{tag}"
+    ckpt = drt + "_ckpt"
+    shutil.rmtree(drt, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    seed = store.read(version=0).withColumn(
+        VERSION_COL, F.lit(0).cast("long"))
+    dst = txn.TxnTable.create(spark, drt, seed, "bucket",
+                              meta={"n_buckets": 8})
+    q = replicate_keyed_cdf(spark, store.path, ["c_custkey"], dst,
+                            checkpoint_dir=ckpt, n_buckets=8)
+    q.awaitTermination()
+    return (dst.read().groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("c_custkey").alias("key_sum"),
+                 F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+                 F.sum("seq").alias("seq_sum"),
+                 F.sum(VERSION_COL).alias("cv_sum")))
+
+
+_X110_SQL = f"""
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE c_custkey < 30000),
+    base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, 0::BIGINT AS seq
+      FROM cust WHERE c_custkey % 3 <> 1),
+    batch AS MATERIALIZED (
+      SELECT c_custkey, c_mktsegment, c_acctbal, 1::BIGINT AS seq
+      FROM cust WHERE c_custkey % 3 = 1
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal + 500, 1::BIGINT
+      FROM cust WHERE c_custkey % 6 = 0),
+    v1 AS MATERIALIZED (
+      SELECT b.*, 0::BIGINT AS cv FROM base b
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+      UNION ALL SELECT b.*, 1::BIGINT FROM batch b),
+    v2 AS MATERIALIZED (
+      SELECT * FROM v1 WHERE NOT ({_x107_del})),
+    batch3 AS MATERIALIZED (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 250 AS c_acctbal,
+             2::BIGINT AS seq
+      FROM cust WHERE c_custkey % 5 = 2),
+    final AS (
+      SELECT * FROM v2
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM batch3)
+      UNION ALL SELECT b.*, 3::BIGINT FROM batch3 b)
+    SELECT c_mktsegment, count(*) AS n_rows,
+           sum(c_custkey)::BIGINT AS key_sum,
+           round(sum(c_acctbal), 2) AS acctbal_sum,
+           sum(seq)::BIGINT AS seq_sum,
+           sum(cv)::BIGINT AS cv_sum
+    FROM final GROUP BY 1
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -7660,6 +7792,7 @@ QUERIES = {
     "x107_stream_keyed_cdf": _x107_stream_keyed_cdf,
     "x108_langid_confusion": _x108_langid_confusion,
     "x109_keyed_cdf_managed": _x109_keyed_cdf_managed,
+    "x110_cdf_replica": _x110_cdf_replica,
 }
 
 # Production-path bench twins (VERDICT r09 #1): the certifying gates above
@@ -7692,6 +7825,7 @@ BENCH_TWINS = {
     "x106_txn_rebucket": _x106_production,
     "x107_stream_keyed_cdf": _x107_production,
     "x109_keyed_cdf_managed": _x109_production,
+    "x110_cdf_replica": _x110_production,
 }
 
 ORACLES = {
@@ -7804,4 +7938,5 @@ ORACLES = {
     "x107_stream_keyed_cdf": _X107_SQL,
     "x108_langid_confusion": _X108_SQL,
     "x109_keyed_cdf_managed": _X109_SQL,
+    "x110_cdf_replica": _X110_SQL,
 }

@@ -309,6 +309,83 @@ def run_keyed_cdf(spark, path: str, keys: list[str], sink,
             .start())
 
 
+def replicate_keyed_cdf(spark, src_path: str, keys: list[str], dst,
+                        checkpoint_dir: str, n_buckets: int,
+                        version_col: str = VERSION_COL,
+                        start_version: int = 0,
+                        trigger: dict | None = None):
+    """Maintain ``dst`` (a :class:`~openapc_olap_spark.sources.txn.
+    TxnTable`) as an incrementally updated REPLICA of the source
+    table's current state — the derived-table/materialized-view
+    maintenance primitive: downstream serving copies, re-partitioned or
+    re-bucketed projections, cross-store mirrors — without ever
+    rescanning the source (cost follows the commits, per
+    ``TxnTable.read_changes``).
+
+    Seed the replica from the snapshot you start at, stamping the
+    version column (the replica's ordering/idempotence spine)::
+
+        seed = TxnTable.add-bucketed(src.read()
+                   .withColumn("_commit_version", F.lit(v0)))
+        dst = TxnTable.create(spark, dst_root, seed, "bucket",
+                              meta={"n_buckets": nb})
+        q = replicate_keyed_cdf(spark, src_root, ["k"], dst,
+                                checkpoint_dir=ckpt, n_buckets=nb,
+                                start_version=v0)
+        q.awaitTermination()
+
+    Each micro-batch of keyed changes collapses per-key last-wins on
+    the commit version, then applies as two partition-scoped commits:
+    postimages via ``dst.upsert`` (seq = the commit version, so a
+    replayed batch rewrites identical rows — idempotent), deletions
+    via ``dst.merge`` with a version-guarded WHEN MATCHED THEN DELETE
+    and inserts disabled (a replayed delete of an absent key is a
+    no-op, never a resurrection). A crash between the two commits
+    re-applies both on retry and converges: the managed driver
+    re-emits exactly the same version range (see :func:`run_keyed_cdf`)
+    and both appliers are idempotent on it. The replica carries
+    ``version_col`` as payload — the applied-version watermark CDC
+    appliers keep.
+
+    Scale shape: per batch, one keys-grain reduce of the change set +
+    two bucket-pruned commits on ``dst`` — the source is never read
+    beyond its changed slivers, the replica never beyond the touched
+    buckets."""
+    from pyspark.sql import functions as F
+
+    from openapc_olap_spark.sources import txn
+
+    def sink(ch, _bid):
+        latest = txn._merge_last_wins(ch.limit(0), ch, keys, version_col)
+        latest = latest.cache()
+        try:
+            if latest.isEmpty():
+                return
+            dst_cols = [c for c in latest.columns if c != "_change_type"]
+            ups = (latest.filter(F.col("_change_type") != "delete")
+                   .select(*dst_cols))
+            if not ups.isEmpty():
+                dst.upsert(txn.add_bucket(ups, keys, n_buckets,
+                                          col=dst.partition_col),
+                           keys, version_col)
+            dels = (latest.filter(F.col("_change_type") == "delete")
+                    .select(*dst_cols))
+            if not dels.isEmpty():
+                dst.merge(txn.add_bucket(dels, keys, n_buckets,
+                                         col=dst.partition_col),
+                          keys, version_col,
+                          matched_update=False,
+                          matched_delete=(f"s.{version_col} >= "
+                                          f"t.{version_col}"),
+                          insert_unmatched=False)
+        finally:
+            latest.unpersist()
+
+    return run_keyed_cdf(spark, src_path, keys, sink,
+                         checkpoint_dir=checkpoint_dir,
+                         start_version=start_version, trigger=trigger)
+
+
 class TxnChangesDataSource(DataSource):
     """``format("txn_changes")``: options ``path`` (table root,
     required) and ``startVersion`` (consume changes AFTER this version;

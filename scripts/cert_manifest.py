@@ -263,6 +263,9 @@ _X_DEPS = {
     # r13: managed keyed-CDF driver — x107's store closure + the stream
     "x109_keyed_cdf_managed": [f"{_P}/sources/txn_stream.py",
                                f"{_P}/sources/txn.py"] + _MEMO,
+    # r13: CDF-to-table replication — same closure as x109
+    "x110_cdf_replica": [f"{_P}/sources/txn_stream.py",
+                         f"{_P}/sources/txn.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

@@ -324,3 +324,56 @@ def test_run_keyed_cdf_managed_restart_resume(spark, tmp_path):
                       checkpoint_dir=ckpt)
     q.awaitTermination()
     assert set(got2) == {(3, "insert", "h")}, got2
+
+
+def test_replicate_keyed_cdf_replica_converges(spark, tmp_path):
+    """replicate_keyed_cdf maintains a second TxnTable as an exact
+    replica of the source's current state across upsert + drop-only
+    delete + restart-resume, and a full REPLAY onto an up-to-date
+    replica is a no-op on content (idempotent appliers)."""
+    from pyspark.sql import functions as F
+
+    from openapc_olap_spark.sources.txn_stream import (
+        VERSION_COL,
+        replicate_keyed_cdf,
+    )
+
+    t = _cdf_store(spark, tmp_path)          # v0 base, v1 upsert, v2 del
+    seed = t.read(version=0).withColumn(
+        VERSION_COL, F.lit(0).cast("long"))
+    dst = TxnTable.create(spark, str(tmp_path / "replica"), seed,
+                          "bucket", meta={"n_buckets": 4})
+    ckpt = str(tmp_path / "repl_ckpt")
+
+    def state(table):
+        return {(r["k"], r["seq"], r["val"], r[VERSION_COL]) for r in
+                table.read().select("k", "seq", "val",
+                                    VERSION_COL).collect()}
+
+    q = replicate_keyed_cdf(spark, t.path, ["k"], dst,
+                            checkpoint_dir=ckpt, n_buckets=4)
+    q.awaitTermination()
+    assert state(dst) == {("a", 1, "A1", 1), ("g", 1, "vg", 1),
+                          ("b", 0, "vb", 0)}          # x deleted at v2
+    # restart-resume: a v3 append lands AFTER the first run stopped
+    t.append(txn.add_bucket(
+        spark.createDataFrame([("h", 3, "vh")],
+                              "k string, seq long, val string"), ["k"], 4))
+    q = replicate_keyed_cdf(spark, t.path, ["k"], dst,
+                            checkpoint_dir=ckpt, n_buckets=4)
+    q.awaitTermination()
+    want = {("a", 1, "A1", 1), ("g", 1, "vg", 1), ("b", 0, "vb", 0),
+            ("h", 3, "vh", 3)}
+    assert state(dst) == want
+    # replica state == source state, column for column
+    src_now = {(r["k"], r["seq"], r["val"]) for r in
+               t.read().select("k", "seq", "val").collect()}
+    assert {(k, s, v) for (k, s, v, _cv) in state(dst)} == src_now
+    # full replay (fresh checkpoint, same start_version) onto the
+    # up-to-date replica: deletes of absent keys no-op, upserts rewrite
+    # identical rows — content unchanged
+    q = replicate_keyed_cdf(spark, t.path, ["k"], dst,
+                            checkpoint_dir=str(tmp_path / "repl_ckpt2"),
+                            n_buckets=4)
+    q.awaitTermination()
+    assert state(dst) == want
