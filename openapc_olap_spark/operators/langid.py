@@ -70,10 +70,24 @@ def char_ngram_buckets(col="text", n: int = 3,
 def _gram_pairs(df: DataFrame, id_cols: list[str], text_col: str,
                 n: int, n_buckets: int) -> DataFrame:
     """(*id_cols, bucket, c): per-key bucket occurrence counts — one
-    explode, map-side-combined before the exchange."""
-    return (df.select(*id_cols,
-                      F.explode(char_ngram_buckets(text_col, n, n_buckets))
-                      .alias("bucket"))
+    explode, map-side-combined before the exchange.
+
+    The normalization is PROJECTED into its own column before the
+    per-position transform: HOF lambdas are interpreted per element
+    without common-subexpression elimination, so inlining
+    ``_norm(text)`` into the lambda (as the plain
+    ``char_ngram_buckets`` expression does) re-runs
+    lower+regexp+trim at EVERY character position — O(len^2) per
+    document, measured 6x slower at sf0.1. The Generate (explode)
+    operator keeps its child projection, so ``__t`` is computed once
+    per row here."""
+    norm = df.select(*id_cols, _norm(text_col).alias("__t"))
+    m = F.length("__t") - n + 1
+    gram = lambda i: _md5_bucket(  # noqa: E731
+        F.substring(F.col("__t"), i, n), n_buckets)
+    arr = (F.when(m >= 1, F.transform(F.sequence(F.lit(1), m), gram))
+           .otherwise(F.array().cast("array<long>")))
+    return (norm.select(*id_cols, F.explode(arr).alias("bucket"))
             .groupBy(*id_cols, "bucket")
             .agg(F.count(F.lit(1)).alias("c")))
 
@@ -130,7 +144,18 @@ def langid_scores(df: DataFrame, model: DataFrame, stats: DataFrame,
 
     so unseen buckets cost default(l) each without densifying the model
     to langs x n_buckets rows. The correction sum folds bucket-ascending
-    per (doc, lang) — partitioning-invariant replays."""
+    per (doc, lang) — partitioning-invariant replays.
+
+    ``model``/``stats`` are referenced from multiple points of the plan
+    (adj join, lang grid); when they are still the LAZY langid_fit
+    plans, each reference would re-run the whole training corpus scan —
+    the dedup._materialized signature-frame rule applies (the model is
+    vocabulary-sized; the training pass is corpus-sized), so both are
+    persisted here before the join."""
+    from openapc_olap_spark.operators.dedup import _materialized
+
+    model = _materialized(model)
+    stats = _materialized(stats)
     pairs = _gram_pairs(df, [id_col], text_col, n, n_buckets)
     # anchor on the full id set: a text shorter than n yields zero grams
     # but must still score (prior + T=0), not silently drop

@@ -313,7 +313,8 @@ def replicate_keyed_cdf(spark, src_path: str, keys: list[str], dst,
                         checkpoint_dir: str, n_buckets: int,
                         version_col: str = VERSION_COL,
                         start_version: int = 0,
-                        trigger: dict | None = None):
+                        trigger: dict | None = None,
+                        transform=None):
     """Maintain ``dst`` (a :class:`~openapc_olap_spark.sources.txn.
     TxnTable`) as an incrementally updated REPLICA of the source
     table's current state — the derived-table/materialized-view
@@ -347,6 +348,16 @@ def replicate_keyed_cdf(spark, src_path: str, keys: list[str], dst,
     ``version_col`` as payload — the applied-version watermark CDC
     appliers keep.
 
+    ``transform`` turns the replica into an incrementally maintained
+    VIEW: a row-local, KEY-PRESERVING DataFrame->DataFrame function
+    (projection, derived columns, casts — anything that keeps ``keys``
+    + ``version_col`` and maps each row independently) applied to the
+    change postimages AND delete pre-images before they land, so
+    ``dst`` holds ``transform(source state)`` at all times. Filters or
+    aggregations are NOT supported here — a filtered view would need
+    delete-on-false-predicate semantics, and an aggregate needs
+    retraction logic; both belong to a different operator.
+
     Scale shape: per batch, one keys-grain reduce of the change set +
     two bucket-pruned commits on ``dst`` — the source is never read
     beyond its changed slivers, the replica never beyond the touched
@@ -355,6 +366,18 @@ def replicate_keyed_cdf(spark, src_path: str, keys: list[str], dst,
 
     from openapc_olap_spark.sources import txn
 
+    def _shaped(part):
+        if transform is None:
+            return part
+        out = transform(part)
+        missing = [c for c in (*keys, version_col)
+                   if c not in out.columns]
+        if missing:
+            raise ValueError(
+                f"replicate transform must preserve the key and version "
+                f"columns; missing {missing}")
+        return out
+
     def sink(ch, _bid):
         latest = txn._merge_last_wins(ch.limit(0), ch, keys, version_col)
         latest = latest.cache()
@@ -362,14 +385,14 @@ def replicate_keyed_cdf(spark, src_path: str, keys: list[str], dst,
             if latest.isEmpty():
                 return
             dst_cols = [c for c in latest.columns if c != "_change_type"]
-            ups = (latest.filter(F.col("_change_type") != "delete")
-                   .select(*dst_cols))
+            ups = _shaped(latest.filter(F.col("_change_type") != "delete")
+                          .select(*dst_cols))
             if not ups.isEmpty():
                 dst.upsert(txn.add_bucket(ups, keys, n_buckets,
                                           col=dst.partition_col),
                            keys, version_col)
-            dels = (latest.filter(F.col("_change_type") == "delete")
-                    .select(*dst_cols))
+            dels = _shaped(latest.filter(F.col("_change_type") == "delete")
+                           .select(*dst_cols))
             if not dels.isEmpty():
                 dst.merge(txn.add_bucket(dels, keys, n_buckets,
                                          col=dst.partition_col),

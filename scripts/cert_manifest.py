@@ -258,8 +258,11 @@ _X_DEPS = {
     "x106_txn_rebucket": [f"{_P}/sources/txn.py"] + _MEMO,
     "x107_stream_keyed_cdf": [f"{_P}/sources/txn_stream.py",
                               f"{_P}/sources/txn.py"] + _MEMO,
-    # r13: trained NB lang-id (langid imports packing._md5_bucket)
-    "x108_langid_confusion": [f"{_OPS}/langid.py", f"{_OPS}/packing.py"],
+    # r13: trained NB lang-id (langid imports packing._md5_bucket and
+    # materializes the model frames via dedup._materialized)
+    "x108_langid_confusion": [f"{_OPS}/langid.py", f"{_OPS}/packing.py",
+                              f"{_OPS}/dedup.py",
+                              f"{_OPS}/text.py"] + _MEMO,
     # r13: managed keyed-CDF driver — x107's store closure + the stream
     "x109_keyed_cdf_managed": [f"{_P}/sources/txn_stream.py",
                                f"{_P}/sources/txn.py"] + _MEMO,

@@ -4,6 +4,7 @@ restarts, file-grain semantics."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from openapc_olap_spark import streaming
@@ -377,3 +378,62 @@ def test_replicate_keyed_cdf_replica_converges(spark, tmp_path):
                             n_buckets=4)
     q.awaitTermination()
     assert state(dst) == want
+
+
+def test_replicate_keyed_cdf_transformed_view(spark, tmp_path):
+    """transform= maintains an incrementally updated VIEW: a row-local,
+    key-preserving projection with derived columns — dst holds
+    transform(source state) across upsert, delete, and restart; a
+    transform that drops the keys refuses."""
+    from pyspark.sql import functions as F
+
+    from openapc_olap_spark.sources.txn_stream import (
+        VERSION_COL,
+        replicate_keyed_cdf,
+    )
+
+    t = _cdf_store(spark, tmp_path)          # v0 base, v1 upsert, v2 del
+
+    def view(df):
+        return df.select("k", VERSION_COL,
+                         F.upper(F.col("val")).alias("VAL"),
+                         (F.col("seq") * 10).alias("seq10"))
+
+    seed = view(t.read(version=0).withColumn(
+        VERSION_COL, F.lit(0).cast("long")))
+    dst = TxnTable.create(
+        spark, str(tmp_path / "view"),
+        txn.add_bucket(seed, ["k"], 4), "bucket",
+        meta={"n_buckets": 4})
+    ckpt = str(tmp_path / "view_ckpt")
+    q = replicate_keyed_cdf(spark, t.path, ["k"], dst,
+                            checkpoint_dir=ckpt, n_buckets=4,
+                            transform=view)
+    q.awaitTermination()
+    got = {(r["k"], r["VAL"], r["seq10"], r[VERSION_COL]) for r in
+           dst.read().select("k", "VAL", "seq10", VERSION_COL).collect()}
+    assert got == {("a", "A1", 10, 1), ("g", "VG", 10, 1),
+                   ("b", "VB", 0, 0)}
+    # restart epoch: v3 append flows through the same transform
+    t.append(txn.add_bucket(
+        spark.createDataFrame([("h", 3, "vh")],
+                              "k string, seq long, val string"), ["k"], 4))
+    q = replicate_keyed_cdf(spark, t.path, ["k"], dst,
+                            checkpoint_dir=ckpt, n_buckets=4,
+                            transform=view)
+    q.awaitTermination()
+    assert ("h", "VH", 30, 3) in {
+        (r["k"], r["VAL"], r["seq10"], r[VERSION_COL])
+        for r in dst.read().select("k", "VAL", "seq10",
+                                   VERSION_COL).collect()}
+    # a key-dropping transform refuses inside the sink (query fails)
+    bad_ckpt = str(tmp_path / "bad_ckpt")
+    dst2 = TxnTable.create(
+        spark, str(tmp_path / "view2"),
+        txn.add_bucket(seed, ["k"], 4), "bucket",
+        meta={"n_buckets": 4})
+    q = replicate_keyed_cdf(
+        spark, t.path, ["k"], dst2, checkpoint_dir=bad_ckpt, n_buckets=4,
+        transform=lambda df: df.select(VERSION_COL, "val"))
+    with pytest.raises(Exception, match="preserve the key"):
+        q.awaitTermination()
