@@ -7320,12 +7320,31 @@ def _x108_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (-F.col("b.neg")).alias("best_score"))
     # score_sum pins the full likelihood arithmetic under the hash even
     # where the near-uniform corpus makes every argmax land on the
-    # prior-dominant language
+    # prior-dominant language. The per-cell sum folds doc_id-ascending
+    # (VERDICT r13 #2 hardening): an unordered double SUM's addition
+    # order is partitioning-dependent in BOTH engines, and one contended
+    # run recorded a 4dp-boundary flake — the ordered fold makes the
+    # cell value bit-deterministic, mirrored by list_reduce(list(...
+    # ORDER BY doc_id)) in the oracle (the x54/x58 discipline).
     return (test.select("doc_id", "lang").join(pred, "doc_id")
             .groupBy("lang", "pred_lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.sum("best_score"), 4).alias("score_sum"))
+                 F.round(_x108_cell_fold(), 4).alias("score_sum"))
             .orderBy("lang", "pred_lang"))
+
+
+def _x108_cell_fold():
+    """Doc_id-ascending sequential fold of best_score within a confusion
+    cell — deterministic under any partitioning (collect, sort by the
+    unique doc_id, left-fold from 0.0; 0.0 + s == s in IEEE, matching
+    the oracle's init-less list_reduce)."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("doc_id").alias("d"),
+                         F.col("best_score").alias("s")))),
+            lambda t: t["s"]),
+        F.lit(0.0), lambda acc, x: acc + x)
 
 
 _X108_MEMO: dict = {}
@@ -7363,7 +7382,7 @@ def _x108_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (test.select("doc_id", "lang").join(pred, "doc_id")
             .groupBy("lang", "pred_lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.sum("best_score"), 4).alias("score_sum"))
+                 F.round(_x108_cell_fold(), 4).alias("score_sum"))
             .orderBy("lang", "pred_lang"))
 
 
@@ -7432,7 +7451,8 @@ _X108_SQL = rf"""
                                 ORDER BY score DESC, lang ASC) AS rn
       FROM scores)
     SELECT te.lang, p.pred_lang, count(*) AS n_docs,
-           round(sum(p.score), 4) AS score_sum
+           round(list_reduce(list(p.score ORDER BY p.doc_id),
+                             (a, b) -> a + b), 4) AS score_sum
     FROM te JOIN pred p ON p.doc_id = te.doc_id AND p.rn = 1
     GROUP BY 1, 2 ORDER BY 1, 2
 """
