@@ -395,7 +395,7 @@ class TxnTable:
         self._write_hint(v)         # repair the advisory hint too
         return v
 
-    def write_checkpoint(self) -> dict:
+    def write_checkpoint(self, full: bool = False) -> dict:
         """Refresh the compacted snapshot (the lakehouse
         ``_last_checkpoint`` convention, VERDICT r12 #5): one atomically
         replaced JSON recording the latest committed version and the
@@ -406,6 +406,22 @@ class TxnTable:
           hint-less on a 10^5-commit table;
         - ``vacuum()`` reads only manifests NEWER than the checkpoint
           instead of every retained version file.
+
+        The cadence refresh is INCREMENTAL (VERDICT r13 #3): start from
+        the previous checkpoint's referenced set and read only manifests
+        NEWER than its version — O(ckpt_every) manifest reads per
+        refresh instead of O(retained), which on object storage turns a
+        long-retention store's refresh from one GET per retained version
+        into one GET per commit since the last refresh. Safety is the
+        same monotonicity argument as a stale checkpoint: the previous
+        set covers every manifest <= its version (possibly as a
+        superset after retention), so the merged set covers every
+        current manifest. ``full=True`` rebuilds the TIGHT set from
+        every retained manifest — checkpoint() uses it after retention
+        so retired manifests' exclusive references become vacuum-able
+        instead of riding the superset forever; the incremental path
+        also falls back to a full rebuild when the previous checkpoint
+        is absent, corrupt, or points at a retired manifest.
 
         Concurrent refreshes last-win a complete file (os.replace); a
         stale checkpoint is always SAFE — its referenced set is a
@@ -421,7 +437,16 @@ class TxnTable:
             raise FileNotFoundError(
                 f"no committed manifest under {self._mdir()}")
         referenced: set[str] = set()
+        base_v = -1
+        if not full:
+            prev = self._read_ckpt()
+            if (prev is not None
+                    and os.path.exists(self._version_path(prev["version"]))):
+                referenced.update(prev["referenced"])
+                base_v = prev["version"]
         for f in names:
+            if int(f[1:9]) <= base_v:
+                continue
             with open(os.path.join(self._mdir(), f)) as fh:
                 referenced.update(e["path"]
                                   for e in json.load(fh)["files"])
@@ -990,7 +1015,8 @@ class TxnTable:
               matched_update: bool = True,
               matched_delete=None,
               insert_unmatched: bool = True,
-              max_retries: int = 5) -> int:
+              max_retries: int = 5,
+              meta_update: dict | None = None) -> int:
         """MERGE INTO — the three-clause lakehouse DML primitive in ONE
         partition-scoped commit: for each source row keyed into the
         table, WHEN MATCHED [AND ``matched_delete`` over ``t.*``/
@@ -1012,7 +1038,14 @@ class TxnTable:
         Cost shape: one column-pruned read of the touched partitions,
         one full-outer join at their grain (both sides hash on the
         keys), one write — identical exchange count to upsert; the
-        clauses are pure row-local projections on the joined frame."""
+        clauses are pure row-local projections on the joined frame.
+
+        ``meta_update`` dict-merges into the table meta published WITH
+        this commit — the transactional carrier for consumer state that
+        must move atomically with the data (e.g. the applied-version
+        watermark maintain_aggregate stores, whose exactly-once
+        semantics come from watermark-and-data being one commit). An
+        empty source skips the commit and leaves meta untouched."""
         if self.partition_col not in source.columns:
             raise ValueError(
                 f"source must carry the partition column "
@@ -1056,10 +1089,12 @@ class TxnTable:
             new_files = self._write_data(merged)
             keep = [f for f in snap["files"]
                     if f["partition"] not in touched]
+            meta = dict(snap.get("meta") or {})
+            if meta_update:
+                meta.update(meta_update)
             try:
                 v = snap["version"] + 1
-                self._publish(v, keep + new_files, merged.schema,
-                              snap.get("meta"))
+                self._publish(v, keep + new_files, merged.schema, meta)
                 return v
             except CommitConflict as e:
                 last = e
@@ -1125,7 +1160,8 @@ class TxnTable:
             f"delete lost {max_retries} commit races") from last
 
     def read_changes(self, v_from: int, v_to: int,
-                     keys: list[str] | None = None) -> DataFrame:
+                     keys: list[str] | None = None,
+                     include_preimages: bool = False) -> DataFrame:
         """Change-data-feed between two retained snapshot versions
         (``v_from`` exclusive as a state, i.e. 'changes that turn
         v_from into v_to').
@@ -1137,6 +1173,16 @@ class TxnTable:
         over the partitions whose file set differs between the two
         manifests — the diff never scans the unchanged bulk of the
         table, so its cost follows the commits, not the table size.
+
+        ``include_preimages=True`` (keys mode only) additionally emits
+        ``update_preimage`` — the OLD row of every updated key — which
+        is what retraction-based consumers need: an incrementally
+        maintained aggregate subtracts the preimage's contribution and
+        adds the postimage's (txn_stream.maintain_aggregate), and a
+        group-membership change (the grouping column itself updated)
+        only balances when both images flow. Same plan shape — the
+        preimage class is the complementary semi-join on the already
+        computed changed_old frame, no extra scan.
 
         Without ``keys``: the rows of files ADDED between the versions
         (exact for append-only commits; for rewrite commits it
@@ -1208,7 +1254,12 @@ class TxnTable:
                    .withColumn(ct, F.lit("update_postimage")))
         deletes = (changed_old.join(new_keys, keys, "left_anti")
                    .withColumn(ct, F.lit("delete")))
-        return inserts.unionByName(updates).unionByName(deletes)
+        out = inserts.unionByName(updates).unionByName(deletes)
+        if include_preimages:
+            pre = (changed_old.join(new_keys, keys, "left_semi")
+                   .withColumn(ct, F.lit("update_preimage")))
+            out = out.unionByName(pre)
+        return out
 
     def compact(self, partitions: list | None = None,
                 max_retries: int = 5, order_by: list | None = None,
@@ -1292,8 +1343,9 @@ class TxnTable:
                 # re-tighten the compacted snapshot: the retired
                 # manifests' exclusive references become vacuum-able
                 # immediately instead of lingering until the next
-                # cadence refresh
-                self.write_checkpoint()
+                # cadence refresh (full rebuild — the incremental merge
+                # deliberately never drops a path)
+                self.write_checkpoint(full=True)
             except OSError:
                 pass
         return drop

@@ -488,6 +488,54 @@ def test_read_changes_keyed_nets_commits_into_classes(spark, tmp_path):
                     ("f", "insert")}
 
 
+def test_read_changes_include_preimages(spark, tmp_path):
+    """include_preimages=True adds the update_preimage class (the OLD
+    row of every updated key) — the retraction input for incremental
+    aggregate maintenance; inserts and deletes are unchanged, and the
+    preimage/postimage key sets coincide exactly."""
+    t = _mk(spark, tmp_path,
+            [("a", 0, "va"), ("b", 0, "vb"), ("c", 0, "vc")])
+    up = txn.add_bucket(
+        spark.createDataFrame([("a", 1, "VA"), ("e", 1, "ve")],
+                              "k string, seq long, val string"), ["k"], 4)
+    t.upsert(up, ["k"], "seq")                     # v1
+    t.delete("k = 'b'")                            # v2
+    ch = {(r["k"], r["_change_type"], r["seq"], r["val"]) for r in
+          t.read_changes(0, 2, keys=["k"],
+                         include_preimages=True).collect()}
+    assert ch == {("a", "update_postimage", 1, "VA"),
+                  ("a", "update_preimage", 0, "va"),
+                  ("e", "insert", 1, "ve"),
+                  ("b", "delete", 0, "vb")}
+    # default stays the three-class feed
+    ch_def = {r["_change_type"] for r in
+              t.read_changes(0, 2, keys=["k"]).collect()}
+    assert "update_preimage" not in ch_def
+
+
+def test_merge_meta_update_rides_the_commit(spark, tmp_path):
+    """merge(meta_update=...) publishes the updated table meta WITH the
+    DML commit (the atomic watermark carrier for maintain_aggregate);
+    untouched keys persist, an empty source leaves meta alone."""
+    df = txn.add_bucket(
+        spark.createDataFrame([("a", 0, "va")],
+                              "k string, seq long, val string"), ["k"], 4)
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, "bucket",
+                        meta={"n_buckets": 4})
+    src = txn.add_bucket(
+        spark.createDataFrame([("a", 1, "VA")],
+                              "k string, seq long, val string"), ["k"], 4)
+    t.merge(src, ["k"], "seq", meta_update={"agg_watermark": 7})
+    meta = t.snapshot()["meta"]
+    assert meta["agg_watermark"] == 7
+    assert meta["n_buckets"] == 4                  # existing keys persist
+    empty = src.limit(0)
+    v = t.version()
+    t.merge(empty, ["k"], "seq", meta_update={"agg_watermark": 9})
+    assert t.version() == v                        # no commit
+    assert t.snapshot()["meta"]["agg_watermark"] == 7
+
+
 def test_read_changes_filegrain_and_schema_boundary(spark, tmp_path):
     """Without keys, read_changes returns the rows of files ADDED
     between the versions (exact for append-only); across a column-ADD
@@ -960,8 +1008,80 @@ def test_compacted_snapshot_vacuum_fast_path(spark, tmp_path):
         fh.write(stale)
     assert t.vacuum(grace_seconds=0) == []      # superset pins orphans
     assert _rows(t.read()) == {("a", 2, "z"), ("b", 1, "y")}
-    # refreshed checkpoint -> the orphan is found through the fast path
-    t.write_checkpoint()
+    # a FULL refresh drops the resurrected stale paths (the incremental
+    # cadence path deliberately never drops — VERDICT r13 #3) and the
+    # orphan is found through the fast path
+    t.write_checkpoint(full=True)
     gone = t.vacuum(grace_seconds=0)
     assert {f"data/{g}" for g in gone} == rewritten
-    assert _rows(t.read()) == {("a", 2, "z"), ("b", 1, "y")}
+
+
+def test_incremental_checkpoint_refresh_parity(spark, tmp_path):
+    """VERDICT r13 #3: the cadence checkpoint refresh merges the
+    previous checkpoint's referenced set with manifests NEWER than it —
+    O(commits-since-refresh) manifest reads, not O(retained) — and,
+    absent retention, produces EXACTLY the full rebuild's set. With
+    retention in between, the incremental set is a superset (safe) and
+    only full=True re-tightens."""
+    t = _mk(spark, tmp_path, [("a", 1, "x"), ("b", 1, "y")])
+    up = lambda k, s: txn.add_bucket(  # noqa: E731
+        spark.createDataFrame([(k, s, "z")],
+                              "k string, seq long, val string"), ["k"], 4)
+    t.upsert(up("a", 2), ["k"], "seq")              # v1
+    base = t.write_checkpoint()                     # seeds the chain
+    t.upsert(up("b", 3), ["k"], "seq")              # v2
+    t.upsert(up("c", 4), ["k"], "seq")              # v3
+    opened: list[str] = []
+    real_open = open
+
+    def spy(p, *a, **kw):
+        opened.append(str(p))
+        return real_open(p, *a, **kw)
+
+    import builtins
+    try:
+        builtins.open, _orig = spy, builtins.open
+        inc = t.write_checkpoint()
+    finally:
+        builtins.open = _orig
+    # only manifests NEWER than the previous checkpoint were read
+    read_manifests = [p for p in opened
+                      if "/_manifest/v" in p and p.endswith(".json")]
+    assert {os.path.basename(p) for p in read_manifests} \
+        == {"v00000002.json", "v00000003.json"}, read_manifests
+    full = t.write_checkpoint(full=True)
+    assert inc["version"] == full["version"] == 3
+    # no retention happened -> incremental == tight full rebuild
+    assert inc["referenced"] == full["referenced"]
+    assert set(base["referenced"]) <= set(inc["referenced"])
+    # retention retires v0-v2; the next INCREMENTAL refresh keeps the
+    # retired manifests' exclusive paths (superset, still safe for
+    # vacuum), full=True drops them
+    live = {e["path"] for e in t.snapshot()["files"]}
+    t.checkpoint(retain_versions=1)                 # re-tightens (full)
+    assert set(t._read_ckpt()["referenced"]) == live
+    inc2 = t.write_checkpoint()
+    assert set(inc2["referenced"]) == live          # chain from tight base
+
+
+def test_incremental_checkpoint_falls_back_when_base_retired(
+        spark, tmp_path):
+    """An incremental refresh whose previous checkpoint points at a
+    retention-retired manifest cannot trust the chain (intermediate
+    manifests may be gone too) — it falls back to the full rebuild."""
+    t = _mk(spark, tmp_path, [("a", 1, "x")])
+    up = lambda k, s: txn.add_bucket(  # noqa: E731
+        spark.createDataFrame([(k, s, "z")],
+                              "k string, seq long, val string"), ["k"], 4)
+    t.upsert(up("a", 2), ["k"], "seq")              # v1
+    t.write_checkpoint()                            # base at v1
+    stale = open(t._ckpt_path()).read()
+    t.upsert(up("a", 3), ["k"], "seq")              # v2
+    # retire everything below v2, then resurrect the v1-based ckpt
+    t.checkpoint(retain_versions=1)
+    with open(t._ckpt_path(), "w") as fh:
+        fh.write(stale)
+    ck = t.write_checkpoint()                       # base manifest gone
+    assert ck["version"] == 2
+    assert set(ck["referenced"]) \
+        == {e["path"] for e in t.snapshot()["files"]}
