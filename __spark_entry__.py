@@ -436,6 +436,9 @@ _CERT_FIRST = [
     # TxnTable over the managed keyed feed (materialized-view
     # maintenance without source rescans)
     "x110_cdf_replica",
+    # new r14: incremental AGGREGATE maintenance with retractions over
+    # the keyed CDF (VERDICT r13 #3 next step)
+    "x111_incremental_agg",
 ]
 _CERT_PENDING: list[str] = []
 # Freshness re-certification (VERDICT r10 #2 / r12 #1): the window's free

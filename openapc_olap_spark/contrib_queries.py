@@ -7747,6 +7747,177 @@ _X110_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X111: incremental aggregate maintenance over the keyed CDF (retractions)
+# ---------------------------------------------------------------------------
+
+_x111_aggs = {
+    "n_cust": ("count", "*"),
+    "bal_sum": ("sum", "CAST(c_acctbal AS DECIMAL(18,2))"),
+    "bal_cnt": ("count", "c_acctbal"),
+    "bal_avg": ("avg", "CAST(c_acctbal AS DECIMAL(18,2))"),
+}
+_x111_grp = ["c_mktsegment", "seq"]
+
+
+def _x111_result(spark: SparkSession, dst) -> DataFrame:
+    from openapc_olap_spark.sources.txn_stream import (
+        VERSION_COL,
+        read_aggregate,
+    )
+
+    wm = int(dst.snapshot()["meta"]["agg_watermark"])
+    out = read_aggregate(dst, _x111_grp, _x111_aggs)
+    return out.select(
+        "c_mktsegment", "seq", "n_cust",
+        F.round(F.col("bal_sum").cast("double"), 2).alias("bal_sum"),
+        "bal_cnt", F.round("bal_avg", 6).alias("bal_avg"),
+        F.col(VERSION_COL).alias("last_cv"),
+        F.lit(wm).cast("long").alias("wm"))
+
+
+def _x111_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``txn_stream.maintain_aggregate`` — retraction-based incremental
+    maintenance of a GROUP AGGREGATE table over the managed keyed CDF
+    (VERDICT r13 #3 follow-on: the capability replicate_keyed_cdf
+    documents out of scope). Grouping on (c_mktsegment, seq) makes every
+    upsert a GROUP-CROSSING move (seq changes), so the certified sums
+    only balance when update PREIMAGES retract from the old group while
+    postimages add to the new; v2's predicate delete retracts rows
+    outright. Seeded at v0, maintained through v1+v2, then a v3 upsert
+    lands after the first run stopped and a resumed run (same
+    checkpoint) applies exactly it, publishing the applied-version
+    watermark atomically with each merge commit. The gate hashes, per
+    group: maintained row count, exact DECIMAL(18,2) balance sum,
+    non-null count, derived avg, the per-group last-touched version,
+    and the final watermark — one duplicated delta, missed retraction,
+    resurrected group, or stale watermark breaks the hash."""
+    import shutil
+    import tempfile
+
+    from openapc_olap_spark.sources.txn_stream import (
+        maintain_aggregate,
+        seed_aggregate,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x111_{tag}"
+    drt = f"{tempfile.gettempdir()}/openapc_gate_tmp/x111a_{tag}"
+    ckpt = root + "_ckpt"
+    shutil.rmtree(drt, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    store = _x107_store(spark, sf_dir, root)
+    dst = seed_aggregate(spark, store.read(version=0), _x111_grp,
+                         _x111_aggs, drt, 4, version=0)
+    q = maintain_aggregate(spark, store.path, ["c_custkey"], _x111_grp,
+                           _x111_aggs, dst, checkpoint_dir=ckpt,
+                           n_buckets=4)
+    q.awaitTermination()
+    _x109_v3(spark, sf_dir, store)
+    q = maintain_aggregate(spark, store.path, ["c_custkey"], _x111_grp,
+                           _x111_aggs, dst, checkpoint_dir=ckpt,
+                           n_buckets=4)
+    q.awaitTermination()
+    return _x111_result(spark, dst)
+
+
+_X111_MEMO: dict = {}
+
+
+def _x111_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of x111: the source store + its three commits are
+    memoized setup; the measured path is one fresh maintained
+    aggregate's bootstrap-and-catch-up (seed at v0 + one managed drain
+    applying v1..v3 with retractions) — the recurring cost of standing
+    up a streaming materialized view."""
+    import shutil
+    import tempfile
+
+    from openapc_olap_spark.operators._memo import memoized
+    from openapc_olap_spark.sources.txn_stream import (
+        maintain_aggregate,
+        seed_aggregate,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build():
+        root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x111t_{tag}"
+        store = _x107_store(spark, sf_dir, root)
+        _x109_v3(spark, sf_dir, store)
+        return store
+
+    store = memoized(_X111_MEMO, ("x111_store", sf_dir), build)
+    drt = f"{tempfile.gettempdir()}/openapc_gate_tmp/x111ta_{tag}"
+    ckpt = drt + "_ckpt"
+    shutil.rmtree(drt, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    dst = seed_aggregate(spark, store.read(version=0), _x111_grp,
+                         _x111_aggs, drt, 4, version=0)
+    q = maintain_aggregate(spark, store.path, ["c_custkey"], _x111_grp,
+                           _x111_aggs, dst, checkpoint_dir=ckpt,
+                           n_buckets=4)
+    q.awaitTermination()
+    return _x111_result(spark, dst)
+
+
+_X111_SQL = f"""
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE c_custkey < 30000),
+    base AS MATERIALIZED (
+      SELECT c_custkey, c_mktsegment, c_acctbal, 0::BIGINT AS seq
+      FROM cust WHERE c_custkey % 3 <> 1),
+    batch AS MATERIALIZED (
+      SELECT c_custkey, c_mktsegment, c_acctbal, 1::BIGINT AS seq
+      FROM cust WHERE c_custkey % 3 = 1
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal + 500, 1::BIGINT
+      FROM cust WHERE c_custkey % 6 = 0),
+    v1 AS MATERIALIZED (
+      SELECT * FROM base
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+      UNION ALL SELECT * FROM batch),
+    v2 AS MATERIALIZED (
+      SELECT * FROM v1 WHERE NOT ({_x107_del})),
+    batch3 AS MATERIALIZED (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 250 AS c_acctbal,
+             2::BIGINT AS seq
+      FROM cust WHERE c_custkey % 5 = 2),
+    final AS MATERIALIZED (
+      SELECT * FROM v2
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM batch3)
+      UNION ALL SELECT * FROM batch3),
+    -- every change row's (group, version), update PREIMAGES counting
+    -- toward their OLD (segment, seq) group; every emitted row here
+    -- genuinely changes (seq always differs across the commits)
+    touched AS MATERIALIZED (
+      SELECT c_mktsegment, seq, 1::BIGINT AS cv FROM batch
+      UNION ALL
+      SELECT o.c_mktsegment, o.seq, 1::BIGINT
+      FROM batch n JOIN base o USING (c_custkey)
+      UNION ALL
+      SELECT c_mktsegment, seq, 2::BIGINT FROM v1 WHERE {_x107_del}
+      UNION ALL
+      SELECT c_mktsegment, seq, 3::BIGINT FROM batch3
+      UNION ALL
+      SELECT o.c_mktsegment, o.seq, 3::BIGINT
+      FROM batch3 n JOIN v2 o ON n.c_custkey = o.c_custkey)
+    SELECT f.c_mktsegment, f.seq, count(*) AS n_cust,
+           round(CAST(sum(CAST(f.c_acctbal AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS bal_sum,
+           count(f.c_acctbal) AS bal_cnt,
+           round(CAST(sum(CAST(f.c_acctbal AS DECIMAL(18,2)))
+                      AS DOUBLE) / count(f.c_acctbal), 6) AS bal_avg,
+           coalesce(t.cv, 0)::BIGINT AS last_cv,
+           3::BIGINT AS wm
+    FROM final f LEFT JOIN (SELECT c_mktsegment, seq, max(cv) AS cv
+                            FROM touched GROUP BY 1, 2) t
+         ON f.c_mktsegment = t.c_mktsegment AND f.seq = t.seq
+    GROUP BY f.c_mktsegment, f.seq, t.cv
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -7858,6 +8029,7 @@ QUERIES = {
     "x108_langid_confusion": _x108_langid_confusion,
     "x109_keyed_cdf_managed": _x109_keyed_cdf_managed,
     "x110_cdf_replica": _x110_cdf_replica,
+    "x111_incremental_agg": _x111_incremental_agg,
 }
 
 # Production-path bench twins (VERDICT r09 #1): the certifying gates above
@@ -7892,6 +8064,7 @@ BENCH_TWINS = {
     "x107_stream_keyed_cdf": _x107_production,
     "x109_keyed_cdf_managed": _x109_production,
     "x110_cdf_replica": _x110_production,
+    "x111_incremental_agg": _x111_production,
 }
 
 ORACLES = {
@@ -8005,4 +8178,5 @@ ORACLES = {
     "x108_langid_confusion": _X108_SQL,
     "x109_keyed_cdf_managed": _X109_SQL,
     "x110_cdf_replica": _X110_SQL,
+    "x111_incremental_agg": _X111_SQL,
 }

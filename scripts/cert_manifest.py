@@ -269,6 +269,10 @@ _X_DEPS = {
     # r13: CDF-to-table replication — same closure as x109
     "x110_cdf_replica": [f"{_P}/sources/txn_stream.py",
                          f"{_P}/sources/txn.py"] + _MEMO,
+    # r14: incremental aggregate maintenance (retraction-based) over the
+    # managed keyed CDF — same store+stream closure as x109/x110
+    "x111_incremental_agg": [f"{_P}/sources/txn_stream.py",
+                             f"{_P}/sources/txn.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

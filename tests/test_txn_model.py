@@ -35,14 +35,18 @@ def _state(t):
             t.read().select("k", "seq", "val").collect()}
 
 
-def _diff(prev, cur):
-    """The keyed change classes read_changes must emit for prev -> cur."""
+def _diff(prev, cur, preimages=False):
+    """The keyed change classes read_changes must emit for prev -> cur;
+    with ``preimages`` the update_preimage class (OLD row of every
+    updated key) joins the expectation."""
     out = set()
     for k, row in cur.items():
         if k not in prev:
             out.add(("insert", k, *row))
         elif prev[k] != row:
             out.add(("update_postimage", k, *row))
+            if preimages:
+                out.add(("update_preimage", k, *prev[k]))
     for k, row in prev.items():
         if k not in cur:
             out.add(("delete", k, *row))
@@ -113,13 +117,17 @@ def test_random_dml_sequence_matches_model(spark, tmp_path):
                t.read(version=v).select("k", "seq", "val").collect()}
         assert got == history[v], f"time travel to v{v} diverged"
 
-    # keyed CDF per version == model diff
+    # keyed CDF per version == model diff (preimage-complete: the
+    # update_preimage class must cover exactly the updated keys' OLD
+    # rows — the retraction input maintain_aggregate consumes)
     for v in range(1, final_v + 1):
-        ch = t.read_changes(v - 1, v, keys=["k"])
+        ch = t.read_changes(v - 1, v, keys=["k"],
+                            include_preimages=True)
         got = {(r["_change_type"], r["k"], r["seq"], r["val"])
                for r in ch.select("_change_type", "k", "seq",
                                   "val").collect()}
-        assert got == _diff(history[v - 1], history[v]), f"CDF at v{v}"
+        assert got == _diff(history[v - 1], history[v],
+                            preimages=True), f"CDF at v{v}"
 
     # a replica seeded at v0 converges to the final state
     from openapc_olap_spark.sources.txn_stream import (
@@ -137,3 +145,38 @@ def test_random_dml_sequence_matches_model(spark, tmp_path):
     got = {r["k"]: (r["seq"], r["val"]) for r in
            dst.read().select("k", "seq", "val").collect()}
     assert got == history[final_v]
+
+    # a maintained aggregate (grouped on val, so every value update is a
+    # group-crossing retraction and every color delete empties groups)
+    # seeded at v0 converges to the final state's from-scratch aggregate
+    from openapc_olap_spark.sources.txn_stream import (
+        maintain_aggregate,
+        read_aggregate,
+        seed_aggregate,
+    )
+    aggs = {"n": ("count", "*"), "seq_sum": ("sum", "seq")}
+    adst = seed_aggregate(spark, t.read(version=0), ["val"], aggs,
+                          str(tmp_path / "agg"), NB, version=0)
+    q = maintain_aggregate(spark, t.path, ["k"], ["val"], aggs, adst,
+                           checkpoint_dir=str(tmp_path / "agg_ckpt"),
+                           n_buckets=NB)
+    q.awaitTermination()
+
+    def _agg_state():
+        return {(r["val"], r["n"], r["seq_sum"]) for r in
+                read_aggregate(adst, ["val"], aggs).collect()}
+
+    exp: dict = {}
+    for _k, (s, v) in history[final_v].items():
+        n, ss = exp.get(v, (0, 0))
+        exp[v] = (n + 1, ss + s)
+    want = {(v, n, ss) for v, (n, ss) in exp.items()}
+    assert _agg_state() == want
+    assert int(adst.snapshot()["meta"]["agg_watermark"]) == final_v
+    # an idle re-drain (no new commits) is a strict no-op
+    v_dst = adst.version()
+    q = maintain_aggregate(spark, t.path, ["k"], ["val"], aggs, adst,
+                           checkpoint_dir=str(tmp_path / "agg_ckpt"),
+                           n_buckets=NB)
+    q.awaitTermination()
+    assert adst.version() == v_dst and _agg_state() == want

@@ -437,3 +437,67 @@ def test_replicate_keyed_cdf_transformed_view(spark, tmp_path):
         transform=lambda df: df.select(VERSION_COL, "val"))
     with pytest.raises(Exception, match="preserve the key"):
         q.awaitTermination()
+
+
+def test_maintain_aggregate_refuses_nonretractable_and_bad_seed(
+        spark, tmp_path):
+    """max/min are not retractable (a delete of the current max needs
+    the full per-group multiset) — _agg_specs refuses them up front;
+    maintain_aggregate also refuses a dst whose physical state columns
+    don't match the spec (wrong seed)."""
+    import pytest
+
+    from openapc_olap_spark.sources.txn_stream import (
+        maintain_aggregate,
+        seed_aggregate,
+    )
+
+    rows = txn.add_bucket(
+        spark.createDataFrame([("a", 0, "g", 1.0)],
+                              "k string, seq long, g string, x double"),
+        ["k"], 4)
+    t = TxnTable.create(spark, str(tmp_path / "src"), rows, "bucket",
+                        meta={"n_buckets": 4})
+    with pytest.raises(ValueError, match="not retractable"):
+        seed_aggregate(spark, t.read(), ["g"], {"m": ("max", "x")},
+                       str(tmp_path / "agg0"), 4)
+    dst = seed_aggregate(spark, t.read(), ["g"], {"s": ("sum", "x")},
+                         str(tmp_path / "agg"), 4)
+    with pytest.raises(ValueError, match="lacks state columns"):
+        maintain_aggregate(spark, t.path, ["k"], ["g"],
+                           {"other": ("sum", "x")}, dst,
+                           checkpoint_dir=str(tmp_path / "ck"),
+                           n_buckets=4)
+
+
+def test_maintain_aggregate_watermark_blocks_replayed_deltas(
+        spark, tmp_path):
+    """Delta application is not idempotent — exactly-once comes from
+    the agg_watermark riding each merge commit: changes at or below it
+    filter out, so re-draining from a FRESH checkpoint (which re-emits
+    every version) applies nothing twice."""
+    from openapc_olap_spark.sources.txn_stream import (
+        maintain_aggregate,
+        read_aggregate,
+        seed_aggregate,
+    )
+
+    mk = lambda k, s, v: txn.add_bucket(  # noqa: E731
+        spark.createDataFrame([(k, s, "g", v)],
+                              "k string, seq long, g string, x double"),
+        ["k"], 4)
+    t = TxnTable.create(spark, str(tmp_path / "src"), mk("a", 0, 10.0),
+                        "bucket", meta={"n_buckets": 4})
+    t.upsert(mk("b", 1, 5.0), ["k"], "seq")         # v1
+    aggs = {"n": ("count", "*"), "s": ("sum", "x")}
+    dst = seed_aggregate(spark, t.read(version=0), ["g"], aggs,
+                         str(tmp_path / "agg"), 4, version=0)
+    for ck in ("ck1", "ck2"):                        # ck2 = full replay
+        q = maintain_aggregate(spark, t.path, ["k"], ["g"], aggs, dst,
+                               checkpoint_dir=str(tmp_path / ck),
+                               n_buckets=4)
+        q.awaitTermination()
+        got = [(r["g"], r["n"], r["s"]) for r in
+               read_aggregate(dst, ["g"], aggs).collect()]
+        assert got == [("g", 2, 15.0)], (ck, got)
+    assert int(dst.snapshot()["meta"]["agg_watermark"]) == 1
