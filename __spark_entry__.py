@@ -437,8 +437,9 @@ _CERT_FIRST = [
     # maintenance without source rescans)
     "x110_cdf_replica",
     # new r14: incremental AGGREGATE maintenance with retractions over
-    # the keyed CDF (VERDICT r13 #3 next step)
-    "x111_incremental_agg",
+    # the keyed CDF (VERDICT r13 #3 next step), and the trained lang-id
+    # composed into the CCNet curation stack (VERDICT r13 #4)
+    "x111_incremental_agg", "x112_langid_ccnet",
 ]
 _CERT_PENDING: list[str] = []
 # Freshness re-certification (VERDICT r10 #2 / r12 #1): the window's free

@@ -7918,6 +7918,184 @@ _X111_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# X112: trained lang-id composed into the CCNet curation stack
+# ---------------------------------------------------------------------------
+
+def _x112_body(spark: SparkSession, sf_dir: str, model=None,
+               stats=None) -> DataFrame:
+    """Shared composition body: predict language for the held-out half
+    with the NB model (fitting it when not supplied), self-train the
+    unigram LM on that half, bucket per PREDICTED language."""
+    from openapc_olap_spark.operators import ccnet, langid, lm
+    from openapc_olap_spark.operators.packing import _md5_bucket
+
+    docs = (load_tables(spark, sf_dir, ["documents"])["documents"]
+            .filter(F.col("doc_id") < 20000))   # the x108 cost cap
+    half = _md5_bucket(F.col("doc_id"), 2)
+    test = docs.filter(half == 1)
+    if model is None:
+        model, stats = langid.langid_fit(docs.filter(half == 0),
+                                         n=_x108_n, n_buckets=_x108_m)
+    pred = langid.langid_predict(test, model, stats,
+                                 n=_x108_n, n_buckets=_x108_m)
+    scored = (lm.doc_mean_logprob(test, round_to=6)
+              .join(pred, "doc_id")
+              .withColumnRenamed("mean_logprob", "score"))
+    bucketed = ccnet.perplexity_buckets(scored, by="pred_lang")
+    ids = F.array_sort(F.collect_list(F.col("doc_id").cast("string")))
+    return (bucketed.groupBy("pred_lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("score"), 6).alias("mean_score"),
+                 F.md5(F.array_join(ids, ",")).alias("digest")))
+
+
+def _x112_langid_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained lang-id composed into the CCNet stack (VERDICT r13 #4):
+    the published-recipe production shape — a learned language
+    identifier (not the corpus's given label) keys the per-language
+    perplexity bucketing. NB fits on the md5-even half (x108's recipe),
+    predicts the held-out half, a self-trained unigram LM scores that
+    half, and ccnet.perplexity_buckets cuts R-7 terciles PER PREDICTED
+    LANGUAGE. The gate hashes per (pred_lang, bucket): member count,
+    6dp mean score, and the sorted-id digest — one wrong prediction
+    reshuffles a group's quantile cuts and breaks the digest, so the
+    handoff (prediction feeding the grouping) sits under the hash."""
+    return _x112_body(spark, sf_dir)
+
+
+_X112_MEMO: dict = {}
+
+
+def _x112_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of x112: the NB model is memoized setup (x108's
+    twin discipline); the measured path is predict + LM score + bucket
+    over the held-out half — the recurring per-corpus-pass cost of a
+    lang-id-keyed curation stage."""
+    from openapc_olap_spark.operators import langid
+    from openapc_olap_spark.operators._memo import memoized
+    from openapc_olap_spark.operators.dedup import _materialized
+    from openapc_olap_spark.operators.packing import _md5_bucket
+
+    docs = (load_tables(spark, sf_dir, ["documents"])["documents"]
+            .filter(F.col("doc_id") < 20000))
+    half = _md5_bucket(F.col("doc_id"), 2)
+
+    def build():
+        model, stats = langid.langid_fit(docs.filter(half == 0),
+                                         n=_x108_n, n_buckets=_x108_m)
+        return _materialized(model), _materialized(stats)
+
+    model, stats = memoized(_X112_MEMO, ("x112_model", sf_dir), build)
+    return _x112_body(spark, sf_dir, model, stats)
+
+
+_X112_SQL = rf"""
+    WITH tr AS MATERIALIZED (
+      SELECT lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+      WHERE doc_id < 20000
+        AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2 = 0),
+    te AS MATERIALIZED (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+      WHERE doc_id < 20000
+        AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2 = 1),
+    cnt AS MATERIALIZED (
+      SELECT lang,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % {_x108_m} AS bucket,
+             count(*)::DOUBLE AS c
+      FROM (SELECT lang, unnest(list_transform(
+                generate_series(1, greatest(length(t) - {_x108_n - 1}, 0)),
+                i -> substr(t, i, {_x108_n}))) AS g
+            FROM tr)
+      GROUP BY 1, 2),
+    tot AS MATERIALIZED (
+      SELECT lang, sum(c) AS tot FROM cnt GROUP BY 1),
+    nbmodel AS MATERIALIZED (
+      SELECT c.lang, c.bucket,
+             ln((c.c + 1.0) / (t.tot + {_x108_m}.0)) AS logp
+      FROM cnt c JOIN tot t USING (lang)),
+    ndocs AS MATERIALIZED (
+      SELECT lang, count(*)::DOUBLE AS n_docs FROM tr GROUP BY 1),
+    nbstats AS MATERIALIZED (
+      SELECT n.lang,
+             ln(n.n_docs / (SELECT sum(n_docs) FROM ndocs)) AS prior_logp,
+             ln(1.0 / (t.tot + {_x108_m}.0)) AS default_logp
+      FROM ndocs n JOIN tot t USING (lang)),
+    te_pairs AS MATERIALIZED (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % {_x108_m} AS bucket,
+             count(*)::DOUBLE AS c
+      FROM (SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(length(t) - {_x108_n - 1}, 0)),
+                i -> substr(t, i, {_x108_n}))) AS g
+            FROM te)
+      GROUP BY 1, 2),
+    tdoc AS MATERIALIZED (
+      SELECT te.doc_id, coalesce(p.tg, 0.0) AS t_grams
+      FROM te LEFT JOIN (SELECT doc_id, sum(c) AS tg FROM te_pairs
+                         GROUP BY 1) p USING (doc_id)),
+    adj AS MATERIALIZED (
+      SELECT p.doc_id, m.lang,
+             sum(p.c * (m.logp - s.default_logp)) AS adj
+      FROM te_pairs p JOIN nbmodel m USING (bucket)
+           JOIN nbstats s ON s.lang = m.lang
+      GROUP BY 1, 2),
+    nbscores AS MATERIALIZED (
+      SELECT d.doc_id, s.lang,
+             round(s.prior_logp + d.t_grams * s.default_logp
+                   + coalesce(a.adj, 0.0), 6) AS score
+      FROM tdoc d CROSS JOIN nbstats s
+           LEFT JOIN adj a ON a.doc_id = d.doc_id AND a.lang = s.lang),
+    pred AS MATERIALIZED (
+      SELECT doc_id, lang AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang ASC) AS rn
+      FROM nbscores),
+    -- unigram LM self-trained on the held-out half (the x76 chain,
+    -- corpus restricted to te)
+    s AS MATERIALIZED (SELECT doc_id, {_TOKS_SQL} AS toks FROM te),
+    lmmodel AS MATERIALIZED (
+      SELECT token, count(*) AS c FROM
+        (SELECT unnest(toks) AS token FROM s) GROUP BY 1),
+    lmst AS MATERIALIZED (
+      SELECT sum(c) AS n, count(*) AS v FROM lmmodel),
+    per AS MATERIALIZED (
+      SELECT doc_id, token, count(*) AS n FROM
+        (SELECT doc_id, unnest(toks) AS token FROM s) GROUP BY 1, 2),
+    contrib AS MATERIALIZED (
+      SELECT p.doc_id, p.token, p.n,
+             p.n * ln((coalesce(m.c, 0) + 1.0)
+                      / (lmst.n + 1.0 * (lmst.v + 1))) AS contrib
+      FROM per p LEFT JOIN lmmodel m USING (token) CROSS JOIN lmst),
+    sc AS MATERIALIZED (
+      SELECT doc_id,
+             round(list_reduce(list(contrib ORDER BY token),
+                               (a, b) -> a + b) / sum(n), 6) AS score
+      FROM contrib GROUP BY 1),
+    sl AS MATERIALIZED (
+      SELECT sc.doc_id, sc.score, p.pred_lang
+      FROM sc JOIN pred p ON p.doc_id = sc.doc_id AND p.rn = 1),
+    cuts AS MATERIALIZED (
+      SELECT pred_lang, quantile_cont(score, 1.0/3.0) AS cut_lo,
+             quantile_cont(score, 2.0/3.0) AS cut_hi
+      FROM sl GROUP BY 1),
+    b AS (
+      SELECT sl.doc_id, sl.pred_lang, sl.score,
+             CASE WHEN sl.score >= c.cut_hi THEN 'head'
+                  WHEN sl.score >= c.cut_lo THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM sl JOIN cuts c USING (pred_lang))
+    SELECT pred_lang, bucket, count(*) AS n_docs,
+           round(avg(score), 6) AS mean_score,
+           md5(string_agg(doc_id::VARCHAR, ','
+                          ORDER BY doc_id::VARCHAR)) AS digest
+    FROM b GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "x01_dedup_summary": _x01_dedup_summary,
     "x02_ngram_jaccard": _x02_ngram_jaccard,
@@ -8030,6 +8208,7 @@ QUERIES = {
     "x109_keyed_cdf_managed": _x109_keyed_cdf_managed,
     "x110_cdf_replica": _x110_cdf_replica,
     "x111_incremental_agg": _x111_incremental_agg,
+    "x112_langid_ccnet": _x112_langid_ccnet,
 }
 
 # Production-path bench twins (VERDICT r09 #1): the certifying gates above
@@ -8065,6 +8244,7 @@ BENCH_TWINS = {
     "x109_keyed_cdf_managed": _x109_production,
     "x110_cdf_replica": _x110_production,
     "x111_incremental_agg": _x111_production,
+    "x112_langid_ccnet": _x112_production,
 }
 
 ORACLES = {
@@ -8179,4 +8359,5 @@ ORACLES = {
     "x109_keyed_cdf_managed": _X109_SQL,
     "x110_cdf_replica": _X110_SQL,
     "x111_incremental_agg": _X111_SQL,
+    "x112_langid_ccnet": _X112_SQL,
 }

@@ -273,6 +273,12 @@ _X_DEPS = {
     # managed keyed CDF — same store+stream closure as x109/x110
     "x111_incremental_agg": [f"{_P}/sources/txn_stream.py",
                              f"{_P}/sources/txn.py"] + _MEMO,
+    # r14: trained lang-id composed into the CCNet stack — x108's
+    # closure + the LM/CCNet stage it feeds
+    "x112_langid_ccnet": [f"{_OPS}/langid.py", f"{_OPS}/packing.py",
+                          f"{_OPS}/ccnet.py", f"{_OPS}/lm.py",
+                          f"{_OPS}/text.py",
+                          f"{_OPS}/dedup.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 
