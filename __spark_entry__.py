@@ -442,26 +442,25 @@ _CERT_FIRST = [
     "x111_incremental_agg", "x112_langid_ccnet",
 ]
 _CERT_PENDING: list[str] = []
-# Freshness re-certification (VERDICT r10 #2 / r12 #1): the window's free
-# slots re-run the OLDEST standing certs. The r08 band (x77/x79/x82/x86)
-# and the 12-gate r09 band lead — after this round no gate's newest driver
-# cert is older than r10 — then the oldest r10 certs fill the remainder.
-# Entries past the 50-slot window spill to manifest-guarded positions and
-# lead the r14 refresh.
+# Freshness re-certification (VERDICT r10 #2 / r12 #1 / r13 #1): the
+# window's free slots re-run the OLDEST standing certs. r14's 30 free
+# slots take the full 27-gate r10 stale band (the oldest certs after
+# r13's refresh) plus three cheap r11 joins gates that are NOT
+# text.py-dependent — the r11 band's text-dependent members re-certify
+# for free in the planned r16 text.py rotation, so the non-text ones
+# are the scarce refresh currency. After this round no gate's newest
+# driver cert is older than r11.
 _CERT_REFRESH = [
-    "x77_logreg_quality", "x79_bm25_topk", "x82_hashed_features",
-    "x86_weighted_sample", "e03_deal_halving", "e04_union_combined",
-    "e06_prune_semi", "e07_priority_rank", "e08_melt_explode",
-    "e10_colon_scrub", "e11_doi_lookup", "e12_institution_report",
-    "e13_ac_institutions", "e16_springer_coverage",
-    "e19_manifest_roundtrip", "x84_pca_projection",
-    "e01_enrich_ror", "e02_publication_key", "e05_coverage_zerofill",
-    "e09_journal_id", "e14_annual_pubdates", "e15_hybrid_catalog",
-    "e20_json_cache", "x01_dedup_summary", "x02_ngram_jaccard",
-    "x03_minhash_neardup", "x04_simhash_neardup", "x05_ann_topk",
-    "x06_lsh_neardup_embeddings", "x07_text_metrics",
-    "x08_langid_distribution", "x09_tumbling_daily", "x10_sliding_windows",
-    "x11_session_stats", "x12_props_json", "x13_salted_drilldown",
+    "x10_sliding_windows", "x11_session_stats", "x12_props_json",
+    "x13_salted_drilldown", "x14_ngram_jaccard_capped", "x15_media_metadata",
+    "x16_quality_deciles", "x17_ivf_ann", "x18_lsh_neardup_capped",
+    "x19_image_dims", "x20_pii_redaction", "x23_wav_metadata",
+    "x24_audio_headers", "x35_duplicate_groups", "x51_orc_roundtrip",
+    "x53_semantic_dedup", "x55_bpe_train", "x59_cluster_outliers",
+    "x61_bpe_encode", "x68_canonical_docs", "x80_pagerank",
+    "x81_pmi_cooccurrence", "x85_fuzzy_linkage", "x87_knn_graph",
+    "x88_unigram_tokenizer", "x89_pca_block", "x90_unigram_encode",
+    "x37_asof_join", "x38_interval_join", "x41_bloom_semi_join",
 ]
 _CERT_TAIL = [
     # previously hash-certified; implementing modules untouched since the
@@ -470,39 +469,38 @@ _CERT_TAIL = [
     # which refuses to re-stamp a guarded gate whose code or engine deps
     # drifted — including, since r13, a drifted or partially-uncommitted
     # deps LIST)
-    "e18_partition_prune", "q01_facts_page", "q02_cut_point",
-    "q03_cut_range", "q04_cut_set", "q05_cut_negate",
-    "q06_aggregate_summary", "q07_drilldown", "q08_multi_drilldown",
-    "q09_order_topk", "q10_pagination_cells", "q11_envelope_rollup",
-    "q12_point_lookup", "q13_fact_by_id", "q14_members",
-    "q15_total_percentage", "q16_cell_http", "q17_model_http",
-    "x100_wordpiece_encode", "x104_kn_logprob",
-    "x14_ngram_jaccard_capped", "x15_media_metadata",
-    "x16_quality_deciles", "x17_ivf_ann", "x18_lsh_neardup_capped",
-    "x19_image_dims", "x20_pii_redaction", "x21_repetition_deciles",
-    "x22_vocab_top", "x23_wav_metadata", "x24_audio_headers",
-    "x25_streaming_tumbling", "x26_streaming_dedup",
-    "x27_winnow_fingerprints", "x28_curation_funnel",
-    "x29_sequence_packing", "x30_hash_split", "x31_profile",
-    "x32_image_decode", "x33_stateful_sessions", "x34_wav_decode",
-    "x35_duplicate_groups", "x36_ivf_index", "x37_asof_join",
-    "x38_interval_join", "x39_stratified_sample", "x40_decontaminate",
-    "x41_bloom_semi_join", "x42_topk_per_group",
-    "x43_deterministic_shuffle", "x44_cms_estimates",
-    "x45_tfidf_top_terms", "x46_quantize_embeddings",
-    "x47_chunk_documents", "x48_rebalance_mixture", "x50_streaming_cms",
-    "x51_orc_roundtrip", "x52_pretraining_pipeline", "x53_semantic_dedup",
-    "x54_unigram_logprob", "x55_bpe_train", "x56_domain_stats",
-    "x57_temperature_resample", "x58_bigram_logprob",
-    "x59_cluster_outliers", "x60_stream_stream_join", "x61_bpe_encode",
-    "x62_quality_rules", "x63_event_funnel", "x64_cohort_retention",
-    "x65_url_dedup", "x66_line_dedup", "x67_char_entropy",
-    "x68_canonical_docs", "x69_percentile_filter", "x70_rolling_features",
-    "x71_size_sharding", "x72_kmeans_fit", "x73_dsir_weights",
-    "x74_span_dedup", "x75_sample_per_group", "x76_ccnet_buckets",
-    "x78_curation_chain", "x80_pagerank", "x81_pmi_cooccurrence",
-    "x83_zorder_layout", "x85_fuzzy_linkage", "x87_knn_graph",
-    "x88_unigram_tokenizer", "x89_pca_block", "x90_unigram_encode",
+    "x77_logreg_quality", "x79_bm25_topk", "x82_hashed_features",
+    "x86_weighted_sample", "e03_deal_halving", "e04_union_combined",
+    "e06_prune_semi", "e07_priority_rank", "e08_melt_explode",
+    "e10_colon_scrub", "e11_doi_lookup", "e12_institution_report",
+    "e13_ac_institutions", "e16_springer_coverage", "e19_manifest_roundtrip",
+    "x84_pca_projection", "e01_enrich_ror", "e02_publication_key",
+    "e05_coverage_zerofill", "e09_journal_id", "e14_annual_pubdates",
+    "e15_hybrid_catalog", "e20_json_cache", "x01_dedup_summary",
+    "x02_ngram_jaccard", "x03_minhash_neardup", "x04_simhash_neardup",
+    "x05_ann_topk", "x06_lsh_neardup_embeddings", "x07_text_metrics",
+    "x08_langid_distribution", "x09_tumbling_daily", "e18_partition_prune",
+    "q01_facts_page", "q02_cut_point", "q03_cut_range", "q04_cut_set",
+    "q05_cut_negate", "q06_aggregate_summary", "q07_drilldown",
+    "q08_multi_drilldown", "q09_order_topk", "q10_pagination_cells",
+    "q11_envelope_rollup", "q12_point_lookup", "q13_fact_by_id",
+    "q14_members", "q15_total_percentage", "q16_cell_http", "q17_model_http",
+    "x100_wordpiece_encode", "x104_kn_logprob", "x21_repetition_deciles",
+    "x22_vocab_top", "x25_streaming_tumbling", "x26_streaming_dedup",
+    "x27_winnow_fingerprints", "x28_curation_funnel", "x29_sequence_packing",
+    "x30_hash_split", "x31_profile", "x32_image_decode",
+    "x33_stateful_sessions", "x34_wav_decode", "x36_ivf_index",
+    "x39_stratified_sample", "x40_decontaminate", "x42_topk_per_group",
+    "x43_deterministic_shuffle", "x44_cms_estimates", "x45_tfidf_top_terms",
+    "x46_quantize_embeddings", "x47_chunk_documents",
+    "x48_rebalance_mixture", "x50_streaming_cms", "x52_pretraining_pipeline",
+    "x54_unigram_logprob", "x56_domain_stats", "x57_temperature_resample",
+    "x58_bigram_logprob", "x60_stream_stream_join", "x62_quality_rules",
+    "x63_event_funnel", "x64_cohort_retention", "x65_url_dedup",
+    "x66_line_dedup", "x67_char_entropy", "x69_percentile_filter",
+    "x70_rolling_features", "x71_size_sharding", "x72_kmeans_fit",
+    "x73_dsir_weights", "x74_span_dedup", "x75_sample_per_group",
+    "x76_ccnet_buckets", "x78_curation_chain", "x83_zorder_layout",
     "x91_ivf_pq_ann", "x99_wordpiece_train"
 ]
 
