@@ -437,9 +437,12 @@ _CERT_FIRST = [
     # maintenance without source rescans)
     "x110_cdf_replica",
     # new r14: incremental AGGREGATE maintenance with retractions over
-    # the keyed CDF (VERDICT r13 #3 next step), and the trained lang-id
-    # composed into the CCNet curation stack (VERDICT r13 #4)
+    # the keyed CDF (VERDICT r13 #3 next step), the trained lang-id
+    # composed into the CCNet curation stack (VERDICT r13 #4), and the
+    # FILTERED view/aggregate variants (where= — delete-on-false-
+    # predicate replicas, predicate-filtered retraction aggregates)
     "x111_incremental_agg", "x112_langid_ccnet",
+    "x113_filtered_replica", "x114_filtered_agg",
 ]
 _CERT_PENDING: list[str] = []
 # Freshness re-certification (VERDICT r10 #2 / r12 #1 / r13 #1): the
@@ -460,7 +463,7 @@ _CERT_REFRESH = [
     "x61_bpe_encode", "x68_canonical_docs", "x80_pagerank",
     "x81_pmi_cooccurrence", "x85_fuzzy_linkage", "x87_knn_graph",
     "x88_unigram_tokenizer", "x89_pca_block", "x90_unigram_encode",
-    "x37_asof_join", "x38_interval_join", "x41_bloom_semi_join",
+    "x37_asof_join",
 ]
 _CERT_TAIL = [
     # previously hash-certified; implementing modules untouched since the
@@ -469,6 +472,7 @@ _CERT_TAIL = [
     # which refuses to re-stamp a guarded gate whose code or engine deps
     # drifted — including, since r13, a drifted or partially-uncommitted
     # deps LIST)
+    "x38_interval_join", "x41_bloom_semi_join",
     "x77_logreg_quality", "x79_bm25_topk", "x82_hashed_features",
     "x86_weighted_sample", "e03_deal_halving", "e04_union_combined",
     "e06_prune_semi", "e07_priority_rank", "e08_melt_explode",

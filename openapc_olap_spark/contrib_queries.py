@@ -7919,6 +7919,287 @@ _X111_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# X113: filtered incremental replica (delete-on-false-predicate view)
+# X114: filtered incremental aggregate (WHERE over the retraction algebra)
+# ---------------------------------------------------------------------------
+
+_x113_where = "c_acctbal >= 3000"
+
+
+def _x113_filtered_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``replicate_keyed_cdf(where=...)`` — the FILTERED incrementally
+    maintained view (r14: the boundary the transform docstring
+    previously documented out of scope): dst holds
+    ``source state WHERE c_acctbal >= 3000`` at all times. The x107
+    store's commits move keys ACROSS the predicate boundary in both
+    directions (v1's +500 and v3's +250 lift keys in; updates and v2's
+    delete drop them out), so the hash breaks if an arriving key fails
+    to insert, a departing key survives, a never-passing key's delete
+    resurrects anything, or provenance versions smear. Runs across the
+    same restart boundary as x110 (seed filtered v0, drain v1+v2,
+    stop, v3, resume)."""
+    import shutil
+    import tempfile
+
+    from openapc_olap_spark.sources import txn
+    from openapc_olap_spark.sources.txn_stream import (
+        VERSION_COL,
+        replicate_keyed_cdf,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x113_{tag}"
+    drt = f"{tempfile.gettempdir()}/openapc_gate_tmp/x113r_{tag}"
+    ckpt = root + "_ckpt"
+    shutil.rmtree(drt, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    store = _x107_store(spark, sf_dir, root)
+    seed = (store.read(version=0).filter(_x113_where)
+            .withColumn(VERSION_COL, F.lit(0).cast("long")))
+    dst = txn.TxnTable.create(spark, drt, seed, "bucket",
+                              meta={"n_buckets": 8})
+    q = replicate_keyed_cdf(spark, store.path, ["c_custkey"], dst,
+                            checkpoint_dir=ckpt, n_buckets=8,
+                            where=_x113_where)
+    q.awaitTermination()
+    _x109_v3(spark, sf_dir, store)
+    q = replicate_keyed_cdf(spark, store.path, ["c_custkey"], dst,
+                            checkpoint_dir=ckpt, n_buckets=8,
+                            where=_x113_where)
+    q.awaitTermination()
+    return (dst.read().groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("c_custkey").alias("key_sum"),
+                 F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+                 F.sum("seq").alias("seq_sum"),
+                 F.sum(VERSION_COL).alias("cv_sum")))
+
+
+_X113_MEMO: dict = {}
+
+
+def _x113_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of x113: source store + commits memoized; the
+    measured path is one fresh FILTERED replica's bootstrap-and-catch-up
+    (seed from filtered v0 + one managed drain applying v1..v3 with
+    boundary crossings)."""
+    import shutil
+    import tempfile
+
+    from openapc_olap_spark.operators._memo import memoized
+    from openapc_olap_spark.sources import txn
+    from openapc_olap_spark.sources.txn_stream import (
+        VERSION_COL,
+        replicate_keyed_cdf,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build():
+        root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x113t_{tag}"
+        store = _x107_store(spark, sf_dir, root)
+        _x109_v3(spark, sf_dir, store)
+        return store
+
+    store = memoized(_X113_MEMO, ("x113_store", sf_dir), build)
+    drt = f"{tempfile.gettempdir()}/openapc_gate_tmp/x113tr_{tag}"
+    ckpt = drt + "_ckpt"
+    shutil.rmtree(drt, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    seed = (store.read(version=0).filter(_x113_where)
+            .withColumn(VERSION_COL, F.lit(0).cast("long")))
+    dst = txn.TxnTable.create(spark, drt, seed, "bucket",
+                              meta={"n_buckets": 8})
+    q = replicate_keyed_cdf(spark, store.path, ["c_custkey"], dst,
+                            checkpoint_dir=ckpt, n_buckets=8,
+                            where=_x113_where)
+    q.awaitTermination()
+    return (dst.read().groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("c_custkey").alias("key_sum"),
+                 F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+                 F.sum("seq").alias("seq_sum"),
+                 F.sum(VERSION_COL).alias("cv_sum")))
+
+
+_X113_SQL = f"""
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE c_custkey < 30000),
+    base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, 0::BIGINT AS seq
+      FROM cust WHERE c_custkey % 3 <> 1),
+    batch AS MATERIALIZED (
+      SELECT c_custkey, c_mktsegment, c_acctbal, 1::BIGINT AS seq
+      FROM cust WHERE c_custkey % 3 = 1
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal + 500, 1::BIGINT
+      FROM cust WHERE c_custkey % 6 = 0),
+    v1 AS MATERIALIZED (
+      SELECT b.*, 0::BIGINT AS cv FROM base b
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+      UNION ALL SELECT b.*, 1::BIGINT FROM batch b),
+    v2 AS MATERIALIZED (
+      SELECT * FROM v1 WHERE NOT ({_x107_del})),
+    batch3 AS MATERIALIZED (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 250 AS c_acctbal,
+             2::BIGINT AS seq
+      FROM cust WHERE c_custkey % 5 = 2),
+    final AS (
+      SELECT * FROM v2
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM batch3)
+      UNION ALL SELECT b.*, 3::BIGINT FROM batch3 b)
+    SELECT c_mktsegment, count(*) AS n_rows,
+           sum(c_custkey)::BIGINT AS key_sum,
+           round(sum(c_acctbal), 2) AS acctbal_sum,
+           sum(seq)::BIGINT AS seq_sum,
+           sum(cv)::BIGINT AS cv_sum
+    FROM final WHERE {_x113_where} GROUP BY 1
+"""
+
+
+def _x114_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``maintain_aggregate(where=...)`` — the aggregate of the
+    FILTERED source maintained incrementally: each change IMAGE is
+    filtered independently before the signed delta aggregation, so an
+    update crossing the predicate boundary nets exactly an arrival
+    (postimage passes, preimage filtered) or departure (preimage
+    passes, postimage filtered) — the same retraction algebra with no
+    extra machinery. Same (c_mktsegment, seq) group-crossing recipe and
+    restart boundary as x111, over WHERE c_acctbal >= 3000; per-group
+    last_cv only advances on PASSING images, which the oracle's touched
+    set mirrors."""
+    import shutil
+    import tempfile
+
+    from openapc_olap_spark.sources.txn_stream import (
+        maintain_aggregate,
+        seed_aggregate,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x114_{tag}"
+    drt = f"{tempfile.gettempdir()}/openapc_gate_tmp/x114a_{tag}"
+    ckpt = root + "_ckpt"
+    shutil.rmtree(drt, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    store = _x107_store(spark, sf_dir, root)
+    dst = seed_aggregate(spark,
+                         store.read(version=0).filter(_x113_where),
+                         _x111_grp, _x111_aggs, drt, 4, version=0)
+    q = maintain_aggregate(spark, store.path, ["c_custkey"], _x111_grp,
+                           _x111_aggs, dst, checkpoint_dir=ckpt,
+                           n_buckets=4, where=_x113_where)
+    q.awaitTermination()
+    _x109_v3(spark, sf_dir, store)
+    q = maintain_aggregate(spark, store.path, ["c_custkey"], _x111_grp,
+                           _x111_aggs, dst, checkpoint_dir=ckpt,
+                           n_buckets=4, where=_x113_where)
+    q.awaitTermination()
+    return _x111_result(spark, dst)
+
+
+_X114_MEMO: dict = {}
+
+
+def _x114_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of x114: store + commits memoized; measured =
+    one fresh filtered-aggregate bootstrap-and-catch-up."""
+    import shutil
+    import tempfile
+
+    from openapc_olap_spark.operators._memo import memoized
+    from openapc_olap_spark.sources.txn_stream import (
+        maintain_aggregate,
+        seed_aggregate,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build():
+        root = f"{tempfile.gettempdir()}/openapc_gate_tmp/x114t_{tag}"
+        store = _x107_store(spark, sf_dir, root)
+        _x109_v3(spark, sf_dir, store)
+        return store
+
+    store = memoized(_X114_MEMO, ("x114_store", sf_dir), build)
+    drt = f"{tempfile.gettempdir()}/openapc_gate_tmp/x114ta_{tag}"
+    ckpt = drt + "_ckpt"
+    shutil.rmtree(drt, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    dst = seed_aggregate(spark,
+                         store.read(version=0).filter(_x113_where),
+                         _x111_grp, _x111_aggs, drt, 4, version=0)
+    q = maintain_aggregate(spark, store.path, ["c_custkey"], _x111_grp,
+                           _x111_aggs, dst, checkpoint_dir=ckpt,
+                           n_buckets=4, where=_x113_where)
+    q.awaitTermination()
+    return _x111_result(spark, dst)
+
+
+_X114_SQL = f"""
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE c_custkey < 30000),
+    base AS MATERIALIZED (
+      SELECT c_custkey, c_mktsegment, c_acctbal, 0::BIGINT AS seq
+      FROM cust WHERE c_custkey % 3 <> 1),
+    batch AS MATERIALIZED (
+      SELECT c_custkey, c_mktsegment, c_acctbal, 1::BIGINT AS seq
+      FROM cust WHERE c_custkey % 3 = 1
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal + 500, 1::BIGINT
+      FROM cust WHERE c_custkey % 6 = 0),
+    v1 AS MATERIALIZED (
+      SELECT * FROM base
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+      UNION ALL SELECT * FROM batch),
+    v2 AS MATERIALIZED (
+      SELECT * FROM v1 WHERE NOT ({_x107_del})),
+    batch3 AS MATERIALIZED (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 250 AS c_acctbal,
+             2::BIGINT AS seq
+      FROM cust WHERE c_custkey % 5 = 2),
+    final AS MATERIALIZED (
+      SELECT * FROM v2
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM batch3)
+      UNION ALL SELECT * FROM batch3),
+    -- passing change images only: the filtered aggregate's per-group
+    -- version advances only when a PASSING image touched the group
+    touched AS MATERIALIZED (
+      SELECT c_mktsegment, seq, 1::BIGINT AS cv FROM batch
+      WHERE {_x113_where}
+      UNION ALL
+      SELECT o.c_mktsegment, o.seq, 1::BIGINT
+      FROM batch n JOIN base o USING (c_custkey)
+      WHERE o.{_x113_where}
+      UNION ALL
+      SELECT c_mktsegment, seq, 2::BIGINT FROM v1
+      WHERE ({_x107_del}) AND ({_x113_where})
+      UNION ALL
+      SELECT c_mktsegment, seq, 3::BIGINT FROM batch3
+      WHERE {_x113_where}
+      UNION ALL
+      SELECT o.c_mktsegment, o.seq, 3::BIGINT
+      FROM batch3 n JOIN v2 o ON n.c_custkey = o.c_custkey
+      WHERE o.{_x113_where})
+    SELECT f.c_mktsegment, f.seq, count(*) AS n_cust,
+           round(CAST(sum(CAST(f.c_acctbal AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS bal_sum,
+           count(f.c_acctbal) AS bal_cnt,
+           round(CAST(sum(CAST(f.c_acctbal AS DECIMAL(18,2)))
+                      AS DOUBLE) / count(f.c_acctbal), 6) AS bal_avg,
+           coalesce(t.cv, 0)::BIGINT AS last_cv,
+           3::BIGINT AS wm
+    FROM (SELECT * FROM final WHERE {_x113_where}) f
+         LEFT JOIN (SELECT c_mktsegment, seq, max(cv) AS cv
+                    FROM touched GROUP BY 1, 2) t
+         ON f.c_mktsegment = t.c_mktsegment AND f.seq = t.seq
+    GROUP BY f.c_mktsegment, f.seq, t.cv
+"""
+
+
+# ---------------------------------------------------------------------------
 # X112: trained lang-id composed into the CCNet curation stack
 # ---------------------------------------------------------------------------
 
@@ -8209,6 +8490,8 @@ QUERIES = {
     "x110_cdf_replica": _x110_cdf_replica,
     "x111_incremental_agg": _x111_incremental_agg,
     "x112_langid_ccnet": _x112_langid_ccnet,
+    "x113_filtered_replica": _x113_filtered_replica,
+    "x114_filtered_agg": _x114_filtered_agg,
 }
 
 # Production-path bench twins (VERDICT r09 #1): the certifying gates above
@@ -8245,6 +8528,8 @@ BENCH_TWINS = {
     "x110_cdf_replica": _x110_production,
     "x111_incremental_agg": _x111_production,
     "x112_langid_ccnet": _x112_production,
+    "x113_filtered_replica": _x113_production,
+    "x114_filtered_agg": _x114_production,
 }
 
 ORACLES = {
@@ -8360,4 +8645,6 @@ ORACLES = {
     "x110_cdf_replica": _X110_SQL,
     "x111_incremental_agg": _X111_SQL,
     "x112_langid_ccnet": _X112_SQL,
+    "x113_filtered_replica": _X113_SQL,
+    "x114_filtered_agg": _X114_SQL,
 }

@@ -320,7 +320,7 @@ def replicate_keyed_cdf(spark, src_path: str, keys: list[str], dst,
                         version_col: str = VERSION_COL,
                         start_version: int = 0,
                         trigger: dict | None = None,
-                        transform=None):
+                        transform=None, where=None):
     """Maintain ``dst`` (a :class:`~openapc_olap_spark.sources.txn.
     TxnTable`) as an incrementally updated REPLICA of the source
     table's current state — the derived-table/materialized-view
@@ -359,10 +359,21 @@ def replicate_keyed_cdf(spark, src_path: str, keys: list[str], dst,
     (projection, derived columns, casts — anything that keeps ``keys``
     + ``version_col`` and maps each row independently) applied to the
     change postimages AND delete pre-images before they land, so
-    ``dst`` holds ``transform(source state)`` at all times. Filters or
-    aggregations are NOT supported here — a filtered view would need
-    delete-on-false-predicate semantics, and an aggregate needs
-    retraction logic; both belong to a different operator.
+    ``dst`` holds ``transform(source state)`` at all times.
+
+    ``where`` (r14) makes it a FILTERED view: a row-local SQL predicate
+    (string or Column) over the SOURCE columns, evaluated on each
+    change's postimage — ``dst`` holds
+    ``transform(source state WHERE where)`` at all times. The
+    delete-on-false-predicate semantics filters need: a postimage
+    PASSING the predicate upserts (a key entering the view inserts); a
+    postimage FAILING it routes to the version-guarded delete applier
+    exactly like a source delete (a key leaving the view is removed; a
+    key that never passed is an absent-key no-op). NULL predicate =
+    false, SQL WHERE semantics. Seed the replica from the FILTERED
+    snapshot (``src.read(version=v0).filter(where)``). The predicate
+    sees pre-transform source columns. Aggregations remain a different
+    operator (:func:`maintain_aggregate` — retraction logic).
 
     Scale shape: per batch, one keys-grain reduce of the change set +
     two bucket-pruned commits on ``dst`` — the source is never read
@@ -384,6 +395,9 @@ def replicate_keyed_cdf(spark, src_path: str, keys: list[str], dst,
                 f"columns; missing {missing}")
         return out
 
+    keep = (F.expr(where) if isinstance(where, str) else where) \
+        if where is not None else F.lit(True)
+
     def sink(ch, _bid):
         latest = txn._merge_last_wins(ch.limit(0), ch, keys, version_col)
         latest = latest.cache()
@@ -391,14 +405,14 @@ def replicate_keyed_cdf(spark, src_path: str, keys: list[str], dst,
             if latest.isEmpty():
                 return
             dst_cols = [c for c in latest.columns if c != "_change_type"]
-            ups = _shaped(latest.filter(F.col("_change_type") != "delete")
-                          .select(*dst_cols))
+            in_view = ((F.col("_change_type") != "delete")
+                       & F.coalesce(keep, F.lit(False)))
+            ups = _shaped(latest.filter(in_view).select(*dst_cols))
             if not ups.isEmpty():
                 dst.upsert(txn.add_bucket(ups, keys, n_buckets,
                                           col=dst.partition_col),
                            keys, version_col)
-            dels = _shaped(latest.filter(F.col("_change_type") == "delete")
-                           .select(*dst_cols))
+            dels = _shaped(latest.filter(~in_view).select(*dst_cols))
             if not dels.isEmpty():
                 dst.merge(txn.add_bucket(dels, keys, n_buckets,
                                          col=dst.partition_col),
@@ -506,7 +520,7 @@ def maintain_aggregate(spark, src_path: str, keys: list[str],
                        checkpoint_dir: str, n_buckets: int,
                        start_version: int = 0,
                        version_col: str = VERSION_COL,
-                       trigger: dict | None = None):
+                       trigger: dict | None = None, where=None):
     """Maintain ``dst`` (seeded by :func:`seed_aggregate`) as an
     incrementally updated GROUP AGGREGATE of the source table —
     streaming materialized-view maintenance with retractions, the
@@ -542,6 +556,15 @@ def maintain_aggregate(spark, src_path: str, keys: list[str],
     ``("sum", "CAST(x AS DECIMAL(18,2))")``). A group retracted to
     zero non-null contributions snaps its running sum back to exact 0.
 
+    ``where`` (r14) maintains the aggregate of the FILTERED source —
+    ``GROUP BY ... FROM source WHERE where`` — by filtering each change
+    IMAGE independently before the signed aggregation: a preimage that
+    passed retracts, a postimage that passes adds, so a row updated
+    across the predicate boundary nets exactly an arrival or departure
+    — the same ± algebra, no extra machinery. NULL = false (SQL WHERE).
+    Seed from the filtered snapshot
+    (``seed_aggregate(spark, src.read(v0).filter(where), ...)``).
+
     Scale shape: per batch — one commit-scoped CDF diff, one
     group-grain shuffle (the delta aggregation, map-side combined),
     one join against ONLY the touched buckets of a groups-sized table,
@@ -564,10 +587,19 @@ def maintain_aggregate(spark, src_path: str, keys: list[str],
             f"{missing}; seed it with seed_aggregate over the same "
             f"spec")
 
+    keep = (F.expr(where) if isinstance(where, str) else where) \
+        if where is not None else None
+
     def sink(ch, _bid):
         wm = int(dst.snapshot().get("meta", {}).get("agg_watermark",
                                                     start_version))
         ch = ch.filter(F.col(VERSION_COL) > wm)
+        if keep is not None:
+            # filter each image independently: passing preimages
+            # retract, passing postimages add — the signed algebra
+            # turns a predicate-boundary crossing into an exact
+            # arrival/departure
+            ch = ch.filter(F.coalesce(keep, F.lit(False)))
         sign = F.when(F.col("_change_type").isin("insert",
                                                  "update_postimage"),
                       F.lit(1)).otherwise(F.lit(-1))

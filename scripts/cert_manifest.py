@@ -279,6 +279,11 @@ _X_DEPS = {
                           f"{_OPS}/ccnet.py", f"{_OPS}/lm.py",
                           f"{_OPS}/text.py",
                           f"{_OPS}/dedup.py"] + _MEMO,
+    # r14: filtered replica / filtered aggregate — the x109/x110 closure
+    "x113_filtered_replica": [f"{_P}/sources/txn_stream.py",
+                              f"{_P}/sources/txn.py"] + _MEMO,
+    "x114_filtered_agg": [f"{_P}/sources/txn_stream.py",
+                          f"{_P}/sources/txn.py"] + _MEMO,
 }
 DEPS.update(_X_DEPS)
 

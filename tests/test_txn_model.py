@@ -146,6 +146,23 @@ def test_random_dml_sequence_matches_model(spark, tmp_path):
            dst.read().select("k", "seq", "val").collect()}
     assert got == history[final_v]
 
+    # a FILTERED replica (where val <> 'red') converges too — random
+    # value updates cross the predicate boundary in both directions,
+    # color deletes remove passing and non-passing keys alike
+    fdst = TxnTable.create(
+        spark, str(tmp_path / "filtered"),
+        t.read(version=0).filter("val <> 'red'")
+        .withColumn(VERSION_COL, F.lit(0).cast("long")),
+        "bucket", meta={"n_buckets": NB})
+    q = replicate_keyed_cdf(spark, t.path, ["k"], fdst,
+                            checkpoint_dir=str(tmp_path / "fckpt"),
+                            n_buckets=NB, where="val <> 'red'")
+    q.awaitTermination()
+    got = {r["k"]: (r["seq"], r["val"]) for r in
+           fdst.read().select("k", "seq", "val").collect()}
+    assert got == {k: r for k, r in history[final_v].items()
+                   if r[1] != "red"}
+
     # a maintained aggregate (grouped on val, so every value update is a
     # group-crossing retraction and every color delete empties groups)
     # seeded at v0 converges to the final state's from-scratch aggregate

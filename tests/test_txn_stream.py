@@ -501,3 +501,70 @@ def test_maintain_aggregate_watermark_blocks_replayed_deltas(
                read_aggregate(dst, ["g"], aggs).collect()]
         assert got == [("g", 2, 15.0)], (ck, got)
     assert int(dst.snapshot()["meta"]["agg_watermark"]) == 1
+
+
+def test_filtered_replica_boundary_crossings(spark, tmp_path):
+    """replicate_keyed_cdf(where=...): a key whose update crosses the
+    predicate boundary arrives/departs the view; deletes of
+    never-passing keys are no-ops; NULL predicate = false."""
+    from openapc_olap_spark.sources.txn_stream import (
+        VERSION_COL,
+        replicate_keyed_cdf,
+    )
+
+    mk = lambda rows: txn.add_bucket(  # noqa: E731
+        spark.createDataFrame(rows,
+                              "k string, seq long, x double"), ["k"], 4)
+    t = TxnTable.create(spark, str(tmp_path / "src"),
+                        mk([("in", 0, 10.0), ("out", 0, 1.0),
+                            ("nul", 0, None)]),
+                        "bucket", meta={"n_buckets": 4})
+    # v1: 'in' leaves the view, 'out' enters, 'nul' stays NULL (false)
+    t.upsert(mk([("in", 1, 2.0), ("out", 1, 20.0), ("nul", 1, None)]),
+             ["k"], "seq")
+    t.delete("k = 'nul'")                          # v2: never-passing key
+    seed = (t.read(version=0).filter("x >= 5.0")
+            .withColumn(VERSION_COL, F.lit(0).cast("long")))
+    dst = TxnTable.create(spark, str(tmp_path / "view"), seed, "bucket",
+                          meta={"n_buckets": 4})
+    q = replicate_keyed_cdf(spark, t.path, ["k"], dst,
+                            checkpoint_dir=str(tmp_path / "ck"),
+                            n_buckets=4, where="x >= 5.0")
+    q.awaitTermination()
+    got = {(r["k"], r["seq"], r["x"], r[VERSION_COL]) for r in
+           dst.read().select("k", "seq", "x", VERSION_COL).collect()}
+    assert got == {("out", 1, 20.0, 1)}
+
+
+def test_filtered_aggregate_crossings_and_seed(spark, tmp_path):
+    """maintain_aggregate(where=...): images filter independently, so a
+    boundary-crossing update nets an exact arrival/departure in the
+    group sums; groups emptied of passing rows delete."""
+    from openapc_olap_spark.sources.txn_stream import (
+        maintain_aggregate,
+        read_aggregate,
+        seed_aggregate,
+    )
+
+    mk = lambda rows: txn.add_bucket(  # noqa: E731
+        spark.createDataFrame(rows,
+                              "k string, seq long, g string, x double"),
+        ["k"], 4)
+    t = TxnTable.create(spark, str(tmp_path / "src"),
+                        mk([("a", 0, "g1", 10.0), ("b", 0, "g1", 1.0),
+                            ("c", 0, "g2", 6.0)]),
+                        "bucket", meta={"n_buckets": 4})
+    # v1: a leaves (g1 now empty of passing rows), b enters g1, c moves
+    # to g2-but-failing (g2 empties)
+    t.upsert(mk([("a", 1, "g1", 2.0), ("b", 1, "g1", 8.0),
+                 ("c", 1, "g2", 3.0)]), ["k"], "seq")
+    aggs = {"n": ("count", "*"), "s": ("sum", "x")}
+    dst = seed_aggregate(spark, t.read(version=0).filter("x >= 5.0"),
+                         ["g"], aggs, str(tmp_path / "agg"), 4)
+    q = maintain_aggregate(spark, t.path, ["k"], ["g"], aggs, dst,
+                           checkpoint_dir=str(tmp_path / "ck"),
+                           n_buckets=4, where="x >= 5.0")
+    q.awaitTermination()
+    got = {(r["g"], r["n"], r["s"]) for r in
+           read_aggregate(dst, ["g"], aggs).collect()}
+    assert got == {("g1", 1, 8.0)}                 # g2 deleted at 0 rows
