@@ -1011,6 +1011,60 @@ class TxnTable:
         raise CommitConflict(
             f"upsert_moving lost {max_retries} commit races") from last
 
+    def overwrite_partitions(self, df: DataFrame, partitions: list,
+                             max_retries: int = 5,
+                             meta_update: dict | None = None) -> int:
+        """Low-level partition replace (round 14, optimization): publish
+        a snapshot where the named partitions' content is EXACTLY
+        ``df``'s rows and every other file re-links untouched — one
+        write job, one publish, no read-back, no merge. This is the
+        committer for callers that have already computed the full new
+        content of the touched partitions themselves (the CDC appliers:
+        replicate_keyed_cdf / maintain_aggregate fold current rows +
+        changes in one pass and land the result here); ``upsert`` /
+        ``merge`` remain the row-merging front ends for everyone else.
+
+        Contract: ``df`` carries ``partition_col`` and only values in
+        ``partitions`` (all listed partitions are dropped from the kept
+        set whether or not ``df`` re-populates them — an emptied bucket
+        simply disappears); the caller must be the only writer of the
+        touched partitions (a concurrent commit retries the PUBLISH
+        against the fresh file list, like append — ``df``'s content is
+        NOT re-merged, it is partition-content-final by definition).
+        ``meta_update`` dict-merges into the published meta — the
+        transactional carrier for consumer state that must move
+        atomically with the data (the maintain_aggregate watermark)."""
+        if self.partition_col not in df.columns:
+            raise ValueError(
+                f"df must carry the partition column "
+                f"{self.partition_col!r} (add_bucket derives it)")
+        touched = {str(p) for p in partitions}
+        self._no_transition(self.snapshot(), "overwrite_partitions")
+        new_files = self._write_data(df)
+        bad = {f["partition"] for f in new_files} - touched
+        if bad:
+            raise ValueError(
+                f"df holds rows outside the declared partitions: "
+                f"{sorted(bad)}")
+        last: Exception | None = None
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            self._no_transition(snap, "overwrite_partitions")
+            keep = [f for f in snap["files"]
+                    if f["partition"] not in touched]
+            meta = dict(snap.get("meta") or {})
+            if meta_update:
+                meta.update(meta_update)
+            try:
+                v = snap["version"] + 1
+                self._publish(v, keep + new_files, df.schema, meta)
+                return v
+            except CommitConflict as e:
+                last = e
+        raise CommitConflict(
+            f"overwrite_partitions lost {max_retries} commit races"
+        ) from last
+
     def merge(self, source: DataFrame, keys: list[str], seq_col: str,
               matched_update: bool = True,
               matched_delete=None,
@@ -1240,26 +1294,45 @@ class TxnTable:
                        {f["partition"] for f in removed})
         old = align(self.read(partitions=parts, version=v_from), ta)
         new = align(self.read(partitions=parts, version=v_to), tb)
-        # row-level delta, scoped to the changed partitions: exceptAll
-        # isolates modified/added (post) and modified/removed (pre)
-        # rows; the key semi/anti splits them into the three classes
-        changed_new = new.exceptAll(old)
-        changed_old = old.exceptAll(new)
-        old_keys = old.select(*keys).distinct()
-        new_keys = new.select(*keys).distinct()
+        # Row-level delta, scoped to the changed partitions, as ONE
+        # null-safe FULL OUTER join on the keys with a single-pass
+        # classification (r14 optimization, guide §2.4: the former
+        # exceptAll x2 + distinct x2 + four semi/anti joins spent ~12
+        # exchanges per version on the same answer). Key-unique
+        # snapshots — the upsert/merge/delete contract every keyed
+        # consumer already requires ("update_postimage: key present,
+        # row changed" presupposes one row per key) — make the mapping
+        # exact: key only in new -> insert; only in old -> delete; both
+        # with any column differing (null-safe struct compare, matching
+        # exceptAll's NULL- and NaN-equality) -> update_postimage
+        # (+ update_preimage); both identical (carried-over rows in
+        # rewritten partitions) -> no change row. Each joined key emits
+        # its class rows through one explode — no repeated subtrees.
         ct = "_change_type"
-        inserts = (changed_new.join(old_keys, keys, "left_anti")
-                   .withColumn(ct, F.lit("insert")))
-        updates = (changed_new.join(old_keys, keys, "left_semi")
-                   .withColumn(ct, F.lit("update_postimage")))
-        deletes = (changed_old.join(new_keys, keys, "left_anti")
-                   .withColumn(ct, F.lit("delete")))
-        out = inserts.unionByName(updates).unionByName(deletes)
-        if include_preimages:
-            pre = (changed_old.join(new_keys, keys, "left_semi")
-                   .withColumn(ct, F.lit("update_preimage")))
-            out = out.unionByName(pre)
-        return out
+        om = old.withColumn("__o", F.lit(1)).alias("o")
+        nm = new.withColumn("__n", F.lit(1)).alias("n")
+        on = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+        j = om.join(nm, on, "full_outer")
+        same = (F.struct(*[F.col(f"o.{c}") for c in union_cols])
+                .eqNullSafe(
+                    F.struct(*[F.col(f"n.{c}") for c in union_cols])))
+
+        def img(side: str, cls: str):
+            return F.struct(*[F.col(f"{side}.{c}").alias(c)
+                              for c in union_cols],
+                            F.lit(cls).alias(ct))
+
+        upd = (F.array(img("n", "update_postimage"),
+                       img("o", "update_preimage"))
+               if include_preimages
+               else F.array(img("n", "update_postimage")))
+        arr = (F.when(F.col("o.__o").isNull(),
+                      F.array(img("n", "insert")))
+               .when(F.col("n.__n").isNull(),
+                     F.array(img("o", "delete")))
+               .when(~same, upd))          # identical rows -> NULL array
+        return (j.select(F.explode(arr).alias("__r"))  # explode drops NULL
+                .select("__r.*"))
 
     def compact(self, partitions: list | None = None,
                 max_retries: int = 5, order_by: list | None = None,

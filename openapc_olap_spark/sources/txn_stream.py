@@ -251,12 +251,23 @@ class KeyedChanges:
             # the SAME range (immutable manifests -> byte-identical),
             # never an empty frame, and do not advance the frontier
             return self._range_df(*self._last_range)
-        seen = [r[0] for r in
-                batch_df.select(VERSION_COL).distinct().collect()]
-        hi = max(seen, default=self.last)
         if self.follow_log:
+            # the commit log is the source of truth and every version a
+            # stream row can carry is <= its latest (files only enter
+            # data/ via a committed manifest), so chasing the log alone
+            # yields the same hi WITHOUT running a job over batch_df —
+            # which would drag every batch file through the Python data
+            # source just to learn version numbers _range_df re-derives
+            # from the manifests anyway (r14 optimization: one driver
+            # listing replaces a per-batch distributed scan)
             vs = _versions(self.path)
-            hi = max(hi, vs[-1] if vs else self.last)
+            hi = vs[-1] if vs else self.last
+        else:
+            # only the max version is needed — a map-side max, not a
+            # distinct shuffle (r14 optimization)
+            from pyspark.sql import functions as F
+            row = batch_df.agg(F.max(VERSION_COL)).first()
+            hi = self.last if row is None or row[0] is None else int(row[0])
         if hi <= self.last:
             return self._empty()
         lo = self.last
@@ -293,9 +304,26 @@ def run_keyed_cdf(spark, path: str, keys: list[str], sink,
     ``trigger`` defaults to ``{"availableNow": True}`` (drain and
     stop); pass ``{"processingTime": "10 seconds"}`` for a continuous
     micro-batch loop. Returns the started StreamingQuery — callers
-    ``awaitTermination()`` it."""
+    ``awaitTermination()`` it.
+
+    Subscription mechanics (r14 optimization): the managed driver
+    consumes the commit log's MANIFEST FILES through the engine's
+    JVM-native file stream — a new ``v*.json`` is what triggers a
+    micro-batch — while the keyed frontier sequences the exact version
+    range and ``TxnTable.read_changes`` derives the rows, exactly as
+    before. The batch's file CONTENT is never read: with the
+    log-chasing frontier the per-batch row frame was already ignored
+    (every delivered version is re-derived from the manifests), so
+    routing the trigger through the Python streaming DataSource
+    (``txn_changes``) only added a per-query Python source-runner
+    process and its per-batch offset round-trips — measured 2.0 s of
+    the 2.3 s no-op drain at sf0.1, vs 0.27 s through the file stream.
+    Delivery semantics are unchanged, including trailing drop-only
+    commits (their manifest file IS a new file, so they trigger
+    natively — no follow-the-log special case needed at the source).
+    The ``txn_changes`` DataSource remains the row-grain streaming
+    source for direct subscribers (x102/x107 surface)."""
     os.makedirs(checkpoint_dir, exist_ok=True)
-    spark.dataSource.register(TxnChangesDataSource)
     kc = KeyedChanges(
         spark, path, keys, start_version=start_version,
         frontier_path=os.path.join(checkpoint_dir,
@@ -305,10 +333,9 @@ def run_keyed_cdf(spark, path: str, keys: list[str], sink,
     def _fb(batch_df, batch_id):
         sink(kc(batch_df, batch_id), batch_id)
 
-    reader = (spark.readStream.format("txn_changes")
-              .option("path", path)
-              .option("startVersion", kc.last))
-    return (reader.load().writeStream
+    reader = (spark.readStream.format("text")
+              .load(os.path.join(path, _MANIFEST_DIR, "v*.json")))
+    return (reader.writeStream
             .foreachBatch(_fb)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(**(trigger or {"availableNow": True}))
@@ -399,30 +426,52 @@ def replicate_keyed_cdf(spark, src_path: str, keys: list[str], dst,
         if where is not None else F.lit(True)
 
     def sink(ch, _bid):
+        # r14 optimization (guide §2.4 — remove shuffles/actions
+        # outright): the former two-commit apply (upsert the postimages,
+        # then a version-guarded merge-delete) read the touched buckets
+        # twice, joined twice, wrote twice and probed emptiness three
+        # times. The applied STATE is a pure per-key last-wins fold of
+        # (current rows ∪ live changes ∪ tombstones) on (version, dead)
+        # — so compute exactly that in ONE pass and land it with ONE
+        # partition-replace commit (TxnTable.overwrite_partitions):
+        # live change at higher version wins (upsert), tombstone at >=
+        # version wins then drops (the old merge's s.ver >= t.ver
+        # guard: the dead flag ranks ABOVE a live row at equal version),
+        # replayed identical rows tie harmlessly. Per batch: one
+        # metadata collect + one write job instead of ~7 actions.
         latest = txn._merge_last_wins(ch.limit(0), ch, keys, version_col)
-        latest = latest.cache()
+        dst_cols = [c for c in latest.columns if c != "_change_type"]
+        in_view = ((F.col("_change_type") != "delete")
+                   & F.coalesce(keep, F.lit(False)))
+        live = _shaped(latest.filter(in_view).select(*dst_cols)) \
+            .withColumn("__dead", F.lit(0))
+        dead = _shaped(latest.filter(~in_view).select(*dst_cols)) \
+            .withColumn("__dead", F.lit(1))
+        changes = txn.add_bucket(live.unionByName(dead), keys,
+                                 n_buckets, col=dst.partition_col)
+        changes = changes.cache()
         try:
-            if latest.isEmpty():
+            touched = sorted({str(r[0]) for r in
+                              changes.select(dst.partition_col)
+                              .distinct().collect()})
+            if not touched:
                 return
-            dst_cols = [c for c in latest.columns if c != "_change_type"]
-            in_view = ((F.col("_change_type") != "delete")
-                       & F.coalesce(keep, F.lit(False)))
-            ups = _shaped(latest.filter(in_view).select(*dst_cols))
-            if not ups.isEmpty():
-                dst.upsert(txn.add_bucket(ups, keys, n_buckets,
-                                          col=dst.partition_col),
-                           keys, version_col)
-            dels = _shaped(latest.filter(~in_view).select(*dst_cols))
-            if not dels.isEmpty():
-                dst.merge(txn.add_bucket(dels, keys, n_buckets,
-                                         col=dst.partition_col),
-                          keys, version_col,
-                          matched_update=False,
-                          matched_delete=(f"s.{version_col} >= "
-                                          f"t.{version_col}"),
-                          insert_unmatched=False)
+            cur = (dst.read(partitions=touched)
+                   .withColumn("__dead", F.lit(0)))
+            combined = cur.unionByName(changes.select(*cur.columns))
+            payload = [c for c in combined.columns if c not in keys]
+            ordered = ([version_col, "__dead"]
+                       + [c for c in payload
+                          if c not in (version_col, "__dead")])
+            best = (combined.groupBy(*keys)
+                    .agg(F.max(F.struct(*ordered)).alias("__best")))
+            merged = (best.filter(F.col("__best.__dead") == 0)
+                      .select(*keys,
+                              *[F.col(f"__best.{c}").alias(c)
+                                for c in payload if c != "__dead"]))
+            dst.overwrite_partitions(merged, touched)
         finally:
-            latest.unpersist()
+            changes.unpersist()
 
     return run_keyed_cdf(spark, src_path, keys, sink,
                          checkpoint_dir=checkpoint_dir,
@@ -624,14 +673,31 @@ def maintain_aggregate(spark, src_path: str, keys: list[str],
                          F.max("_d_ver").alias("hi")).first())
             if head is None or not head["bk"]:
                 return
-            old = dst.read(partitions=sorted(head["bk"]))
+            # r14 optimization (guide §2.4): the former delta apply
+            # joined deltas LEFT against the touched buckets, then
+            # handed the result to dst.merge — which read the SAME
+            # buckets again and full-outer-joined them a second time.
+            # One FULL OUTER join computes the complete new content of
+            # the touched buckets directly (delta-only groups insert,
+            # both-sides groups merge — dropping to nothing at zero
+            # rows — old-only groups carry over unchanged), landed as
+            # ONE partition-replace commit with the watermark in its
+            # meta: one read + one join + one write instead of two of
+            # each plus a distinct-collect.
+            touched = sorted(head["bk"])
+            old = dst.read(partitions=touched)
             types = dict(old.dtypes)
             on = [F.col(f"d.{k}").eqNullSafe(F.col(f"o.{k}"))
                   for k in group_cols]
-            j = deltas.alias("d").join(old.alias("o"), on, "left")
+            dm = deltas.withColumn("__d", F.lit(1)).alias("d")
+            om = old.withColumn("__o", F.lit(1)).alias("o")
+            j = dm.join(om, on, "full_outer")
+            d_here = F.col("d.__d").isNotNull()
             new_rows = (F.coalesce(F.col("o._group_rows"), F.lit(0))
-                        + F.col("d._d_rows"))
-            proj = [F.col(f"d.{k}").alias(k) for k in group_cols]
+                        + F.coalesce(F.col("d._d_rows"), F.lit(0)))
+            proj = [F.when(d_here, F.col(f"d.{k}"))
+                    .otherwise(F.col(f"o.{k}")).alias(k)
+                    for k in group_cols]
             cnt_of = {}
             for c in phys:
                 if c.endswith("__cnt"):
@@ -655,19 +721,16 @@ def maintain_aggregate(spark, src_path: str, keys: list[str],
                         .alias("_group_rows"))
             proj.append(F.greatest(
                 F.coalesce(F.col(f"o.{version_col}"), F.lit(0)),
-                F.col("d._d_ver")).cast("long").alias(version_col))
-            proj.append(F.col(f"d.{dst.partition_col}")
+                F.coalesce(F.col("d._d_ver"), F.lit(0)))
+                .cast("long").alias(version_col))
+            proj.append(F.when(d_here, F.col(f"d.{dst.partition_col}"))
+                        .otherwise(F.col(f"o.{dst.partition_col}"))
                         .alias(dst.partition_col))
-            src_rows = (j.select(*proj, F.col("o._group_rows")
-                                 .alias("__had"))
-                        .filter((F.col("_group_rows") > 0)
-                                | F.col("__had").isNotNull())
-                        .drop("__had"))
-            dst.merge(src_rows, group_cols, version_col,
-                      matched_update=True,
-                      matched_delete="s._group_rows = 0",
-                      insert_unmatched=True,
-                      meta_update={"agg_watermark": int(head["hi"])})
+            new_state = (j.select(*proj)
+                         .filter(F.col("_group_rows") > 0))
+            dst.overwrite_partitions(
+                new_state, touched,
+                meta_update={"agg_watermark": int(head["hi"])})
         finally:
             deltas.unpersist()
 
