@@ -443,26 +443,39 @@ _CERT_FIRST = [
     # predicate replicas, predicate-filtered retraction aggregates)
     "x111_incremental_agg", "x112_langid_ccnet",
     "x113_filtered_replica", "x114_filtered_agg",
+    # r14 OPTIMIZATION rotation: operators/dedup.py (x93 single-pass
+    # band-row reuse, CC label-round fusion, keep_fp), operators/pq.py,
+    # operators/lm.py + ccnet.py — every guarded gate whose engine deps
+    # include a touched module rotates in (the cert_manifest rule);
+    # results are oracle-verified unchanged, only the plans shrink
+    "x01_dedup_summary", "x02_ngram_jaccard", "x03_minhash_neardup",
+    "x04_simhash_neardup", "x06_lsh_neardup_embeddings",
+    "x14_ngram_jaccard_capped", "x18_lsh_neardup_capped",
+    "x35_duplicate_groups", "x53_semantic_dedup", "x55_bpe_train",
+    "x59_cluster_outliers", "x61_bpe_encode", "x68_canonical_docs",
+    "x80_pagerank", "x81_pmi_cooccurrence", "x85_fuzzy_linkage",
+    "x87_knn_graph", "x88_unigram_tokenizer", "x90_unigram_encode",
+    "x91_ivf_pq_ann", "x104_kn_logprob",
+    "x54_unigram_logprob", "x58_bigram_logprob", "x76_ccnet_buckets",
+    "x78_curation_chain",
 ]
 _CERT_PENDING: list[str] = []
 # Freshness re-certification (VERDICT r10 #2 / r12 #1 / r13 #1): the
-# window's free slots re-run the OLDEST standing certs. r14's 30 free
-# slots take the full 27-gate r10 stale band (the oldest certs after
-# r13's refresh) plus three cheap r11 joins gates that are NOT
-# text.py-dependent — the r11 band's text-dependent members re-certify
-# for free in the planned r16 text.py rotation, so the non-text ones
-# are the scarce refresh currency. After this round no gate's newest
-# driver cert is older than r11.
+# window's free slots re-run the OLDEST standing certs. The r14
+# OPTIMIZATION rotation consumed most of the planned refresh budget
+# (touched-module gates take priority over freshness re-runs — the
+# manifest guard still covers every spilled entry byte-for-byte); the
+# entries below soak up whatever slots remain, oldest certs first.
+# Much of the r10 stale band re-certifies through the rotation anyway
+# (x14/x18/x35/x53/x55/x59/x61/x68/x80/x81/x85/x87/x88/x90 moved to
+# _CERT_FIRST above).
 _CERT_REFRESH = [
     "x10_sliding_windows", "x11_session_stats", "x12_props_json",
-    "x13_salted_drilldown", "x14_ngram_jaccard_capped", "x15_media_metadata",
-    "x16_quality_deciles", "x17_ivf_ann", "x18_lsh_neardup_capped",
+    "x13_salted_drilldown", "x15_media_metadata",
+    "x16_quality_deciles", "x17_ivf_ann",
     "x19_image_dims", "x20_pii_redaction", "x23_wav_metadata",
-    "x24_audio_headers", "x35_duplicate_groups", "x51_orc_roundtrip",
-    "x53_semantic_dedup", "x55_bpe_train", "x59_cluster_outliers",
-    "x61_bpe_encode", "x68_canonical_docs", "x80_pagerank",
-    "x81_pmi_cooccurrence", "x85_fuzzy_linkage", "x87_knn_graph",
-    "x88_unigram_tokenizer", "x89_pca_block", "x90_unigram_encode",
+    "x24_audio_headers", "x51_orc_roundtrip",
+    "x89_pca_block",
     "x37_asof_join",
 ]
 _CERT_TAIL = [
@@ -480,16 +493,14 @@ _CERT_TAIL = [
     "e13_ac_institutions", "e16_springer_coverage", "e19_manifest_roundtrip",
     "x84_pca_projection", "e01_enrich_ror", "e02_publication_key",
     "e05_coverage_zerofill", "e09_journal_id", "e14_annual_pubdates",
-    "e15_hybrid_catalog", "e20_json_cache", "x01_dedup_summary",
-    "x02_ngram_jaccard", "x03_minhash_neardup", "x04_simhash_neardup",
-    "x05_ann_topk", "x06_lsh_neardup_embeddings", "x07_text_metrics",
+    "e15_hybrid_catalog", "e20_json_cache", "x05_ann_topk", "x07_text_metrics",
     "x08_langid_distribution", "x09_tumbling_daily", "e18_partition_prune",
     "q01_facts_page", "q02_cut_point", "q03_cut_range", "q04_cut_set",
     "q05_cut_negate", "q06_aggregate_summary", "q07_drilldown",
     "q08_multi_drilldown", "q09_order_topk", "q10_pagination_cells",
     "q11_envelope_rollup", "q12_point_lookup", "q13_fact_by_id",
     "q14_members", "q15_total_percentage", "q16_cell_http", "q17_model_http",
-    "x100_wordpiece_encode", "x104_kn_logprob", "x21_repetition_deciles",
+    "x100_wordpiece_encode", "x21_repetition_deciles",
     "x22_vocab_top", "x25_streaming_tumbling", "x26_streaming_dedup",
     "x27_winnow_fingerprints", "x28_curation_funnel", "x29_sequence_packing",
     "x30_hash_split", "x31_profile", "x32_image_decode",
@@ -498,14 +509,14 @@ _CERT_TAIL = [
     "x43_deterministic_shuffle", "x44_cms_estimates", "x45_tfidf_top_terms",
     "x46_quantize_embeddings", "x47_chunk_documents",
     "x48_rebalance_mixture", "x50_streaming_cms", "x52_pretraining_pipeline",
-    "x54_unigram_logprob", "x56_domain_stats", "x57_temperature_resample",
-    "x58_bigram_logprob", "x60_stream_stream_join", "x62_quality_rules",
+    "x56_domain_stats", "x57_temperature_resample",
+    "x60_stream_stream_join", "x62_quality_rules",
     "x63_event_funnel", "x64_cohort_retention", "x65_url_dedup",
     "x66_line_dedup", "x67_char_entropy", "x69_percentile_filter",
     "x70_rolling_features", "x71_size_sharding", "x72_kmeans_fit",
     "x73_dsir_weights", "x74_span_dedup", "x75_sample_per_group",
-    "x76_ccnet_buckets", "x78_curation_chain", "x83_zorder_layout",
-    "x91_ivf_pq_ann", "x99_wordpiece_train"
+    "x83_zorder_layout",
+    "x99_wordpiece_train"
 ]
 
 

@@ -244,17 +244,13 @@ def _band_rows(sets_df: DataFrame, num_perm: int, bands: int,
     ).select("id", "bk.band", "bk.bhash")
 
 
-def _lsh_candidates_from_sets(sets_df: DataFrame, num_perm: int, bands: int,
-                              seed: int, bucket_cap: int | None,
-                              materialize: bool) -> DataFrame:
-    """Candidates from a (id, sh) shingle-set frame (possibly cached)."""
-    banded = _band_rows(sets_df, num_perm, bands, seed)
-    if materialize:
-        # spread (conditionally) before caching: if the bucket self-join
-        # broadcasts one side, its parallelism is the stream side's
-        # partition count (see similarity.embedding_near_duplicates —
-        # measured 20x there)
-        banded = _materialized(_spread(banded))
+def _lsh_candidates_from_bands(banded: DataFrame,
+                               bucket_cap: int | None) -> DataFrame:
+    """Candidate pairs from an (id, band, bhash) band-row frame
+    (possibly cached): bucket-cap filter, then the band-key self-join.
+    The cap counts rows of THIS frame — callers that pre-filter the
+    band rows (e.g. to a crawl's surviving docs) get caps over exactly
+    the population being self-joined, same as recomputing from sets."""
     if bucket_cap is not None:
         small = (banded.groupBy("band", "bhash")
                  .agg(F.count(F.lit(1)).alias("__n"))
@@ -269,6 +265,20 @@ def _lsh_candidates_from_sets(sets_df: DataFrame, num_perm: int, bands: int,
                       & (F.col("l.id") < F.col("r.id")))
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .distinct())
+
+
+def _lsh_candidates_from_sets(sets_df: DataFrame, num_perm: int, bands: int,
+                              seed: int, bucket_cap: int | None,
+                              materialize: bool) -> DataFrame:
+    """Candidates from a (id, sh) shingle-set frame (possibly cached)."""
+    banded = _band_rows(sets_df, num_perm, bands, seed)
+    if materialize:
+        # spread (conditionally) before caching: if the bucket self-join
+        # broadcasts one side, its parallelism is the stream side's
+        # partition count (see similarity.embedding_near_duplicates —
+        # measured 20x there)
+        banded = _materialized(_spread(banded))
+    return _lsh_candidates_from_bands(banded, bucket_cap)
 
 
 def _jaccard_verify_sets(sets_df: DataFrame, pairs: DataFrame,
@@ -673,12 +683,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             # neighbour offers: node b receives a's current label
             offers = (sym.join(labels, sym["a"] == labels["id"])
                       .select(F.col("b").alias("id"), F.col("comp")))
-            # checkpoint prop before the self-join below — otherwise the
-            # propagation shuffle+aggregate subtree is evaluated once per
-            # join side, doubling every round's cost
+            # NOT checkpointed (round 14, guide §2.4): the self-join
+            # below consumes prop twice, but both consumers sit in ONE
+            # localCheckpoint job, so the propagation shuffle is written
+            # once and re-read via ReusedExchange — only the post-
+            # shuffle min-agg runs per consumer. One driver action per
+            # round instead of two.
             prop = (labels.select("id", "comp").union(offers)
-                    .groupBy("id").agg(F.min("comp").alias("comp"))
-                    .localCheckpoint())
+                    .groupBy("id").agg(F.min("comp").alias("comp")))
             # pointer-jumping compression (Wyllie shortcutting): follow
             # comp -> comp(comp) once per round. A label value is always
             # itself a node id, so the self-join resolves; labels only
@@ -778,8 +790,14 @@ def _cc_star(edges: DataFrame, src: str, dst: str,
               .distinct()
               .select(F.col("na").alias("a"), F.col("nb").alias("b"))
               .localCheckpoint())
-        stable = (sm.join(cur, ["a", "b"], "left_anti").count() == 0
-                  and sm.count() == cur.count())
+        # set equality in ONE job (both frames are distinct): a full
+        # outer join row with either side missing means the edge sets
+        # differ — replaces anti-join count + two counts (round 14)
+        stable = (cur.withColumn("__c", F.lit(1))
+                  .join(sm.withColumn("__s", F.lit(1)), ["a", "b"],
+                        "full_outer")
+                  .filter(F.col("__c").isNull() | F.col("__s").isNull())
+                  .count() == 0)
         cur = sm
         if stable:
             # star forest: every edge is (component-min, member); plus the
@@ -829,7 +847,8 @@ def resolve_duplicates(df: DataFrame, pairs: DataFrame,
 def incremental_dedup(new_df: DataFrame, seen_fps: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
                       fp_col: str = "fp",
-                      bloom_bits: int | None = None) -> DataFrame:
+                      bloom_bits: int | None = None,
+                      keep_fp: bool = False) -> DataFrame:
     """Incremental-ingest dedup: keep rows of ``new_df`` whose normalized
     content fingerprint (text.fingerprint) is NOT in the historical
     fingerprint index ``seen_fps`` (a frame with column ``fp_col``) —
@@ -843,6 +862,11 @@ def incremental_dedup(new_df: DataFrame, seen_fps: DataFrame,
     duplicates plus the FPR. For a crawl that is mostly novel content,
     that is the difference between shuffling everything and shuffling
     almost nothing. Results are identical with or without the bloom.
+
+    ``keep_fp=True`` keeps the computed fingerprint as a ``__fp``
+    column (round 14): commit paths that must land the survivors'
+    fingerprints re-select the column instead of re-normalizing and
+    re-hashing the surviving text a second time.
     """
     from openapc_olap_spark.operators import bloom as _bloom
 
@@ -851,12 +875,15 @@ def incremental_dedup(new_df: DataFrame, seen_fps: DataFrame,
     seen = seen_fps.select(F.col(fp_col).alias("__fp"))
     if bloom_bits is None:
         out = marked.join(seen, "__fp", "left_anti")
-        return out.drop("__fp")
+        # the equi-key anti-join hoists "__fp" to the front; re-select
+        # the original order (+ __fp last) so both paths agree
+        return out.select(*marked.columns) if keep_fp else out.drop("__fp")
     sketch = _bloom.bloom_build(seen, "__fp", num_bits=bloom_bits)
     might = _bloom.bloom_might_contain(F.col("__fp"), sketch)
     definitely_new = marked.filter(~might)
     candidates = marked.filter(might).join(seen, "__fp", "left_anti")
-    return definitely_new.unionByName(candidates).drop("__fp")
+    out = definitely_new.unionByName(candidates)
+    return out.select(*marked.columns) if keep_fp else out.drop("__fp")
 
 
 def incremental_dedup_commit(new_df, store, crawl_seq: int,
@@ -892,12 +919,15 @@ def incremental_dedup_commit(new_df, store, crawl_seq: int,
             "meta={'n_buckets': n}) over add_bucket(df, ['fp'], n)")
     seen = store.read().select("fp")
     kept = _materialized(incremental_dedup(
-        new_df, seen, id_col, text_col, "fp", bloom_bits))
-    fresh = (kept.select(fingerprint(text_col).alias("fp"))
+        new_df, seen, id_col, text_col, "fp", bloom_bits, keep_fp=True))
+    # the survivors' fingerprints come off the cached frame — same
+    # deterministic expression, not a second normalize+hash pass over
+    # the surviving text (round 14)
+    fresh = (kept.select(F.col("__fp").alias("fp"))
              .distinct()
              .withColumn("seq", F.lit(crawl_seq).cast("long")))
     store.upsert(add_bucket(fresh, ["fp"], n_buckets), ["fp"], "seq")
-    return kept
+    return kept.drop("__fp")
 
 
 def incremental_near_dup_commit(new_df, band_store, shingle_store,
@@ -956,6 +986,9 @@ def incremental_near_dup_commit(new_df, band_store, shingle_store,
     sets_df = _materialized(
         new_df.select(F.col(id_col).alias("id"),
                       shingles(text_col, shingle_n).alias("sh")))
+    # band rows derive from the CACHED shingle sets (pure codegen over
+    # cache — left lazy; each consumer re-runs only the minhash, never
+    # the tokenize+shingle pass)
     newband = _band_rows(sets_df, num_perm, bands, seed)
     old = band_store.read().select("band", "bhash",
                                    F.col("doc_id").alias("__old"))
@@ -975,9 +1008,20 @@ def incremental_near_dup_commit(new_df, band_store, shingle_store,
                .select("id").distinct())
     rem = _materialized(new_df.join(
         dup_ids.withColumnRenamed("id", id_col), [id_col], "left_anti"))
-    pairs = minhash_near_duplicates(rem, id_col, text_col, threshold,
-                                    num_perm, bands, shingle_n, seed,
-                                    bucket_cap)
+    # in-batch pairs (round 14, guide §1.2): the band rows and shingle
+    # sets minhash_near_duplicates would re-derive from rem's RAW TEXT
+    # (a second full tokenize+shingle pass over the crawl) are instead
+    # the cached sets' rows restricted to the remaining docs — same
+    # values (deterministic per (id, sh)), and bucket caps count
+    # exactly the population being self-joined. The rem-filtered band
+    # frame is cached for the self-join's two sides, the pre-existing
+    # minhash_near_duplicates discipline.
+    remid = rem.select(F.col(id_col).alias("id"))
+    rband = _materialized(_spread(
+        newband.join(remid, ["id"], "left_semi")))
+    pairs = _jaccard_verify_sets(
+        sets_df, _lsh_candidates_from_bands(rband, bucket_cap),
+        threshold)
     kept = _materialized(
         resolve_duplicates(rem, pairs, id_col=id_col, method=method)
         .filter(F.col(id_col) == F.col("canon_id")).drop("canon_id"))

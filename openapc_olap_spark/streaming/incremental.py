@@ -72,22 +72,25 @@ def stream_dedup_commit(stream_df: DataFrame, fp_store: TxnTable,
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         seen = fp_store.read().select("fp")
+        # keep_fp: the fingerprint is computed ONCE per batch and rides
+        # the cached frame into the in-batch window AND the fp commit —
+        # previously each of the three consumers re-normalized and
+        # re-hashed the text (round 14)
         kept = dedup.incremental_dedup(batch_df, seen, id_col, text_col,
-                                       "fp", bloom_bits)
+                                       "fp", bloom_bits, keep_fp=True)
         # in-batch dedup: one row per fingerprint, min id wins (the
         # batch arg_min the oracle replays)
         w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
-        kept = (kept.withColumn("__fp", fingerprint(text_col))
-                .withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1).drop("__fp", "__rn"))
+        kept = (kept.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn"))
         from openapc_olap_spark.operators.dedup import _materialized
         kept = _materialized(
             kept.withColumn("seq", F.lit(batch_id).cast("long")))
         # ORDER MATTERS: documents first, fingerprints second (module
         # docstring) — the reverse order loses the batch on replay
-        out_store.upsert(add_bucket(kept, [id_col], n_out),
+        out_store.upsert(add_bucket(kept.drop("__fp"), [id_col], n_out),
                          [id_col], "seq")
-        fps = (kept.select(fingerprint(text_col).alias("fp"))
+        fps = (kept.select(F.col("__fp").alias("fp"))
                .distinct()
                .withColumn("seq", F.lit(batch_id).cast("long")))
         fp_store.upsert(add_bucket(fps, ["fp"], n_fp), ["fp"], "seq")

@@ -1731,6 +1731,32 @@ def test_incremental_dedup_bloom_equals_plain(spark):
     assert fast.columns == new_docs.columns      # helper column dropped
 
 
+def test_incremental_dedup_keep_fp(spark):
+    """keep_fp=True (round 14) keeps the computed fingerprint as __fp:
+    same surviving rows as the default, and the column equals
+    text.fingerprint of the surviving text — commit paths reuse it
+    instead of re-hashing."""
+    from openapc_olap_spark.operators import dedup as _dedup
+    from openapc_olap_spark.operators.text import fingerprint
+    seen_docs = spark.createDataFrame(
+        [(i, f"known document number {i}") for i in range(10)],
+        "doc_id long, text string")
+    new_docs = spark.createDataFrame(
+        [(100 + i, f"known document number {i}") for i in range(5)] +
+        [(200 + i, f"fresh content {i}") for i in range(8)],
+        "doc_id long, text string")
+    seen = seen_docs.select(fingerprint("text").alias("fp"))
+    for bits in (None, 1 << 12):          # plain and bloom-guarded paths
+        kept = _dedup.incremental_dedup(new_docs, seen, bloom_bits=bits,
+                                        keep_fp=True)
+        assert kept.columns == new_docs.columns + ["__fp"]
+        rows = {r["doc_id"]: r["__fp"] for r in kept.collect()}
+        assert sorted(rows) == [200 + i for i in range(8)]
+        expect = {r["doc_id"]: r["fp"] for r in new_docs.select(
+            "doc_id", fingerprint("text").alias("fp")).collect()}
+        assert all(rows[i] == expect[i] for i in rows)
+
+
 def test_chunking_formula_property():
     """Chunk-count arithmetic property-tested in pure Python on the same
     formula chunk_documents evaluates in-plan (k = 1 + ceil(max(n-c,0)/s),
