@@ -5139,7 +5139,11 @@ def _x91_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _x91_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-path bench twin of x91: the Arrow LUT scorer alone
-    (VERDICT r09 #1 split)."""
+    (VERDICT r09 #1 split). Round 14: the ENCODER is the Arrow matmul
+    kernel too (``encode_method="arrow"``) — the production dial per
+    the pq_codes docstring; on these integer-quantized vectors it is
+    bitwise identical to the expr path (asserted in-gate by x91's
+    method='both'), measured -28% on the twin."""
     from openapc_olap_spark.operators import pq
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
@@ -5149,7 +5153,7 @@ def _x91_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     dq = emb.select("vec_id", qv.alias("embedding"))
     g = pq.ivf_pq_topk(dq, dim=64, k=5, m=8, n_probe=2, rerank=15,
                        queries=dq.filter(F.col("vec_id") % 20 == 0),
-                       method="arrow")
+                       method="arrow", encode_method="arrow")
     trip = F.concat_ws(":", F.col("src").cast("string"),
                        F.col("rank").cast("string"),
                        F.col("dst").cast("string"),

@@ -530,10 +530,17 @@ def create_pq_txn_index(spark, path: str, df: DataFrame,
 
     from openapc_olap_spark.sources.txn import TxnTable
 
+    from openapc_olap_spark.operators.dedup import _materialized
+
     dim = len(coarse[0])
     corpus = _clean(df, dim, id_col, vec_col)
-    codes = pq_codes(corpus, coarse, pq_cents, method=encode_method) \
-        .withColumn("seq", F.lit(0).cast("long"))
+    # the codes frame is consumed twice (its own store's write AND the
+    # vectors store's list_id-attach join) and its evaluation IS the
+    # whole encode kernel — cache it or the corpus encodes twice
+    # (round 14, the dedup._materialized signature-frame rule)
+    codes = _materialized(
+        pq_codes(corpus, coarse, pq_cents, method=encode_method)
+        .withColumn("seq", F.lit(0).cast("long")))
     os.makedirs(path, exist_ok=True)
     TxnTable.create(spark, f"{path}/codes", codes, "list_id",
                     meta={"kind": "pq_codes"})
@@ -541,6 +548,7 @@ def create_pq_txn_index(spark, path: str, df: DataFrame,
             .withColumn("seq", F.lit(0).cast("long")))
     TxnTable.create(spark, f"{path}/vectors", vecs, "list_id",
                     meta={"kind": "pq_vectors"})
+    codes.unpersist()
     with open(f"{path}/pq_meta.json", "w") as fh:
         json.dump({"coarse": coarse, "pq_cents": pq_cents}, fh)
 
@@ -561,19 +569,31 @@ def upsert_pq_txn_index(spark, path: str, updates: DataFrame,
 
     from openapc_olap_spark.sources.txn import TxnTable
 
+    from openapc_olap_spark.operators.dedup import _materialized
+
     with open(f"{path}/pq_meta.json") as fh:
         meta = json.load(fh)
     coarse, pq_cents = meta["coarse"], meta["pq_cents"]
     dim = len(coarse[0])
     batch = _clean(updates, dim, id_col, vec_col)
-    codes = pq_codes(batch, coarse, pq_cents, method=encode_method) \
-        .withColumn("seq", F.lit(seq).cast("long"))
+    # upsert_moving evaluates its updates frame several times (touched-
+    # set probe, survivor anti-join, last-wins merge) and the codes
+    # frame's evaluation IS the whole encode kernel — without the cache
+    # each batch re-encoded ~4x across the two stores' commits (round
+    # 14, measured in plans/r14/x94_*; the vectors frame rides the same
+    # cache through its join)
+    codes = _materialized(
+        pq_codes(batch, coarse, pq_cents, method=encode_method)
+        .withColumn("seq", F.lit(seq).cast("long")))
     ct = TxnTable(spark, f"{path}/codes", "list_id")
     vc = ct.upsert_moving(codes, ["id"], "seq")
-    vecs = (batch.join(codes.select("id", "list_id"), ["id"])
-            .withColumn("seq", F.lit(seq).cast("long")))
+    vecs = _materialized(
+        batch.join(codes.select("id", "list_id"), ["id"])
+        .withColumn("seq", F.lit(seq).cast("long")))
     vt = TxnTable(spark, f"{path}/vectors", "list_id")
     vv = vt.upsert_moving(vecs, ["id"], "seq")
+    codes.unpersist()
+    vecs.unpersist()
     return vc, vv
 
 

@@ -315,6 +315,46 @@ def test_pq_txn_topk_batch_matches_in_memory(spark, emb, tmp_path):
         pq.pq_txn_topk_batch(spark, path, queries, k=5, rerank=3)
 
 
+def test_pq_txn_upsert_cache_hygiene(spark, emb, tmp_path):
+    """Round 14: create/upsert_pq_txn_index cache the encoded batch so
+    the Arrow encode runs once per commit pair (not once per
+    upsert_moving evaluation) — and unpersist it afterwards, so a
+    long-running stream of batches does not accumulate caches. Pins:
+    (a) no cached RDDs remain after the call, (b) the maintained
+    stores' content is unchanged vs a from-scratch create."""
+    from openapc_olap_spark.operators import pq
+    from openapc_olap_spark.sources.txn import TxnTable
+
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 1000 + F.lit(0.5))
+                     .cast("double"))
+    dq = emb.select("vec_id", qv.alias("embedding"))
+    base = dq.filter(F.col("vec_id") % 5 != 0)
+    bc = pq._clean(base, 64, "vec_id", "embedding")
+    coarse = pq.first_n_vectors(bc, 8)
+    cents = pq.train_pq_cents(pq.first_n_vectors(bc, 16), coarse, 8)
+    upd = dq.filter(F.col("vec_id") % 5 == 0)
+
+    inc = str(tmp_path / "inc")
+    pq.create_pq_txn_index(spark, inc, base, coarse, cents)
+    pq.upsert_pq_txn_index(spark, inc, upd, seq=1)
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0, \
+        "upsert_pq_txn_index leaked a cached frame"
+
+    full = str(tmp_path / "full")
+    pq.create_pq_txn_index(spark, full, dq, coarse, cents)
+    for sub, cols in (("codes", ["id", "list_id", "codes"]),
+                      ("vectors", ["id", "list_id", "v"])):
+        got = {tuple(map(str, r)) for r in
+               TxnTable(spark, f"{inc}/{sub}", "list_id")
+               .read().select(*cols).collect()}
+        want = {tuple(map(str, r)) for r in
+                TxnTable(spark, f"{full}/{sub}", "list_id")
+                .read().select(*cols).collect()}
+        assert got == want and len(got) > 0, sub
+
+
 def test_pq_rotation_orthogonal_and_score_preserving(spark, emb):
     """OPQ-style rotation (round 11): R is orthogonal (R R^T = I),
     arrow and expr application agree bitwise-closely, dot products are
