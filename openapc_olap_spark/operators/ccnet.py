@@ -50,6 +50,14 @@ def perplexity_buckets(scored: DataFrame, by: str = "lang",
     (NULL score -> NULL bucket): head = score >= the upper cut of its
     group, tail = below the lower cut. The cuts frame is
     group-cardinality, so the join broadcasts at any corpus size."""
+    from openapc_olap_spark.operators.dedup import _materialized
+
+    # scored is consumed TWICE (the cuts aggregate AND the label join);
+    # callers pass expensive upstreams (LM scoring, span-dedup, lang-id
+    # prediction) that would otherwise evaluate once per consumer —
+    # cache the per-doc frame (one narrow row per document) before
+    # fanning out (round 14, the dedup._materialized rule)
+    scored = _materialized(scored)
     cut_df = group_score_cuts(scored, by, score_col, cuts)
     s = F.col(score_col)
     bucket = (F.when(s.isNull(), F.lit(None).cast("string"))

@@ -156,7 +156,13 @@ def langid_scores(df: DataFrame, model: DataFrame, stats: DataFrame,
 
     model = _materialized(model)
     stats = _materialized(stats)
-    pairs = _gram_pairs(df, [id_col], text_col, n, n_buckets)
+    # pairs is consumed TWICE (the per-doc total below AND the model
+    # join) and its evaluation is the corpus-sized gram explode +
+    # per-gram md5 — cache it or the whole gram pass runs twice per
+    # scoring (round 14; the frame is (doc, bucket, c), bounded by
+    # distinct buckets per doc <= min(n_buckets, doc length))
+    pairs = _materialized(_gram_pairs(df, [id_col], text_col, n,
+                                      n_buckets))
     # anchor on the full id set: a text shorter than n yields zero grams
     # but must still score (prior + T=0), not silently drop
     per_doc = (df.select(id_col)
