@@ -458,6 +458,8 @@ _CERT_FIRST = [
     "x91_ivf_pq_ann", "x104_kn_logprob",
     "x54_unigram_logprob", "x58_bigram_logprob", "x76_ccnet_buckets",
     "x78_curation_chain",
+    # + operators/dsir.py (fit_bucket_model counts cache)
+    "x73_dsir_weights",
 ]
 _CERT_PENDING: list[str] = []
 # Freshness re-certification (VERDICT r10 #2 / r12 #1 / r13 #1): the
@@ -514,7 +516,7 @@ _CERT_TAIL = [
     "x63_event_funnel", "x64_cohort_retention", "x65_url_dedup",
     "x66_line_dedup", "x67_char_entropy", "x69_percentile_filter",
     "x70_rolling_features", "x71_size_sharding", "x72_kmeans_fit",
-    "x73_dsir_weights", "x74_span_dedup", "x75_sample_per_group",
+    "x74_span_dedup", "x75_sample_per_group",
     "x83_zorder_layout",
     "x99_wordpiece_train"
 ]

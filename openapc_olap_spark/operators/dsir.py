@@ -96,6 +96,14 @@ def fit_bucket_model(counts: DataFrame, n_buckets: int,
     rest, so callers coalesce instead of densifying B rows. The total
     is one aggregate row collected to the driver (scalar-grain, same
     as bloom.py's sketch row)."""
+    from openapc_olap_spark.operators.dedup import _materialized
+
+    # counts is consumed TWICE (the total scalar below AND the model
+    # select that feeds the broadcast scoring join) and its evaluation
+    # is the corpus-sized gram explode + hash pass — cache it or each
+    # fitted model costs two corpus passes (round 14; the frame itself
+    # is <= n_buckets rows)
+    counts = _materialized(counts)
     total = counts.agg(F.sum("count")).first()[0] or 0
     denom = float(total) + smoothing_k * n_buckets
     model = counts.select(

@@ -241,10 +241,14 @@ def doc_mean_kn_logprob(df: DataFrame,
     bigram_model = _materialized(bigram_model)
     if unigram_model is None:
         unigram_model = unigram_counts(df, text_col)
-    t_types = int(bigram_model.agg(
-        F.count(F.lit(1)).alias("t")).first()["t"] or 0)
-    vocab = int(unigram_model.agg(
-        F.count(F.lit(1)).alias("v")).first()["v"] or 0)
+    # ONE driver action for both model scalars (round 14, guide §5 —
+    # fewer driver round-trips): the two 1-row aggregates cross-join
+    # into a single job instead of two sequential .first() barriers
+    row = (bigram_model.agg(F.count(F.lit(1)).alias("t"))
+           .crossJoin(unigram_model.agg(F.count(F.lit(1)).alias("v")))
+           .first())
+    t_types = int(row["t"] or 0)
+    vocab = int(row["v"] or 0)
     ctx = (bigram_model.groupBy("prev")
            .agg(F.sum("count").alias("__c1"),
                 F.count(F.lit(1)).alias("__n1f")))
