@@ -460,6 +460,10 @@ _CERT_FIRST = [
     "x78_curation_chain",
     # + operators/dsir.py (fit_bucket_model counts cache)
     "x73_dsir_weights",
+    # + operators/pca.py (deterministic-covariance folds built as
+    # single-parse F.expr SQL — 2.0 s of per-call py4j/planning gap
+    # removed; values bitwise unchanged, oracle-verified)
+    "x84_pca_projection", "x89_pca_block",
 ]
 _CERT_PENDING: list[str] = []
 # Freshness re-certification (VERDICT r10 #2 / r12 #1 / r13 #1): the
@@ -477,7 +481,6 @@ _CERT_REFRESH = [
     "x16_quality_deciles", "x17_ivf_ann",
     "x19_image_dims", "x20_pii_redaction", "x23_wav_metadata",
     "x24_audio_headers", "x51_orc_roundtrip",
-    "x89_pca_block",
     "x37_asof_join",
 ]
 _CERT_TAIL = [
@@ -493,7 +496,7 @@ _CERT_TAIL = [
     "e06_prune_semi", "e07_priority_rank", "e08_melt_explode",
     "e10_colon_scrub", "e11_doi_lookup", "e12_institution_report",
     "e13_ac_institutions", "e16_springer_coverage", "e19_manifest_roundtrip",
-    "x84_pca_projection", "e01_enrich_ror", "e02_publication_key",
+    "e01_enrich_ror", "e02_publication_key",
     "e05_coverage_zerofill", "e09_journal_id", "e14_annual_pubdates",
     "e15_hybrid_catalog", "e20_json_cache", "x05_ann_topk", "x07_text_metrics",
     "x08_langid_distribution", "x09_tumbling_daily", "e18_partition_prune",

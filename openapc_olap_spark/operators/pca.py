@@ -250,22 +250,24 @@ def covariance_matrix(df: DataFrame, dim: int, vec_col: str = "embedding",
                 f"map-side-combined sums at scale.")
         base = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
 
-        def _fold(expr_fn):
-            ordered = F.transform(
-                F.array_sort(F.collect_list(F.struct(
-                    F.col("__id").alias("i"), expr_fn().alias("x")))),
-                lambda s: s["x"])
-            return F.aggregate(ordered, F.lit(0.0),
-                               lambda acc, x: acc + x)
+        # each fold is ONE F.expr SQL string — the identical Catalyst
+        # tree the former Column-object chain built (GetArrayItem
+        # indexing, named_struct, array_sort, 0.0D seed), so values are
+        # bitwise unchanged; building d(d+3)/2 + 1 nested-lambda
+        # aggregates through Column objects cost thousands of py4j
+        # round-trips per call (r14 profile: 2.0 s driver gap before
+        # the one job at dim=8 — the unigram/langid house fix)
+        def _fold(x_sql: str) -> str:
+            return (f"aggregate(transform(array_sort(collect_list("
+                    f"named_struct('i', __id, 'x', {x_sql}))), "
+                    f"s -> s.x), 0.0D, (acc, x) -> acc + x)")
 
         aggs = [F.count(F.lit(1)).alias("__n")]
         for i in range(dim):
-            aggs.append(_fold(lambda i=i: F.col("__v")[i])
-                        .alias(f"__m{i}"))
+            aggs.append(F.expr(_fold(f"__v[{i}]")).alias(f"__m{i}"))
         for i in range(dim):
             for j in range(i, dim):
-                aggs.append(_fold(lambda i=i, j=j:
-                                  F.col("__v")[i] * F.col("__v")[j])
+                aggs.append(F.expr(_fold(f"(__v[{i}] * __v[{j}])"))
                             .alias(f"__s{i}_{j}"))
         row = base.agg(*aggs).first()
         n = int(row["__n"] or 0)
