@@ -7228,10 +7228,56 @@ def _x107_stream_keyed_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X107_MEMO: dict = {}
 
 
+def _x107_stats_managed(spark: SparkSession, store) -> DataFrame:
+    """The managed-driver drain of the SAME per-commit keyed CDF
+    aggregates ``_x107_stats`` computes: ``run_keyed_cdf`` subscribes
+    through the JVM-native manifest file stream (r14 optimization — no
+    per-query Python source-runner process) with a throwaway checkpoint,
+    so the measured path is a fresh subscriber's full drain, exactly as
+    before. The emitted feed is identical — the keyed frontier sequences
+    the same version range and ``TxnTable.read_changes`` derives the
+    same rows — and the final re-aggregation keeps the result
+    independent of how the trigger split the versions, so the frame is
+    byte-identical to the certifying gate's (verified at sf0.01/sf0.1;
+    the DECLARED gate keeps exercising the ``txn_changes`` Python
+    DataSource composition)."""
+    import shutil
+    import tempfile
+
+    from openapc_olap_spark.sources.txn_stream import run_keyed_cdf
+
+    partials: list = []
+
+    def sink(ch, _bid):
+        partials.extend(
+            ch.groupBy(F.col("_commit_version").alias("commit_version"),
+                       F.col("_change_type").alias("change_type"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("c_custkey").alias("key_sum"),
+                 F.sum("c_acctbal").alias("acctbal_raw"),
+                 F.sum("seq").alias("seq_sum")).collect())
+
+    ckpt = f"{tempfile.gettempdir()}/openapc_gate_tmp/x107_mgd_ck"
+    shutil.rmtree(ckpt, ignore_errors=True)   # fresh subscriber per call
+    q = run_keyed_cdf(spark, store.path, ["c_custkey"], sink,
+                      checkpoint_dir=ckpt)
+    q.awaitTermination()
+    pdf = spark.createDataFrame(
+        partials, "commit_version long, change_type string, "
+        "n_rows long, key_sum long, acctbal_raw double, seq_sum long")
+    return (pdf.groupBy("commit_version", "change_type")
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.sum("key_sum").alias("key_sum"),
+                 F.round(F.sum("acctbal_raw"), 2).alias("acctbal_sum"),
+                 F.sum("seq_sum").alias("seq_sum")))
+
+
 def _x107_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production twin of x107: store + commits are memoized setup; the
     measured path is one fresh subscriber's availableNow drain through
-    the keyed-CDF composition."""
+    the keyed-CDF composition — via the managed JVM file-stream driver
+    (``_x107_stats_managed``), the production subscription path since
+    the r14 optimization; result frame identical to the gate's."""
     import tempfile
 
     from openapc_olap_spark.operators._memo import memoized
@@ -7242,7 +7288,7 @@ def _x107_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _x107_store(spark, sf_dir, root)
 
     store = memoized(_X107_MEMO, ("x107_store", sf_dir), build)
-    return _x107_stats(spark, store)
+    return _x107_stats_managed(spark, store)
 
 
 _X107_SQL = f"""
