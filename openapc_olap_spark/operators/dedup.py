@@ -1031,7 +1031,11 @@ def incremental_near_dup_commit(new_df, band_store, shingle_store,
              .withColumn("seq", F.lit(crawl_seq).cast("long")))
     shingle_store.upsert(add_bucket(ksets, ["doc_id"], n_sh),
                          ["doc_id"], "seq")
-    kband = (newband.join(kid, ["id"], "left_semi")
+    # kept ⊆ rem, so the survivors' band rows are the CACHED rem-filtered
+    # band frame restricted to the kept ids — deriving them from newband
+    # instead re-ran the whole minhash lineage twice inside the upsert
+    # (touched-bucket probe + write job; r14 session 2, guide §5)
+    kband = (rband.join(kid, ["id"], "left_semi")
              .select("band", "bhash", F.col("id").alias("doc_id"))
              .withColumn("seq", F.lit(crawl_seq).cast("long")))
     band_store.upsert(
