@@ -71,6 +71,11 @@ def stream_dedup_commit(stream_df: DataFrame, fp_store: TxnTable,
         raise ValueError("fp_store manifest carries no meta.n_buckets")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # a maxFilesPerTrigger=1 micro-batch scans as 1-2 partitions, so
+        # the normalize+fingerprint chain ran on 1-2 tasks (r14 profile:
+        # 0.8 s of a ~2 s batch); spread the batch first — the exchange
+        # carries one micro-batch of raw text, once (kept is cached)
+        batch_df = dedup._spread(batch_df)
         seen = fp_store.read().select("fp")
         # keep_fp: the fingerprint is computed ONCE per batch and rides
         # the cached frame into the in-batch window AND the fp commit —
