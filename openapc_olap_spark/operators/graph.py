@@ -81,8 +81,14 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     ranks = nodes.select("__node", "__outdeg",
                          F.lit(1.0 / n).alias("__rank"))
     for _ in range(n_iter):
-        dangling = (ranks.filter(F.col("__outdeg") == 0)
-                    .agg(F.sum("__rank")).first()[0]) or 0.0
+        # the dangling mass rides the round's own plan as a broadcast
+        # 1-row aggregate instead of a per-round driver collect (r14,
+        # guide §5 — fewer driver round-trips): the same SUM over the
+        # same checkpointed rank frame, divided by the same exact n, so
+        # the per-node update evaluates bitwise-identical doubles
+        dang = (ranks.filter(F.col("__outdeg") == 0)
+                .agg((F.sum("__rank") / F.lit(float(n)))
+                     .alias("__dpn")))
         contribs = (e.join(ranks, e["__src"] == ranks["__node"])
                     .select(F.col("__dst").alias("__node"),
                             F.col("__src").alias("__from"),
@@ -100,10 +106,12 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
             inflow = (contribs.groupBy("__node")
                       .agg(F.sum("__c").alias("__in")))
         ranks = (nodes.join(inflow, ["__node"], "left")
+                 .crossJoin(F.broadcast(dang))
                  .select("__node", "__outdeg",
                          (F.lit(base) + F.lit(damping)
                           * (F.coalesce(F.col("__in"), F.lit(0.0))
-                             + F.lit(dangling / n))).alias("__rank"))
+                             + F.coalesce(F.col("__dpn"), F.lit(0.0))))
+                         .alias("__rank"))
                  ).localCheckpoint(eager=True)
 
     rank = F.col("__rank")
