@@ -335,12 +335,23 @@ def test_pq_txn_upsert_cache_hygiene(spark, emb, tmp_path):
     cents = pq.train_pq_cents(pq.first_n_vectors(bc, 16), coarse, 8)
     upd = dq.filter(F.col("vec_id") % 5 == 0)
 
+    # delta-based: earlier tests' _materialized frames are dropped by
+    # the ContextCleaner only when Python GC releases them, so a global
+    # zero-cache assertion is a race against unrelated tests (observed
+    # flaky in full-suite runs); what this test pins is that the
+    # create/upsert pair itself leaves NO NEW cached RDD behind
+    def cached_ids():
+        return {int(i) for i in
+                spark.sparkContext._jsc.getPersistentRDDs()
+                .keySet().toArray()}
+
+    before = cached_ids()
     inc = str(tmp_path / "inc")
     pq.create_pq_txn_index(spark, inc, base, coarse, cents)
     pq.upsert_pq_txn_index(spark, inc, upd, seq=1)
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0, \
-        "upsert_pq_txn_index leaked a cached frame"
+    leaked = cached_ids() - before
+    assert not leaked, \
+        f"upsert_pq_txn_index leaked cached frame(s): {sorted(leaked)}"
 
     full = str(tmp_path / "full")
     pq.create_pq_txn_index(spark, full, dq, coarse, cents)
