@@ -1279,6 +1279,13 @@ class TxnTable:
                 f"keys {keys} must exist at both versions")
 
         def align(df, have):
+            # identity fast path (r14, guide §5 — the multi-version CDF
+            # drain builds this plan per version, so construction cost
+            # is driver time per micro-batch): outside a schema
+            # evolution boundary the snapshot already reads in
+            # union_cols order and the projection would be a no-op
+            if df.columns == union_cols:
+                return df
             return df.select(*[
                 F.col(c) if c in have else
                 F.lit(None).cast((ta | tb)[c]).alias(c)
@@ -1311,27 +1318,42 @@ class TxnTable:
         ct = "_change_type"
         om = old.withColumn("__o", F.lit(1)).alias("o")
         nm = new.withColumn("__n", F.lit(1)).alias("n")
-        on = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+
+        # The whole classification is ONE F.expr SQL string parsed in a
+        # single py4j call (r14, guide §5 / the house batch-6 rule): the
+        # per-column Column-object chains (4 structs + 2 compare structs
+        # + per-key eqNullSafe) cost ~1000 driver round-trips per
+        # version, and the CDF drain pays that per drained version per
+        # micro-batch. The parsed tree is the same Catalyst shape —
+        # named_struct / <=> / CASE WHEN / array / explode — so the
+        # emitted rows are bit-identical.
+        def q(c: str) -> str:
+            return "`" + c.replace("`", "``") + "`"
+
+        def s(v: str) -> str:
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        def img(side: str, cls: str) -> str:
+            fields = ", ".join(f"{s(c)}, {side}.{q(c)}"
+                               for c in union_cols)
+            return f"named_struct({fields}, {s(ct)}, {s(cls)})"
+
+        def bare(side: str) -> str:
+            fields = ", ".join(f"{s(c)}, {side}.{q(c)}"
+                               for c in union_cols)
+            return f"named_struct({fields})"
+
+        on = F.expr(" AND ".join(f"o.{q(k)} <=> n.{q(k)}" for k in keys))
         j = om.join(nm, on, "full_outer")
-        same = (F.struct(*[F.col(f"o.{c}") for c in union_cols])
-                .eqNullSafe(
-                    F.struct(*[F.col(f"n.{c}") for c in union_cols])))
-
-        def img(side: str, cls: str):
-            return F.struct(*[F.col(f"{side}.{c}").alias(c)
-                              for c in union_cols],
-                            F.lit(cls).alias(ct))
-
-        upd = (F.array(img("n", "update_postimage"),
-                       img("o", "update_preimage"))
+        upd = (f"array({img('n', 'update_postimage')}, "
+               f"{img('o', 'update_preimage')})"
                if include_preimages
-               else F.array(img("n", "update_postimage")))
-        arr = (F.when(F.col("o.__o").isNull(),
-                      F.array(img("n", "insert")))
-               .when(F.col("n.__n").isNull(),
-                     F.array(img("o", "delete")))
-               .when(~same, upd))          # identical rows -> NULL array
-        return (j.select(F.explode(arr).alias("__r"))  # explode drops NULL
+               else f"array({img('n', 'update_postimage')})")
+        arr = (f"CASE WHEN o.`__o` IS NULL THEN array({img('n', 'insert')}) "
+               f"WHEN n.`__n` IS NULL THEN array({img('o', 'delete')}) "
+               f"WHEN NOT ({bare('o')} <=> {bare('n')}) THEN {upd} "
+               f"END")                     # identical rows -> NULL array
+        return (j.select(F.expr(f"explode({arr})").alias("__r"))
                 .select("__r.*"))
 
     def compact(self, partitions: list | None = None,
