@@ -4231,10 +4231,33 @@ def _x76_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumnRenamed("mean_logprob", "score"))
     bucketed = ccnet.perplexity_buckets(scored)
     ids = F.array_sort(F.collect_list(F.col("doc_id").cast("string")))
+    # mean_score folds doc_id-ascending before dividing (the x108/x54
+    # hardening, VERDICT r13 #2 class): an unordered double AVG's
+    # addition order is partitioning-dependent in BOTH engines, and one
+    # full-sweep run recorded a 6dp-boundary flake on the (es, tail)
+    # cell — the ordered fold makes the cell bit-deterministic,
+    # mirrored by list_reduce(list(... ORDER BY doc_id)) / count(*) in
+    # the oracle.
     return (bucketed.groupBy("lang", "bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg("score"), 6).alias("mean_score"),
+                 F.round(_score_mean_fold() / F.count(F.lit(1)), 6)
+                 .alias("mean_score"),
                  F.md5(F.array_join(ids, ",")).alias("digest")))
+
+
+def _score_mean_fold():
+    """Doc_id-ascending sequential fold of ``score`` within a group —
+    deterministic under any partitioning (collect, sort by the unique
+    doc_id, left-fold from 0.0; 0.0 + s == s in IEEE, matching the
+    oracle's init-less list_reduce). The x108 `_x108_cell_fold`
+    discipline for the CCNet bucket gates' mean numerator."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("doc_id").alias("d"),
+                         F.col("score").alias("s")))),
+            lambda t: t["s"]),
+        F.lit(0.0), lambda acc, x: acc + x)
 
 
 _X76_SQL = f"""
@@ -4269,7 +4292,9 @@ _X76_SQL = f"""
                   ELSE 'tail' END AS bucket
       FROM sl JOIN cuts c USING (lang))
     SELECT lang, bucket, count(*) AS n_docs,
-           round(avg(score), 6) AS mean_score,
+           round(list_reduce(list(score ORDER BY doc_id),
+                             (a, b) -> a + b) / count(*), 6)
+             AS mean_score,
            md5(string_agg(doc_id::VARCHAR, ','
                           ORDER BY doc_id::VARCHAR)) AS digest
     FROM b GROUP BY 1, 2
@@ -8275,9 +8300,13 @@ def _x112_body(spark: SparkSession, sf_dir: str, model=None,
               .withColumnRenamed("mean_logprob", "score"))
     bucketed = ccnet.perplexity_buckets(scored, by="pred_lang")
     ids = F.array_sort(F.collect_list(F.col("doc_id").cast("string")))
+    # same doc_id-ascending mean fold as x76 (the x108 hardening —
+    # this gate shares x76's scored chain, so the same 6dp cell
+    # boundary applies); mirrored in the oracle's list_reduce
     return (bucketed.groupBy("pred_lang", "bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg("score"), 6).alias("mean_score"),
+                 F.round(_score_mean_fold() / F.count(F.lit(1)), 6)
+                 .alias("mean_score"),
                  F.md5(F.array_join(ids, ",")).alias("digest")))
 
 
@@ -8420,7 +8449,9 @@ _X112_SQL = rf"""
                   ELSE 'tail' END AS bucket
       FROM sl JOIN cuts c USING (pred_lang))
     SELECT pred_lang, bucket, count(*) AS n_docs,
-           round(avg(score), 6) AS mean_score,
+           round(list_reduce(list(score ORDER BY doc_id),
+                             (a, b) -> a + b) / count(*), 6)
+             AS mean_score,
            md5(string_agg(doc_id::VARCHAR, ','
                           ORDER BY doc_id::VARCHAR)) AS digest
     FROM b GROUP BY 1, 2
