@@ -1029,8 +1029,6 @@ def incremental_near_dup_commit(new_df, band_store, shingle_store,
     ksets = (sets_df.join(kid, ["id"], "left_semi")
              .select(F.col("id").alias("doc_id"), "sh")
              .withColumn("seq", F.lit(crawl_seq).cast("long")))
-    shingle_store.upsert(add_bucket(ksets, ["doc_id"], n_sh),
-                         ["doc_id"], "seq")
     # kept ⊆ rem, so the survivors' band rows are the CACHED rem-filtered
     # band frame restricted to the kept ids — deriving them from newband
     # instead re-ran the whole minhash lineage twice inside the upsert
@@ -1038,7 +1036,24 @@ def incremental_near_dup_commit(new_df, band_store, shingle_store,
     kband = (rband.join(kid, ["id"], "left_semi")
              .select("band", "bhash", F.col("id").alias("doc_id"))
              .withColumn("seq", F.lit(crawl_seq).cast("long")))
-    band_store.upsert(
-        add_bucket(kband, ["band", "bhash", "doc_id"], n_band),
-        ["band", "bhash", "doc_id"], "seq")
+    # The two stores are independent (disjoint directories, UUID-staged
+    # writes, atomic renames) and each upsert is idempotent on replay
+    # with the same crawl_seq, so their commits overlap from two driver
+    # threads (guide §2.6): each store's probe/write/publish chain fills
+    # the other's scheduling tail instead of running serially after it.
+    # Either single-store crash window (band without shingle set, or the
+    # reverse) degrades the same way the serial order's window did — a
+    # candidate invisible to exact verify until the crawl replays.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fsh = pool.submit(shingle_store.upsert,
+                          add_bucket(ksets, ["doc_id"], n_sh),
+                          ["doc_id"], "seq")
+        fbd = pool.submit(
+            band_store.upsert,
+            add_bucket(kband, ["band", "bhash", "doc_id"], n_band),
+            ["band", "bhash", "doc_id"], "seq")
+        fsh.result()
+        fbd.result()
     return kept

@@ -586,12 +586,23 @@ def upsert_pq_txn_index(spark, path: str, updates: DataFrame,
         pq_codes(batch, coarse, pq_cents, method=encode_method)
         .withColumn("seq", F.lit(seq).cast("long")))
     ct = TxnTable(spark, f"{path}/codes", "list_id")
-    vc = ct.upsert_moving(codes, ["id"], "seq")
     vecs = _materialized(
         batch.join(codes.select("id", "list_id"), ["id"])
         .withColumn("seq", F.lit(seq).cast("long")))
     vt = TxnTable(spark, f"{path}/vectors", "list_id")
-    vv = vt.upsert_moving(vecs, ["id"], "seq")
+    # Both sides derive from the one cached encode; the stores are
+    # independent (disjoint dirs, UUID-staged writes, atomic renames)
+    # and each upsert_moving replays idempotently on the same seq, so
+    # the two commits overlap from two driver threads (guide §2.6).
+    # Mid-replay the stores could already diverge transiently in the
+    # serial order's crash window (codes new / vectors old); overlap
+    # only adds the mirror window, repaired by the same replay.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fc = pool.submit(ct.upsert_moving, codes, ["id"], "seq")
+        fv = pool.submit(vt.upsert_moving, vecs, ["id"], "seq")
+        vc, vv = fc.result(), fv.result()
     codes.unpersist()
     vecs.unpersist()
     return vc, vv

@@ -3052,6 +3052,57 @@ def test_incremental_near_dup_commit_two_crawls(spark, tmp_path):
         dedup.incremental_near_dup_commit(crawl, bare, sh_store, 1)
 
 
+def test_incremental_near_dup_commit_concurrent_content(spark, tmp_path):
+    """Round 14: the two store commits run from concurrent driver
+    threads (independent stores, guide §2.6). Pin that the landed
+    CONTENT of each store is exactly what a serial application would
+    land: the survivors' shingle sets, and the survivors' band rows
+    re-derived independently from those sets."""
+    from openapc_olap_spark.sources import txn
+
+    docs = [(i, f"doc number {i} with shared filler words plus "
+                f"unique token u{i} v{i} w{i} x{i} y{i} z{i}")
+            for i in range(1, 9)]
+    hist = spark.createDataFrame(docs[:2], ["doc_id", "text"])
+    hsets = (hist.select(F.col("doc_id").alias("id"),
+                         dedup.shingles("text", 3).alias("sh")))
+    hband = (dedup._band_rows(hsets, 32, 16, 42)
+             .select("band", "bhash", F.col("id").alias("doc_id"))
+             .withColumn("seq", F.lit(0).cast("long")))
+    band_store = txn.TxnTable.create(
+        spark, str(tmp_path / "band"),
+        txn.add_bucket(hband, ["band", "bhash", "doc_id"], 4),
+        "bucket", meta={"n_buckets": 4})
+    hsh = (hsets.select(F.col("id").alias("doc_id"), "sh")
+           .withColumn("seq", F.lit(0).cast("long")))
+    sh_store = txn.TxnTable.create(
+        spark, str(tmp_path / "sh"),
+        txn.add_bucket(hsh, ["doc_id"], 4),
+        "bucket", meta={"n_buckets": 4})
+    crawl = spark.createDataFrame(docs[2:], ["doc_id", "text"])
+    kept = dedup.incremental_near_dup_commit(
+        crawl, band_store, sh_store, crawl_seq=1, threshold=0.9)
+    assert band_store.version() == 1 and sh_store.version() == 1
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    # serial expectation, re-derived outside the operator
+    ksets = (kept.select(F.col("doc_id").alias("id"),
+                         dedup.shingles("text", 3).alias("sh")))
+    want_band = {(r["band"], r["bhash"], r["id"]) for r in
+                 dedup._band_rows(ksets, 32, 16, 42).collect()}
+    want_band |= {(r["band"], r["bhash"], r["doc_id"])
+                  for r in hband.collect()}
+    got_band = {(r["band"], r["bhash"], r["doc_id"])
+                for r in band_store.read().collect()}
+    assert got_band == want_band
+    got_sh = {r["doc_id"]: tuple(sorted(r["sh"]))
+              for r in sh_store.read().collect()}
+    assert set(got_sh) == kept_ids | {1, 2}
+    want_sh = {r["id"]: tuple(sorted(r["sh"]))
+               for r in ksets.collect()}
+    for i, sh in want_sh.items():
+        assert got_sh[i] == sh
+
+
 def test_kn_bigram_logprob_backoff_and_discount(spark):
     """Interpolated Kneser-Ney: training-corpus bigrams score above the
     continuation floor, fully-OOV documents hit exactly the add-1
