@@ -421,11 +421,11 @@ _CERT_FIRST = [
     # (ADVICE r12: replay-safe KeyedChanges frontier keyed on batch_id;
     # VERDICT r12 #4: managed run_keyed_cdf driver) — every gate through
     # the txn store or its commit-log stream rotates in
-    "e17_cache_upsert", "x49_incremental_dedup",
+    "x49_incremental_dedup",
     "x92_stream_dedup_commit", "x93_incremental_near_dup",
     "x94_pq_index_upsert", "x95_stream_vector_index",
-    "x96_txn_delete", "x97_txn_skipping", "x98_txn_changes",
-    "x101_txn_zorder", "x102_txn_stream_changes", "x103_txn_merge",
+    "x98_txn_changes",
+    "x102_txn_stream_changes",
     "x105_txn_evolve_changes", "x106_txn_rebucket",
     "x107_stream_keyed_cdf",
     # new r13 gates (never certified): trained char-n-gram NB language
@@ -464,6 +464,13 @@ _CERT_FIRST = [
     # single-parse F.expr SQL — 2.0 s of per-call py4j/planning gap
     # removed; values bitwise unchanged, oracle-verified)
     "x84_pca_projection", "x89_pca_block",
+    # r15 DEPS narrowing transit (scripts/cert_manifest.py): these five
+    # gates' engine-dependency lists drop the over-broad text.py entry
+    # (their execution closure is packing/mixture only — see the DEPS
+    # comment + test_narrowed_deps_gates_stay_text_free); a guarded
+    # gate's record may only change through the head
+    "x30_hash_split", "x39_stratified_sample", "x43_deterministic_shuffle",
+    "x48_rebalance_mixture", "x57_temperature_resample",
 ]
 _CERT_PENDING: list[str] = []
 # Freshness re-certification (VERDICT r10 #2 / r12 #1 / r13 #1): the
@@ -484,6 +491,8 @@ _CERT_REFRESH = [
     "x37_asof_join",
 ]
 _CERT_TAIL = [
+    "e17_cache_upsert", "x96_txn_delete", "x97_txn_skipping",
+    "x101_txn_zorder", "x103_txn_merge",
     # previously hash-certified; implementing modules untouched since the
     # certifying round (enforced by test_entry_contract.py against
     # tests/cert_manifest.json, and by scripts/cert_manifest.py itself,
@@ -508,13 +517,13 @@ _CERT_TAIL = [
     "x100_wordpiece_encode", "x21_repetition_deciles",
     "x22_vocab_top", "x25_streaming_tumbling", "x26_streaming_dedup",
     "x27_winnow_fingerprints", "x28_curation_funnel", "x29_sequence_packing",
-    "x30_hash_split", "x31_profile", "x32_image_decode",
+    "x31_profile", "x32_image_decode",
     "x33_stateful_sessions", "x34_wav_decode", "x36_ivf_index",
-    "x39_stratified_sample", "x40_decontaminate", "x42_topk_per_group",
-    "x43_deterministic_shuffle", "x44_cms_estimates", "x45_tfidf_top_terms",
+    "x40_decontaminate", "x42_topk_per_group",
+    "x44_cms_estimates", "x45_tfidf_top_terms",
     "x46_quantize_embeddings", "x47_chunk_documents",
-    "x48_rebalance_mixture", "x50_streaming_cms", "x52_pretraining_pipeline",
-    "x56_domain_stats", "x57_temperature_resample",
+    "x50_streaming_cms", "x52_pretraining_pipeline",
+    "x56_domain_stats",
     "x60_stream_stream_join", "x62_quality_rules",
     "x63_event_funnel", "x64_cohort_retention", "x65_url_dedup",
     "x66_line_dedup", "x67_char_entropy", "x69_percentile_filter",

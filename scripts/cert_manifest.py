@@ -117,7 +117,18 @@ _X_DEPS = {
     "x27_winnow_fingerprints": [f"{_OPS}/text.py"],
     "x28_curation_funnel": [f"{_OPS}/curation.py", f"{_OPS}/text.py"],
     "x29_sequence_packing": [f"{_OPS}/packing.py", f"{_OPS}/text.py"],
-    "x30_hash_split": [f"{_OPS}/packing.py", f"{_OPS}/text.py"],
+    # r15 narrowing (window arithmetic for the text.py rotation, VERDICT
+    # r14 #1): x30/x39/x43/x48/x57 execute ONLY packing.hash_split /
+    # stratified_sample / deterministic_shuffle / rebalance_mixture /
+    # mixture.temperature_resample — none of which reference the text
+    # module (text.py enters packing.py solely through pack_sequences/
+    # pack_summary's text.token_count default, the x29 path). The gates'
+    # callables call no text function either, and _docs_split is a plain
+    # repartition. tests/test_entry_contract.py pins this closure at
+    # source level (test_narrowed_deps_gates_stay_text_free), so a later
+    # edit that adds a text reference to those functions fails CI until
+    # the DEPS entries are re-broadened and the gates rotated.
+    "x30_hash_split": [f"{_OPS}/packing.py"],
     "x31_profile": [f"{_OPS}/profile.py"],
     "x32_image_decode": [f"{_OPS}/multimodal.py"] + _MEMO,
     "x33_stateful_sessions": [f"{_P}/streaming/__init__.py",
@@ -127,18 +138,18 @@ _X_DEPS = {
     "x36_ivf_index": [f"{_OPS}/similarity.py"] + _MEMO,
     "x37_asof_join": [f"{_OPS}/temporal.py"],
     "x38_interval_join": [f"{_OPS}/temporal.py"],
-    "x39_stratified_sample": [f"{_OPS}/packing.py", f"{_OPS}/text.py"],
+    "x39_stratified_sample": [f"{_OPS}/packing.py"],
     "x40_decontaminate": [f"{_OPS}/decontam.py", f"{_OPS}/text.py"],
     "x41_bloom_semi_join": [f"{_OPS}/bloom.py"],
     "x42_topk_per_group": [f"{_OPS}/ranking.py"],
-    "x43_deterministic_shuffle": [f"{_OPS}/packing.py", f"{_OPS}/text.py"],
+    "x43_deterministic_shuffle": [f"{_OPS}/packing.py"],
     "x44_cms_estimates": [f"{_OPS}/sketches.py", f"{_OPS}/packing.py",
                           f"{_OPS}/text.py"],
     "x45_tfidf_top_terms": [f"{_OPS}/tfidf.py", f"{_OPS}/ranking.py",
                             f"{_OPS}/text.py"],
     "x46_quantize_embeddings": [f"{_OPS}/quantize.py"],
     "x47_chunk_documents": [f"{_OPS}/chunking.py", f"{_OPS}/text.py"],
-    "x48_rebalance_mixture": [f"{_OPS}/packing.py", f"{_OPS}/text.py"],
+    "x48_rebalance_mixture": [f"{_OPS}/packing.py"],
     "x49_incremental_dedup": [f"{_OPS}/dedup.py", f"{_OPS}/bloom.py",
                               f"{_OPS}/text.py",
                               f"{_P}/sources/txn.py"] + _MEMO,
@@ -156,8 +167,7 @@ _X_DEPS = {
     "x55_bpe_train": [f"{_OPS}/bpe.py", f"{_OPS}/text.py",
                       f"{_OPS}/dedup.py"] + _MEMO,
     "x56_domain_stats": [f"{_OPS}/web.py", f"{_OPS}/text.py"],
-    "x57_temperature_resample": [f"{_OPS}/mixture.py", f"{_OPS}/packing.py",
-                                 f"{_OPS}/text.py"],
+    "x57_temperature_resample": [f"{_OPS}/mixture.py", f"{_OPS}/packing.py"],
     "x58_bigram_logprob": [f"{_OPS}/lm.py", f"{_OPS}/text.py"],
     "x59_cluster_outliers": [f"{_OPS}/semdedup.py", f"{_OPS}/similarity.py",
                              f"{_OPS}/dedup.py"] + _MEMO,

@@ -183,6 +183,38 @@ def test_cert_manifest_regen_refuses_unrotated_drift():
     assert any(guarded in b and "no hash" in b for b in bad)
 
 
+def test_narrowed_deps_gates_stay_text_free():
+    """r15 DEPS narrowing guard: x30/x39/x43/x48/x57 list packing.py /
+    mixture.py WITHOUT text.py because their execution closure —
+    packing.hash_split, stratified_sample, deterministic_shuffle,
+    rebalance_mixture, mixture_fractions, _md5_bucket and
+    mixture.temperature_resample, plus the five gate callables — never
+    references the text module (text.py reaches packing.py only through
+    pack_sequences/pack_summary's text.token_count default, the x29
+    path). Pin that closure at source level: if any of these functions
+    gains a text reference, this fails until the DEPS entries are
+    re-broadened and the gates rotated into _CERT_FIRST."""
+    import inspect
+
+    from openapc_olap_spark.operators import mixture, packing
+
+    closure = [packing.hash_split, packing.stratified_sample,
+               packing.deterministic_shuffle, packing.rebalance_mixture,
+               packing.mixture_fractions, packing._md5_bucket,
+               mixture.temperature_resample]
+    qs = entrymod.queries()
+    closure += [qs[n] for n in
+                ["x30_hash_split", "x39_stratified_sample",
+                 "x43_deterministic_shuffle", "x48_rebalance_mixture",
+                 "x57_temperature_resample"]]
+    for fn in closure:
+        src = inspect.getsource(fn)
+        assert "text." not in src and "import text" not in src, (
+            f"{fn.__qualname__} now references the text module — "
+            f"re-broaden the narrowed DEPS entries in "
+            f"scripts/cert_manifest.py and rotate the five gates")
+
+
 def test_cert_manifest_covers_every_gate():
     """Every declared gate has a manifest record and a dependency mapping,
     so a future tail rotation can never silently lack coverage."""
