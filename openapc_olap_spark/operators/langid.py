@@ -59,12 +59,26 @@ def char_ngram_buckets(col="text", n: int = 3,
     """array<long>: the md5 bucket of every overlapping character
     n-gram of the normalized text, position order (len-n+1 entries;
     empty array when the text is shorter than n). Pure higher-order
-    expressions over one sequence — the window never leaves the JVM."""
-    c = _norm(col)
-    m = F.length(c) - n + 1
-    gram = lambda i: _md5_bucket(F.substring(c, i, n), n_buckets)  # noqa: E731
-    return (F.when(m >= 1, F.transform(F.sequence(F.lit(1), m), gram))
-            .otherwise(F.array().cast("array<long>")))
+    expressions over one sequence — the window never leaves the JVM.
+
+    The normalized text is bound ONCE as a lambda variable (outer
+    single-element transform) before the per-position gram lambda reads
+    it — the ``text.kgram_hashes`` fix: HOF lambda bodies are
+    interpreted per element with no subexpression elimination, so
+    inlining ``_norm(text)`` re-runs lower+regexp+trim at every
+    position, O(len²) per document. Values are bit-identical (the
+    lambda variable holds exactly the string the old expression
+    recomputed). ``_gram_pairs`` remains the corpus path (it projects
+    the normalization into a real column ahead of the explode)."""
+    raw = F.col(col) if isinstance(col, str) else col
+
+    def grams(c: Column) -> Column:
+        m = F.length(c) - n + 1
+        gram = lambda i: _md5_bucket(F.substring(c, i, n), n_buckets)  # noqa: E731
+        return (F.when(m >= 1, F.transform(F.sequence(F.lit(1), m), gram))
+                .otherwise(F.array().cast("array<long>")))
+
+    return F.element_at(F.transform(F.array(_norm(raw)), grams), 1)
 
 
 def _gram_pairs(df: DataFrame, id_cols: list[str], text_col: str,
@@ -105,11 +119,18 @@ def langid_fit(df: DataFrame, lang_col: str = "lang",
       (ln(alpha / (total_lang + alpha * n_buckets))) and prior_logp =
       ln(docs_lang / docs_total).
 
-    Both are plans over one gram pass + tiny aggregations — nothing is
-    collected; persist them via any sink (or let the optimizer inline
-    them into the scoring join)."""
-    counts = (_gram_pairs(df, [lang_col], text_col, n, n_buckets)
-              .withColumnRenamed(lang_col, "lang"))
+    The (lang, bucket) gram counts — the ONE corpus-sized pass — are
+    materialized here (persist + count, the dedup._materialized rule):
+    ``model`` and ``stats`` share that subtree, and a consumer that
+    materializes each output separately (langid_scores does) would
+    otherwise re-run the whole gram explode once per output. The cached
+    frame is vocabulary-sized (<= langs x n_buckets rows), never
+    corpus-sized; everything downstream of it stays lazy."""
+    from openapc_olap_spark.operators.dedup import _materialized
+
+    counts = _materialized(
+        _gram_pairs(df, [lang_col], text_col, n, n_buckets)
+        .withColumnRenamed(lang_col, "lang"))
     totals = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
     model = (counts.join(totals, "lang")
              .select("lang", "bucket",
