@@ -76,6 +76,19 @@ def _bslots(word_cap: int, piece_len: int) -> list[tuple[int, int]]:
             for l in range(1, min(piece_len, k) + 1)]
 
 
+def _slots_lit(word_cap: int, piece_len: int) -> str:
+    """The forward slot table as ONE SQL literal array<struct<i,l>>:
+    per-slot expressions become a single transform/explode lambda that
+    Catalyst analyzes once, instead of ``len(_slots)`` textually
+    unrolled copies (the dominant per-EM-round driver cost in the r15
+    profile: each lazy localCheckpoint re-plans the round's tree).
+    Array order == _slots order, so exploded rows, sort keys, and every
+    fold order are unchanged."""
+    return "array(" + ", ".join(
+        f"named_struct('i', {i}, 'l', {l})"
+        for (i, l) in _slots(word_cap, piece_len)) + ")"
+
+
 def word_vocab(df: DataFrame, text_col: str = "text",
                word_cap: int = 8,
                max_words: int | None = None) -> DataFrame:
@@ -105,10 +118,14 @@ def seed_pieces(words: DataFrame, piece_len: int = 3,
     the seed is engine-deterministic under ANY summation order), pruned
     to all single chars + top ``seed_size`` multi-char pieces, counts
     renormalized to probabilities."""
-    slot_structs = F.array(*[
-        F.when(F.lit(i + l) <= F.col("wlen"),
-               F.substring("word", i + 1, l))
-        for (i, l) in _slots(word_cap, piece_len)])
+    # one F.expr parse of a transform over the literal slot table — the
+    # unrolled F.when column list cost ~0.26 s of py4j chatter per call
+    # and an analysis tree ~20x this size (r15 profile); values are
+    # identical (same slots, same order, same NULL-when-invalid)
+    slot_structs = F.expr(
+        f"transform({_slots_lit(word_cap, piece_len)}, s -> "
+        f"CASE WHEN s.i + s.l <= wlen "
+        f"THEN substring(word, s.i + 1, s.l) END)")
     cnt = (words.select(F.col("wc"),
                         F.explode(slot_structs).alias("piece"))
            .filter(F.col("piece").isNotNull())
@@ -192,7 +209,14 @@ def _attach_slot_probs(words: DataFrame, pieces: DataFrame,
                 f"ELSE 0.0D END")
 
     # packed directly as the DP's array-of-arrays matrices (__pfm[i+1][l]
-    # forward, __pbm[k][l] backward) in ONE select
+    # forward, __pbm[k][l] backward) in ONE select. Deliberately kept as
+    # textually UNROLLED literal arrays (word_cap x piece_len CASE
+    # lookups): a transform-over-sequence lambda version was measured
+    # (r15) and lost — the matrices are evaluated per WORD row on the
+    # encode path's full distinct-word vocabulary, where the interpreted
+    # lambda eval costs more than the one-time analysis of the unrolled
+    # tree saves (x90 +11% with lambdas, against x88's planning win that
+    # the slot_ec/seed transforms already capture).
     pfm = "array(" + ", ".join(
         "array(" + ", ".join(
             (look(f"{i + l} <= wlen", f"substring(word, {i + 1}, {l})")
@@ -264,23 +288,24 @@ def em_counts(words: DataFrame, pieces: DataFrame, word_cap: int = 8,
     state = state.select(
         "word", "wc", "wlen", "__pfm", "__fa", "__ba",
         F.expr("element_at(__fa, wlen + 1)").alias("__z"))
-    slot_ec = []
-    for (i, l) in _slots(word_cap, piece_len):
-        # posterior mass of "a piece spans [i+1, i+l]":
-        # f_i * p * b_(wlen - i - l) / Z
-        ec = (f"CASE WHEN {i + l} <= wlen AND __z > 0.0D THEN "
-              f"element_at(__fa, {i + 1}) * "
-              f"element_at(element_at(__pfm, {i + 1}), {l}) * "
-              f"element_at(__ba, wlen - {i + l} + 1) / __z "
-              f"ELSE 0.0D END")
-        slot_ec.append(
-            f"named_struct('i', {i}, 'l', {l}, 'piece', "
-            f"CASE WHEN {i + l} <= wlen "
-            f"THEN substring(word, {i + 1}, {l}) END, 'ec', {ec})")
+    # posterior mass of "a piece spans [i+1, i+l]":
+    # f_i * p * b_(wlen - i - l) / Z — ONE transform lambda over the
+    # literal slot table (array order == _slots order, so the exploded
+    # rows and every downstream sort/fold are unchanged) instead of
+    # len(_slots) unrolled named_struct copies; see _slots_lit
+    slot_ec = (
+        f"transform({_slots_lit(word_cap, piece_len)}, s -> named_struct("
+        f"'i', s.i, 'l', s.l, "
+        f"'piece', CASE WHEN s.i + s.l <= wlen "
+        f"THEN substring(word, s.i + 1, s.l) END, "
+        f"'ec', CASE WHEN s.i + s.l <= wlen AND __z > 0.0D THEN "
+        f"element_at(__fa, s.i + 1) * "
+        f"element_at(element_at(__pfm, s.i + 1), s.l) * "
+        f"element_at(__ba, wlen - (s.i + s.l) + 1) / __z "
+        f"ELSE 0.0D END))")
     contrib = (state.select(
         "word", "wc",
-        F.explode(F.expr("array(" + ", ".join(slot_ec) + ")"))
-        .alias("s"))
+        F.explode(F.expr(slot_ec)).alias("s"))
         .filter(F.col("s.piece").isNotNull())
         .select("word", F.col("s.i").alias("i"),
                 F.col("s.l").alias("l"),
@@ -464,18 +489,21 @@ def unigram_train(df: DataFrame, text_col: str = "text",
     # the word vocabulary feeds the seed and every EM round — persist
     from openapc_olap_spark.operators.dedup import _materialized
     words = _materialized(word_vocab(df, text_col, word_cap, max_words))
-    # the piece table is model-grain (vocab_size + charset rows);
-    # localCheckpoint it between rounds so round N+1's plan starts from
-    # the materialized model instead of re-embedding (and re-executing)
-    # round N's whole DAG at every reference
-    pieces = seed_pieces(words, piece_len, seed_size,
-                         word_cap).localCheckpoint(eager=False)
+    # the piece table needs NO checkpoint between rounds: round N+1
+    # consumes it exactly once — _attach_slot_probs COLLECTS it into the
+    # literal model map, which is what already cuts the cross-round
+    # lineage — and its own plan is a shallow prune over the
+    # checkpointed cnt. The localCheckpoint(eager=False) this loop used
+    # to add per round still ran the full Catalyst pipeline (toRdd) at
+    # declaration time: ~0.4-0.6 s of pure re-planning per round in the
+    # r15 profile, for a lineage cut the collect provides anyway.
+    pieces = seed_pieces(words, piece_len, seed_size, word_cap)
     for size in sizes:
-        # cnt is ALSO model-grain and feeds _prune_and_normalize twice
-        # (the ranked keep-set and the normalizer total) — checkpoint
-        # it or the whole E-step executes once per consumer
+        # cnt IS checkpointed: it is model-grain and feeds
+        # _prune_and_normalize twice (the ranked keep-set and the
+        # normalizer total) — without the cut the whole E-step executes
+        # once per consumer
         cnt = em_counts(words, pieces, word_cap, piece_len,
                         deterministic).localCheckpoint(eager=False)
-        pieces = _prune_and_normalize(
-            cnt, size).localCheckpoint(eager=False)
+        pieces = _prune_and_normalize(cnt, size)
     return pieces
