@@ -80,7 +80,11 @@ def doc_mean_logprob(df: DataFrame, model: DataFrame | None = None,
         from openapc_olap_spark.operators.dedup import _materialized
         # the model frame is consumed twice (the N/V scalar agg below AND
         # the broadcast scoring join) — cache it or the corpus-sized token
-        # count runs twice
+        # count runs twice. Deriving the model from a materialized
+        # per-(doc, token) table (the bigram/KN §1.2 rewrite) was
+        # measured HERE and lost at sf0.1 (+0.2 s: the single-token
+        # explode is cheaper than the extra cache + vocab reshuffle it
+        # saves), so the unigram scorer keeps the two-pass shape.
         model = _materialized(unigram_counts(df, text_col))
     stats = model.agg(F.sum("count").alias("n"),
                       F.count(F.lit(1)).alias("v")).first()
@@ -153,15 +157,7 @@ def doc_mean_bigram_logprob(df: DataFrame,
     reference corpus. Same determinism discipline as doc_mean_logprob:
     per-(doc, distinct bigram) pre-aggregation, broadcast model joins,
     and a bigram-sorted fold for the final sum."""
-    if bigram_model is None:
-        bigram_model = bigram_counts(df, text_col)
-    if unigram_model is None:
-        from openapc_olap_spark.operators.dedup import _materialized
-        # consumed twice (vocab-size agg + the context join) — cache, or
-        # the corpus token count runs twice
-        unigram_model = _materialized(unigram_counts(df, text_col))
-    vocab = int(unigram_model.agg(
-        F.count(F.lit(1)).alias("v")).first()["v"] or 0)
+    from openapc_olap_spark.operators.dedup import _materialized
 
     toks = text.tokens(text_col)
     n = F.size(toks)
@@ -172,6 +168,24 @@ def doc_mean_bigram_logprob(df: DataFrame,
     per = (df.select(F.col(id_col), F.explode(pairs).alias("bg"))
            .groupBy(id_col, "bg.prev", "bg.token")
            .agg(F.count(F.lit(1)).alias("n")))
+    if bigram_model is None:
+        # self-trained: the bigram model is the per-(doc, bigram) table
+        # re-aggregated over docs (integer sums — bit-identical to a
+        # direct corpus count), so materialize the per-doc table once
+        # instead of running the corpus bigram explode twice (§1.2)
+        per = _materialized(per)
+        bigram_model = (per.groupBy("prev", "token")
+                        .agg(F.sum("n").alias("count")))
+    if unigram_model is None:
+        # consumed twice (vocab-size agg + the context join) — cache, or
+        # the corpus token count runs twice. NOT derivable from the
+        # bigram table: a single-token document's token never enters a
+        # pair, and c(prev) must count ALL occurrences including
+        # document-final ones.
+        unigram_model = _materialized(unigram_counts(df, text_col))
+    vocab = int(unigram_model.agg(
+        F.count(F.lit(1)).alias("v")).first()["v"] or 0)
+
     bgm = bigram_model.select("prev", "token",
                               F.col("count").alias("__cbg"))
     ugm = unigram_model.select(F.col("token").alias("prev"),
@@ -235,8 +249,22 @@ def doc_mean_kn_logprob(df: DataFrame,
     the hash — is engine- and partitioning-independent."""
     from openapc_olap_spark.operators.dedup import _materialized
 
+    toks = text.tokens(text_col)
+    n = F.size(toks)
+    pairs = F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("token")))
+    ).otherwise(F.array().cast("array<struct<prev:string,token:string>>"))
+    per = (df.select(F.col(id_col), F.explode(pairs).alias("bg"))
+           .groupBy(id_col, "bg.prev", "bg.token")
+           .agg(F.count(F.lit(1)).alias("n")))
     if bigram_model is None:
-        bigram_model = bigram_counts(df, text_col)
+        # self-trained: derive the bigram counts from the materialized
+        # per-(doc, bigram) table instead of a second corpus explode
+        # (§1.2; integer sums — bit-identical to a direct count)
+        per = _materialized(per)
+        bigram_model = (per.groupBy("prev", "token")
+                        .agg(F.sum("n").alias("count")))
     # consumed three times (ctx/cont groupBys + the scoring join)
     bigram_model = _materialized(bigram_model)
     if unigram_model is None:
@@ -256,16 +284,6 @@ def doc_mean_kn_logprob(df: DataFrame,
             .agg(F.count(F.lit(1)).alias("__n1b")))
     bgm = bigram_model.select("prev", "token",
                               F.col("count").alias("__cbg"))
-
-    toks = text.tokens(text_col)
-    n = F.size(toks)
-    pairs = F.when(n >= 2, F.zip_with(
-        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
-        lambda a, b: F.struct(a.alias("prev"), b.alias("token")))
-    ).otherwise(F.array().cast("array<struct<prev:string,token:string>>"))
-    per = (df.select(F.col(id_col), F.explode(pairs).alias("bg"))
-           .groupBy(id_col, "bg.prev", "bg.token")
-           .agg(F.count(F.lit(1)).alias("n")))
 
     pc = ((F.coalesce(F.col("__n1b"), F.lit(0)) + F.lit(smoothing_k))
           / F.lit(float(t_types + smoothing_k * (vocab + 1))))
