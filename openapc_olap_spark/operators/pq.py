@@ -542,13 +542,17 @@ def create_pq_txn_index(spark, path: str, df: DataFrame,
         pq_codes(corpus, coarse, pq_cents, method=encode_method)
         .withColumn("seq", F.lit(0).cast("long")))
     os.makedirs(path, exist_ok=True)
-    TxnTable.create(spark, f"{path}/codes", codes, "list_id",
-                    meta={"kind": "pq_codes"})
-    vecs = (corpus.join(codes.select("id", "list_id"), ["id"])
-            .withColumn("seq", F.lit(0).cast("long")))
-    TxnTable.create(spark, f"{path}/vectors", vecs, "list_id",
-                    meta={"kind": "pq_vectors"})
-    codes.unpersist()
+    try:
+        TxnTable.create(spark, f"{path}/codes", codes, "list_id",
+                        meta={"kind": "pq_codes"})
+        vecs = (corpus.join(codes.select("id", "list_id"), ["id"])
+                .withColumn("seq", F.lit(0).cast("long")))
+        TxnTable.create(spark, f"{path}/vectors", vecs, "list_id",
+                        meta={"kind": "pq_vectors"})
+    finally:
+        # unpersist on any exit (ADVICE r14's upsert gap, same shape
+        # here): a failed create must not leak the cached encode
+        codes.unpersist()
     with open(f"{path}/pq_meta.json", "w") as fh:
         json.dump({"coarse": coarse, "pq_cents": pq_cents}, fh)
 
@@ -599,12 +603,20 @@ def upsert_pq_txn_index(spark, path: str, updates: DataFrame,
     # only adds the mirror window, repaired by the same replay.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fc = pool.submit(ct.upsert_moving, codes, ["id"], "seq")
-        fv = pool.submit(vt.upsert_moving, vecs, ["id"], "seq")
-        vc, vv = fc.result(), fv.result()
-    codes.unpersist()
-    vecs.unpersist()
+    # try/finally (ADVICE r14): if either upsert raises — e.g.
+    # CommitConflict after retries — both MEMORY_AND_DISK caches still
+    # unpersist instead of leaking until GC. A raised exception may
+    # leave exactly ONE store committed (either order: the commits
+    # overlap); replaying the same ``seq`` is the documented recovery,
+    # identical to the crash window.
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fc = pool.submit(ct.upsert_moving, codes, ["id"], "seq")
+            fv = pool.submit(vt.upsert_moving, vecs, ["id"], "seq")
+            vc, vv = fc.result(), fv.result()
+    finally:
+        codes.unpersist()
+        vecs.unpersist()
     return vc, vv
 
 
