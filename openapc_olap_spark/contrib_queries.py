@@ -4063,15 +4063,20 @@ def _x73_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     all sit under the hash; gram-less documents surface with
     n_ngrams = 0 and weight 0."""
     from openapc_olap_spark.operators import dsir
+    from openapc_olap_spark.operators.dedup import _materialized
 
     docs = _docs_split(spark, sf_dir)
     target = docs.filter(F.col("doc_id") % 13 == 0)
+    # one raw-corpus gram pass (r15, guide §1.2): the cached per-doc
+    # bucket table feeds the raw model AND the scoring join — integer
+    # re-aggregation, values identical under the hash
+    per_raw = _materialized(dsir.doc_bucket_counts(docs, X73_BUCKETS))
     t_model, t_floor = dsir.fit_bucket_model(
         dsir.corpus_bucket_counts(target, X73_BUCKETS), X73_BUCKETS)
     r_model, r_floor = dsir.fit_bucket_model(
-        dsir.corpus_bucket_counts(docs, X73_BUCKETS), X73_BUCKETS)
+        dsir.corpus_counts_from_doc_counts(per_raw), X73_BUCKETS)
     w = dsir.importance_weights(docs, t_model, t_floor, r_model, r_floor,
-                                X73_BUCKETS)
+                                X73_BUCKETS, per=per_raw)
     return (w.filter(F.col("doc_id") % 3 == 0)
             .select("doc_id", "n_ngrams",
                     F.round("weight", 6).alias("weight")))

@@ -114,19 +114,37 @@ def fit_bucket_model(counts: DataFrame, n_buckets: int,
     return model, floor
 
 
+def corpus_counts_from_doc_counts(per: DataFrame) -> DataFrame:
+    """Re-aggregate a ``doc_bucket_counts`` table to the corpus-level
+    (bucket, count) frame ``corpus_bucket_counts`` would produce over
+    the same input — integer sums, bit-identical — so a pipeline that
+    needs BOTH grains (dsir_select, the x73 shape) runs the corpus-sized
+    gram explode once, not twice (guide §1.2). NULL-bucket rows (the
+    explode_outer placeholders for gram-less docs, count 0) are dropped,
+    matching the plain-explode corpus path."""
+    return (per.filter(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.sum("count").alias("count")))
+
+
 def importance_weights(df: DataFrame, target_model: DataFrame,
                        target_floor: float, raw_model: DataFrame,
                        raw_floor: float, n_buckets: int,
                        id_col: str = "doc_id", text_col: str = "text",
-                       n_max: int = 2) -> DataFrame:
+                       n_max: int = 2,
+                       per: DataFrame | None = None) -> DataFrame:
     """(id_col, n_ngrams, weight): per-document importance log-weight.
 
     Both model joins broadcast (<= n_buckets rows by construction).
     The weight folds (bucket, count, delta) structs sorted by bucket id
     so the floating-point sum is partitioning- and engine-invariant.
     Gram-less documents surface with n_ngrams = 0, weight = 0.0.
+    ``per`` accepts a precomputed (ideally cached) ``doc_bucket_counts``
+    frame so the raw-model fit and the scoring pass can share ONE gram
+    explode (see corpus_counts_from_doc_counts).
     """
-    per = doc_bucket_counts(df, n_buckets, id_col, text_col, n_max)
+    if per is None:
+        per = doc_bucket_counts(df, n_buckets, id_col, text_col, n_max)
     lt = F.coalesce(F.col("__lt"), F.lit(target_floor))
     lr = F.coalesce(F.col("__lr"), F.lit(raw_floor))
     scored = (per
@@ -176,12 +194,20 @@ def dsir_select(raw_df: DataFrame, target_df: DataFrame,
     if not 0.0 < keep_fraction <= 1.0:
         raise ValueError(f"keep_fraction must be in (0, 1], "
                          f"got {keep_fraction}")
+    from openapc_olap_spark.operators.dedup import _materialized
+
+    # ONE raw-corpus gram pass: the per-doc bucket table feeds both the
+    # raw model (re-aggregated, integer-exact) and the scoring join
+    # (guide §1.2 — corpus_bucket_counts(raw_df) was a second full
+    # explode of the same grams)
+    per_raw = _materialized(doc_bucket_counts(raw_df, n_buckets, id_col,
+                                              text_col, n_max))
     t_counts = corpus_bucket_counts(target_df, n_buckets, text_col, n_max)
-    r_counts = corpus_bucket_counts(raw_df, n_buckets, text_col, n_max)
+    r_counts = corpus_counts_from_doc_counts(per_raw)
     t_model, t_floor = fit_bucket_model(t_counts, n_buckets, smoothing_k)
     r_model, r_floor = fit_bucket_model(r_counts, n_buckets, smoothing_k)
     w = importance_weights(raw_df, t_model, t_floor, r_model, r_floor,
-                           n_buckets, id_col, text_col, n_max)
+                           n_buckets, id_col, text_col, n_max, per=per_raw)
     w = w.filter(F.col("n_ngrams") > 0).localCheckpoint(eager=True)
     n = w.count()
     if n == 0:
