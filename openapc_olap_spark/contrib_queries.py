@@ -6366,10 +6366,13 @@ def _x100_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie behavior, UNK, and order all under the hash; the oracle
     replays training AND the greedy scan as chained step-CTEs."""
     from openapc_olap_spark.operators import wordpiece as wp
+    from openapc_olap_spark.operators.dedup import _materialized
 
     docs = _docs_split(spark, sf_dir)
-    log, _ = wp.wordpiece_train(docs, _wp_merges)
-    init = wp.with_wordpiece_symbols(wp.word_counts(docs))
+    # one corpus word-count pass (r15, guide §1.2): the cached initial
+    # segmentation seeds BOTH the trainer and vocab_tokens' alphabet
+    init = _materialized(wp.with_wordpiece_symbols(wp.word_counts(docs)))
+    log, _ = wp.wordpiece_train(docs, _wp_merges, vocab0=init)
     toks = wp.vocab_tokens(init, log)
     enc = wp.wordpiece_encode(docs, toks, word_cap=_wp_word_cap,
                               max_piece=_wp_max_piece)

@@ -121,17 +121,27 @@ def select_merge(vocab: DataFrame) -> tuple[str, str, int, int, int]:
 
 
 def wordpiece_train(df: DataFrame, num_merges: int,
-                    text_col: str = "text"
+                    text_col: str = "text",
+                    vocab0: DataFrame | None = None
                     ) -> tuple[list[dict], DataFrame]:
     """Train ``num_merges`` WordPiece merges. Returns (merge log —
     [{step, left, right, token, cnt, cl, cr}] — and the final vocabulary
     frame (word, wc, symbols)). One corpus-grain shuffle up front; each
     iteration is vocabulary-grain (two small aggs + a 1-row collect +
-    an expression re-segmentation)."""
-    vocab = with_wordpiece_symbols(word_counts(df, text_col))
-    # iteration re-plans stack fold-upon-fold; checkpoint lineage at
-    # model grain like unigram_train (vocab tables are small)
-    vocab = vocab.localCheckpoint(eager=False)
+    an expression re-segmentation).
+
+    ``vocab0`` accepts a precomputed (ideally cached)
+    ``with_wordpiece_symbols(word_counts(df))`` frame: a caller that
+    also needs the initial segmentation — vocab_tokens' seed alphabet,
+    the x100 encode shape — shares ONE corpus word-count pass instead
+    of re-running it here (guide §1.2)."""
+    if vocab0 is not None:
+        vocab = vocab0
+    else:
+        # iteration re-plans stack fold-upon-fold; checkpoint lineage at
+        # model grain like unigram_train (vocab tables are small)
+        vocab = with_wordpiece_symbols(word_counts(df, text_col)) \
+            .localCheckpoint(eager=False)
     log: list[dict] = []
     for step in range(1, num_merges + 1):
         left, right, cnt, cl, cr = select_merge(vocab)
