@@ -488,6 +488,35 @@ def test_read_changes_keyed_nets_commits_into_classes(spark, tmp_path):
                     ("f", "insert")}
 
 
+def test_read_changes_keyed_requires_key_unique_snapshots(spark, tmp_path):
+    """VERDICT r14 #5 pinned: read_changes(keys=) is exact ONLY for
+    key-unique snapshots (the upsert/merge/delete keyed-consumer
+    contract — every engine consumer satisfies it). A snapshot that
+    carries duplicate keys into a rewritten partition is OUT OF
+    CONTRACT: the null-safe full-outer classification join multiplies
+    the duplicate rows and emits spurious update images where the old
+    exceptAll path would have produced multiset diffs. This test
+    documents that failure mode so a future consumer with non-unique
+    keys hits a red test, not a silent wrong feed."""
+    df = txn.add_bucket(
+        spark.createDataFrame(
+            [("a", 0, "x"), ("a", 0, "y"), ("b", 0, "vb")],
+            "k string, seq long, val string"), ["k"], 1)
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, "bucket")
+    t.delete("k = 'b'")                            # v1 rewrites the one bucket
+    ch = [(r["k"], r["_change_type"], r["val"]) for r in
+          t.read_changes(0, 1, keys=["k"]).collect()]
+    # the in-contract part of the feed is still right
+    assert ("b", "delete", "vb") in ch
+    # the duplicate key is where the contract breaks: the full-outer
+    # join pairs every old 'a' row with every new 'a' row, so the two
+    # unchanged-but-distinct rows surface as cross-paired spurious
+    # updates (exceptAll multiset semantics would emit nothing here)
+    spurious = [c for c in ch if c[0] == "a"]
+    assert sorted(spurious) == [("a", "update_postimage", "x"),
+                                ("a", "update_postimage", "y")]
+
+
 def test_read_changes_include_preimages(spark, tmp_path):
     """include_preimages=True adds the update_preimage class (the OLD
     row of every updated key) — the retraction input for incremental

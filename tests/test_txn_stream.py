@@ -3,6 +3,7 @@
 restarts, file-grain semantics."""
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -568,3 +569,40 @@ def test_filtered_aggregate_crossings_and_seed(spark, tmp_path):
     got = {(r["g"], r["n"], r["s"]) for r in
            read_aggregate(dst, ["g"], aggs).collect()}
     assert got == {("g1", 1, 8.0)}                 # g2 deleted at 0 rows
+
+
+def test_run_keyed_cdf_fresh_subscriber_on_backdated_manifests(
+        spark, tmp_path):
+    """VERDICT r14 #6 pinned: a FRESH run_keyed_cdf subscription over a
+    store whose manifest files are all OLDER than the JVM file stream's
+    default maxFileAge (7 days) must still deliver every version.
+
+    Why it holds without an explicit option: the file stream is only
+    the TRIGGER — batch content is never read; KeyedChanges re-derives
+    the exact version range from its frontier and the manifest
+    directory. FileStreamSource's age filter drops files older than
+    (newest seen - maxFileAge), which can hide OLD manifests from the
+    first batch, but the newest manifest always survives the filter, a
+    batch fires, and the frontier drains start_version..current in
+    full. This test backdates every manifest a staggered 30..60 days
+    (so v0/v1 are far older than the 7-day window behind v2) and
+    asserts the complete feed."""
+    from openapc_olap_spark.sources.txn_stream import run_keyed_cdf
+
+    t = _cdf_store(spark, tmp_path)
+    man_dir = os.path.join(t.path, "_manifest")
+    now = time.time()
+    for f in sorted(os.listdir(man_dir)):
+        if f.startswith("v") and f.endswith(".json"):
+            v = int(f[1:-5])
+            age = (60 - 15 * v) * 86400          # v0: 60d, v1: 45d, v2: 30d
+            os.utime(os.path.join(man_dir, f), (now - age, now - age))
+    got: list = []
+    q = run_keyed_cdf(spark, t.path, ["k"],
+                      lambda ch, b: got.extend(
+                          (r["_commit_version"], r["_change_type"], r["k"])
+                          for r in ch.collect()),
+                      checkpoint_dir=str(tmp_path / "ckpt_backdated"))
+    q.awaitTermination()
+    assert set(got) == {(1, "update_postimage", "a"), (1, "insert", "g"),
+                        (2, "delete", "x")}, got
