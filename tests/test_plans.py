@@ -168,6 +168,25 @@ def test_winnow_fingerprints_single_scan_no_shuffle(spark, sf_dir):
     assert "title" not in plans.scan_lines(df)[0]          # pruned
 
 
+def test_kgram_hashes_binds_lowered_text_once(spark, sf_dir):
+    """VERDICT r14 #1 pinned: kgram_hashes must LOWER the text once —
+    bound as a lambda variable by an outer single-element transform —
+    and never inside the per-position gram lambda, where interpreted
+    HOF evaluation re-lowercases the whole document at every position
+    (O(len^2)). The analyzed expression therefore contains exactly ONE
+    lower(...) call; the inner lambda reads only lambda variables."""
+    from openapc_olap_spark.operators.text import kgram_hashes
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    df = docs.select(kgram_hashes("text").alias("h"))
+    expr = df._jdf.queryExecution().analyzed().toString()
+    assert expr.lower().count("lower(") == 1, expr
+    # same guarantee for langid's column form (normalization bound once)
+    from openapc_olap_spark.operators.langid import char_ngram_buckets
+    df2 = docs.select(char_ngram_buckets("text").alias("b"))
+    expr2 = df2._jdf.queryExecution().analyzed().toString()
+    assert expr2.lower().count("lower(") == 1, expr2
+
+
 def test_curation_funnel_one_window_one_agg(spark, sf_dir):
     """x28 posture: the composed funnel is exactly two shuffles over one
     scan — the fingerprint window (dedup ranking) and the final aggregate —
