@@ -10,6 +10,8 @@ reproduce the SCALING.md numbers; the suite uses sf0.01 to stay fast.
 import os
 
 import pytest
+
+pytestmark = pytest.mark.slow  # statistical recall bands, not a correctness contract
 from pyspark.sql import functions as F
 
 from openapc_olap_spark.operators import similarity
